@@ -1,0 +1,98 @@
+"""Typed engine configuration.
+
+Replaces the reference's module-level CONFIG / TAG_WEIGHTS / STOP_WORDS
+(reference: utils/constants.py:27-53) with a single dataclass that covers tag
+weights, stopwords, BM25 parameters, dedup thresholds, and the physical knobs
+(partition counts, salting, posting-block size) the Ray Data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Dict, FrozenSet, Tuple
+
+# The standard 174-word English stopword list used by the reference
+# (reference: utils/constants.py:2-19; it is the public ranks.nl list plus
+# 'com'). Queries drop stopwords; the index keeps them (tokenizer.py:28-31).
+STOP_WORDS: FrozenSet[str] = frozenset({
+    'a', 'about', 'above', 'after', 'again', 'against', 'all', 'am', 'an',
+    'and', 'any', 'are', "aren't", 'as', 'at', 'be', 'because', 'been',
+    'before', 'being', 'below', 'between', 'both', 'but', 'by', 'can',
+    "can't", 'cannot', 'com', 'could', "couldn't", 'did', "didn't", 'do',
+    'does', "doesn't", 'doing', "don't", 'down', 'during', 'each', 'else',
+    'ever', 'few', 'for', 'from', 'further', 'get', 'had', "hadn't", 'has',
+    "hasn't", 'have', "haven't", 'having', 'he', 'her', 'here', "here's",
+    'hers', 'herself', 'him', 'himself', 'his', 'how', "how's", 'i', "i'm",
+    'if', 'in', 'into', 'is', "isn't", 'it', "it's", 'its', 'itself',
+    "let's", 'me', 'more', 'most', "mustn't", 'my', 'myself', 'no', 'nor',
+    'not', 'of', 'off', 'on', 'once', 'only', 'or', 'other', 'ought', 'our',
+    'ours', 'ourselves', 'out', 'over', 'own', 'same', "shan't", 'she',
+    "she'd", "she'll", "she's", 'should', "shouldn't", 'so', 'some', 'such',
+    'than', 'that', "that's", 'the', 'their', 'theirs', 'them', 'themselves',
+    'then', 'there', "there's", 'these', 'they', "they'd", "they'll",
+    "they're", "they've", 'this', 'those', 'through', 'to', 'too', 'under',
+    'until', 'up', 'very', 'was', "wasn't", 'we', "we'd", "we'll", "we're",
+    "we've", 'were', "weren't", 'what', "what's", 'when', "when's", 'where',
+    "where's", 'which', 'while', 'who', "who's", 'whom', 'why', "why's",
+    'with', "won't", 'would', "wouldn't", 'you', "you'd", "you'll", "you're",
+    "you've", 'your', 'yours', 'yourself', 'yourselves',
+})
+
+# Tag importance weights (reference: utils/constants.py:46-53).
+TAG_WEIGHTS: Dict[str, float] = {
+    'title': 2.0,
+    'h1': 1.5,
+    'h2': 1.0,
+    'h3': 0.75,
+    'b': 0.5,
+    'strong': 0.5,
+}
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- semantics (reference parity) ---
+    tag_weights: Tuple[Tuple[str, float], ...] = tuple(TAG_WEIGHTS.items())
+    similarity_threshold: float = 0.85      # constants.py:28
+    simhash_bits: int = 128                 # utils/simhash.py:9
+    stem: bool = True                       # Porter stemming on index+query
+
+    # --- BM25 (north-star scorer; Robertson & Zaragoza 2009) ---
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
+
+    # --- physical execution ---
+    num_index_partitions: int = 16          # term-hash shuffle width (P)
+    head_term_salt: int = 4                 # S: doc-hash buckets per head term
+    posting_block_size: int = 128           # postings per skip/block-max block
+    tokenize_concurrency: Tuple[int, int] = (2, 8)   # actor pool min/max
+    tokenize_batch_size: int = 256
+    extract_batch_size: int = 256
+
+    @property
+    def tag_weight_map(self) -> Dict[str, float]:
+        return dict(self.tag_weights)
+
+    @property
+    def max_hamming(self) -> int:
+        """similarity >= threshold  <=>  hamming <= floor(b * (1 - thr))."""
+        return int(self.simhash_bits * (1.0 - self.similarity_threshold) + 1e-9)
+
+    def with_(self, **kw) -> "EngineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()
+
+# Head terms for salted partitioning: stopwords are kept in the index
+# (reference tokenizer.py:28-31), so the Porter-stemmed stopword set is the
+# statically known head of the df distribution. A df pre-pass can extend this
+# set dynamically; the static set covers the pathological case the reference
+# documented (todo.md:44-50, the 7.7-9.8 s stopword-stuffed queries).
+def head_terms(cfg: EngineConfig = DEFAULT_CONFIG) -> FrozenSet[str]:
+    from .functions.tokenizer import tokenize_text
+    out = set()
+    for w in STOP_WORDS:
+        for t in tokenize_text(w, stem=cfg.stem):
+            out.add(t)
+    return frozenset(out)
