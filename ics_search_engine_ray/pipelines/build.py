@@ -1,0 +1,304 @@
+"""End-to-end index build: pages parquet -> compressed segments + docmeta +
+link scores, as a resumable Ray Data pipeline (SURVEY.md §3.4).
+
+Stages (each a streaming Dataset transform; no full materialization except
+the small driver-side artifacts):
+
+1. read_parquet(pages, columns=[url, html])       — column-pruned read (S1/S2)
+2. extract (stateless tasks)                       — M1-M5
+3. tokenize+simhash (actor pool)                   — M6-M9, T1, T4
+   -> checkpoint: ``docs_tokenized/`` parquet (the resume unit for the
+      narrow stages; replaces the reference's partial-index spill S3)
+4. simhash LSH dedup                               — T2 (stages/dedup.py)
+5. docmeta parquet + global stats (N, avgdl)       — S6, A4
+6. head-term df pre-aggregation (combiner + tiny groupby)      — A2 for salted terms
+7. doc_terms explode -> term-hash partition assignment (salted for head
+   terms) -> groupby(part).map_groups -> write_segment                — A1/A3/O1/S4/S5/S8/S9
+   -> per-partition ``.done.json`` manifest = resume + lineage unit
+8. link graph -> PageRank/HITS -> link_scores.parquet          — G1/G2/S7
+9. ``manifest.json`` with global stats + per-partition metrics
+
+Skew: stopword-class head terms are routed to ``S`` dedicated partitions by
+``doc_id % S`` (config ``head_term_salt``); their true df comes from step 6's
+pre-aggregated combiner pass, so each salted partition scores with the global
+df. Normal terms live wholly inside one hash partition and compute df
+locally — no global df table is ever built or broadcast (SURVEY.md §4 skew).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig, DEFAULT_CONFIG, head_terms
+from ..index.segments import write_segment
+from ..stages.doc_terms import explode_doc_terms
+from ..stages.dedup import simhash_dedup
+from ..stages.extract import extract_dataset
+from ..stages.tokenize import tokenize_dataset
+from ..graph.linkrank import link_scores_from_docmeta
+
+DOCMETA_COLS = ["doc_id", "url", "title", "simhash", "token_count", "outgoing_links"]
+
+
+def term_partition(term: str, num_partitions: int) -> int:
+    """Stable term-hash partition (md5, not PYTHONHASHSEED-dependent)."""
+    return int.from_bytes(hashlib.md5(term.encode("utf-8")).digest()[:8], "big") % num_partitions
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    num_docs: int
+    avgdl: float
+    num_dropped: int
+    num_partitions: int
+    manifest: List[dict]
+    build_secs: float
+    stage_secs: Dict[str, float]
+
+
+class AssignPartition:
+    """Vectorized partition assignment over doc_terms batches."""
+
+    def __init__(self, cfg: EngineConfig, head: frozenset):
+        self.cfg = cfg
+        self.head = head
+        self._memo: Dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        P, S = self.cfg.num_index_partitions, self.cfg.head_term_salt
+        terms = batch.column("term").combine_chunks()
+        enc = pc.dictionary_encode(terms)
+        chunk = enc.chunk(0) if isinstance(enc, pa.ChunkedArray) else enc
+        codes = chunk.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = chunk.dictionary.to_pylist()
+        uniq_part = np.empty(len(vocab), dtype=np.int64)
+        uniq_head = np.zeros(len(vocab), dtype=bool)
+        for i, t in enumerate(vocab):
+            p = self._memo.get(t)
+            if p is None:
+                p = term_partition(t, P)
+                self._memo[t] = p
+            uniq_part[i] = p
+            uniq_head[i] = t in self.head
+        part = uniq_part[codes]
+        if S > 0:
+            is_head = uniq_head[codes]
+            if is_head.any():
+                doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                part = np.where(is_head, P + (doc_ids % S), part)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+def _filter_dropped(dropped_ref):
+    """batch fn factory: drop near-duplicate doc_ids.
+
+    The drop set rides in the object store (``ray.put`` once by the driver);
+    tasks ``ray.get`` it — Ray caches the object per worker process, so it is
+    fetched once per worker, not per batch (broadcast-small-side pattern).
+    """
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(dropped_ref)
+        if not dropped:
+            return batch
+        arr = pa.array(sorted(dropped), pa.int64())
+        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=arr))
+        return batch.filter(mask)
+
+    return fn
+
+
+def build_index(pages_path: str, out_dir: str,
+                cfg: EngineConfig = DEFAULT_CONFIG,
+                resume: bool = False) -> BuildResult:
+    """Build (or resume) the full index from a pages parquet directory."""
+    import ray
+    import ray.data as rd
+
+    t_start = time.time()
+    stage_secs: Dict[str, float] = {}
+    os.makedirs(out_dir, exist_ok=True)
+    seg_dir = os.path.join(out_dir, "segments")
+    fingerprint = hashlib.md5(
+        f"{os.path.abspath(pages_path)}|{cfg.num_index_partitions}|{cfg.head_term_salt}|"
+        f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|v1".encode()).hexdigest()[:16]
+
+    # ---- 1-3: extract + tokenize checkpoint ----
+    t0 = time.time()
+    tok_dir = os.path.join(out_dir, "docs_tokenized")
+    tok_marker = os.path.join(tok_dir, "_SUCCESS")
+    if not (resume and os.path.exists(tok_marker)):
+        pages = rd.read_parquet(pages_path, columns=["url", "html"])
+        docs = extract_dataset(pages, cfg)
+        tok = tokenize_dataset(docs, cfg)
+        os.makedirs(tok_dir, exist_ok=True)
+        tok.write_parquet(tok_dir)
+        with open(tok_marker, "w") as f:
+            f.write(fingerprint)
+    stage_secs["extract_tokenize"] = time.time() - t0
+
+    # ---- 4: dedup ----
+    t0 = time.time()
+    dedup_path = os.path.join(out_dir, "dedup.json")
+    if resume and os.path.exists(dedup_path):
+        with open(dedup_path) as f:
+            dd = json.load(f)
+        dropped: Set[int] = set(dd["dropped"])
+        num_pairs = dd["num_pairs"]
+    else:
+        tok_ids = rd.read_parquet(tok_dir, columns=["doc_id", "simhash"])
+        res = simhash_dedup(tok_ids, cfg)
+        dropped = res.dropped
+        num_pairs = res.num_pairs
+        with open(dedup_path, "w") as f:
+            json.dump({"dropped": sorted(dropped), "num_pairs": res.num_pairs,
+                       "clusters": res.clusters}, f)
+    dropped_ref = ray.put(dropped)
+    stage_secs["dedup"] = time.time() - t0
+
+    # ---- 5: docmeta + stats ----
+    t0 = time.time()
+    meta_dir = os.path.join(out_dir, "docmeta")
+    meta_marker = os.path.join(meta_dir, "_SUCCESS")
+    if not (resume and os.path.exists(meta_marker)):
+        tok_meta = rd.read_parquet(tok_dir, columns=DOCMETA_COLS)
+        tok_meta = tok_meta.map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
+        os.makedirs(meta_dir, exist_ok=True)
+        tok_meta.write_parquet(meta_dir)
+        with open(meta_marker, "w") as f:
+            f.write(fingerprint)
+    meta_ds = rd.read_parquet(meta_dir, columns=["doc_id", "token_count"])
+    agg = meta_ds.aggregate(rd.aggregate.Count(), rd.aggregate.Sum("token_count"))
+    num_docs = int(agg["count()"])
+    total_len = float(agg["sum(token_count)"] or 0.0)
+    avgdl = total_len / num_docs if num_docs else 0.0
+    stage_secs["docmeta_stats"] = time.time() - t0
+
+    # ---- 6: head-term df pre-aggregation (partial combine, then tiny groupby) ----
+    t0 = time.time()
+    head = head_terms(cfg) if cfg.head_term_salt > 0 else frozenset()
+    head_df: Dict[str, int] = {}
+    if head:
+        head_arr = pa.array(sorted(head), pa.string())
+
+        def head_partial(batch: pa.Table) -> pa.Table:
+            ex = explode_doc_terms(batch)
+            mask = pc.is_in(ex.column("term"), value_set=head_arr)
+            f = ex.filter(mask)
+            if f.num_rows == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            g = f.group_by("term").aggregate([("term", "count")])
+            return pa.table({"term": g.column("term"),
+                             "cnt": g.column("term_count").cast(pa.int64())})
+
+        tok_terms = rd.read_parquet(tok_dir, columns=["doc_id", "terms", "tfs", "imps", "poss", "token_count"])
+        tok_terms = tok_terms.map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
+        partial = tok_terms.map_batches(head_partial, batch_format="pyarrow")
+        for row in partial.groupby("term").sum("cnt").take_all():
+            head_df[row["term"]] = int(row["sum(cnt)"])
+    stage_secs["head_df"] = time.time() - t0
+
+    # ---- 7: the shuffle -> segments ----
+    t0 = time.time()
+    os.makedirs(seg_dir, exist_ok=True)
+    total_parts = cfg.num_index_partitions + (cfg.head_term_salt if head else 0)
+    done_parts: Set[int] = set()
+    if resume:
+        for p in range(total_parts):
+            if os.path.exists(os.path.join(seg_dir, f"part-{p:05d}.done.json")):
+                done_parts.add(p)
+
+    manifest_rows: List[dict] = []
+    if len(done_parts) < total_parts:
+        tok_full = rd.read_parquet(tok_dir, columns=["doc_id", "terms", "tfs", "imps", "poss", "token_count"])
+        tok_full = tok_full.map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
+        dt = tok_full.map_batches(explode_doc_terms, batch_format="pyarrow")
+        dt = dt.map_batches(AssignPartition(cfg, head), batch_format="pyarrow")
+        if done_parts:
+            skip_arr = pa.array(sorted(done_parts), pa.int64())
+            dt = dt.map_batches(
+                lambda b: b.filter(pc.invert(pc.is_in(b.column("part"), value_set=skip_arr))),
+                batch_format="pyarrow")
+
+        def build_part(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({"manifest": pa.array([], pa.string())})
+            part_id = int(group.column("part")[0].as_py())
+            row = write_segment(part_id, group.drop(["part"]), seg_dir,
+                                num_docs, avgdl, head_df, cfg, fingerprint)
+            return pa.table({"manifest": pa.array([json.dumps(row)], pa.string())})
+
+        out = dt.groupby("part").map_groups(build_part, batch_format="pyarrow")
+        manifest_rows = [json.loads(r["manifest"]) for r in out.take_all()]
+    # merge in already-done partitions (resume) & ensure empty partitions exist
+    for p in range(total_parts):
+        done_file = os.path.join(seg_dir, f"part-{p:05d}.done.json")
+        if p in done_parts:
+            with open(done_file) as f:
+                manifest_rows.append(json.load(f))
+        elif not os.path.exists(done_file):
+            # partition received no rows: write an empty segment for it
+            empty = pa.table({
+                "doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int32()), "importance": pa.array([], pa.float32()),
+                "positions": pa.array([], pa.list_(pa.int32())), "doclen": pa.array([], pa.int32()),
+            })
+            manifest_rows.append(write_segment(p, empty, seg_dir, num_docs, avgdl,
+                                               head_df, cfg, fingerprint))
+    manifest_rows.sort(key=lambda r: r["part"])
+    stage_secs["segments"] = time.time() - t0
+
+    # ---- 8: link scores ----
+    t0 = time.time()
+    ls_path = os.path.join(out_dir, "link_scores.parquet")
+    if not (resume and os.path.exists(ls_path)):
+        meta_links = rd.read_parquet(meta_dir, columns=["url", "outgoing_links"])
+        rows = [(r["url"], list(r["outgoing_links"]) if r["outgoing_links"] is not None else [])
+                for r in meta_links.take_all()]
+        ls_rows = link_scores_from_docmeta(rows)
+        ls_tbl = pa.table({
+            "url": pa.array([r["url"] for r in ls_rows], pa.string()),
+            "auth": pa.array([r["auth"] for r in ls_rows], pa.float64()),
+            "hub": pa.array([r["hub"] for r in ls_rows], pa.float64()),
+            "pagerank": pa.array([r["pagerank"] for r in ls_rows], pa.float64()),
+        })
+        import pyarrow.parquet as pq
+        pq.write_table(ls_tbl, ls_path)
+    stage_secs["link_scores"] = time.time() - t0
+
+    manifest = {
+        "version": 1,
+        "fingerprint": fingerprint,
+        "pages_path": os.path.abspath(pages_path),
+        "num_docs": num_docs,
+        "avgdl": avgdl,
+        "num_dropped": len(dropped),
+        "num_dup_pairs": num_pairs,
+        "num_partitions": cfg.num_index_partitions,
+        "head_term_salt": cfg.head_term_salt if head else 0,
+        "total_parts": total_parts,
+        "head_df": head_df,
+        "bm25_k1": cfg.bm25_k1,
+        "bm25_b": cfg.bm25_b,
+        "stem": cfg.stem,
+        "partitions": manifest_rows,
+        "stage_secs": stage_secs,
+        "build_secs": time.time() - t_start,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    return BuildResult(out_dir, num_docs, avgdl, len(dropped), total_parts,
+                       manifest_rows, time.time() - t_start, stage_secs)

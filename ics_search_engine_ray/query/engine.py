@@ -1,0 +1,265 @@
+"""Query engine: BM25 top-k (default) + reference tf-idf parity scorer.
+
+Query surface mirrors the reference (search.py:133-202): a query string in,
+ranked ``SearchResult(url, score, matched_terms)`` out. Internals are the
+Ray-native index: per-partition compressed segments (index/segments.py),
+docmeta for url lookup, link_scores for the reference combined score.
+
+Scorers:
+- ``bm25`` (default, the north-star): per-term BM25 partial scores
+  (recomputed vectorized from stored tf/importance/doclen + df/N/avgdl),
+  weighted by the query term count. Two algorithms, guaranteed identical
+  output: ``taat`` (vectorized exhaustive accumulation — np.unique + bincount)
+  and ``wand`` (block-max WAND, query/wand.py). ``auto`` picks WAND when the
+  candidate postings volume is large.
+- ``tfidf-ref``: the reference's full Q3-Q5 combined score — tf-idf
+  accumulation x query-frequency, the quirky shared-scalar cosine
+  (search.py:101-130: the doc vector holds the doc's *accumulated combined
+  score* at every matched-term index, not per-term tf-idf), term-match boost,
+  and HITS/PageRank link signals with the 0.2/0.2/0.6/0.1/0.1/0.2 weights
+  (search.py:183-190).
+
+Determinism: all rankings tie-break by (-score, doc_id); the reference's
+insertion-order ties were schedule-dependent (SURVEY.md §4 determinism).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig, DEFAULT_CONFIG, STOP_WORDS
+from ..functions.tokenizer import Tokenizer
+from ..index.scoring import bm25_scores, tfidf_ref_scores
+from ..index.segments import SegmentReader, TermPostings
+from .wand import wand_topk
+
+
+@dataclass
+class SearchResult:
+    url: str
+    doc_id: int
+    score: float
+    matched_terms: List[str]
+
+
+@dataclass
+class _MergedPostings:
+    df: int
+    doc_ids: np.ndarray
+    scores: np.ndarray          # per-posting partial score for active scorer
+    block_last: np.ndarray
+    block_max: np.ndarray
+
+
+class SearchIndex:
+    """Loads an index directory produced by pipelines/build.py."""
+
+    def __init__(self, index_dir: str, cfg: Optional[EngineConfig] = None):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.num_docs = int(self.manifest["num_docs"])
+        self.avgdl = float(self.manifest["avgdl"])
+        self.P = int(self.manifest["num_partitions"])
+        self.S = int(self.manifest["head_term_salt"])
+        self.head_df: Dict[str, int] = self.manifest.get("head_df", {})
+        self.cfg = cfg or DEFAULT_CONFIG.with_(
+            bm25_k1=self.manifest["bm25_k1"], bm25_b=self.manifest["bm25_b"],
+            stem=self.manifest["stem"],
+            num_index_partitions=self.P, head_term_salt=self.S)
+        self.tokenizer = Tokenizer(stem=self.cfg.stem)
+        self._readers: Dict[int, SegmentReader] = {}
+        self._url_of: Optional[Dict[int, str]] = None
+        self._link_scores: Optional[Dict[str, Tuple[float, float, float]]] = None
+
+    # ---- plumbing ----
+
+    def _reader(self, part: int) -> SegmentReader:
+        r = self._readers.get(part)
+        if r is None:
+            r = SegmentReader(os.path.join(self.index_dir, "segments", f"part-{part:05d}"))
+            self._readers[part] = r
+        return r
+
+    def _parts_for_term(self, term: str) -> List[int]:
+        from ..pipelines.build import term_partition
+        if self.S > 0 and term in self.head_df:
+            return list(range(self.P, self.P + self.S))
+        return [term_partition(term, self.P)]
+
+    def term_postings(self, term: str, with_positions: bool = False) -> Optional[TermPostings]:
+        """Merged (across salted partitions) raw postings for one term."""
+        parts = [self._reader(p).postings(term, with_positions) for p in self._parts_for_term(term)]
+        parts = [p for p in parts if p is not None and p.doc_ids.size]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        ids = np.concatenate([p.doc_ids for p in parts])
+        order = np.argsort(ids, kind="stable")
+        pos = None
+        if with_positions:
+            allpos = [x for p in parts for x in (p.positions or [])]
+            pos = [allpos[i] for i in order]
+        return TermPostings(
+            term=term, df=parts[0].df,
+            doc_ids=ids[order],
+            tf=np.concatenate([p.tf for p in parts])[order],
+            doclen=np.concatenate([p.doclen for p in parts])[order],
+            importance=np.concatenate([p.importance for p in parts])[order],
+            positions=pos,
+            block_last=np.concatenate([p.block_last for p in parts]),
+            block_max=np.concatenate([p.block_max for p in parts]),
+        )
+
+    def _urls(self) -> Dict[int, str]:
+        if self._url_of is None:
+            t = pq.read_table(os.path.join(self.index_dir, "docmeta"),
+                              columns=["doc_id", "url"])
+            self._url_of = dict(zip(t.column("doc_id").to_pylist(),
+                                    t.column("url").to_pylist()))
+        return self._url_of
+
+    def link_scores(self) -> Dict[str, Tuple[float, float, float]]:
+        if self._link_scores is None:
+            p = os.path.join(self.index_dir, "link_scores.parquet")
+            self._link_scores = {}
+            if os.path.exists(p):
+                t = pq.read_table(p)
+                for u, a, h, r in zip(t.column("url").to_pylist(), t.column("auth").to_pylist(),
+                                      t.column("hub").to_pylist(), t.column("pagerank").to_pylist()):
+                    self._link_scores[u] = (a, h, r)
+        return self._link_scores
+
+    def _scored(self, term: str, scorer: str) -> Optional[_MergedPostings]:
+        tp = self.term_postings(term)
+        if tp is None:
+            return None
+        if scorer == "bm25":
+            s = bm25_scores(tp.tf, tp.importance, tp.doclen, tp.df,
+                            self.num_docs, self.avgdl, self.cfg.bm25_k1, self.cfg.bm25_b)
+        else:
+            s = tfidf_ref_scores(tp.tf, tp.importance, tp.doclen, tp.df, self.num_docs)
+        B = self.cfg.posting_block_size
+        nb = (tp.doc_ids.size + B - 1) // B
+        # block bounds recomputed from the f64 scores (stored f32 block_max is
+        # for the IO-skipping scale path; bounds must be >= actual scores)
+        bl = tp.doc_ids[np.minimum(np.arange(1, nb + 1) * B - 1, tp.doc_ids.size - 1)]
+        bm = np.maximum.reduceat(s, np.arange(0, s.size, B)) if s.size else np.empty(0)
+        return _MergedPostings(tp.df, tp.doc_ids, s, bl.astype(np.int64), bm)
+
+    # ---- public API ----
+
+    def tokenize_query(self, query: str) -> List[str]:
+        return self.tokenizer.tokens(query, for_query=True)
+
+    def search(self, query: str, k: int = 10, scorer: str = "bm25",
+               algo: str = "auto") -> List[SearchResult]:
+        terms = self.tokenize_query(query)
+        if not terms:
+            return []
+        if scorer == "tfidf-ref":
+            return self._search_tfidf_ref(terms, k)
+        qtf: Dict[str, int] = {}
+        for t in terms:
+            qtf[t] = qtf.get(t, 0) + 1
+        posts = {t: self._scored(t, "bm25") for t in qtf}
+        posts = {t: p for t, p in posts.items() if p is not None}
+        if not posts:
+            return []
+        total = sum(p.doc_ids.size for p in posts.values())
+        if algo == "auto":
+            algo = "wand" if total > 100_000 and len(posts) > 1 else "taat"
+        if algo == "wand":
+            ranked = wand_topk(
+                [(p.doc_ids, p.scores, p.block_last, p.block_max, float(qtf[t]))
+                 for t, p in posts.items()], k, self.cfg.posting_block_size)
+            top_ids = [d for d, _ in ranked]
+            top_scores = [s for _, s in ranked]
+        else:
+            all_ids = np.concatenate([p.doc_ids for p in posts.values()])
+            all_sc = np.concatenate([p.scores * qtf[t] for t, p in posts.items()])
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            acc = np.bincount(inv, weights=all_sc, minlength=uniq.size)
+            kk = min(k, uniq.size)
+            # rank by (-score, doc_id): lexsort keys (primary last)
+            order = np.lexsort((uniq, -acc))[:kk]
+            top_ids = uniq[order].tolist()
+            top_scores = acc[order].tolist()
+        urls = self._urls()
+        out = []
+        for d, s in zip(top_ids, top_scores):
+            matched = [t for t, p in posts.items()
+                       if p.doc_ids[np.searchsorted(p.doc_ids, d):np.searchsorted(p.doc_ids, d) + 1].size
+                       and p.doc_ids[np.searchsorted(p.doc_ids, d)] == d]
+            out.append(SearchResult(url=self._defrag(urls.get(int(d), "")),
+                                    doc_id=int(d), score=float(s), matched_terms=matched))
+        return out
+
+    @staticmethod
+    def _defrag(url: str) -> str:
+        # reference defrags at result-render time (search.py:194)
+        return url.split("#", 1)[0]
+
+    def _search_tfidf_ref(self, terms: List[str], k: int) -> List[SearchResult]:
+        """Reference Q3-Q5 semantics (search.py:141-198)."""
+        total_q = len(terms)
+        qtf: Dict[str, int] = {}
+        for t in terms:
+            qtf[t] = qtf.get(t, 0) + 1
+        qvec = {t: c / total_q for t, c in qtf.items()}   # search.py:84-99
+
+        posts = {t: self._scored(t, "tfidf") for t in qtf}
+        posts = {t: p for t, p in posts.items() if p is not None}
+        if not posts:
+            return []
+        all_ids = np.concatenate([p.doc_ids for p in posts.values()])
+        all_sc = np.concatenate([p.scores * qvec[t] for t, p in posts.items()])
+        all_qc = np.concatenate([np.full(p.doc_ids.size, qtf[t], dtype=np.float64)
+                                 for t, p in posts.items()])
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        tfidf_sum = np.bincount(inv, weights=all_sc, minlength=uniq.size)
+        n_matched = np.bincount(inv, minlength=uniq.size).astype(np.float64)
+        qcnt_sum = np.bincount(inv, weights=all_qc, minlength=uniq.size)
+
+        # cosine quirk (search.py:101-130): query vector = per-term counts
+        # (csr duplicate indices sum); doc vector = the doc's accumulated
+        # combined tf-idf score at each matched-term index.
+        qnorm = float(np.sqrt(sum(c * c for c in qtf.values())))
+        dnorm = np.abs(tfidf_sum) * np.sqrt(n_matched)
+        dot = tfidf_sum * qcnt_sum
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where((dnorm > 0) & (qnorm > 0), dot / (qnorm * dnorm), 0.0)
+
+        term_boost = n_matched / total_q
+        urls = self._urls()
+        links = self.link_scores()
+        url_arr = [urls.get(int(d), "") for d in uniq]
+        auth = np.array([links.get(u, (0.0, 0.0, 0.0))[0] for u in url_arr])
+        hub = np.array([links.get(u, (0.0, 0.0, 0.0))[1] for u in url_arr])
+        pr = np.array([links.get(u, (0.0, 0.0, 0.0))[2] for u in url_arr])
+
+        combined = (0.2 * tfidf_sum + 0.2 * cos + 0.6 * term_boost
+                    + 0.1 * auth + 0.1 * hub + 0.2 * pr)     # search.py:183-190
+        kk = min(k, uniq.size)
+        order = np.lexsort((uniq, -combined))[:kk]
+        out = []
+        for i in order:
+            d = int(uniq[i])
+            matched = [t for t, p in posts.items()
+                       if p.doc_ids[np.searchsorted(p.doc_ids, d):np.searchsorted(p.doc_ids, d) + 1].size
+                       and p.doc_ids[np.searchsorted(p.doc_ids, d)] == d]
+            out.append(SearchResult(url=self._defrag(url_arr[i]), doc_id=d,
+                                    score=float(combined[i]), matched_terms=matched))
+        return out
+
+    def close(self):
+        for r in self._readers.values():
+            r.close()
+        self._readers.clear()

@@ -1,0 +1,117 @@
+"""Block-max WAND top-k (Broder et al. 2003; Ding & Suel 2011).
+
+Document-at-a-time top-k over per-term posting arrays with per-term upper
+bounds and per-block maxima for skipping. Produces *identical* results to the
+exhaustive term-at-a-time scorer: pruning uses strict inequality against the
+current k-th score, so threshold ties are never dropped, and final ranking
+uses the shared (-score, doc_id) tie-break.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+class _Cursor:
+    __slots__ = ("doc_ids", "scores", "block_last", "block_max", "pos", "n", "ub", "qw")
+
+    def __init__(self, doc_ids: np.ndarray, scores: np.ndarray,
+                 block_last: np.ndarray, block_max: np.ndarray, qw: float):
+        self.doc_ids = doc_ids
+        self.scores = scores
+        self.block_last = block_last
+        self.block_max = block_max
+        self.qw = qw
+        self.pos = 0
+        self.n = doc_ids.size
+        self.ub = float(block_max.max()) * qw if block_max.size else 0.0
+
+    def cur(self) -> int:
+        return int(self.doc_ids[self.pos]) if self.pos < self.n else (1 << 62)
+
+    def seek(self, target: int):
+        """Advance to the first doc_id >= target (galloping via searchsorted)."""
+        if self.pos >= self.n:
+            return
+        self.pos += int(np.searchsorted(self.doc_ids[self.pos:], target, side="left"))
+
+    def block_ub(self, doc: int, block_size: int) -> float:
+        """Upper bound of the block containing the first doc_id >= doc."""
+        if self.block_last.size == 0:
+            return 0.0
+        bi = int(np.searchsorted(self.block_last, doc, side="left"))
+        if bi >= self.block_max.size:
+            return 0.0
+        return float(self.block_max[bi]) * self.qw
+
+
+def wand_topk(term_postings: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]],
+              k: int, block_size: int = 128) -> List[Tuple[int, float]]:
+    """term_postings: per query term (doc_ids asc, scores, block_last,
+    block_max, query_weight). Returns [(doc_id, score)] ranked by
+    (-score, doc_id)."""
+    cursors = [_Cursor(*tp) for tp in term_postings if tp[0].size]
+    if not cursors:
+        return []
+    heap: List[Tuple[float, int]] = []   # (score, -doc_id) min-heap of top-k
+    theta = -np.inf
+
+    while True:
+        cursors = [c for c in cursors if c.pos < c.n]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.cur())
+        # pivot: smallest prefix whose ub sum could beat theta (strict)
+        # ties: a doc scoring exactly theta can still win the doc_id
+        # tie-break, so pruning uses strict '<' everywhere (>= to continue)
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(cursors):
+            acc += c.ub
+            if acc >= theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # no document can beat theta any more
+        pivot_doc = cursors[pivot_idx].cur()
+
+        # block-max refinement: tighter bound using the blocks at pivot_doc
+        bub = 0.0
+        for c in cursors[: pivot_idx + 1]:
+            bub += c.block_ub(pivot_doc, block_size)
+        if bub < theta:
+            # skip: advance the lowest cursor past the end of its current block
+            c0 = cursors[0]
+            bi = int(np.searchsorted(c0.block_last, pivot_doc, side="left"))
+            nxt = int(c0.block_last[bi]) + 1 if bi < c0.block_last.size else (1 << 62)
+            c0.seek(max(nxt, c0.cur() + 1))
+            continue
+
+        if cursors[0].cur() == pivot_doc:
+            # fully evaluate pivot_doc
+            score = 0.0
+            for c in cursors:
+                if c.cur() == pivot_doc:
+                    score += float(c.scores[c.pos]) * c.qw
+                    c.pos += 1
+                elif c.cur() > pivot_doc:
+                    break
+            entry = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+                theta = heap[0][0]
+        else:
+            # align: move cursors before the pivot up to it
+            for c in cursors[:pivot_idx]:
+                c.seek(pivot_doc)
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out

@@ -86,13 +86,23 @@ def render_page_html(doc_id: int, rep: int, text: str, n_docs: int,
 
 def _render(doc_id: int, rep: int, text: str, n_docs: int, near_of: Optional[int] = None) -> bytes:
     words = text.split()
-    rare = [f"tok{doc_id}r{rep}x{j}" for j in range(3)]
+    # doc-specific rare tokens interleaved through the body: grows vocabulary
+    # with corpus size AND separates SimHash fingerprints (the shared Zipf
+    # vocabulary alone would make most docs near-duplicates at 0.85)
+    n_rare = max(3, len(words) // 10)
+    rare = [f"tok{doc_id}r{rep}x{j}" for j in range(n_rare)]
     title = f"Doc {doc_id} " + " ".join(words[:4])
     h1 = " ".join(words[4:8]) or "heading one"
     h2 = " ".join(words[8:11]) or "heading two"
     h3 = " ".join(words[11:13]) or "heading three"
 
-    body_words = words[13:] + rare
+    # interleave rare tokens every 8 body words (repeated -> simhash weight)
+    body_words = []
+    for i, w in enumerate(words[13:]):
+        body_words.append(w)
+        if i % 8 == 7:
+            body_words.append(rare[(i // 8) % n_rare])
+    body_words += rare
     paras = _chunk(body_words, 40)
     broken = doc_id % 23 == 3
     no_p = doc_id % 29 == 11
@@ -186,7 +196,7 @@ def generate_pages(sf_dir: str, out_dir: Optional[str] = None, replication: int 
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if out_dir is None:
-        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{replication}|v3".encode()).hexdigest()[:12]
+        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{replication}|v4".encode()).hexdigest()[:12]
         out_dir = f"/tmp/icser_pages/{tag}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker) and not force:
