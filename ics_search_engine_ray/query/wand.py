@@ -78,16 +78,24 @@ def wand_topk(term_postings: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, 
             break  # no document can beat theta any more
         pivot_doc = cursors[pivot_idx].cur()
 
-        # block-max refinement: tighter bound using the blocks at pivot_doc
+        # block-max refinement (BMW): bound the docs in [pivot_doc, d'] where
+        # d' is the earliest block boundary among the prefix cursors, capped
+        # by the next cursor's current doc. If even the block maxima cannot
+        # reach theta there, every prefix cursor can skip to d'+1.
         bub = 0.0
+        d_prime = (1 << 62)
         for c in cursors[: pivot_idx + 1]:
             bub += c.block_ub(pivot_doc, block_size)
-        if bub < theta:
-            # skip: advance the lowest cursor past the end of its current block
-            c0 = cursors[0]
-            bi = int(np.searchsorted(c0.block_last, pivot_doc, side="left"))
-            nxt = int(c0.block_last[bi]) + 1 if bi < c0.block_last.size else (1 << 62)
-            c0.seek(max(nxt, c0.cur() + 1))
+            bi = int(np.searchsorted(c.block_last, pivot_doc, side="left"))
+            if bi < c.block_last.size:
+                d_prime = min(d_prime, int(c.block_last[bi]))
+        if pivot_idx + 1 < len(cursors):
+            d_prime = min(d_prime, cursors[pivot_idx + 1].cur() - 1)
+        if bub < theta and d_prime >= pivot_doc:
+            target = d_prime + 1
+            for c in cursors[: pivot_idx + 1]:
+                if c.cur() < target:
+                    c.seek(target)
             continue
 
         if cursors[0].cur() == pivot_doc:

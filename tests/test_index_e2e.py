@@ -1,0 +1,215 @@
+"""End-to-end build + query tests with an independent brute-force oracle
+(SURVEY.md §5 items 3-4: golden top-k, determinism across physical layouts,
+resume)."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ics_search_engine_ray.config import DEFAULT_CONFIG, head_terms
+from ics_search_engine_ray.index.scoring import bm25_scores
+from ics_search_engine_ray.query.engine import SearchIndex
+
+QUERIES = [
+    "spark batch merge",
+    "fast join the order",
+    "machine learning",          # reference query wording; mostly absent terms
+    "tok5r0x1",                  # doc-specific rare token
+    "scan scan scan window",     # repeated query term
+    "the a of with",             # all stopwords -> empty
+    "q",                         # single char -> dropped
+    "value stream big table hash sort filter",
+]
+
+
+@pytest.fixture(scope="session")
+def built_index(ray_session, sf_dir, tmp_path_factory):
+    from ics_search_engine_ray.sources.pages import generate_pages
+    from ics_search_engine_ray.pipelines.build import build_index
+
+    pages_dir = generate_pages(sf_dir)
+    out = str(tmp_path_factory.mktemp("index_main"))
+    res = build_index(pages_dir, out, DEFAULT_CONFIG)
+    return pages_dir, out, res
+
+
+@pytest.fixture(scope="session")
+def oracle(built_index):
+    """Brute-force in-memory oracle built from the tokenized checkpoint."""
+    _, out, _ = built_index
+    tok = pq.read_table(os.path.join(out, "docs_tokenized"),
+                        columns=["doc_id", "url", "terms", "tfs", "imps", "token_count"])
+    with open(os.path.join(out, "dedup.json")) as f:
+        dropped = set(json.load(f)["dropped"])
+    docs = {}
+    for did, url, terms, tfs, imps, tc in zip(
+            tok.column("doc_id").to_pylist(), tok.column("url").to_pylist(),
+            tok.column("terms").to_pylist(), tok.column("tfs").to_pylist(),
+            tok.column("imps").to_pylist(), tok.column("token_count").to_pylist()):
+        if did in dropped:
+            continue
+        docs[did] = (url, dict(zip(terms, zip(tfs, imps))), tc)
+    df = {}
+    for _, tmap, _ in docs.values():
+        for t in tmap:
+            df[t] = df.get(t, 0) + 1
+    N = len(docs)
+    avgdl = sum(tc for _, _, tc in docs.values()) / N
+    return docs, df, N, avgdl
+
+
+def brute_topk(oracle, terms, k=10):
+    docs, df, N, avgdl = oracle
+    qtf = {}
+    for t in terms:
+        qtf[t] = qtf.get(t, 0) + 1
+    scores = []
+    for did, (url, tmap, dl) in docs.items():
+        s = 0.0
+        for t, cnt in qtf.items():
+            if t in tmap:
+                tf, imp = tmap[t]
+                s += cnt * float(bm25_scores(
+                    np.array([tf]), np.array([imp]), np.array([dl]),
+                    float(df[t]), N, avgdl,
+                    DEFAULT_CONFIG.bm25_k1, DEFAULT_CONFIG.bm25_b)[0])
+        if s != 0.0:
+            scores.append((did, s))
+    scores.sort(key=lambda x: (-x[1], x[0]))
+    return scores[:k]
+
+
+def test_build_stats(built_index):
+    _, _, res = built_index
+    assert res.num_docs > 300
+    assert res.avgdl > 10
+    assert sum(r["num_postings"] for r in res.manifest) > 5000
+    assert all(r["status"] == "complete" for r in res.manifest)
+
+
+def test_df_consistency(built_index, oracle):
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    docs, df, N, avgdl = oracle
+    assert si.num_docs == N
+    assert abs(si.avgdl - avgdl) < 1e-6
+    for term in ["spark", "merg", "the", "valu", "tok5r0x1"]:
+        tp = si.term_postings(term)
+        if term not in df:
+            assert tp is None
+            continue
+        assert tp is not None
+        assert tp.df == df[term], term
+        assert tp.doc_ids.size == df[term]
+        assert np.all(np.diff(tp.doc_ids) > 0)  # sorted unique
+
+
+def test_postings_roundtrip_values(built_index, oracle):
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    docs, df, N, avgdl = oracle
+    for term in ["spark", "the", "order"]:
+        tp = si.term_postings(term, with_positions=True)
+        for i in range(0, tp.doc_ids.size, max(1, tp.doc_ids.size // 7)):
+            did = int(tp.doc_ids[i])
+            url, tmap, dl = docs[did]
+            tf, imp = tmap[term]
+            assert tp.tf[i] == tf
+            assert abs(tp.importance[i] - imp) < 1e-6
+            assert tp.doclen[i] == dl
+            assert np.all(np.diff(tp.positions[i]) > 0) if tp.positions[i].size > 1 else True
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_bm25_matches_bruteforce(built_index, oracle, query):
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    terms = si.tokenize_query(query)
+    expect = brute_topk(oracle, terms, k=10)
+    got = si.search(query, k=10, scorer="bm25", algo="taat")
+    assert [(r.doc_id,) for r in got] == [(d,) for d, _ in expect], query
+    for r, (d, s) in zip(got, expect):
+        assert r.score == pytest.approx(s, rel=1e-9), query
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_equals_taat(built_index, query):
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    a = si.search(query, k=10, algo="taat")
+    b = si.search(query, k=10, algo="wand")
+    assert [(r.doc_id, round(r.score, 10)) for r in a] == \
+           [(r.doc_id, round(r.score, 10)) for r in b], query
+
+
+def test_matched_terms_and_defrag(built_index):
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    res = si.search("spark batch merge", k=5)
+    assert res and all("#" not in r.url for r in res)
+    assert all(set(r.matched_terms) <= {"spark", "batch", "merg"} for r in res)
+
+
+def test_rank_identical_across_partitioning(built_index, tmp_path_factory):
+    """north_rule determinism: a different physical layout (partition count,
+    salt width) must produce rank-identical top-k with identical scores."""
+    from ics_search_engine_ray.pipelines.build import build_index
+
+    pages_dir, out, _ = built_index
+    out2 = str(tmp_path_factory.mktemp("index_alt"))
+    cfg2 = DEFAULT_CONFIG.with_(num_index_partitions=5, head_term_salt=2,
+                                tokenize_batch_size=64)
+    build_index(pages_dir, out2, cfg2)
+    s1, s2 = SearchIndex(out), SearchIndex(out2)
+    for q in QUERIES:
+        r1 = [(r.doc_id, round(r.score, 10)) for r in s1.search(q, k=10)]
+        r2 = [(r.doc_id, round(r.score, 10)) for r in s2.search(q, k=10)]
+        assert r1 == r2, q
+
+
+def test_resume_skips_done_and_rebuilds_missing(built_index, tmp_path_factory):
+    from ics_search_engine_ray.pipelines.build import build_index
+
+    pages_dir, out, _ = built_index
+    out3 = str(tmp_path_factory.mktemp("index_resume"))
+    # full build, then damage two partitions and resume
+    res_a = build_index(pages_dir, out3, DEFAULT_CONFIG)
+    seg_dir = os.path.join(out3, "segments")
+    victims = [0, 7]
+    before = {}
+    for p in victims:
+        base = os.path.join(seg_dir, f"part-{p:05d}")
+        before[p] = open(base + ".seg", "rb").read()
+        os.remove(base + ".done.json")
+        os.remove(base + ".seg")
+    kept_mtime = os.path.getmtime(os.path.join(seg_dir, "part-00003.seg"))
+    res_b = build_index(pages_dir, out3, DEFAULT_CONFIG, resume=True)
+    # untouched partition was not rewritten
+    assert os.path.getmtime(os.path.join(seg_dir, "part-00003.seg")) == kept_mtime
+    for p in victims:
+        base = os.path.join(seg_dir, f"part-{p:05d}")
+        assert os.path.exists(base + ".done.json")
+        assert open(base + ".seg", "rb").read() == before[p]  # bit-identical rebuild
+    # query results identical to the pristine index
+    s1, s3 = SearchIndex(out), SearchIndex(out3)
+    for q in QUERIES[:4]:
+        assert [(r.doc_id, round(r.score, 10)) for r in s1.search(q)] == \
+               [(r.doc_id, round(r.score, 10)) for r in s3.search(q)]
+
+
+def test_tfidf_ref_scorer_shape(built_index):
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    res = si.search("spark batch merge", k=10, scorer="tfidf-ref")
+    assert res
+    # combined score components bounded: 0.2*tfidf + 0.2*cos + 0.6*boost + links
+    assert all(r.score > 0 for r in res)
+    assert all(r.matched_terms for r in res)
+    # descending with deterministic tie-break
+    for a, b in zip(res, res[1:]):
+        assert (a.score, -a.doc_id) >= (b.score, -b.doc_id)
