@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark: full index build over the synthesized pages corpus at
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) + BM25 query latencies.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <build secs>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., ...}
+
+--scaling: runs the same build in two fresh processes (num_cpus=8 and 32 by
+default) on identical input and reports both throughputs + scaling
+efficiency (the in-sandbox evidence for the north_rule's two-cluster-size
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = {
+    # names follow the reference M3 evaluation set structure: short good
+    # queries, multi-term queries, and stopword-heavy pathological ones
+    # (CS121 - A3 M3.pdf pp.1-3), re-vocabularied for the synthetic corpus
+    "q1_single": "spark",
+    "q2_pair": "machine learning",
+    "q3_pair": "hash join",
+    "q4_multi": "fast batch merge query",
+    "q5_long": "value stream big table hash sort filter scan",
+    "q6_rare": "tok42r0x1",
+    "q7_head_heavy": "the spark of a table in the row",
+    "q8_pathological": "scan column window order sort part agg value line key join merge query group data batch",
+}
+
+
+def run_single(sf_dir: str, num_cpus: int, replication: int, keep_index: bool = False) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from ics_search_engine_ray.sources.pages import generate_pages
+    from ics_search_engine_ray.pipelines.build import build_index
+    from ics_search_engine_ray.query.engine import SearchIndex
+
+    # corpus generation is input prep, not the measured pipeline
+    pages_dir = generate_pages(sf_dir, replication=replication)
+    out = f"/tmp/icser_bench/idx-{os.path.basename(sf_dir.rstrip('/'))}-r{replication}-c{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    t0 = time.time()
+    res = build_index(pages_dir, out)
+    build_secs = time.time() - t0
+
+    si = SearchIndex(out)
+    qsecs = {}
+    for name, q in BENCH_QUERIES.items():
+        si.search(q, 10)  # warm (reader open + dict load)
+        times = []
+        for _ in range(3):
+            tq = time.time()
+            si.search(q, 10)
+            times.append(time.time() - tq)
+        qsecs[name] = round(sorted(times)[1], 5)
+
+    out_row = {
+        "metric": "index_build_e2e",
+        "value": round(build_secs, 3),
+        "unit": "sec",
+        "queries": qsecs,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "num_docs": res.num_docs,
+        "num_pages_replication": replication,
+        "docs_per_sec": round(res.num_docs / build_secs, 2),
+        "postings": sum(r["num_postings"] for r in res.manifest),
+        "index_bytes": sum(r["seg_bytes"] for r in res.manifest),
+        "stage_secs": {k: round(v, 2) for k, v in res.stage_secs.items()},
+        "query_avg_sec": round(sum(qsecs.values()) / len(qsecs), 5),
+    }
+    if not keep_index:
+        shutil.rmtree(out, ignore_errors=True)
+    ray.shutdown()
+    return out_row
+
+
+def run_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int, replication: int) -> dict:
+    """Same job, two parallelism levels, fresh processes (north_rule
+    scaling-efficiency evidence)."""
+    rows = {}
+    for n in (cpus_lo, cpus_hi):
+        cmd = [sys.executable, os.path.abspath(__file__), "--single",
+               "--num-cpus", str(n), "--sf-dir", sf_dir,
+               "--replication", str(replication)]
+        env = dict(os.environ)
+        p = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        rows[n] = json.loads(line)
+        print(f"# num_cpus={n}: build={rows[n]['value']}s "
+              f"({rows[n]['docs_per_sec']} docs/s)", file=sys.stderr)
+    tp_lo = rows[cpus_lo]["docs_per_sec"]
+    tp_hi = rows[cpus_hi]["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (cpus_hi / cpus_lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "sf": sf_dir,
+        "cpus": [cpus_lo, cpus_hi],
+        "docs_per_sec": {str(cpus_lo): tp_lo, str(cpus_hi): tp_hi},
+        "build_secs": {str(cpus_lo): rows[cpus_lo]["value"],
+                       str(cpus_hi): rows[cpus_hi]["value"]},
+        "queries": rows[cpus_hi]["queries"],
+        "num_cpus": cpus_hi,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--replication", type=int,
+                    default=int(os.environ.get("GRAFT_PAGES_REPLICATION", "1")))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cpus", default="8,32")
+    ap.add_argument("--single", action="store_true", help="internal: one run")
+    args = ap.parse_args()
+
+    if args.scaling:
+        lo, hi = (int(x) for x in args.scaling_cpus.split(","))
+        row = run_scaling(args.sf_dir, lo, hi, args.replication)
+    else:
+        row = run_single(args.sf_dir, args.num_cpus, args.replication)
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

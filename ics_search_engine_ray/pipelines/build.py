@@ -123,6 +123,53 @@ def build_index(pages_path: str, out_dir: str,
                 cfg: EngineConfig = DEFAULT_CONFIG,
                 resume: bool = False) -> BuildResult:
     """Build (or resume) the full index from a pages parquet directory."""
+    import ray.data as rd
+
+    def make_docs():
+        pages = rd.read_parquet(pages_path, columns=["url", "html"])
+        return extract_dataset(pages, cfg)
+
+    return _build_from_docs(make_docs, pages_path, out_dir, cfg, resume=resume)
+
+
+def build_index_from_texts(texts_path: str, out_dir: str,
+                           cfg: EngineConfig = DEFAULT_CONFIG,
+                           resume: bool = False,
+                           skip_dedup: bool = True) -> BuildResult:
+    """Build an index straight from a keyed text table
+    (doc_id:int64, text:string) — no HTML stage, ids preserved.
+
+    Used for oracle-verifiable builds over the testdata ``documents`` table.
+    """
+    import ray.data as rd
+    from ..stages.extract import EXTRACT_SCHEMA
+
+    def make_docs():
+        texts = rd.read_parquet(texts_path, columns=["doc_id", "text"])
+
+        def to_docs(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            ids = b.column("doc_id")
+            return pa.table({
+                "doc_id": ids,
+                "url": pa.array([f"doc://{d}" for d in ids.to_pylist()], pa.string()),
+                "text": b.column("text").cast(pa.string()),
+                "title": pa.array([""] * n, pa.string()),
+                "wt_texts": pa.array([[]] * n, pa.list_(pa.string())),
+                "wt_weights": pa.array([[]] * n, pa.list_(pa.float32())),
+                "outgoing_links": pa.array([[]] * n, pa.list_(pa.string())),
+            })
+
+        return texts.map_batches(to_docs, batch_format="pyarrow")
+
+    return _build_from_docs(make_docs, texts_path, out_dir, cfg, resume=resume,
+                            skip_dedup=skip_dedup)
+
+
+def _build_from_docs(make_docs, input_path: str, out_dir: str,
+                     cfg: EngineConfig = DEFAULT_CONFIG,
+                     resume: bool = False,
+                     skip_dedup: bool = False) -> BuildResult:
     import ray
     import ray.data as rd
 
@@ -131,17 +178,15 @@ def build_index(pages_path: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     seg_dir = os.path.join(out_dir, "segments")
     fingerprint = hashlib.md5(
-        f"{os.path.abspath(pages_path)}|{cfg.num_index_partitions}|{cfg.head_term_salt}|"
-        f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|v1".encode()).hexdigest()[:16]
+        f"{os.path.abspath(input_path)}|{cfg.num_index_partitions}|{cfg.head_term_salt}|"
+        f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|{skip_dedup}|v1".encode()).hexdigest()[:16]
 
     # ---- 1-3: extract + tokenize checkpoint ----
     t0 = time.time()
     tok_dir = os.path.join(out_dir, "docs_tokenized")
     tok_marker = os.path.join(tok_dir, "_SUCCESS")
     if not (resume and os.path.exists(tok_marker)):
-        pages = rd.read_parquet(pages_path, columns=["url", "html"])
-        docs = extract_dataset(pages, cfg)
-        tok = tokenize_dataset(docs, cfg)
+        tok = tokenize_dataset(make_docs(), cfg)
         os.makedirs(tok_dir, exist_ok=True)
         tok.write_parquet(tok_dir)
         with open(tok_marker, "w") as f:
@@ -156,6 +201,12 @@ def build_index(pages_path: str, out_dir: str,
             dd = json.load(f)
         dropped: Set[int] = set(dd["dropped"])
         num_pairs = dd["num_pairs"]
+    elif skip_dedup:
+        dropped = set()
+        num_pairs = 0
+        with open(dedup_path, "w") as f:
+            json.dump({"dropped": [], "num_pairs": 0, "clusters": [],
+                       "skipped": True}, f)
     else:
         tok_ids = rd.read_parquet(tok_dir, columns=["doc_id", "simhash"])
         res = simhash_dedup(tok_ids, cfg)
@@ -281,7 +332,7 @@ def build_index(pages_path: str, out_dir: str,
     manifest = {
         "version": 1,
         "fingerprint": fingerprint,
-        "pages_path": os.path.abspath(pages_path),
+        "pages_path": os.path.abspath(input_path),
         "num_docs": num_docs,
         "avgdl": avgdl,
         "num_dropped": len(dropped),

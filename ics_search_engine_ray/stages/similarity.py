@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (task brief).
+
+- ``knn_brute``: exact cosine top-k — the query matrix is broadcast once
+  (``ray.put``), each batch computes a numpy matmul and emits its *local*
+  top-k (the combiner), the driver merges the tiny partials. Nothing but
+  (batch x k) rows ever leave the workers.
+- ``knn_lsh``: the scale path — hyperplane-LSH bucket the corpus once, probe
+  only matching buckets (approximate; recall grows with n_tables).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup_text import HyperplaneLSH
+
+
+def _batch_vecs(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, vecs
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return v / n
+
+
+def knn_brute(embeds, query_vecs: np.ndarray, k: int = 10):
+    """Exact cosine top-k for each query vector.
+
+    Returns list (per query) of [(vec_id, cos)] ranked by (-cos, vec_id).
+    """
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids, vecs = _batch_vecs(batch)
+        vn = _normalize(vecs)
+        sim = qm @ vn.T                      # (nq, nb)
+        nq = sim.shape[0]
+        kk = min(k, sim.shape[1])
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(nq):
+            idx = np.argpartition(-sim[qi], kk - 1)[:kk] if kk < sim.shape[1] else np.arange(sim.shape[1])
+            for j in idx:
+                out_q.append(qi)
+                out_id.append(int(ids[j]))
+                out_cos.append(float(sim[qi, j]))
+        return pa.table({"q": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cos": pa.array(out_cos, pa.float64())})
+
+    parts = embeds.map_batches(partial_topk, batch_format="pyarrow")
+    per_q: List[List[Tuple[int, float]]] = [[] for _ in range(q.shape[0])]
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qi, vid, cos in zip(b.column("q").to_pylist(), b.column("vec_id").to_pylist(),
+                                b.column("cos").to_pylist()):
+            per_q[qi].append((vid, cos))
+    out = []
+    for lst in per_q:
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        out.append(lst[:k])
+    return out
+
+
+def knn_lsh(embeds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 10,
+            n_tables: int = 8):
+    """Approximate cosine top-k: probe only LSH-matching buckets.
+
+    Builds the bucketed corpus as a Dataset groupby; each probed bucket is a
+    small exact matmul. Returns same shape as knn_brute (may miss neighbors —
+    approximate by design; recall tested against knn_brute)."""
+    first = embeds.take_batch(1, batch_format="pyarrow")
+    dim = len(first.column("embedding")[0].as_py())
+    tables = [HyperplaneLSH(dim, n_bits, seed=101 + 7 * t) for t in range(n_tables)]
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+
+    q_keys = [lsh.keys(q) | (np.int64(t) << np.int64(n_bits + 1))
+              for t, lsh in enumerate(tables)]
+    wanted = set()
+    for keys in q_keys:
+        wanted.update(int(x) for x in keys)
+    wanted_arr = pa.array(sorted(wanted), pa.int64())
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids, vecs = _batch_vecs(batch)
+        vn = _normalize(vecs)
+        ks, ds, vs = [], [], []
+        for t, lsh in enumerate(tables):
+            key = lsh.keys(vn) | (np.int64(t) << np.int64(n_bits + 1))
+            ks.append(key)
+            ds.append(ids)
+            vs.append(vn)
+        tbl = pa.table({
+            "bucket": pa.array(np.concatenate(ks), pa.int64()),
+            "vec_id": pa.array(np.concatenate(ds), pa.int64()),
+            "vec": pa.array(np.concatenate(vs).tolist(), pa.list_(pa.float64())),
+        })
+        return tbl.filter(pc.is_in(tbl.column("bucket"), value_set=wanted_arr))
+
+    cand = embeds.map_batches(bucketize, batch_format="pyarrow")
+    # candidates are few: collect and score exactly
+    ids_all, vec_all = [], []
+    seen = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        for vid, v in zip(b.column("vec_id").to_pylist(), b.column("vec").to_pylist()):
+            if vid not in seen:
+                seen.add(vid)
+                ids_all.append(vid)
+                vec_all.append(v)
+    out: List[List[Tuple[int, float]]] = [[] for _ in range(q.shape[0])]
+    if not ids_all:
+        return out
+    mat = np.asarray(vec_all, dtype=np.float64)
+    sim = q @ mat.T
+    for qi in range(q.shape[0]):
+        lst = [(int(ids_all[j]), float(sim[qi, j])) for j in range(len(ids_all))]
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        out[qi] = lst[:k]
+    return out

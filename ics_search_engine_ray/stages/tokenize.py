@@ -75,9 +75,13 @@ class TokenizeSimhash:
         wt_texts = batch.column("wt_texts").to_pylist()
         wt_weights = batch.column("wt_weights").to_pylist()
         links = batch.column("outgoing_links").to_pylist()
+        # explicit doc_id column (e.g. indexing a keyed text table) wins over
+        # the url-hash assignment
+        given_ids = (batch.column("doc_id").to_pylist()
+                     if "doc_id" in batch.column_names else None)
 
         out = {k: [] for k in ("doc_id", "simhash", "token_count", "terms", "tfs", "imps", "poss")}
-        for url, text, wts, wws in zip(urls, texts, wt_texts, wt_weights):
+        for ri, (url, text, wts, wws) in enumerate(zip(urls, texts, wt_texts, wt_weights)):
             body_tokens = self.tokenizer.tokens(text)
             # freq_map semantics: token -> (tf, importance, positions)
             freq: dict = {}
@@ -96,7 +100,7 @@ class TokenizeSimhash:
                     else:
                         e[0] += 1
                         e[1] += float(weight)
-            out["doc_id"].append(url_doc_id(url))
+            out["doc_id"].append(given_ids[ri] if given_ids is not None else url_doc_id(url))
             out["simhash"].append(self.simhasher.fingerprint(body_tokens))
             out["token_count"].append(len(body_tokens))
             out["terms"].append(list(freq.keys()))
