@@ -288,7 +288,7 @@ def _q_knn_lsh(sf_dir: str):
     qtbl = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     idx = qtbl.column("vec_id").to_pylist().index(0)
     qvec = np.asarray(qtbl.column("embedding")[idx].as_py(), dtype=np.float64)
-    res = knn_lsh(_read_emb(sf_dir), qvec[None, :], k=10)[0]
+    res = knn_lsh(_read_emb(sf_dir), qvec[None, :], k=10, n_bits=4, n_tables=16)[0]
     return pa.table({
         "vec_id": pa.array([v for v, _ in res], pa.int64()),
         "cos": pa.array([round(c, 6) for _, c in res], pa.float64()),

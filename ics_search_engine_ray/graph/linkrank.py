@@ -45,10 +45,14 @@ def build_edges(doc_links: Iterable[Tuple[str, List[str]]]):
     for u, links in pairs:
         links = links or []
         fi = idx[u]
-        out_deg[fi] = len(links)
+        out_deg[fi] = len(links)   # divisor counts ALL links incl. duplicates
+        seen = set()
         for ln in links:
             ti = idx.get(ln)
-            if ti is not None:
+            # duplicate edges collapse: the reference assigns (not adds) into
+            # the dense matrix, so a repeated link contributes once
+            if ti is not None and ti not in seen:
+                seen.add(ti)
                 src.append(fi)
                 dst.append(ti)
     return urls, np.asarray(src, dtype=np.int64), np.asarray(dst, dtype=np.int64), out_deg

@@ -1,0 +1,142 @@
+"""CLI entry points (the ``ray job submit`` surface).
+
+Mirrors the reference's three executables (indexer.py:167-176,
+multithread_indexer.py:228-238, search.py:205-227) as subcommands:
+
+    python -m ics_search_engine_ray build --pages DIR --out DIR [--resume]
+    python -m ics_search_engine_ray query --index DIR [--scorer bm25] [QUERY...]
+    python -m ics_search_engine_ray gen-pages --sf-dir DIR [--replication N]
+
+``build`` is what a cluster job submits (``ray job submit -- python -m
+ics_search_engine_ray build ...``); in this sandbox it starts a local Ray.
+These CLIs own their Ray session (guarded init + shutdown); library code
+never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_up(num_cpus):
+    import ray
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray
+    from ..config import DEFAULT_CONFIG
+    from .build import build_index
+
+    cfg = DEFAULT_CONFIG.with_(
+        num_index_partitions=args.partitions,
+        head_term_salt=args.salt,
+        stem=not args.no_stem,
+    )
+    res = build_index(args.pages, args.out, cfg, resume=args.resume)
+    print(json.dumps({
+        "num_docs": res.num_docs, "avgdl": round(res.avgdl, 3),
+        "dropped": res.num_dropped, "partitions": res.num_partitions,
+        "postings": sum(r["num_postings"] for r in res.manifest),
+        "index_bytes": sum(r["seg_bytes"] for r in res.manifest),
+        "build_secs": round(res.build_secs, 2),
+        "stage_secs": {k: round(v, 2) for k, v in res.stage_secs.items()},
+    }))
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args) -> int:
+    from ..query.engine import SearchIndex
+
+    si = SearchIndex(args.index)
+
+    def run_one(q: str):
+        t0 = time.time()
+        results = si.search(q, args.k, scorer=args.scorer, algo=args.algo)
+        secs = time.time() - t0
+        if not results:
+            print("No results found.")
+            return
+        print(f"Found {len(results)} results:")
+        for i, r in enumerate(results, 1):
+            print(f"{i}. {r.url}")
+            print(f"   Score: {r.score:.4f}")
+            print(f"   Matched terms: {sorted(r.matched_terms)}")
+        print(f"Search completed in {secs:.4f} seconds")
+
+    if args.query:
+        run_one(" ".join(args.query))
+        return 0
+    # REPL, like the reference CLI (search.py:205-227)
+    while True:
+        try:
+            q = input("\nEnter search query (or 'q' to exit): ").strip()
+        except EOFError:
+            break
+        if q.lower() == "q":
+            break
+        if q:
+            run_one(q)
+    return 0
+
+
+def cmd_gen_pages(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray
+    from ..sources.pages import generate_pages
+
+    out = generate_pages(args.sf_dir, out_dir=args.out,
+                         replication=args.replication, force=args.force)
+    print(out)
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ics_search_engine_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the index from a pages parquet dir")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--partitions", type=int, default=16)
+    b.add_argument("--salt", type=int, default=4)
+    b.add_argument("--no-stem", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="query an index (REPL if no query given)")
+    q.add_argument("--index", required=True)
+    q.add_argument("--scorer", choices=["bm25", "tfidf-ref"], default="bm25")
+    q.add_argument("--algo", choices=["auto", "taat", "wand"], default="auto")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("query", nargs="*")
+    q.set_defaults(fn=cmd_query)
+
+    g = sub.add_parser("gen-pages", help="generate the synthetic pages corpus")
+    g.add_argument("--sf-dir", required=True)
+    g.add_argument("--out", default=None)
+    g.add_argument("--replication", type=int, default=1)
+    g.add_argument("--force", action="store_true")
+    g.add_argument("--num-cpus", type=int, default=None)
+    g.set_defaults(fn=cmd_gen_pages)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

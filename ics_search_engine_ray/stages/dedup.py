@@ -76,8 +76,7 @@ class BandEmitter:
         })
 
 
-_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "fa": pa.array([], pa.binary(16)), "fb": pa.array([], pa.binary(16))})
+_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
 
 
 def _verify_group(group: pa.Table, max_hamming: int) -> pa.Table:
@@ -101,7 +100,7 @@ def _verify_group(group: pa.Table, max_hamming: int) -> pa.Table:
 
     run_starts = np.flatnonzero(np.concatenate(([True], bands[1:] != bands[:-1])))
     run_ends = np.append(run_starts[1:], n)
-    a_out, b_out, fa_out, fb_out = [], [], [], []
+    a_parts, b_parts = [], []
     for s, e in zip(run_starts, run_ends):
         m = e - s
         if m < 2:
@@ -116,19 +115,14 @@ def _verify_group(group: pa.Table, max_hamming: int) -> pa.Table:
                 gi = ii + i0
                 gj = jj + j0
                 keep = gi < gj
-                for p, q in zip(gi[keep], gj[keep]):
-                    a, b = int(ids[p]), int(ids[q])
-                    pp, qq = (p, q) if a <= b else (q, p)
-                    if a > b:
-                        a, b = b, a
-                    a_out.append(a)
-                    b_out.append(b)
-                    fa_out.append(fps[s + pp])
-                    fb_out.append(fps[s + qq])
-    if not a_out:
+                if keep.any():
+                    ia, ib = ids[gi[keep]], ids[gj[keep]]
+                    a_parts.append(np.minimum(ia, ib))
+                    b_parts.append(np.maximum(ia, ib))
+    if not a_parts:
         return _EMPTY_PAIRS
-    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
-                     "fa": pa.array(fa_out, pa.binary(16)), "fb": pa.array(fb_out, pa.binary(16))})
+    return pa.table({"a": pa.array(np.concatenate(a_parts), pa.int64()),
+                     "b": pa.array(np.concatenate(b_parts), pa.int64())})
 
 
 @dataclass
@@ -140,8 +134,48 @@ class DedupResult:
 
 def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
                   num_verify_groups: int = 256) -> DedupResult:
-    """docs: Dataset with (doc_id, simhash). Returns deterministic drop set."""
-    banded = docs.map_batches(BandEmitter(cfg), batch_format="pyarrow")
+    """docs: Dataset with (doc_id, simhash). Returns deterministic drop set.
+
+    Stage 0 collapses *identical* fingerprints first (groupby(simhash), min
+    doc_id representative): exact duplicates are decided without any pairwise
+    work, and — crucially — the quadratic band-bucket verification then runs
+    over distinct fingerprints only. A representative's verdict transfers to
+    its followers (distance(follower, x) == distance(rep, x)), so greedy
+    semantics are preserved exactly.
+    """
+    import pyarrow.compute as pc
+
+    # ---- stage 0: identical-fingerprint collapse ----
+    def collapse(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        mn = int(ids.min())
+        return pa.table({
+            "doc_id": pa.array([mn], pa.int64()),
+            "simhash": group.column("simhash").slice(0, 1),
+            "followers": pa.array([sorted(int(x) for x in ids if x != mn)],
+                                  pa.list_(pa.int64())),
+        })
+
+    reps_tbl_batches = []
+    reps_ds = docs.groupby("simhash").map_groups(collapse, batch_format="pyarrow")
+    followers_of: Dict[int, List[int]] = {}
+    rep_rows: List[Tuple[int, bytes]] = []
+    for b in reps_ds.iter_batches(batch_format="pyarrow"):
+        for did, fp, fol in zip(b.column("doc_id").to_pylist(),
+                                b.column("simhash").to_pylist(),
+                                b.column("followers").to_pylist()):
+            rep_rows.append((did, fp))
+            if fol:
+                followers_of[did] = list(fol)
+
+    import ray.data as rd
+    reps = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rep_rows], pa.int64()),
+        "simhash": pa.array([r[1] for r in rep_rows], pa.binary(16)),
+    }))
+
+    # ---- stages 1-2: banding + bucket verification over representatives ----
+    banded = reps.map_batches(BandEmitter(cfg), batch_format="pyarrow")
 
     def add_gkey(b: pa.Table) -> pa.Table:
         g = b.column("band").to_numpy(zero_copy_only=False) % num_verify_groups
@@ -150,29 +184,18 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     banded = banded.map_batches(add_gkey, batch_format="pyarrow")
     pairs_ds = banded.groupby("gkey").map_groups(
         lambda g: _verify_group(g.drop(["gkey"]), cfg.max_hamming), batch_format="pyarrow")
-    batches = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-               for b in pairs_ds.iter_batches(batch_format="pyarrow") if b.num_rows]
-    pairs_tbl = pa.concat_tables(batches) if batches else None
-    if pairs_tbl is None or pairs_tbl.num_rows == 0:
-        return DedupResult(set(), [], 0)
-
-    # dedupe pairs discovered via multiple bands
     seen: Set[Tuple[int, int]] = set()
-    fp_of: Dict[int, bytes] = {}
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        seen.update(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
+
+    fp_of: Dict[int, bytes] = dict(rep_rows)
+
+    # ---- stage 3: clusters + greedy accept (driver; |pairs| << N assumed) ----
     adj: Dict[int, List[int]] = {}
-    for a, b, fa, fb in zip(pairs_tbl.column("a").to_pylist(),
-                            pairs_tbl.column("b").to_pylist(),
-                            pairs_tbl.column("fa").to_pylist(),
-                            pairs_tbl.column("fb").to_pylist()):
-        if (a, b) in seen:
-            continue
-        seen.add((a, b))
-        fp_of[a] = fa
-        fp_of[b] = fb
+    for a, b in seen:
         adj.setdefault(a, []).append(b)
         adj.setdefault(b, []).append(a)
 
-    # connected components (iterative DFS)
     visited: Set[int] = set()
     clusters: List[List[int]] = []
     for node in sorted(adj):
@@ -190,18 +213,42 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
                     stack.append(v)
         clusters.append(sorted(comp))
 
-    # greedy accept in doc_id order (reference rule, deterministic ordering)
+    # greedy accept in doc_id order (reference first-seen-wins rule with
+    # doc_id replacing arrival order — deterministic under any parallelism)
     dropped: Set[int] = set()
     for comp in clusters:
         accepted: List[int] = []
+        accepted_fps: List[np.ndarray] = []
         for d in comp:
-            fp = fp_of[d]
-            is_dup = any(hamming_bytes(fp, fp_of[acc]) <= cfg.max_hamming for acc in accepted)
-            if is_dup:
-                dropped.add(d)
-            else:
-                accepted.append(d)
-    return DedupResult(dropped, clusters, len(seen))
+            fp = np.frombuffer(fp_of[d], dtype=np.uint8)
+            if accepted_fps:
+                mat = np.stack(accepted_fps)
+                dists = _POP[mat ^ fp[None, :]].sum(axis=1)
+                if (dists <= cfg.max_hamming).any():
+                    dropped.add(d)
+                    continue
+            accepted.append(d)
+            accepted_fps.append(fp)
+
+    # expand exact-duplicate followers into clusters and the drop set
+    full_clusters: List[List[int]] = []
+    clustered_reps = set()
+    for comp in clusters:
+        members = []
+        for d in comp:
+            members.append(d)
+            members.extend(followers_of.get(d, []))
+            clustered_reps.add(d)
+        full_clusters.append(sorted(members))
+    for rep, fol in followers_of.items():
+        dropped.update(fol)
+        if rep not in clustered_reps:
+            full_clusters.append(sorted([rep] + fol))
+
+    return DedupResult(dropped, full_clusters, len(seen))
+
+
+_POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
 
 
 def exact_dedup_min_doc_id(docs):

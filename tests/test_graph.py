@@ -1,0 +1,108 @@
+"""PageRank/HITS parity: sparse implementation vs a dense replica of the
+reference's exact math (utils/pagerank.py:7-44, utils/hits.py:8-69),
+including the mass-leak and break-before-assign quirks (SURVEY.md §2.8)."""
+
+import numpy as np
+import pytest
+
+from ics_search_engine_ray.graph.linkrank import build_edges, pagerank, hits
+
+
+def dense_pagerank_reference(doc_links, damping=0.85, max_iterations=100, threshold=1e-4):
+    """Line-for-line re-derivation of the reference's dense PageRank."""
+    urls = sorted({u for u, _ in doc_links})
+    idx = {u: i for i, u in enumerate(urls)}
+    n = len(urls)
+    adj = np.zeros((n, n))
+    for u, links in doc_links:
+        fi = idx[u]
+        links = links or []
+        if len(links) > 0:
+            for ln in links:
+                if ln in idx:
+                    adj[idx[ln]][fi] = 1.0 / len(links)   # ALL links in divisor
+    scores = np.ones(n) / n
+    for _ in range(max_iterations):
+        new = (1 - damping) / n + damping * (adj @ scores)
+        if np.abs(new - scores).sum() < threshold:
+            break
+        scores = new
+    return {u: float(s) * 1000 for u, s in zip(urls, scores)}
+
+
+def dense_hits_reference(doc_links, max_iterations=20, threshold=1e-4):
+    urls = sorted({u for u, _ in doc_links})
+    idx = {u: i for i, u in enumerate(urls)}
+    n = len(urls)
+    adj = np.zeros((n, n))
+    for u, links in doc_links:
+        for ln in (links or []):
+            if ln in idx:
+                adj[idx[u]][idx[ln]] = 1
+    hub = np.ones(n) / n
+    auth = np.ones(n) / n
+    for _ in range(max_iterations):
+        na = adj.T @ hub
+        na = na / np.linalg.norm(na, 1)
+        nh = adj @ na
+        nh = nh / np.linalg.norm(nh, 1)
+        if (np.abs(na - auth) < threshold).all() and (np.abs(nh - hub) < threshold).all():
+            break
+        auth = na
+        hub = nh
+    return ({u: s * 10 for u, s in zip(urls, auth)},
+            {u: s * 10 for u, s in zip(urls, hub)})
+
+
+def random_graph(rng, n, external_frac=0.3):
+    urls = [f"https://s.edu/{i}" for i in range(n)]
+    rows = []
+    for i, u in enumerate(urls):
+        k = int(rng.integers(0, 5))
+        links = [urls[int(x)] for x in rng.integers(0, n, size=k) if int(x) != i]
+        if rng.random() < external_frac:
+            links.append(f"http://external.example.com/e{i}")   # mass leak
+        rows.append((u, links))
+    return rows
+
+
+def test_pagerank_matches_dense_reference():
+    rng = np.random.default_rng(5)
+    for n in (5, 23, 60):
+        rows = random_graph(rng, n)
+        urls, src, dst, deg = build_edges(rows)
+        got = pagerank(urls, src, dst, deg)
+        want = dense_pagerank_reference(rows)
+        assert set(got) == set(want)
+        for u in got:
+            assert got[u] == pytest.approx(want[u], rel=1e-10), u
+
+
+def test_hits_matches_dense_reference():
+    rng = np.random.default_rng(6)
+    for n in (5, 23, 60):
+        rows = random_graph(rng, n)
+        urls, src, dst, deg = build_edges(rows)
+        auth, hub = hits(urls, src, dst)
+        wa, wh = dense_hits_reference(rows)
+        for u in auth:
+            assert auth[u] == pytest.approx(wa[u], rel=1e-9, abs=1e-12)
+            assert hub[u] == pytest.approx(wh[u], rel=1e-9, abs=1e-12)
+
+
+def test_pagerank_hand_computed_two_nodes():
+    # a -> b (internal); b -> external only (dangling for internal mass)
+    rows = [("a", ["b"]), ("b", ["http://x.com/e"])]
+    urls, src, dst, deg = build_edges(rows)
+    got = pagerank(urls, src, dst, deg)
+    # fixpoint: pr(a) = 0.075, pr(b) = 0.075 + 0.85*pr(a)
+    # (external link leaks b's mass: proper PR would teleport it)
+    assert got["a"] == pytest.approx(75.0, rel=1e-3)
+    assert got["b"] == pytest.approx((0.075 + 0.85 * 0.075) * 1000, rel=1e-3)
+
+
+def test_hits_empty_graph_returns_zeros():
+    rows = [("a", []), ("b", ["http://x.com/e"])]
+    urls, src, dst, deg = build_edges(rows)
+    auth, hub = hits(urls, src, dst)
+    assert all(v == 0 or v == pytest.approx(5.0) for v in auth.values())

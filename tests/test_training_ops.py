@@ -1,0 +1,198 @@
+"""Tests for the training-data operators: dedup family, similarity search,
+text analysis, multimodal plumbing — each against an independent driver-side
+oracle (DuckDB or brute-force numpy)."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session, sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def test_exact_dedup_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.dedup_text import exact_dedup
+    got = sorted(r["doc_id"] for r in exact_dedup(docs_ds).take_all())
+    want = sorted(r[0] for r in duckdb.sql(
+        f"SELECT min(doc_id) FROM '{sf_dir}/documents.parquet' GROUP BY text").fetchall())
+    assert got == want
+
+
+def test_minhash_estimates_jaccard(docs_ds):
+    from ics_search_engine_ray.stages.dedup_text import MinHashBatch, _shingles
+    mh = MinHashBatch(n_perm=256, shingle_k=3)
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = float((sa == sb).mean())
+    wa, wb = set(_shingles(a.split(), 3)), set(_shingles(b.split(), 3))
+    true_j = len(wa & wb) / len(wa | wb)
+    assert abs(est - true_j) < 0.15
+
+
+def test_minhash_dedup_catches_near_identical(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import minhash_dedup
+    base = " ".join(f"w{i}" for i in range(100))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                               # exact
+        {"doc_id": 3, "text": base + " extra"},                    # near
+        {"doc_id": 4, "text": " ".join(f"z{i}" for i in range(100))},  # distinct
+    ]
+    ds = rd.from_items(rows)
+    survivors, dropped, n_pairs = minhash_dedup(ds, threshold=0.8)
+    assert 1 in survivors and 4 in survivors
+    assert 2 in dropped and 3 in dropped
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import ngram_jaccard_pairs, _shingles
+    base = " ".join(f"w{i}" for i in range(50))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " tail"},
+        {"doc_id": 3, "text": "completely different content here"},
+    ]
+    pairs = ngram_jaccard_pairs(rd.from_items(rows), n=3, threshold=0.8)
+    assert [(a, b) for a, b, _ in pairs] == [(1, 2)]
+    wa = set(_shingles(base.split(), 3))
+    wb = set(_shingles((base + " tail").split(), 3))
+    assert pairs[0][2] == pytest.approx(len(wa & wb) / len(wa | wb), abs=1e-6)
+
+
+def test_knn_brute_matches_numpy(emb_ds, sf_dir):
+    from ics_search_engine_ray.stages.similarity import knn_brute
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = matn[list(ids).index(0)]
+    sims = matn @ q
+    order = np.lexsort((ids, -sims))[:10]
+    want = [(int(ids[i]), float(sims[i])) for i in order]
+    got = knn_brute(emb_ds, q[None, :], k=10)[0]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_knn_lsh_recall(emb_ds, sf_dir):
+    from ics_search_engine_ray.stages.similarity import knn_brute, knn_lsh
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
+    exact = {v for v, _ in knn_brute(emb_ds, q[None, :], k=10)[0]}
+    # near-orthogonal random embeddings are the hard case for hyperplane LSH:
+    # wide tables (few bits, many tables) trade candidate volume for recall
+    approx = {v for v, _ in knn_lsh(emb_ds, q[None, :], k=10, n_bits=4, n_tables=16)[0]}
+    assert len(exact & approx) >= 6
+
+
+def test_embedding_dedup_finds_known_pair(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import embedding_dedup
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16))
+    vecs[7] = vecs[3] + rng.standard_normal(16) * 0.01      # near-dup pair
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    pairs = embedding_dedup(rd.from_items(rows), threshold=0.99, n_bits=8, n_tables=8)
+    assert (3, 7) in [(a, b) for a, b, _ in pairs]
+
+
+def test_quality_and_tokens_match_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.text_analysis import (
+        token_count_dataset, quality_dataset)
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count_dataset(docs_ds).take_all()}
+    want = dict(duckdb.sql(
+        f"""SELECT doc_id, len(list_filter(regexp_extract_all(lower(text),'[a-z0-9]+'),
+            x -> length(x) > 1)) FROM '{sf_dir}/documents.parquet'""").fetchall())
+    assert got == {k: int(v) for k, v in want.items()}
+    q = {r["doc_id"]: r for r in quality_dataset(docs_ds).take_all()}
+    w = duckdb.sql(
+        f"""SELECT doc_id, length(text), len(string_split_regex(trim(text), '\\s+'))
+            FROM '{sf_dir}/documents.parquet'""").fetchall()
+    for did, nc, nw in w:
+        assert q[did]["n_chars"] == nc
+        assert q[did]["n_words"] == nw
+
+
+def test_fingerprint_md5(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.text_analysis import fingerprint_dataset
+    rows = fingerprint_dataset(docs_ds).take_all()
+    import pyarrow.parquet as pq
+    texts = dict(zip(
+        pq.read_table(f"{sf_dir}/documents.parquet").column("doc_id").to_pylist(),
+        pq.read_table(f"{sf_dir}/documents.parquet").column("text").to_pylist()))
+    for r in rows[:50]:
+        assert r["md5"] == hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
+    # rolling hash: deterministic and order-sensitive
+    h = {r["doc_id"]: r["rolling_hash"] for r in rows}
+    assert len(set(h.values())) > 400
+
+
+def test_langid_deterministic_and_english_seed(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import langid_dataset
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox and the lazy dog are common words in this test"},
+        {"doc_id": 2, "text": "der schnelle braune fuchs springt über den faulen hund und dies ist"},
+        {"doc_id": 3, "text": ""},
+    ]
+    got = {r["doc_id"]: r["lang_pred"] for r in langid_dataset(rd.from_items(rows)).take_all()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_multimodal_pipeline_plumbing(docs_ds):
+    from ics_search_engine_ray.stages.multimodal import (
+        synth_media_from_documents, media_features_dataset, FEATURE_DIM, RealDecoder)
+    media = synth_media_from_documents(docs_ds)
+    feats = media_features_dataset(media, batch_size=16)
+    rows = feats.take(5)
+    for r in rows:
+        assert r["kind"] in ("image", "audio")
+        assert len(r["feature"]) == 32
+        assert len(r["sha16"]) == 16
+    with pytest.raises(NotImplementedError):
+        RealDecoder().decode(b"x", "image")
+
+
+def test_simhash_dedup_reference_greedy_semantics(ray_session):
+    """Chain A~B~C with A!~C: reference greedy (in doc_id order) keeps A and
+    C, drops only B — unlike min-per-cluster which would drop B and C."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup import simhash_dedup
+    from ics_search_engine_ray.config import DEFAULT_CONFIG
+
+    bits = np.zeros(128, dtype=np.uint8)
+    fa = np.packbits(bits).tobytes()
+    bits_b = bits.copy(); bits_b[:12] = 1          # d(A,B)=12 <= 19
+    fb = np.packbits(bits_b).tobytes()
+    bits_c = bits.copy(); bits_c[12:36] = 1        # d(B,C)=36? no...
+    # construct: d(A,B)=12, d(B,C)=14, d(A,C)=26 (> 19)
+    bits_c = bits_b.copy()
+    bits_c[12:26] = 1                              # flip 14 more
+    fc = np.packbits(bits_c).tobytes()
+    ds = rd.from_items([
+        {"doc_id": 1, "simhash": fa},
+        {"doc_id": 2, "simhash": fb},
+        {"doc_id": 3, "simhash": fc},
+    ])
+    res = simhash_dedup(ds, DEFAULT_CONFIG)
+    assert res.dropped == {2}
