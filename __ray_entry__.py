@@ -14,13 +14,46 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
 from ics_search_engine_ray.config import DEFAULT_CONFIG, STOP_WORDS
+
+
+def _register_by_value() -> None:
+    """Ship the package to Ray workers by value.
+
+    The driver may have called ``ray.init()`` from a cwd whose sys.path does
+    not include this repo; workers capture the driver's sys.path at init
+    time, so module classes passed to ``map_batches`` (pickled by reference)
+    would fail to import worker-side — surfacing as a hung actor pool.
+    Registering every submodule for cloudpickle by-value serialization makes
+    worker imports unnecessary.
+    """
+    import importlib
+    import pkgutil
+    try:
+        from ray import cloudpickle
+        import ics_search_engine_ray as pkg
+        cloudpickle.register_pickle_by_value(pkg)
+        for m in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+            try:
+                cloudpickle.register_pickle_by_value(importlib.import_module(m.name))
+            except Exception:
+                pass
+    except Exception:
+        pass
+
+
+_register_by_value()
 
 # ---------------------------------------------------------------------------
 # shared helpers (cached index builds keyed by sf_dir + config)
