@@ -182,13 +182,20 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
         f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|{skip_dedup}|v1".encode()).hexdigest()[:16]
 
     # ---- 1-3: extract + tokenize checkpoint ----
+    # The tokenized relation is materialized ONCE into the object store and
+    # feeds every downstream stage (dedup / docmeta / head_df / segments) —
+    # no repeated parquet re-parse. The parquet checkpoint is the resume
+    # unit; at scale the object store spills materialized blocks to disk
+    # under memory pressure, which is exactly the checkpoint's cost profile.
     t0 = time.time()
     tok_dir = os.path.join(out_dir, "docs_tokenized")
     tok_marker = os.path.join(tok_dir, "_SUCCESS")
-    if not (resume and os.path.exists(tok_marker)):
-        tok = tokenize_dataset(make_docs(), cfg)
+    if resume and os.path.exists(tok_marker):
+        tok_mat = rd.read_parquet(tok_dir).materialize()
+    else:
+        tok_mat = tokenize_dataset(make_docs(), cfg).materialize()
         os.makedirs(tok_dir, exist_ok=True)
-        tok.write_parquet(tok_dir)
+        tok_mat.write_parquet(tok_dir)
         with open(tok_marker, "w") as f:
             f.write(fingerprint)
     stage_secs["extract_tokenize"] = time.time() - t0
@@ -208,7 +215,7 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
             json.dump({"dropped": [], "num_pairs": 0, "clusters": [],
                        "skipped": True}, f)
     else:
-        tok_ids = rd.read_parquet(tok_dir, columns=["doc_id", "simhash"])
+        tok_ids = tok_mat.select_columns(["doc_id", "simhash"])
         res = simhash_dedup(tok_ids, cfg)
         dropped = res.dropped
         num_pairs = res.num_pairs
@@ -222,16 +229,16 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     t0 = time.time()
     meta_dir = os.path.join(out_dir, "docmeta")
     meta_marker = os.path.join(meta_dir, "_SUCCESS")
+    meta_mat = (tok_mat.select_columns(DOCMETA_COLS)
+                .map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
+                .materialize())
     if not (resume and os.path.exists(meta_marker)):
-        tok_meta = rd.read_parquet(tok_dir, columns=DOCMETA_COLS)
-        tok_meta = tok_meta.map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
         os.makedirs(meta_dir, exist_ok=True)
-        tok_meta.write_parquet(meta_dir)
+        meta_mat.write_parquet(meta_dir)
         with open(meta_marker, "w") as f:
             f.write(fingerprint)
-    meta_ds = rd.read_parquet(meta_dir, columns=["doc_id", "token_count"])
-    agg = meta_ds.aggregate(rd.aggregate.Count(), rd.aggregate.Sum("token_count"))
-    num_docs = int(agg["count()"])
+    num_docs = meta_mat.count()          # metadata-only on materialized data
+    agg = meta_mat.aggregate(rd.aggregate.Sum("token_count"))
     total_len = float(agg["sum(token_count)"] or 0.0)
     avgdl = total_len / num_docs if num_docs else 0.0
     stage_secs["docmeta_stats"] = time.time() - t0
@@ -254,7 +261,7 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
             return pa.table({"term": g.column("term"),
                              "cnt": g.column("term_count").cast(pa.int64())})
 
-        tok_terms = rd.read_parquet(tok_dir, columns=["doc_id", "terms", "tfs", "imps", "poss", "token_count"])
+        tok_terms = tok_mat.select_columns(["doc_id", "terms", "tfs", "imps", "poss", "token_count"])
         tok_terms = tok_terms.map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
         partial = tok_terms.map_batches(head_partial, batch_format="pyarrow")
         for row in partial.groupby("term").sum("cnt").take_all():
@@ -273,7 +280,7 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
 
     manifest_rows: List[dict] = []
     if len(done_parts) < total_parts:
-        tok_full = rd.read_parquet(tok_dir, columns=["doc_id", "terms", "tfs", "imps", "poss", "token_count"])
+        tok_full = tok_mat.select_columns(["doc_id", "terms", "tfs", "imps", "poss", "token_count"])
         tok_full = tok_full.map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
         dt = tok_full.map_batches(explode_doc_terms, batch_format="pyarrow")
         dt = dt.map_batches(AssignPartition(cfg, head), batch_format="pyarrow")
@@ -315,7 +322,7 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     t0 = time.time()
     ls_path = os.path.join(out_dir, "link_scores.parquet")
     if not (resume and os.path.exists(ls_path)):
-        meta_links = rd.read_parquet(meta_dir, columns=["url", "outgoing_links"])
+        meta_links = meta_mat.select_columns(["url", "outgoing_links"])
         rows = [(r["url"], list(r["outgoing_links"]) if r["outgoing_links"] is not None else [])
                 for r in meta_links.take_all()]
         ls_rows = link_scores_from_docmeta(rows)

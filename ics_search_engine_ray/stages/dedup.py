@@ -79,7 +79,7 @@ class BandEmitter:
 _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
 
 
-def _verify_group(group: pa.Table, max_hamming: int) -> pa.Table:
+def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Table:
     """Verify one *coarse* group (many band buckets): sort rows by band, then
     do a chunked pairwise-hamming check within each band run of size >= 2.
 
@@ -87,6 +87,12 @@ def _verify_group(group: pa.Table, max_hamming: int) -> pa.Table:
     ``map_groups`` invocations bounded by G (Python-call overhead per tiny
     bucket would otherwise dominate — most buckets are singletons), while all
     real work stays vectorized.
+
+    Kernel: hamming via BLAS. Unpack each fingerprint to a ±1 float32 row
+    vector; then dot(u, v) = bits - 2*hamming(u, v), so a chunked ``B @ B.T``
+    plus a threshold on the dot product replaces the byte-wise popcount
+    (integer dot >= bits - 2*max_hamming <=> hamming <= max_hamming; float32
+    is exact for integers this small, so no tolerance games needed).
     """
     n = group.num_rows
     if n < 2:
@@ -96,7 +102,8 @@ def _verify_group(group: pa.Table, max_hamming: int) -> pa.Table:
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
     fps = group.column("simhash").to_pylist()
     mat = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(n, NBYTES)
-    popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+    B = (np.unpackbits(mat, axis=1).astype(np.float32) * 2.0 - 1.0)  # (n, bits)
+    dot_min = float(bits - 2 * max_hamming)
 
     run_starts = np.flatnonzero(np.concatenate(([True], bands[1:] != bands[:-1])))
     run_ends = np.append(run_starts[1:], n)
@@ -105,13 +112,12 @@ def _verify_group(group: pa.Table, max_hamming: int) -> pa.Table:
         m = e - s
         if m < 2:
             continue
-        sub = mat[s:e]
+        sub = B[s:e]
         ids = doc_ids[s:e]
         for i0 in range(0, m, _VERIFY_CHUNK):
             for j0 in range(i0, m, _VERIFY_CHUNK):
-                x = sub[i0:i0 + _VERIFY_CHUNK][:, None, :] ^ sub[j0:j0 + _VERIFY_CHUNK][None, :, :]
-                d = popcnt[x].sum(axis=2)
-                ii, jj = np.nonzero(d <= max_hamming)
+                dot = sub[i0:i0 + _VERIFY_CHUNK] @ sub[j0:j0 + _VERIFY_CHUNK].T
+                ii, jj = np.nonzero(dot >= dot_min)
                 gi = ii + i0
                 gj = jj + j0
                 keep = gi < gj
