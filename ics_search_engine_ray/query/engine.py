@@ -175,7 +175,12 @@ class SearchIndex:
             return []
         total = sum(p.doc_ids.size for p in posts.values())
         if algo == "auto":
-            algo = "wand" if total > 100_000 and len(posts) > 1 else "taat"
+            # vectorized TAAT (np.unique + bincount) beats the Python
+            # document-at-a-time WAND loop until candidate volume is large
+            # enough that block skipping wins over per-posting numpy kernels;
+            # stopword-heavy queries skip poorly (flat block maxima), so the
+            # crossover is high
+            algo = "wand" if total > 5_000_000 and len(posts) > 1 else "taat"
         if algo == "wand":
             ranked = wand_topk(
                 [(p.doc_ids, p.scores, p.block_last, p.block_max, float(qtf[t]))

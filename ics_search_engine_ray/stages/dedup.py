@@ -102,29 +102,73 @@ def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Tabl
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
     fps = group.column("simhash").to_pylist()
     mat = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(n, NBYTES)
-    B = (np.unpackbits(mat, axis=1).astype(np.float32) * 2.0 - 1.0)  # (n, bits)
+    allbits = np.unpackbits(mat, axis=1)
+    B = allbits.astype(np.float32) * 2.0 - 1.0                       # (n, bits)
     dot_min = float(bits - 2 * max_hamming)
+    band_idx = (bands >> np.int64(40)).astype(np.int64)
+    # band-0 key per row: pairs sharing it are verified in band 0's own
+    # bucket, so bands > 0 can skip the dominant equal-key block (the 20x
+    # redundancy of a near-dup cluster occupying the same bucket in every
+    # band). Skipping only the LARGEST equal-key block keeps the BLAS calls
+    # few; smaller repeated blocks are cheap and deduped later.
+    b0_width = _band_bounds(bits, max_hamming + 1)[1]
+    b0_key = np.zeros(n, dtype=np.int64)
+    for c in range(int(b0_width)):
+        b0_key = (b0_key << 1) | allbits[:, c]
 
-    run_starts = np.flatnonzero(np.concatenate(([True], bands[1:] != bands[:-1])))
-    run_ends = np.append(run_starts[1:], n)
     a_parts, b_parts = [], []
-    for s, e in zip(run_starts, run_ends):
-        m = e - s
-        if m < 2:
-            continue
-        sub = B[s:e]
-        ids = doc_ids[s:e]
+
+    def tri(ids_x, Bx):
+        """Full upper-triangle verify of one member set (chunked matmul)."""
+        m = ids_x.shape[0]
         for i0 in range(0, m, _VERIFY_CHUNK):
             for j0 in range(i0, m, _VERIFY_CHUNK):
-                dot = sub[i0:i0 + _VERIFY_CHUNK] @ sub[j0:j0 + _VERIFY_CHUNK].T
+                dot = Bx[i0:i0 + _VERIFY_CHUNK] @ Bx[j0:j0 + _VERIFY_CHUNK].T
                 ii, jj = np.nonzero(dot >= dot_min)
                 gi = ii + i0
                 gj = jj + j0
                 keep = gi < gj
                 if keep.any():
-                    ia, ib = ids[gi[keep]], ids[gj[keep]]
+                    ia, ib = ids_x[gi[keep]], ids_x[gj[keep]]
                     a_parts.append(np.minimum(ia, ib))
                     b_parts.append(np.maximum(ia, ib))
+
+    def cross(ids_x, Bx, ids_y, By):
+        """Verify all x-y pairs (chunked matmul)."""
+        for i0 in range(0, ids_x.shape[0], _VERIFY_CHUNK):
+            for j0 in range(0, ids_y.shape[0], _VERIFY_CHUNK):
+                dot = Bx[i0:i0 + _VERIFY_CHUNK] @ By[j0:j0 + _VERIFY_CHUNK].T
+                ii, jj = np.nonzero(dot >= dot_min)
+                if ii.size:
+                    ia = ids_x[ii + i0]
+                    ib = ids_y[jj + j0]
+                    a_parts.append(np.minimum(ia, ib))
+                    b_parts.append(np.maximum(ia, ib))
+
+    run_starts = np.flatnonzero(np.concatenate(([True], bands[1:] != bands[:-1])))
+    run_ends = np.append(run_starts[1:], n)
+    for s, e in zip(run_starts, run_ends):
+        m = e - s
+        if m < 2:
+            continue
+        ids = doc_ids[s:e]
+        sub = B[s:e]
+        if band_idx[s] > 0 and m >= 64:
+            keys = b0_key[s:e]
+            uniq, counts = np.unique(keys, return_counts=True)
+            top = int(counts.max())
+            if top >= m // 2:
+                # dominant equal-band-0-key block: its intra-pairs are
+                # band 0's job; verify only block x rest + rest x rest
+                kmax = uniq[int(counts.argmax())]
+                in_blk = keys == kmax
+                ids_x, Bx = ids[in_blk], sub[in_blk]
+                ids_y, By = ids[~in_blk], sub[~in_blk]
+                if ids_y.size:
+                    cross(ids_x, Bx, ids_y, By)
+                    tri(ids_y, By)
+                continue
+        tri(ids, sub)
     if not a_parts:
         return _EMPTY_PAIRS
     return pa.table({"a": pa.array(np.concatenate(a_parts), pa.int64()),
@@ -136,6 +180,7 @@ class DedupResult:
     dropped: Set[int]
     clusters: List[List[int]]      # each sorted by doc_id; [0] is the survivor
     num_pairs: int
+    stage_secs: Dict[str, float] = None
 
 
 def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -148,10 +193,21 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     over distinct fingerprints only. A representative's verdict transfers to
     its followers (distance(follower, x) == distance(rep, x)), so greedy
     semantics are preserved exactly.
-    """
-    import pyarrow.compute as pc
 
-    # ---- stage 0: identical-fingerprint collapse ----
+    Driver memory is O(duplicates + candidate pairs), never O(N): the
+    collapsed representatives stay distributed (materialized dataset); only
+    exact-dup follower lists, verified pairs, and the fingerprints of
+    *clustered* doc_ids are pulled to the driver.
+    """
+    import time as _time
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    stage_secs: Dict[str, float] = {}
+
+    # ---- stage 0: identical-fingerprint collapse (stays distributed) ----
+    t0 = _time.time()
+
     def collapse(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
         mn = int(ids.min())
@@ -162,26 +218,23 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
                                   pa.list_(pa.int64())),
         })
 
-    reps_tbl_batches = []
-    reps_ds = docs.groupby("simhash").map_groups(collapse, batch_format="pyarrow")
-    followers_of: Dict[int, List[int]] = {}
-    rep_rows: List[Tuple[int, bytes]] = []
-    for b in reps_ds.iter_batches(batch_format="pyarrow"):
-        for did, fp, fol in zip(b.column("doc_id").to_pylist(),
-                                b.column("simhash").to_pylist(),
-                                b.column("followers").to_pylist()):
-            rep_rows.append((did, fp))
-            if fol:
-                followers_of[did] = list(fol)
+    reps_mat = docs.groupby("simhash").map_groups(collapse, batch_format="pyarrow").materialize()
 
-    import ray.data as rd
-    reps = rd.from_arrow(pa.table({
-        "doc_id": pa.array([r[0] for r in rep_rows], pa.int64()),
-        "simhash": pa.array([r[1] for r in rep_rows], pa.binary(16)),
-    }))
+    # only exact-dup groups (followers non-empty) come to the driver
+    followers_of: Dict[int, List[int]] = {}
+    fol_ds = reps_mat.map_batches(
+        lambda b: b.filter(pc.greater(pc.list_value_length(b.column("followers")), 0)),
+        batch_format="pyarrow")
+    for b in fol_ds.iter_batches(batch_format="pyarrow"):
+        for did, fol in zip(b.column("doc_id").to_pylist(),
+                            b.column("followers").to_pylist()):
+            followers_of[did] = list(fol)
+    stage_secs["collapse"] = _time.time() - t0
 
     # ---- stages 1-2: banding + bucket verification over representatives ----
-    banded = reps.map_batches(BandEmitter(cfg), batch_format="pyarrow")
+    t0 = _time.time()
+    banded = reps_mat.select_columns(["doc_id", "simhash"]).map_batches(
+        BandEmitter(cfg), batch_format="pyarrow")
 
     def add_gkey(b: pa.Table) -> pa.Table:
         g = b.column("band").to_numpy(zero_copy_only=False) % num_verify_groups
@@ -190,15 +243,31 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     banded = banded.map_batches(add_gkey, batch_format="pyarrow")
     pairs_ds = banded.groupby("gkey").map_groups(
         lambda g: _verify_group(g.drop(["gkey"]), cfg.max_hamming), batch_format="pyarrow")
-    seen: Set[Tuple[int, int]] = set()
+    a_chunks, b_chunks = [], []
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-        seen.update(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
+        if b.num_rows:
+            a_chunks.append(b.column("a").to_numpy(zero_copy_only=False))
+            b_chunks.append(b.column("b").to_numpy(zero_copy_only=False))
+    if a_chunks:
+        pa_all = np.concatenate(a_chunks)
+        pb_all = np.concatenate(b_chunks)
+        # dedup (a, b) rows via lexsort + run-compare (np.unique(axis=0) does
+        # a slow void-dtype sort)
+        order = np.lexsort((pb_all, pa_all))
+        pa_all, pb_all = pa_all[order], pb_all[order]
+        keep = np.empty(pa_all.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (pa_all[1:] != pa_all[:-1]) | (pb_all[1:] != pb_all[:-1])
+        pair_a, pair_b = pa_all[keep], pb_all[keep]
+    else:
+        pair_a = pair_b = np.empty(0, dtype=np.int64)
+    num_pairs = int(pair_a.size)
+    stage_secs["band_verify"] = _time.time() - t0
 
-    fp_of: Dict[int, bytes] = dict(rep_rows)
-
-    # ---- stage 3: clusters + greedy accept (driver; |pairs| << N assumed) ----
+    # ---- stage 3: clusters + greedy accept (driver; |pairs| << N) ----
+    t0 = _time.time()
     adj: Dict[int, List[int]] = {}
-    for a, b in seen:
+    for a, b in zip(pair_a.tolist(), pair_b.tolist()):
         adj.setdefault(a, []).append(b)
         adj.setdefault(b, []).append(a)
 
@@ -219,22 +288,45 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
                     stack.append(v)
         clusters.append(sorted(comp))
 
+    # fetch fingerprints of clustered doc_ids only (one filtered pass)
+    fp_of: Dict[int, bytes] = {}
+    if clusters:
+        want = pa.array(sorted(adj), pa.int64())
+
+        def filt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column("doc_id"), value_set=want))
+
+        for b in (reps_mat.select_columns(["doc_id", "simhash"])
+                  .map_batches(filt, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            fp_of.update(zip(b.column("doc_id").to_pylist(),
+                             b.column("simhash").to_pylist()))
+
     # greedy accept in doc_id order (reference first-seen-wins rule with
-    # doc_id replacing arrival order — deterministic under any parallelism)
+    # doc_id replacing arrival order — deterministic under any parallelism).
+    # All clustered fingerprints unpack to ±1 float32 rows in ONE shot; per
+    # doc a single BLAS matvec against the cluster's accepted rows decides
+    # (dot >= bits - 2*max_hamming  <=>  hamming <= max_hamming).
     dropped: Set[int] = set()
-    for comp in clusters:
-        accepted: List[int] = []
-        accepted_fps: List[np.ndarray] = []
-        for d in comp:
-            fp = np.frombuffer(fp_of[d], dtype=np.uint8)
-            if accepted_fps:
-                mat = np.stack(accepted_fps)
-                dists = _POP[mat ^ fp[None, :]].sum(axis=1)
-                if (dists <= cfg.max_hamming).any():
+    dot_min = float(cfg.simhash_bits - 2 * cfg.max_hamming)
+    if clusters:
+        flat_ids = [d for comp in clusters for d in comp]
+        mat = np.frombuffer(b"".join(fp_of[d] for d in flat_ids),
+                            dtype=np.uint8).reshape(len(flat_ids), NBYTES)
+        Ball = np.unpackbits(mat, axis=1).astype(np.float32) * 2.0 - 1.0
+        off = 0
+        for comp in clusters:
+            c = len(comp)
+            B = Ball[off:off + c]
+            off += c
+            acc = np.empty_like(B)
+            n_acc = 0
+            for i, d in enumerate(comp):
+                if n_acc and (acc[:n_acc] @ B[i] >= dot_min).any():
                     dropped.add(d)
                     continue
-            accepted.append(d)
-            accepted_fps.append(fp)
+                acc[n_acc] = B[i]
+                n_acc += 1
 
     # expand exact-duplicate followers into clusters and the drop set
     full_clusters: List[List[int]] = []
@@ -250,8 +342,9 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
         dropped.update(fol)
         if rep not in clustered_reps:
             full_clusters.append(sorted([rep] + fol))
+    stage_secs["cluster_greedy"] = _time.time() - t0
 
-    return DedupResult(dropped, full_clusters, len(seen))
+    return DedupResult(dropped, full_clusters, num_pairs, stage_secs)
 
 
 _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
