@@ -65,7 +65,9 @@ class EngineConfig:
     num_index_partitions: int = 16          # term-hash shuffle width (P)
     head_term_salt: int = 4                 # S: doc-hash buckets per head term
     posting_block_size: int = 128           # postings per skip/block-max block
-    tokenize_concurrency: Tuple[int, int] = (2, 8)   # actor pool min/max
+    tokenize_concurrency: Tuple[int, int] = (2, 64)  # actor pool min/max;
+    # autoscaling pool — max sized for a multi-node cluster, the scheduler
+    # never exceeds available CPUs on a small one
     tokenize_batch_size: int = 256
     extract_batch_size: int = 256
 

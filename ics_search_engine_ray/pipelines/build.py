@@ -119,6 +119,19 @@ def _filter_dropped(dropped_ref):
     return fn
 
 
+def _read_blocks() -> int:
+    """Input block count: ~4 tasks per cluster CPU so the fused
+    read->extract->tokenize stage parallelizes past the input file count
+    (synthetic corpora land in a handful of parquet files; at real scale the
+    file count dominates and this override is a no-op ceiling)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 4 * cpus)
+
+
 def build_index(pages_path: str, out_dir: str,
                 cfg: EngineConfig = DEFAULT_CONFIG,
                 resume: bool = False) -> BuildResult:
@@ -126,7 +139,8 @@ def build_index(pages_path: str, out_dir: str,
     import ray.data as rd
 
     def make_docs():
-        pages = rd.read_parquet(pages_path, columns=["url", "html"])
+        pages = rd.read_parquet(pages_path, columns=["url", "html"],
+                                override_num_blocks=_read_blocks())
         return extract_dataset(pages, cfg)
 
     return _build_from_docs(make_docs, pages_path, out_dir, cfg, resume=resume)
@@ -145,7 +159,8 @@ def build_index_from_texts(texts_path: str, out_dir: str,
     from ..stages.extract import EXTRACT_SCHEMA
 
     def make_docs():
-        texts = rd.read_parquet(texts_path, columns=["doc_id", "text"])
+        texts = rd.read_parquet(texts_path, columns=["doc_id", "text"],
+                                override_num_blocks=_read_blocks())
 
         def to_docs(b: pa.Table) -> pa.Table:
             n = b.num_rows

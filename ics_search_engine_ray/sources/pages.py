@@ -81,6 +81,18 @@ def render_page_html(doc_id: int, rep: int, text: str, n_docs: int,
     if rep > 0 and (doc_id + rep) % 17 == 0:
         # replicated builds: rep k duplicates rep 0 content exactly
         return _render(doc_id, 0, text, n_docs)
+    if rep > 0:
+        # distinct content per replica: rotate the body and swap in
+        # rep-derived vocabulary so replicas are genuinely different pages
+        # (without this every replica of a doc is a near-duplicate of every
+        # other — a 90%-dup corpus that no real crawl resembles)
+        words = text.split()
+        if words:
+            rot = (rep * 13) % len(words)
+            words = words[rot:] + words[:rot]
+            words = [f"w{rep}v{i % 31}" if (i + rep) % 5 == 0 else w
+                     for i, w in enumerate(words)]
+            text = " ".join(words)
     return _render(doc_id, rep, text, n_docs)
 
 
@@ -196,7 +208,7 @@ def generate_pages(sf_dir: str, out_dir: Optional[str] = None, replication: int 
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if out_dir is None:
-        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{replication}|v4".encode()).hexdigest()[:12]
+        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{replication}|v5".encode()).hexdigest()[:12]
         out_dir = f"/tmp/icser_pages/{tag}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker) and not force:

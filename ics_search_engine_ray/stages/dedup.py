@@ -304,12 +304,16 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
 
     # greedy accept in doc_id order (reference first-seen-wins rule with
     # doc_id replacing arrival order — deterministic under any parallelism).
-    # All clustered fingerprints unpack to ±1 float32 rows in ONE shot; per
-    # doc a single BLAS matvec against the cluster's accepted rows decides
-    # (dot >= bits - 2*max_hamming  <=>  hamming <= max_hamming).
+    # Clusters are independent, so the greedy runs per cluster — driver-side
+    # for small totals, as a groupby(cluster_id) Ray job when the clustered
+    # population is large (the per-cluster loop is the only non-distributed
+    # piece of dedup). Per doc a single BLAS matvec against the cluster's
+    # accepted ±1 rows decides (dot >= bits - 2*max_hamming  <=>
+    # hamming <= max_hamming).
     dropped: Set[int] = set()
     dot_min = float(cfg.simhash_bits - 2 * cfg.max_hamming)
-    if clusters:
+    n_clustered = sum(len(c) for c in clusters)
+    if n_clustered and n_clustered <= 50_000:
         flat_ids = [d for comp in clusters for d in comp]
         mat = np.frombuffer(b"".join(fp_of[d] for d in flat_ids),
                             dtype=np.uint8).reshape(len(flat_ids), NBYTES)
@@ -317,16 +321,30 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
         off = 0
         for comp in clusters:
             c = len(comp)
-            B = Ball[off:off + c]
+            dropped.update(_greedy_cluster(comp, Ball[off:off + c], dot_min))
             off += c
-            acc = np.empty_like(B)
-            n_acc = 0
-            for i, d in enumerate(comp):
-                if n_acc and (acc[:n_acc] @ B[i] >= dot_min).any():
-                    dropped.add(d)
-                    continue
-                acc[n_acc] = B[i]
-                n_acc += 1
+    elif n_clustered:
+        cid_of = {d: ci for ci, comp in enumerate(clusters) for d in comp}
+        flat_ids = [d for comp in clusters for d in comp]
+        greedy_in = rd.from_arrow(pa.table({
+            "cluster": pa.array([cid_of[d] for d in flat_ids], pa.int64()),
+            "doc_id": pa.array(flat_ids, pa.int64()),
+            "simhash": pa.array([fp_of[d] for d in flat_ids], pa.binary(NBYTES)),
+        }))
+
+        def greedy_group(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("doc_id", "ascending")])
+            ids = g.column("doc_id").to_pylist()
+            m = np.frombuffer(b"".join(g.column("simhash").to_pylist()),
+                              dtype=np.uint8).reshape(len(ids), NBYTES)
+            B = np.unpackbits(m, axis=1).astype(np.float32) * 2.0 - 1.0
+            dr = _greedy_cluster(ids, B, dot_min)
+            return pa.table({"doc_id": pa.array(sorted(dr), pa.int64())})
+
+        for b in (greedy_in.groupby("cluster")
+                  .map_groups(greedy_group, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            dropped.update(b.column("doc_id").to_pylist())
 
     # expand exact-duplicate followers into clusters and the drop set
     full_clusters: List[List[int]] = []
@@ -345,6 +363,20 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     stage_secs["cluster_greedy"] = _time.time() - t0
 
     return DedupResult(dropped, full_clusters, num_pairs, stage_secs)
+
+
+def _greedy_cluster(comp, B: np.ndarray, dot_min: float) -> Set[int]:
+    """First-seen-wins greedy over one cluster's ±1 rows (doc_id order)."""
+    dropped: Set[int] = set()
+    acc = np.empty_like(B)
+    n_acc = 0
+    for i, d in enumerate(comp):
+        if n_acc and (acc[:n_acc] @ B[i] >= dot_min).any():
+            dropped.add(d)
+            continue
+        acc[n_acc] = B[i]
+        n_acc += 1
+    return dropped
 
 
 _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)

@@ -125,6 +125,20 @@ class TokenizeSimhash:
         )
 
 
+def _pool_size(cfg: EngineConfig) -> tuple:
+    """Actor-pool (min, max) sized from cluster CPUs: the autoscaling pool
+    ramps too slowly from a tiny min (measured: 128 queued tasks drained by
+    ~5 actors while the pool 'scaled up'), so start at half the cluster and
+    let it grow to the full configured max."""
+    import ray
+    lo, hi = cfg.tokenize_concurrency
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (max(lo, cpus // 2), max(hi, cpus))
+
+
 def tokenize_dataset(docs, cfg: EngineConfig = DEFAULT_CONFIG):
     """Extracted docs Dataset -> tokenized Dataset (actor pool)."""
     return docs.map_batches(
@@ -132,5 +146,5 @@ def tokenize_dataset(docs, cfg: EngineConfig = DEFAULT_CONFIG):
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        concurrency=cfg.tokenize_concurrency,
+        concurrency=_pool_size(cfg),
     )
