@@ -8,3 +8,8 @@ groupbys (simhash collapse, band verify, head-term df): a full build went
 66s -> 327s with it enabled process-wide. Revisit per-stage once Ray
 supports per-dataset strategy overrides cleanly.
 """
+
+
+from .functions.memtune import tune_malloc as _tune_malloc
+
+_tune_malloc()

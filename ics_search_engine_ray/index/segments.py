@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.memtune import tune_malloc
 from ..functions.varint import encode_varints, decode_varints
 from .scoring import bm25_scores
 
@@ -88,6 +89,7 @@ def write_segment(part_id: int, tbl: pa.Table, out_dir: str,
     ``tbl`` columns: doc_id, term, tf, importance, positions, doclen.
     Returns the manifest row (also persisted as the .done.json marker).
     """
+    tune_malloc()
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     base = os.path.join(out_dir, f"part-{part_id:05d}")

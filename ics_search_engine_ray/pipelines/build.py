@@ -234,6 +234,9 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
         res = simhash_dedup(tok_ids, cfg)
         dropped = res.dropped
         num_pairs = res.num_pairs
+        if res.stage_secs:
+            for k, v in res.stage_secs.items():
+                stage_secs[f"dedup.{k}"] = v
         with open(dedup_path, "w") as f:
             json.dump({"dropped": sorted(dropped), "num_pairs": res.num_pairs,
                        "clusters": res.clusters}, f)

@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.memtune import tune_malloc
 from ..functions.simhash import NBYTES, hamming_bytes
 
 _VERIFY_CHUNK = 2048
@@ -79,11 +80,18 @@ class BandEmitter:
 _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
 
 
-def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Table:
-    """Verify one *coarse* group (many band buckets): sort rows by band, then
-    do a chunked pairwise-hamming check within each band run of size >= 2.
+_CHUNK_SPLIT = 6144      # band buckets above this split into chunk-pair tasks
+_MAX_CHUNKS = 64
 
-    Grouping by ``band % G`` instead of by exact band keeps the number of
+
+def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Table:
+    """Verify one *coarse* group (many verify units): sort rows by vkey, then
+    run a pairwise-hamming check per unit. A unit is either a whole band
+    bucket (triangle) or one chunk-PAIR of a split hot bucket (triangle when
+    chunk a == b, cross otherwise) — see the triangle-join decomposition in
+    ``simhash_dedup``.
+
+    Grouping by ``vkey % G`` instead of by exact vkey keeps the number of
     ``map_groups`` invocations bounded by G (Python-call overhead per tiny
     bucket would otherwise dominate — most buckets are singletons), while all
     real work stays vectorized.
@@ -94,17 +102,27 @@ def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Tabl
     (integer dot >= bits - 2*max_hamming <=> hamming <= max_hamming; float32
     is exact for integers this small, so no tolerance games needed).
     """
+    tune_malloc()
     n = group.num_rows
     if n < 2:
         return _EMPTY_PAIRS
-    group = group.sort_by([("band", "ascending"), ("doc_id", "ascending")])
+    group = group.sort_by([("vkey", "ascending"), ("chunk", "ascending"),
+                           ("doc_id", "ascending")])
+    vkeys = group.column("vkey").to_numpy(zero_copy_only=False)
+    chunks = group.column("chunk").to_numpy(zero_copy_only=False)
     bands = group.column("band").to_numpy(zero_copy_only=False)
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
     fps = group.column("simhash").to_pylist()
     mat = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(n, NBYTES)
     allbits = np.unpackbits(mat, axis=1)
     B = allbits.astype(np.float32) * 2.0 - 1.0                       # (n, bits)
+    half = bits // 2
     dot_min = float(bits - 2 * max_hamming)
+    # half-prefilter: hamming(total) <= k implies hamming(first half) <= k,
+    # i.e. dot_half >= half - 2k. A random pair passes with probability
+    # P(Binom(64, .5) <= 19) ~ 6e-4, so the full-width check runs on a tiny
+    # candidate set and the matmul does half the FLOPs.
+    dot_min_half = float(half - 2 * max_hamming)
     band_idx = (bands >> np.int64(40)).astype(np.int64)
     # band-0 key per row: pairs sharing it are verified in band 0's own
     # bucket, so bands > 0 can skip the dominant equal-key block (the 20x
@@ -118,34 +136,61 @@ def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Tabl
 
     a_parts, b_parts = [], []
 
+    def block(ids_bx, Bx_blk, ids_by, By_blk, triangle_offset=None):
+        """One chunk-size block: full-width matmul + threshold.
+
+        (A half-width prefilter was tried and reverted: simhash bits are
+        strongly BIASED — docs share most high-df token hashes — so in the
+        hot buckets the 'rare' prefilter band is passed by most pairs and
+        the per-candidate gather costs far more than the straight matmul.)
+        """
+        full = Bx_blk @ By_blk.T
+        ii, jj = np.nonzero(full >= dot_min)
+        if not ii.size:
+            return
+        if triangle_offset is not None:
+            di, dj = triangle_offset
+            keep = (ii + di) < (jj + dj)
+            ii, jj = ii[keep], jj[keep]
+        if ii.size:
+            ia, ib = ids_bx[ii], ids_by[jj]
+            keep = ia != ib
+            a_parts.append(np.minimum(ia, ib)[keep])
+            b_parts.append(np.maximum(ia, ib)[keep])
+
     def tri(ids_x, Bx):
-        """Full upper-triangle verify of one member set (chunked matmul)."""
+        """Upper-triangle verify of one member set (chunked)."""
         m = ids_x.shape[0]
         for i0 in range(0, m, _VERIFY_CHUNK):
             for j0 in range(i0, m, _VERIFY_CHUNK):
-                dot = Bx[i0:i0 + _VERIFY_CHUNK] @ Bx[j0:j0 + _VERIFY_CHUNK].T
-                ii, jj = np.nonzero(dot >= dot_min)
-                gi = ii + i0
-                gj = jj + j0
-                keep = gi < gj
-                if keep.any():
-                    ia, ib = ids_x[gi[keep]], ids_x[gj[keep]]
-                    a_parts.append(np.minimum(ia, ib))
-                    b_parts.append(np.maximum(ia, ib))
+                block(ids_x[i0:i0 + _VERIFY_CHUNK], Bx[i0:i0 + _VERIFY_CHUNK],
+                      ids_x[j0:j0 + _VERIFY_CHUNK], Bx[j0:j0 + _VERIFY_CHUNK],
+                      triangle_offset=(i0, j0))
 
     def cross(ids_x, Bx, ids_y, By):
-        """Verify all x-y pairs (chunked matmul)."""
+        """Verify all x-y pairs (chunked)."""
         for i0 in range(0, ids_x.shape[0], _VERIFY_CHUNK):
             for j0 in range(0, ids_y.shape[0], _VERIFY_CHUNK):
-                dot = Bx[i0:i0 + _VERIFY_CHUNK] @ By[j0:j0 + _VERIFY_CHUNK].T
-                ii, jj = np.nonzero(dot >= dot_min)
-                if ii.size:
-                    ia = ids_x[ii + i0]
-                    ib = ids_y[jj + j0]
-                    a_parts.append(np.minimum(ia, ib))
-                    b_parts.append(np.maximum(ia, ib))
+                block(ids_x[i0:i0 + _VERIFY_CHUNK], Bx[i0:i0 + _VERIFY_CHUNK],
+                      ids_y[j0:j0 + _VERIFY_CHUNK], By[j0:j0 + _VERIFY_CHUNK])
 
-    run_starts = np.flatnonzero(np.concatenate(([True], bands[1:] != bands[:-1])))
+    def cross_skip_dominant(ids_x, Bx, kx, ids_y, By, ky):
+        """Cross verify minus the dominant-equal-b0-key block (band 0 covers
+        those pairs; in a split hot bucket of a near-dup family that block IS
+        most of the work)."""
+        ux, cx = np.unique(np.concatenate([kx, ky]), return_counts=True)
+        kdom = ux[int(cx.argmax())]
+        if int(cx.max()) < (kx.size + ky.size) // 2:
+            cross(ids_x, Bx, ids_y, By)
+            return
+        ex = kx == kdom
+        ey = ky == kdom
+        if (~ex).any():
+            cross(ids_x[~ex], Bx[~ex], ids_y, By)
+        if ex.any() and (~ey).any():
+            cross(ids_x[ex], Bx[ex], ids_y[~ey], By[~ey])
+
+    run_starts = np.flatnonzero(np.concatenate(([True], vkeys[1:] != vkeys[:-1])))
     run_ends = np.append(run_starts[1:], n)
     for s, e in zip(run_starts, run_ends):
         m = e - s
@@ -153,8 +198,21 @@ def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Tabl
             continue
         ids = doc_ids[s:e]
         sub = B[s:e]
+        ck = chunks[s:e]
+        keys = b0_key[s:e]
+        lo = int(vkeys[s]) // _MAX_CHUNKS % _MAX_CHUNKS
+        hi = int(vkeys[s]) % _MAX_CHUNKS
+        if lo != hi:
+            # chunk-pair unit of a split bucket: cross chunks only (each
+            # chunk's intra-pairs are that chunk's own (a, a) unit)
+            in_lo = ck == lo
+            if band_idx[s] > 0:
+                cross_skip_dominant(ids[in_lo], sub[in_lo], keys[in_lo],
+                                    ids[~in_lo], sub[~in_lo], keys[~in_lo])
+            else:
+                cross(ids[in_lo], sub[in_lo], ids[~in_lo], sub[~in_lo])
+            continue
         if band_idx[s] > 0 and m >= 64:
-            keys = b0_key[s:e]
             uniq, counts = np.unique(keys, return_counts=True)
             top = int(counts.max())
             if top >= m // 2:
@@ -232,16 +290,55 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     stage_secs["collapse"] = _time.time() - t0
 
     # ---- stages 1-2: banding + bucket verification over representatives ----
+    # A band bucket of m members costs m^2/2 hamming checks in ONE task; hot
+    # bands (simhash bit bias makes some 6-bit band values hold several % of
+    # the corpus) become multi-minute stragglers. Triangle-join
+    # decomposition: a pre-pass counts bucket sizes, buckets over
+    # _CHUNK_SPLIT split into ceil(m/_CHUNK_SPLIT) doc-hash chunks, and each
+    # chunk PAIR (a <= b) becomes its own verify task — same pairs, bounded
+    # task size, replication factor = n_chunks per row.
     t0 = _time.time()
     banded = reps_mat.select_columns(["doc_id", "simhash"]).map_batches(
-        BandEmitter(cfg), batch_format="pyarrow")
+        BandEmitter(cfg), batch_format="pyarrow").materialize()
+    # (materialized: both the count pre-pass and the chunk expansion consume
+    # it — lazy would re-run the banding per consumer)
 
-    def add_gkey(b: pa.Table) -> pa.Table:
-        g = b.column("band").to_numpy(zero_copy_only=False) % num_verify_groups
-        return b.append_column("gkey", pa.array(g, pa.int64()))
+    def band_counts(b: pa.Table) -> pa.Table:
+        vc = b.column("band").value_counts()
+        return pa.table({"band": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
 
-    banded = banded.map_batches(add_gkey, batch_format="pyarrow")
-    pairs_ds = banded.groupby("gkey").map_groups(
+    counts: Dict[int, int] = {}
+    for b in banded.map_batches(band_counts, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for band, cnt in zip(b.column("band").to_pylist(), b.column("cnt").to_pylist()):
+            counts[band] = counts.get(band, 0) + cnt
+    import ray as _ray
+    n_chunks_of = {band: min(_MAX_CHUNKS, -(-m // _CHUNK_SPLIT))
+                   for band, m in counts.items() if m > _CHUNK_SPLIT}
+    plan_ref = _ray.put(n_chunks_of)
+
+    def chunk_pairs(b: pa.Table) -> pa.Table:
+        plan = _ray.get(plan_ref)
+        bands = b.column("band").to_numpy(zero_copy_only=False)
+        dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nck = np.ones(bands.size, dtype=np.int64)
+        for bd, nc in plan.items():          # plan is tiny (hot bands only)
+            nck[bands == bd] = nc
+        ci = (dids % nck).astype(np.int64)
+        reps_idx = np.repeat(np.arange(bands.size), nck)          # row index per emission
+        cj = np.concatenate([np.arange(n) for n in nck.tolist()]) if bands.size else np.empty(0, np.int64)
+        lo = np.minimum(ci[reps_idx], cj)
+        hi = np.maximum(ci[reps_idx], cj)
+        vkey = bands[reps_idx] * (_MAX_CHUNKS * _MAX_CHUNKS) + lo * _MAX_CHUNKS + hi
+        out = b.take(reps_idx)
+        out = out.append_column("chunk", pa.array(ci[reps_idx], pa.int64()))
+        out = out.append_column("vkey", pa.array(vkey, pa.int64()))
+        g = (vkey % num_verify_groups).astype(np.int64)
+        return out.append_column("gkey", pa.array(g, pa.int64()))
+
+    expanded = banded.map_batches(chunk_pairs, batch_format="pyarrow")
+    pairs_ds = expanded.groupby("gkey").map_groups(
         lambda g: _verify_group(g.drop(["gkey"]), cfg.max_hamming), batch_format="pyarrow")
     a_chunks, b_chunks = [], []
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
@@ -288,63 +385,20 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
                     stack.append(v)
         clusters.append(sorted(comp))
 
-    # fetch fingerprints of clustered doc_ids only (one filtered pass)
-    fp_of: Dict[int, bytes] = {}
-    if clusters:
-        want = pa.array(sorted(adj), pa.int64())
-
-        def filt(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b.column("doc_id"), value_set=want))
-
-        for b in (reps_mat.select_columns(["doc_id", "simhash"])
-                  .map_batches(filt, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow")):
-            fp_of.update(zip(b.column("doc_id").to_pylist(),
-                             b.column("simhash").to_pylist()))
-
     # greedy accept in doc_id order (reference first-seen-wins rule with
     # doc_id replacing arrival order — deterministic under any parallelism).
-    # Clusters are independent, so the greedy runs per cluster — driver-side
-    # for small totals, as a groupby(cluster_id) Ray job when the clustered
-    # population is large (the per-cluster loop is the only non-distributed
-    # piece of dedup). Per doc a single BLAS matvec against the cluster's
-    # accepted ±1 rows decides (dot >= bits - 2*max_hamming  <=>
-    # hamming <= max_hamming).
+    # Banding + verification is EXACT (pigeonhole), so the pair list already
+    # contains every within-threshold pair: "d has an accepted doc within
+    # threshold" is exactly "d has an accepted pair-graph neighbor" — the
+    # greedy is pure O(edges) graph traversal, no fingerprint math at all.
     dropped: Set[int] = set()
-    dot_min = float(cfg.simhash_bits - 2 * cfg.max_hamming)
-    n_clustered = sum(len(c) for c in clusters)
-    if n_clustered and n_clustered <= 50_000:
-        flat_ids = [d for comp in clusters for d in comp]
-        mat = np.frombuffer(b"".join(fp_of[d] for d in flat_ids),
-                            dtype=np.uint8).reshape(len(flat_ids), NBYTES)
-        Ball = np.unpackbits(mat, axis=1).astype(np.float32) * 2.0 - 1.0
-        off = 0
-        for comp in clusters:
-            c = len(comp)
-            dropped.update(_greedy_cluster(comp, Ball[off:off + c], dot_min))
-            off += c
-    elif n_clustered:
-        cid_of = {d: ci for ci, comp in enumerate(clusters) for d in comp}
-        flat_ids = [d for comp in clusters for d in comp]
-        greedy_in = rd.from_arrow(pa.table({
-            "cluster": pa.array([cid_of[d] for d in flat_ids], pa.int64()),
-            "doc_id": pa.array(flat_ids, pa.int64()),
-            "simhash": pa.array([fp_of[d] for d in flat_ids], pa.binary(NBYTES)),
-        }))
-
-        def greedy_group(g: pa.Table) -> pa.Table:
-            g = g.sort_by([("doc_id", "ascending")])
-            ids = g.column("doc_id").to_pylist()
-            m = np.frombuffer(b"".join(g.column("simhash").to_pylist()),
-                              dtype=np.uint8).reshape(len(ids), NBYTES)
-            B = np.unpackbits(m, axis=1).astype(np.float32) * 2.0 - 1.0
-            dr = _greedy_cluster(ids, B, dot_min)
-            return pa.table({"doc_id": pa.array(sorted(dr), pa.int64())})
-
-        for b in (greedy_in.groupby("cluster")
-                  .map_groups(greedy_group, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow")):
-            dropped.update(b.column("doc_id").to_pylist())
+    for comp in clusters:
+        accepted: Set[int] = set()
+        for d in comp:                       # ascending doc_id
+            if any(v in accepted for v in adj[d]):
+                dropped.add(d)
+            else:
+                accepted.add(d)
 
     # expand exact-duplicate followers into clusters and the drop set
     full_clusters: List[List[int]] = []
@@ -363,20 +417,6 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     stage_secs["cluster_greedy"] = _time.time() - t0
 
     return DedupResult(dropped, full_clusters, num_pairs, stage_secs)
-
-
-def _greedy_cluster(comp, B: np.ndarray, dot_min: float) -> Set[int]:
-    """First-seen-wins greedy over one cluster's ±1 rows (doc_id order)."""
-    dropped: Set[int] = set()
-    acc = np.empty_like(B)
-    n_acc = 0
-    for i, d in enumerate(comp):
-        if n_acc and (acc[:n_acc] @ B[i] >= dot_min).any():
-            dropped.add(d)
-            continue
-        acc[n_acc] = B[i]
-        n_acc += 1
-    return dropped
 
 
 _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)

@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..functions.htmlx import extract_page
+from ..functions.memtune import tune_malloc
 
 EXTRACT_SCHEMA = pa.schema([
     pa.field("url", pa.string()),
@@ -40,6 +41,7 @@ class ExtractBatch:
     class only to bind config once)."""
 
     def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG):
+        tune_malloc()
         self.tag_weights = cfg.tag_weight_map
 
     def __call__(self, batch: pa.Table) -> pa.Table:

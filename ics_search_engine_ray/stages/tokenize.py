@@ -27,6 +27,7 @@ from typing import List
 import pyarrow as pa
 
 from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.memtune import tune_malloc
 from ..functions.simhash import SimHasher
 from ..functions.tokenizer import Tokenizer
 
@@ -53,6 +54,7 @@ class TokenizeSimhash:
     """Actor-pool batch fn: extracted docs -> tokenized doc rows."""
 
     def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG):
+        tune_malloc()
         self.cfg = cfg
         self.tokenizer = Tokenizer(stem=cfg.stem)
         self.simhasher = SimHasher()
