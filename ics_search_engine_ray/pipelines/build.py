@@ -108,15 +108,31 @@ def _filter_dropped(dropped_ref):
     """
     import ray
 
+    state: dict = {}     # per-worker cache (Ray caches the deserialized fn
+                         # per worker process, so this survives across batches)
+
     def fn(batch: pa.Table) -> pa.Table:
-        dropped = ray.get(dropped_ref)
-        if not dropped:
+        if "arr" not in state:
+            dropped = ray.get(dropped_ref)
+            state["arr"] = pa.array(sorted(dropped), pa.int64()) if dropped else None
+        arr = state["arr"]
+        if arr is None:
             return batch
-        arr = pa.array(sorted(dropped), pa.int64())
         mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=arr))
         return batch.filter(mask)
 
     return fn
+
+
+def _marker_valid(path: str, fingerprint: str) -> bool:
+    """A resume marker counts only if the fingerprint it recorded matches the
+    current input/config — otherwise a changed input would silently reuse
+    stale checkpoints from the same out_dir."""
+    try:
+        with open(path) as f:
+            return f.read().strip() == fingerprint
+    except OSError:
+        return False
 
 
 def _read_blocks() -> int:
@@ -205,7 +221,7 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     t0 = time.time()
     tok_dir = os.path.join(out_dir, "docs_tokenized")
     tok_marker = os.path.join(tok_dir, "_SUCCESS")
-    if resume and os.path.exists(tok_marker):
+    if resume and _marker_valid(tok_marker, fingerprint):
         tok_mat = rd.read_parquet(tok_dir).materialize()
     else:
         tok_mat = tokenize_dataset(make_docs(), cfg).materialize()
@@ -218,9 +234,13 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     # ---- 4: dedup ----
     t0 = time.time()
     dedup_path = os.path.join(out_dir, "dedup.json")
+    dd = None
     if resume and os.path.exists(dedup_path):
         with open(dedup_path) as f:
             dd = json.load(f)
+        if dd.get("fingerprint") != fingerprint:
+            dd = None          # stale: input/config changed since this marker
+    if dd is not None:
         dropped: Set[int] = set(dd["dropped"])
         num_pairs = dd["num_pairs"]
     elif skip_dedup:
@@ -228,7 +248,7 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
         num_pairs = 0
         with open(dedup_path, "w") as f:
             json.dump({"dropped": [], "num_pairs": 0, "clusters": [],
-                       "skipped": True}, f)
+                       "skipped": True, "fingerprint": fingerprint}, f)
     else:
         tok_ids = tok_mat.select_columns(["doc_id", "simhash"])
         res = simhash_dedup(tok_ids, cfg)
@@ -239,7 +259,7 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
                 stage_secs[f"dedup.{k}"] = v
         with open(dedup_path, "w") as f:
             json.dump({"dropped": sorted(dropped), "num_pairs": res.num_pairs,
-                       "clusters": res.clusters}, f)
+                       "clusters": res.clusters, "fingerprint": fingerprint}, f)
     dropped_ref = ray.put(dropped)
     stage_secs["dedup"] = time.time() - t0
 
@@ -250,7 +270,7 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     meta_mat = (tok_mat.select_columns(DOCMETA_COLS)
                 .map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
                 .materialize())
-    if not (resume and os.path.exists(meta_marker)):
+    if not (resume and _marker_valid(meta_marker, fingerprint)):
         os.makedirs(meta_dir, exist_ok=True)
         meta_mat.write_parquet(meta_dir)
         with open(meta_marker, "w") as f:
@@ -293,8 +313,13 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     done_parts: Set[int] = set()
     if resume:
         for p in range(total_parts):
-            if os.path.exists(os.path.join(seg_dir, f"part-{p:05d}.done.json")):
-                done_parts.add(p)
+            done_file = os.path.join(seg_dir, f"part-{p:05d}.done.json")
+            try:
+                with open(done_file) as f:
+                    if json.load(f).get("input_fingerprint") == fingerprint:
+                        done_parts.add(p)
+            except (OSError, ValueError):
+                pass
 
     manifest_rows: List[dict] = []
     if len(done_parts) < total_parts:
@@ -339,7 +364,8 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     # ---- 8: link scores ----
     t0 = time.time()
     ls_path = os.path.join(out_dir, "link_scores.parquet")
-    if not (resume and os.path.exists(ls_path)):
+    ls_marker = ls_path + ".done"
+    if not (resume and os.path.exists(ls_path) and _marker_valid(ls_marker, fingerprint)):
         meta_links = meta_mat.select_columns(["url", "outgoing_links"])
         rows = [(r["url"], list(r["outgoing_links"]) if r["outgoing_links"] is not None else [])
                 for r in meta_links.take_all()]
@@ -352,6 +378,8 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
         })
         import pyarrow.parquet as pq
         pq.write_table(ls_tbl, ls_path)
+        with open(ls_marker, "w") as f:
+            f.write(fingerprint)
     stage_secs["link_scores"] = time.time() - t0
 
     manifest = {

@@ -107,6 +107,10 @@ class SearchIndex:
         if with_positions:
             allpos = [x for p in parts for x in (p.positions or [])]
             pos = [allpos[i] for i in order]
+        # block metadata from the source segments describes each partition's
+        # own posting order — concatenating it would misdescribe the merged,
+        # re-sorted stream. Empty signals "unavailable"; _scored recomputes
+        # exact bounds from the merged scores anyway.
         return TermPostings(
             term=term, df=parts[0].df,
             doc_ids=ids[order],
@@ -114,8 +118,8 @@ class SearchIndex:
             doclen=np.concatenate([p.doclen for p in parts])[order],
             importance=np.concatenate([p.importance for p in parts])[order],
             positions=pos,
-            block_last=np.concatenate([p.block_last for p in parts]),
-            block_max=np.concatenate([p.block_max for p in parts]),
+            block_last=np.empty(0, dtype=np.int64),
+            block_max=np.empty(0, dtype=np.float32),
         )
 
     def _urls(self) -> Dict[int, str]:

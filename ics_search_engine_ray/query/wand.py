@@ -16,15 +16,17 @@ import numpy as np
 
 
 class _Cursor:
-    __slots__ = ("doc_ids", "scores", "block_last", "block_max", "pos", "n", "ub", "qw")
+    __slots__ = ("doc_ids", "scores", "block_last", "block_max", "pos", "n", "ub", "qw", "ord")
 
     def __init__(self, doc_ids: np.ndarray, scores: np.ndarray,
-                 block_last: np.ndarray, block_max: np.ndarray, qw: float):
+                 block_last: np.ndarray, block_max: np.ndarray, qw: float,
+                 ord_idx: int = 0):
         self.doc_ids = doc_ids
         self.scores = scores
         self.block_last = block_last
         self.block_max = block_max
         self.qw = qw
+        self.ord = ord_idx
         self.pos = 0
         self.n = doc_ids.size
         self.ub = float(block_max.max()) * qw if block_max.size else 0.0
@@ -53,7 +55,7 @@ def wand_topk(term_postings: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, 
     """term_postings: per query term (doc_ids asc, scores, block_last,
     block_max, query_weight). Returns [(doc_id, score)] ranked by
     (-score, doc_id)."""
-    cursors = [_Cursor(*tp) for tp in term_postings if tp[0].size]
+    cursors = [_Cursor(*tp, ord_idx=i) for i, tp in enumerate(term_postings) if tp[0].size]
     if not cursors:
         return []
     heap: List[Tuple[float, int]] = []   # (score, -doc_id) min-heap of top-k
@@ -99,14 +101,22 @@ def wand_topk(term_postings: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, 
             continue
 
         if cursors[0].cur() == pivot_doc:
-            # fully evaluate pivot_doc
-            score = 0.0
+            # fully evaluate pivot_doc. Contributions are summed in the
+            # ORIGINAL term order (cursor.ord), not the dynamic cursor-sorted
+            # order: FP addition is order-sensitive, and TAAT's bincount adds
+            # per-term partials in term_postings order — summing in any other
+            # order can flip exact-score ties at the k boundary.
+            hits = []
             for c in cursors:
                 if c.cur() == pivot_doc:
-                    score += float(c.scores[c.pos]) * c.qw
-                    c.pos += 1
+                    hits.append(c)
                 elif c.cur() > pivot_doc:
                     break
+            hits.sort(key=lambda c: c.ord)
+            score = 0.0
+            for c in hits:
+                score += float(c.scores[c.pos]) * c.qw
+                c.pos += 1
             entry = (score, -pivot_doc)
             if len(heap) < k:
                 heapq.heappush(heap, entry)

@@ -28,18 +28,22 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _text_hash_batch(batch: pa.Table) -> pa.Table:
+    """Full 128-bit md5 per text as two int64 columns — a truncated digest
+    could collide and silently drop a distinct document."""
     texts = [x or "" for x in batch.column("text").to_pylist()]
-    hashes = [int.from_bytes(hashlib.md5(x.encode("utf-8")).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
-              for x in texts]
+    digests = [hashlib.md5(x.encode("utf-8")).digest() for x in texts]
+    hi = [int.from_bytes(d[:8], "big", signed=True) for d in digests]
+    lo = [int.from_bytes(d[8:], "big", signed=True) for d in digests]
     return pa.table({"doc_id": batch.column("doc_id"),
-                     "text_hash": pa.array(hashes, pa.int64())})
+                     "hash_hi": pa.array(hi, pa.int64()),
+                     "hash_lo": pa.array(lo, pa.int64())})
 
 
 def exact_dedup(docs):
     """documents(doc_id, text) -> survivors (doc_id), min doc_id per distinct
-    text. Hash-partitioned groupby; only (doc_id, hash) pairs shuffle."""
+    text. Hash-partitioned groupby; only (doc_id, 128-bit hash) rows shuffle."""
     hashed = docs.map_batches(_text_hash_batch, batch_format="pyarrow")
-    return hashed.groupby("text_hash").min("doc_id").select_columns(["min(doc_id)"]) \
+    return hashed.groupby(["hash_hi", "hash_lo"]).min("doc_id") \
         .map_batches(lambda b: pa.table({"doc_id": b.column("min(doc_id)")}),
                      batch_format="pyarrow")
 

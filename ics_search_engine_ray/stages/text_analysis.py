@@ -57,7 +57,9 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         n_words.append(nw)
         mean_wl.append(round(sum(len(w) for w in words) / nw, 6) if nw else 0.0)
         stop_ratio.append(round(sum(1 for w in words if w.lower() in STOP_WORDS) / nw, 6) if nw else 0.0)
-        digit_ratio.append(round(sum(1 for ch in x if ch.isdigit()) / len(x), 6) if x else 0.0)
+        # ASCII [0-9] only: str.isdigit() is true for Unicode digits ('²','٣'),
+        # which the SQL oracle's regexp [^0-9] does not count
+        digit_ratio.append(round(sum(1 for ch in x if "0" <= ch <= "9") / len(x), 6) if x else 0.0)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_chars": pa.array(n_chars, pa.int64()),

@@ -45,6 +45,34 @@ def test_wand_random_equivalence():
                [(d, round(s, 9)) for d, s in want], (trial, n_docs, n_terms, block, k)
 
 
+def test_wand_sums_in_canonical_term_order():
+    """ADVICE r1 (wand.py:106): per-doc contributions must be summed in the
+    original term order, not dynamic cursor order — FP addition-order noise
+    (e.g. 18.438 vs 18.438000000000002) flips (-score, doc_id) ties for
+    duplicated docs. With the fix, WAND == brute EXACTLY (no rounding)."""
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        n_terms = int(rng.integers(2, 5))
+        block = int(rng.choice([2, 4, 16]))
+        dup_scores = rng.random(n_terms) * 20
+        tp = []
+        for ti in range(n_terms):
+            extra = np.sort(rng.choice(900, size=int(rng.integers(3, 12)),
+                                       replace=False) + 300).astype(np.int64)
+            # docs 100 and 200 are exact duplicates: same score in every term
+            ids = np.concatenate(([100, 200], extra))
+            scores = np.concatenate(([dup_scores[ti], dup_scores[ti]],
+                                     rng.random(extra.size) * 10))
+            nb = (ids.size + block - 1) // block
+            bl = ids[np.minimum(np.arange(1, nb + 1) * block - 1, ids.size - 1)]
+            bm = np.maximum.reduceat(scores, np.arange(0, ids.size, block))
+            tp.append((ids, scores, bl.astype(np.int64), bm, float(rng.integers(1, 3))))
+        k = int(rng.integers(1, 6))
+        got = wand_topk(tp, k, block)
+        want = brute(tp, k)
+        assert got == want, (trial, k)   # exact float equality, exact order
+
+
 def test_wand_with_score_ties():
     # identical scores everywhere: tie-break purely by doc_id
     ids1 = np.array([1, 5, 9, 12, 20], dtype=np.int64)
