@@ -55,6 +55,15 @@ class EngineConfig:
     tag_weights: Tuple[Tuple[str, float], ...] = tuple(TAG_WEIGHTS.items())
     similarity_threshold: float = 0.85      # constants.py:28
     simhash_bits: int = 128                 # utils/simhash.py:9
+    simhash_bands: int = 20                 # LSH bands for near-dup candidate
+    # generation. bands >= max_hamming+1 -> exact-match banding (radius 0);
+    # bands in [ceil((max_hamming+1)/2), max_hamming] -> wider bands with
+    # 1-bit flip-down probing (stages/dedup.py BandEmitter). Both are EXACT
+    # (pigeonhole) and produce identical results (tested). Trade-off: 20
+    # narrow bands shuffle 20 rows/doc but verify ~8x more candidate pairs;
+    # 10 wide bands shuffle ~75 rows/doc with ~8x fewer pair checks and much
+    # flatter bucket skew (4% vs 23% max bucket) — prefer 10 when verify
+    # compute, not shuffle bandwidth, is the cluster's scarce resource.
     stem: bool = True                       # Porter stemming on index+query
 
     # --- BM25 (north-star scorer; Robertson & Zaragoza 2009) ---

@@ -5,10 +5,10 @@ documents — an O(N²) serialized scan whose outcome depends on arrival order
 (components/document_processor.py:72-79, multithread_indexer.py:110-120).
 That cannot scale and is nondeterministic; the Ray-native design is:
 
-1. band stage: flat-map each (doc_id, simhash) to ``num_bands`` rows keyed by
-   a band of the fingerprint. With ``num_bands = max_hamming + 1`` (20 for the
-   reference's 0.85/128-bit threshold) the pigeonhole principle makes
-   candidate generation EXACT: every pair within threshold shares a band.
+1. band stage: flat-map each (doc_id, simhash) to banded rows keyed by a
+   band of the fingerprint, with generalized-pigeonhole probing (see
+   ``BandEmitter``): candidate generation is EXACT — every pair within
+   threshold meets in some bucket as a stored-stored or probe-stored pair.
 2. ``groupby(band)`` shuffle + per-bucket vectorized hamming verification
    (uint8 popcount matrix, chunked so a hot bucket never materializes an
    unbounded pairwise matrix).
@@ -32,10 +32,30 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.bufpool import fsb_to_numpy, get_buf
 from ..functions.memtune import tune_malloc
 from ..functions.simhash import NBYTES, hamming_bytes
 
+# (256, 8) bit-expansion lookup: row b = bits of byte b, MSB first (the
+# np.unpackbits convention) — lets us unpack into a REUSED buffer via np.take
+_BIT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
+
 _VERIFY_CHUNK = 2048
+_SMALL_RUN = 64          # buckets up to this size verify via the batched
+                         # gather-dot path (one vectorized op for ALL of
+                         # them) instead of per-bucket Python dispatch
+
+_PAIR_TMPL: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _pair_template(m: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Upper-triangle index pairs (i < j) for a run of length m, cached."""
+    t = _PAIR_TMPL.get(m)
+    if t is None:
+        ii, jj = np.triu_indices(m, k=1)
+        t = (ii.astype(np.int64), jj.astype(np.int64))
+        _PAIR_TMPL[m] = t
+    return t
 
 
 def _band_bounds(bits: int, num_bands: int) -> np.ndarray:
@@ -43,37 +63,81 @@ def _band_bounds(bits: int, num_bands: int) -> np.ndarray:
 
 
 class BandEmitter:
-    """batch fn: (doc_id, simhash) -> num_bands x (band, doc_id, simhash)."""
+    """batch fn: (doc_id, simhash) -> banded candidate rows (band, doc_id,
+    stored, simhash).
+
+    Generalized-pigeonhole banding (multi-index hashing, Norouzi et al.,
+    "Fast Search in Hamming Space with Multi-Index Hashing", 2014): with
+    ``b`` bands and probe radius ``r = ceil((k+1)/b) - 1``, any pair within
+    hamming ``k`` has at least one band with band-hamming <= r (else total
+    >= b*(r+1) > k). Two supported regimes, both EXACT:
+
+    - r == 0 (b >= k+1): classic exact-match banding. For k=19/128 bits that
+      forces 6-7-bit bands whose tiny keyspace makes every bucket a random
+      ~N/64 collision set — verify work ~0.3 N^2.
+    - r == 1 (b >= ceil((k+1)/2)): wider bands (12-13 bits at b=10) with
+      single-bit probing. Probe volume is HALVED by the flip-down trick: a
+      pair differing at exactly one band bit has exactly one member with a 1
+      there, and that member's flip-down probe lands on the other's stored
+      key — so probes only clear 1-bits. Candidates are stored x stored
+      (band-hamming 0) + probe x stored (band-hamming 1); probe x probe pairs
+      are never candidates. Measured on the replica corpus: ~7.6x fewer
+      pair checks and max bucket 4% of corpus vs 23% (better skew).
+    """
 
     def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG):
-        self.num_bands = cfg.max_hamming + 1
+        self.num_bands = int(getattr(cfg, "simhash_bands", 0)) or (cfg.max_hamming + 1)
+        k1 = cfg.max_hamming + 1
+        self.radius = -(-k1 // self.num_bands) - 1
+        if self.radius > 1:
+            raise ValueError(
+                f"simhash_bands={self.num_bands} needs probe radius "
+                f"{self.radius}; only radius <= 1 is implemented "
+                f"(use bands >= {-(-k1 // 2)})")
         self.bounds = _band_bounds(cfg.simhash_bits, self.num_bands)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        fps = batch.column("simhash").to_pylist()
-        n = len(fps)
+        n = batch.num_rows
         if n == 0:
             return pa.table({"band": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
+                             "stored": pa.array([], pa.int8()),
                              "simhash": pa.array([], pa.binary(16))})
-        mat = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(n, NBYTES)
+        mat = fsb_to_numpy(batch.column("simhash"), NBYTES)
         bits = np.unpackbits(mat, axis=1)                      # (n, 128)
-        bands, dids, hashes = [], [], []
+        keys_parts, idx_parts, stored_parts = [], [], []
+        all_rows = np.arange(n, dtype=np.int64)
         for bi in range(self.num_bands):
             seg = bits[:, self.bounds[bi]:self.bounds[bi + 1]]
+            w = seg.shape[1]
             # fold band bits into an int key; prefix with band index
             key = np.zeros(n, dtype=np.int64)
-            for c in range(seg.shape[1]):
+            for c in range(w):
                 key = (key << 1) | seg[:, c]
-            key |= np.int64(bi) << np.int64(40)
-            bands.append(key)
-            dids.append(doc_ids)
-            hashes.extend(fps)
+            tag = np.int64(bi) << np.int64(40)
+            keys_parts.append(key | tag)
+            idx_parts.append(all_rows)
+            stored_parts.append(np.ones(n, dtype=np.int8))
+            if self.radius >= 1:
+                for j in range(w):                 # flip-down probes (1 -> 0)
+                    rows = np.flatnonzero(seg[:, j])
+                    if rows.size:
+                        keys_parts.append((key[rows] ^ np.int64(1 << (w - 1 - j))) | tag)
+                        idx_parts.append(rows)
+                        stored_parts.append(np.zeros(rows.size, dtype=np.int8))
+        keys = np.concatenate(keys_parts)
+        idx = np.concatenate(idx_parts)
+        stored = np.concatenate(stored_parts)
+        # simhash gathered buffer-level (no per-row Python objects)
+        sh = np.ascontiguousarray(mat[idx])
+        sh_col = pa.Array.from_buffers(pa.binary(NBYTES), idx.size,
+                                       [None, pa.py_buffer(sh.tobytes())])
         return pa.table({
-            "band": pa.array(np.concatenate(bands), pa.int64()),
-            "doc_id": pa.array(np.concatenate(dids), pa.int64()),
-            "simhash": pa.array(hashes, pa.binary(16)),
+            "band": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(doc_ids[idx], pa.int64()),
+            "stored": pa.array(stored, pa.int8()),
+            "simhash": sh_col,
         })
 
 
@@ -82,25 +146,37 @@ _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int
 
 _CHUNK_SPLIT = 6144      # band buckets above this split into chunk-pair tasks
 _MAX_CHUNKS = 64
+_LOCAL_VERIFY_ROWS = 300_000     # banded rows below this verify in ONE task
+                                 # (no shuffle; ~12 MB, ~1 s in the kernel —
+                                 # a sort shuffle costs more than it buys);
+                                 # above it, the distributed chunk-split +
+                                 # groupby(gkey) path runs on all cores
 
 
-def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Table:
+def _verify_group(group: pa.Table, max_hamming: int, num_bands: int,
+                  bits: int = 128) -> pa.Table:
     """Verify one *coarse* group (many verify units): sort rows by vkey, then
     run a pairwise-hamming check per unit. A unit is either a whole band
-    bucket (triangle) or one chunk-PAIR of a split hot bucket (triangle when
-    chunk a == b, cross otherwise) — see the triangle-join decomposition in
-    ``simhash_dedup``.
+    bucket (chunk a == b) or one chunk-PAIR of a split hot bucket — see the
+    triangle-join decomposition in ``simhash_dedup``. Within a unit the
+    candidate pairs are stored x stored plus probe x stored (see
+    BandEmitter); probe x probe pairs are never candidates.
 
     Grouping by ``vkey % G`` instead of by exact vkey keeps the number of
     ``map_groups`` invocations bounded by G (Python-call overhead per tiny
     bucket would otherwise dominate — most buckets are singletons), while all
     real work stays vectorized.
 
-    Kernel: hamming via BLAS. Unpack each fingerprint to a ±1 float32 row
-    vector; then dot(u, v) = bits - 2*hamming(u, v), so a chunked ``B @ B.T``
-    plus a threshold on the dot product replaces the byte-wise popcount
-    (integer dot >= bits - 2*max_hamming <=> hamming <= max_hamming; float32
-    is exact for integers this small, so no tolerance games needed).
+    Kernels, chosen for minimum fresh-memory traffic (on this VM every
+    newly faulted MB costs ~0.14 s, far more than the arithmetic on it):
+
+    - small buckets (the vast majority with wide bands): ONE batched
+      gather of packed fingerprint bytes per distinct run length, XOR +
+      byte-popcount LUT — ~40 bytes of buffered traffic per candidate pair;
+    - big buckets: chunked BLAS. ±1 float32 expansion of JUST the chunk
+      rows (reused arenas); dot(u, v) = bits - 2*hamming(u, v), so
+      ``Bx @ By.T`` >= bits - 2*max_hamming <=> hamming <= max_hamming
+      (float32 is exact for integers this small).
     """
     tune_malloc()
     n = group.num_rows
@@ -112,31 +188,40 @@ def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Tabl
     chunks = group.column("chunk").to_numpy(zero_copy_only=False)
     bands = group.column("band").to_numpy(zero_copy_only=False)
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-    fps = group.column("simhash").to_pylist()
-    mat = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(n, NBYTES)
-    allbits = np.unpackbits(mat, axis=1)
-    B = allbits.astype(np.float32) * 2.0 - 1.0                       # (n, bits)
-    half = bits // 2
+    stored = group.column("stored").to_numpy(zero_copy_only=False).astype(bool)
+    mat = fsb_to_numpy(group.column("simhash"), NBYTES)
     dot_min = float(bits - 2 * max_hamming)
-    # half-prefilter: hamming(total) <= k implies hamming(first half) <= k,
-    # i.e. dot_half >= half - 2k. A random pair passes with probability
-    # P(Binom(64, .5) <= 19) ~ 6e-4, so the full-width check runs on a tiny
-    # candidate set and the matmul does half the FLOPs.
-    dot_min_half = float(half - 2 * max_hamming)
     band_idx = (bands >> np.int64(40)).astype(np.int64)
-    # band-0 key per row: pairs sharing it are verified in band 0's own
-    # bucket, so bands > 0 can skip the dominant equal-key block (the 20x
-    # redundancy of a near-dup cluster occupying the same bucket in every
-    # band). Skipping only the LARGEST equal-key block keeps the BLAS calls
-    # few; smaller repeated blocks are cheap and deduped later.
-    b0_width = _band_bounds(bits, max_hamming + 1)[1]
-    b0_key = np.zeros(n, dtype=np.int64)
-    for c in range(int(b0_width)):
-        b0_key = (b0_key << 1) | allbits[:, c]
+    # band-0 STORED key: any pair sharing it was verified in band 0's own
+    # bucket (as stored x stored), so bands > 0 can skip the dominant
+    # equal-key block (the num_bands-x redundancy of a near-dup cluster
+    # occupying the same bucket in every band). Computed lazily per big run.
+    b0_width = int(_band_bounds(bits, num_bands)[1])
+    b0_bytes = (b0_width + 7) // 8
+    b0_shift = (-b0_width) % 8
 
     a_parts, b_parts = [], []
 
-    def block(ids_bx, Bx_blk, ids_by, By_blk, triangle_offset=None):
+    def b0_of(rows: np.ndarray) -> np.ndarray:
+        sub = mat[rows]
+        k = np.zeros(sub.shape[0], dtype=np.int64)
+        for c in range(b0_bytes):
+            k = (k << 8) | sub[:, c]
+        return k >> b0_shift
+
+    def _expand(rows: np.ndarray, bufkey: str) -> np.ndarray:
+        """Packed rows -> ±1 float32 (reused arenas, no fresh allocation)."""
+        mm = rows.size
+        sub8 = get_buf(bufkey + ".8", (mm, NBYTES), np.uint8)
+        np.take(mat, rows, axis=0, out=sub8.reshape(mm, NBYTES))
+        bb = get_buf(bufkey + ".b", (mm, NBYTES, 8), np.uint8)
+        np.take(_BIT_LUT, sub8, axis=0, out=bb)
+        F = get_buf(bufkey + ".f", (mm, bits), np.float32)
+        np.multiply(bb.reshape(mm, bits), 2, out=F, casting="unsafe")
+        F -= 1.0
+        return F
+
+    def block(ids_bx, rows_bx, ids_by, rows_by, triangle_offset=None):
         """One chunk-size block: full-width matmul + threshold.
 
         (A half-width prefilter was tried and reverted: simhash bits are
@@ -144,8 +229,13 @@ def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Tabl
         hot buckets the 'rare' prefilter band is passed by most pairs and
         the per-candidate gather costs far more than the straight matmul.)
         """
-        full = Bx_blk @ By_blk.T
-        ii, jj = np.nonzero(full >= dot_min)
+        Bx_blk = _expand(rows_bx, "vg.fx")
+        By_blk = _expand(rows_by, "vg.fy")
+        full = get_buf("vg.mm", (Bx_blk.shape[0], By_blk.shape[0]), np.float32)
+        np.matmul(Bx_blk, By_blk.T, out=full)
+        mask = get_buf("vg.mask", full.shape, bool)
+        np.greater_equal(full, dot_min, out=mask)
+        ii, jj = np.nonzero(mask)
         if not ii.size:
             return
         if triangle_offset is not None:
@@ -158,75 +248,134 @@ def _verify_group(group: pa.Table, max_hamming: int, bits: int = 128) -> pa.Tabl
             a_parts.append(np.minimum(ia, ib)[keep])
             b_parts.append(np.maximum(ia, ib)[keep])
 
-    def tri(ids_x, Bx):
+    def tri(ids_x, rows_x):
         """Upper-triangle verify of one member set (chunked)."""
         m = ids_x.shape[0]
         for i0 in range(0, m, _VERIFY_CHUNK):
             for j0 in range(i0, m, _VERIFY_CHUNK):
-                block(ids_x[i0:i0 + _VERIFY_CHUNK], Bx[i0:i0 + _VERIFY_CHUNK],
-                      ids_x[j0:j0 + _VERIFY_CHUNK], Bx[j0:j0 + _VERIFY_CHUNK],
+                block(ids_x[i0:i0 + _VERIFY_CHUNK], rows_x[i0:i0 + _VERIFY_CHUNK],
+                      ids_x[j0:j0 + _VERIFY_CHUNK], rows_x[j0:j0 + _VERIFY_CHUNK],
                       triangle_offset=(i0, j0))
 
-    def cross(ids_x, Bx, ids_y, By):
+    def cross(ids_x, rows_x, ids_y, rows_y):
         """Verify all x-y pairs (chunked)."""
+        if not (ids_x.size and ids_y.size):
+            return
         for i0 in range(0, ids_x.shape[0], _VERIFY_CHUNK):
             for j0 in range(0, ids_y.shape[0], _VERIFY_CHUNK):
-                block(ids_x[i0:i0 + _VERIFY_CHUNK], Bx[i0:i0 + _VERIFY_CHUNK],
-                      ids_y[j0:j0 + _VERIFY_CHUNK], By[j0:j0 + _VERIFY_CHUNK])
+                block(ids_x[i0:i0 + _VERIFY_CHUNK], rows_x[i0:i0 + _VERIFY_CHUNK],
+                      ids_y[j0:j0 + _VERIFY_CHUNK], rows_y[j0:j0 + _VERIFY_CHUNK])
 
-    def cross_skip_dominant(ids_x, Bx, kx, ids_y, By, ky):
-        """Cross verify minus the dominant-equal-b0-key block (band 0 covers
-        those pairs; in a split hot bucket of a near-dup family that block IS
-        most of the work)."""
+    def cross_sd(ids_x, rows_x, ids_y, rows_y, skip_dom: bool):
+        """Cross verify, minus the dominant-equal-b0-key block when the unit
+        is in a band > 0 (band 0 covers those pairs; in a hot bucket of a
+        near-dup family that block IS most of the work)."""
+        if not (ids_x.size and ids_y.size):
+            return
+        if not skip_dom:
+            cross(ids_x, rows_x, ids_y, rows_y)
+            return
+        kx, ky = b0_of(rows_x), b0_of(rows_y)
         ux, cx = np.unique(np.concatenate([kx, ky]), return_counts=True)
         kdom = ux[int(cx.argmax())]
         if int(cx.max()) < (kx.size + ky.size) // 2:
-            cross(ids_x, Bx, ids_y, By)
+            cross(ids_x, rows_x, ids_y, rows_y)
             return
         ex = kx == kdom
         ey = ky == kdom
         if (~ex).any():
-            cross(ids_x[~ex], Bx[~ex], ids_y, By)
+            cross(ids_x[~ex], rows_x[~ex], ids_y, rows_y)
         if ex.any() and (~ey).any():
-            cross(ids_x[ex], Bx[ex], ids_y[~ey], By[~ey])
+            cross(ids_x[ex], rows_x[ex], ids_y[~ey], rows_y[~ey])
 
-    run_starts = np.flatnonzero(np.concatenate(([True], vkeys[1:] != vkeys[:-1])))
-    run_ends = np.append(run_starts[1:], n)
-    for s, e in zip(run_starts, run_ends):
-        m = e - s
+    def tri_sd(ids_x, rows_x, skip_dom: bool):
+        m = ids_x.shape[0]
         if m < 2:
-            continue
-        ids = doc_ids[s:e]
-        sub = B[s:e]
-        ck = chunks[s:e]
-        keys = b0_key[s:e]
-        lo = int(vkeys[s]) // _MAX_CHUNKS % _MAX_CHUNKS
-        hi = int(vkeys[s]) % _MAX_CHUNKS
-        if lo != hi:
-            # chunk-pair unit of a split bucket: cross chunks only (each
-            # chunk's intra-pairs are that chunk's own (a, a) unit)
-            in_lo = ck == lo
-            if band_idx[s] > 0:
-                cross_skip_dominant(ids[in_lo], sub[in_lo], keys[in_lo],
-                                    ids[~in_lo], sub[~in_lo], keys[~in_lo])
-            else:
-                cross(ids[in_lo], sub[in_lo], ids[~in_lo], sub[~in_lo])
-            continue
-        if band_idx[s] > 0 and m >= 64:
-            uniq, counts = np.unique(keys, return_counts=True)
+            return
+        if skip_dom and m >= 64:
+            kx = b0_of(rows_x)
+            uniq, counts = np.unique(kx, return_counts=True)
             top = int(counts.max())
             if top >= m // 2:
                 # dominant equal-band-0-key block: its intra-pairs are
                 # band 0's job; verify only block x rest + rest x rest
                 kmax = uniq[int(counts.argmax())]
-                in_blk = keys == kmax
-                ids_x, Bx = ids[in_blk], sub[in_blk]
-                ids_y, By = ids[~in_blk], sub[~in_blk]
-                if ids_y.size:
-                    cross(ids_x, Bx, ids_y, By)
-                    tri(ids_y, By)
+                in_blk = kx == kmax
+                if (~in_blk).any():
+                    cross(ids_x[in_blk], rows_x[in_blk],
+                          ids_x[~in_blk], rows_x[~in_blk])
+                    tri(ids_x[~in_blk], rows_x[~in_blk])
+                return
+        tri(ids_x, rows_x)
+
+    run_starts = np.flatnonzero(np.concatenate(([True], vkeys[1:] != vkeys[:-1])))
+    run_ends = np.append(run_starts[1:], n)
+    run_lens = run_ends - run_starts
+    vk0 = vkeys[run_starts]
+    is_pair_unit = ((vk0 // _MAX_CHUNKS) % _MAX_CHUNKS) != (vk0 % _MAX_CHUNKS)
+
+    # ---- batched small-run path ----
+    # Wide bands make most buckets tiny (singletons or a handful of rows);
+    # dispatching those through the per-bucket loop costs more Python time
+    # than all the hamming checks combined. Instead, every same-chunk run of
+    # size 2.._SMALL_RUN verifies through ONE batched XOR + byte-popcount per
+    # distinct run length: pair templates expand to global (i, j) index
+    # arrays, probe x probe pairs are masked out, and buffered byte ops score
+    # every candidate pair of every small bucket at once.
+    small = (~is_pair_unit) & (run_lens >= 2) & (run_lens <= _SMALL_RUN)
+    if small.any():
+        st_small = run_starts[small]
+        ln_small = run_lens[small]
+        for m_len in np.unique(ln_small):
+            ti, tj = _pair_template(int(m_len))
+            st = st_small[ln_small == m_len]
+            ii = (st[:, None] + ti[None, :]).ravel()
+            jj = (st[:, None] + tj[None, :]).ravel()
+            keep = stored[ii] | stored[jj]          # probe x probe: never
+            ii, jj = ii[keep], jj[keep]
+            if not ii.size:
                 continue
-        tri(ids, sub)
+            g8a = get_buf("vg.g8a", (ii.size, NBYTES), np.uint8)
+            g8b = get_buf("vg.g8b", (ii.size, NBYTES), np.uint8)
+            np.take(mat, ii, axis=0, out=g8a)
+            np.take(mat, jj, axis=0, out=g8b)
+            np.bitwise_xor(g8a, g8b, out=g8a)
+            np.take(_POP, g8a, out=g8b)             # per-byte popcount
+            ham = get_buf("vg.ham", (ii.size,), np.int64)
+            np.sum(g8b, axis=1, dtype=np.int64, out=ham)
+            sel = ham <= max_hamming
+            if sel.any():
+                ia, ib = doc_ids[ii[sel]], doc_ids[jj[sel]]
+                ne = ia != ib
+                a_parts.append(np.minimum(ia, ib)[ne])
+                b_parts.append(np.maximum(ia, ib)[ne])
+
+    for ri in np.flatnonzero(~small & (run_lens >= 2)):
+        s, e = int(run_starts[ri]), int(run_ends[ri])
+        ids = doc_ids[s:e]
+        rows = np.arange(s, e, dtype=np.int64)
+        ck = chunks[s:e]
+        sto = stored[s:e]
+        skip_dom = band_idx[s] > 0
+        lo = int(vkeys[s]) // _MAX_CHUNKS % _MAX_CHUNKS
+        hi = int(vkeys[s]) % _MAX_CHUNKS
+        if lo != hi:
+            # chunk-pair unit of a split bucket: cross-chunk pairs only (each
+            # chunk's intra-pairs are that chunk's own (a, a) unit).
+            # stored_lo x stored_hi + probe_lo x stored_hi + probe_hi x stored_lo
+            in_lo = ck == lo
+            sl, pl = in_lo & sto, in_lo & ~sto
+            sh, ph = ~in_lo & sto, ~in_lo & ~sto
+            cross_sd(ids[sl], rows[sl], ids[sh], rows[sh], skip_dom)
+            cross_sd(ids[pl], rows[pl], ids[sh], rows[sh], skip_dom)
+            cross_sd(ids[ph], rows[ph], ids[sl], rows[sl], skip_dom)
+            continue
+        if sto.all():                       # radius-0 / probe-free fast path
+            tri_sd(ids, rows, skip_dom)
+            continue
+        ss = sto
+        tri_sd(ids[ss], rows[ss], skip_dom)
+        cross_sd(ids[~ss], rows[~ss], ids[ss], rows[ss], skip_dom)
     if not a_parts:
         return _EMPTY_PAIRS
     return pa.table({"a": pa.array(np.concatenate(a_parts), pa.int64()),
@@ -264,29 +413,63 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     stage_secs: Dict[str, float] = {}
 
     # ---- stage 0: identical-fingerprint collapse (stays distributed) ----
+    # Grouped by a coarse hash of the fingerprint (not by exact simhash):
+    # per-group Python-call overhead for N tiny groups would dominate; the
+    # coarse fn handles many fingerprints per call, fully vectorized via
+    # sorted run boundaries.
     t0 = _time.time()
 
-    def collapse(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        mn = int(ids.min())
+    def add_ckey(b: pa.Table) -> pa.Table:
+        fps = b.column("simhash").to_pylist()
+        n = len(fps)
+        if n == 0:
+            return b.append_column("ckey", pa.array([], pa.int64()))
+        mat = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(n, NBYTES)
+        ck = mat[:, :8].astype(np.int64) @ (np.int64(1) << (np.arange(8, dtype=np.int64) * 7))
+        return b.append_column("ckey", pa.array(ck % num_verify_groups, pa.int64()))
+
+    def collapse_coarse(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.binary(16)),
+                             "rep_of": pa.array([], pa.int64())})
+        g = g.sort_by([("simhash", "ascending"), ("doc_id", "ascending")])
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        fps = g.column("simhash").to_pylist()
+        mat = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(n, NBYTES)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (mat[1:] != mat[:-1]).any(axis=1)
+        run_id = np.cumsum(new_run) - 1
+        rep_row = np.flatnonzero(new_run)          # first (min doc_id) per run
+        rep_of = ids[rep_row][run_id]              # each row's representative
         return pa.table({
-            "doc_id": pa.array([mn], pa.int64()),
-            "simhash": group.column("simhash").slice(0, 1),
-            "followers": pa.array([sorted(int(x) for x in ids if x != mn)],
-                                  pa.list_(pa.int64())),
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": g.column("simhash"),
+            "rep_of": pa.array(np.where(new_run, np.int64(-1), rep_of), pa.int64()),
         })
 
-    reps_mat = docs.groupby("simhash").map_groups(collapse, batch_format="pyarrow").materialize()
+    collapsed = (docs.map_batches(add_ckey, batch_format="pyarrow")
+                 .groupby("ckey")
+                 .map_groups(lambda g: collapse_coarse(g.drop(["ckey"])),
+                             batch_format="pyarrow")
+                 .materialize())
+    reps_mat = collapsed.map_batches(
+        lambda b: b.filter(pc.equal(b.column("rep_of"), -1)).drop(["rep_of"]),
+        batch_format="pyarrow")
 
-    # only exact-dup groups (followers non-empty) come to the driver
+    # only exact-dup followers (rep_of != -1) come to the driver
     followers_of: Dict[int, List[int]] = {}
-    fol_ds = reps_mat.map_batches(
-        lambda b: b.filter(pc.greater(pc.list_value_length(b.column("followers")), 0)),
+    fol_ds = collapsed.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("rep_of"), -1)),
         batch_format="pyarrow")
     for b in fol_ds.iter_batches(batch_format="pyarrow"):
-        for did, fol in zip(b.column("doc_id").to_pylist(),
-                            b.column("followers").to_pylist()):
-            followers_of[did] = list(fol)
+        for did, rep in zip(b.column("doc_id").to_pylist(),
+                            b.column("rep_of").to_pylist()):
+            followers_of.setdefault(rep, []).append(did)
+    for fol in followers_of.values():
+        fol.sort()
     stage_secs["collapse"] = _time.time() - t0
 
     # ---- stages 1-2: banding + bucket verification over representatives ----
@@ -297,37 +480,74 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     # _CHUNK_SPLIT split into ceil(m/_CHUNK_SPLIT) doc-hash chunks, and each
     # chunk PAIR (a <= b) becomes its own verify task — same pairs, bounded
     # task size, replication factor = n_chunks per row.
-    t0 = _time.time()
+    emitter = BandEmitter(cfg)
+    nb = emitter.num_bands
+    # banding is LAZY — fused by the streaming executor straight into the
+    # verify consumer, so the banded relation (the widest intermediate) never
+    # round-trips through the object store as its own materialization.
     banded = reps_mat.select_columns(["doc_id", "simhash"]).map_batches(
-        BandEmitter(cfg), batch_format="pyarrow").materialize()
-    # (materialized: both the count pre-pass and the chunk expansion consume
-    # it — lazy would re-run the banding per consumer)
+        emitter, batch_format="pyarrow")
+    n_reps = collapsed.count() - sum(len(v) for v in followers_of.values())
+    w_avg = cfg.simhash_bits / nb
+    est_banded = int(n_reps * nb * (1 + (w_avg / 2 if emitter.radius else 0)))
 
-    def band_counts(b: pa.Table) -> pa.Table:
-        vc = b.column("band").value_counts()
-        return pa.table({"band": vc.field("values"),
-                         "cnt": vc.field("counts").cast(pa.int64())})
+    # hot-band discovery. Splitting is a pure work-decomposition decision —
+    # missing a hot band costs parallelism, never correctness — so it runs on
+    # a 2% sample of the representatives with a conservative threshold
+    # (distributed partial value_counts -> groupby-sum -> filter; only
+    # sampled-hot bands reach the driver: O(hot bands) driver memory, never
+    # O(distinct fps x bands)). Small inputs skip the pass entirely: an
+    # unsplit bucket of <= ~25k rows is a sub-second task in the kernel.
+    t0 = _time.time()
+    n_chunks_of: Dict[int, int] = {}
+    if est_banded > _LOCAL_VERIFY_ROWS:     # split only helps the
+                                            # distributed path (below)
+        frac = 0.02
+        thresh = max(2, int(_CHUNK_SPLIT * frac / 2))
 
-    counts: Dict[int, int] = {}
-    for b in banded.map_batches(band_counts, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
-        for band, cnt in zip(b.column("band").to_pylist(), b.column("cnt").to_pylist()):
-            counts[band] = counts.get(band, 0) + cnt
+        def band_counts(b: pa.Table) -> pa.Table:
+            vc = b.column("band").value_counts()
+            return pa.table({"band": vc.field("values"),
+                             "cnt": vc.field("counts").cast(pa.int64())})
+
+        hot_rows = (reps_mat.select_columns(["doc_id", "simhash"])
+                    .random_sample(frac, seed=17)
+                    .map_batches(emitter, batch_format="pyarrow")
+                    .map_batches(band_counts, batch_format="pyarrow")
+                    .groupby("band").sum("cnt")
+                    .map_batches(lambda b: b.filter(
+                        pc.greater(b.column("sum(cnt)"), thresh)),
+                        batch_format="pyarrow")
+                    .take_all())
+        n_chunks_of = {
+            int(r["band"]): min(_MAX_CHUNKS,
+                                -(-int(r["sum(cnt)"] / frac) // _CHUNK_SPLIT))
+            for r in hot_rows}
+    stage_secs["hot_bands"] = _time.time() - t0
+
+    t0 = _time.time()
     import ray as _ray
-    n_chunks_of = {band: min(_MAX_CHUNKS, -(-m // _CHUNK_SPLIT))
-                   for band, m in counts.items() if m > _CHUNK_SPLIT}
     plan_ref = _ray.put(n_chunks_of)
 
     def chunk_pairs(b: pa.Table) -> pa.Table:
-        plan = _ray.get(plan_ref)
         bands = b.column("band").to_numpy(zero_copy_only=False)
+        plan = _ray.get(plan_ref)
+        if not plan:
+            # common case: no hot bands — every bucket is its own (0, 0) unit
+            vkey = bands * (_MAX_CHUNKS * _MAX_CHUNKS)
+            out = b.append_column("chunk", pa.array(np.zeros(bands.size, np.int64), pa.int64()))
+            out = out.append_column("vkey", pa.array(vkey, pa.int64()))
+            return out.append_column("gkey", pa.array(vkey % num_verify_groups, pa.int64()))
         dids = b.column("doc_id").to_numpy(zero_copy_only=False)
         nck = np.ones(bands.size, dtype=np.int64)
         for bd, nc in plan.items():          # plan is tiny (hot bands only)
             nck[bands == bd] = nc
         ci = (dids % nck).astype(np.int64)
         reps_idx = np.repeat(np.arange(bands.size), nck)          # row index per emission
-        cj = np.concatenate([np.arange(n) for n in nck.tolist()]) if bands.size else np.empty(0, np.int64)
+        # cj enumerates 0..nck[i]-1 per source row, without per-row Python:
+        # global arange minus each row's segment start (cumsum of nck)
+        seg_start = np.cumsum(nck) - nck
+        cj = np.arange(reps_idx.size, dtype=np.int64) - seg_start[reps_idx]
         lo = np.minimum(ci[reps_idx], cj)
         hi = np.maximum(ci[reps_idx], cj)
         vkey = bands[reps_idx] * (_MAX_CHUNKS * _MAX_CHUNKS) + lo * _MAX_CHUNKS + hi
@@ -337,9 +557,24 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
         g = (vkey % num_verify_groups).astype(np.int64)
         return out.append_column("gkey", pa.array(g, pa.int64()))
 
-    expanded = banded.map_batches(chunk_pairs, batch_format="pyarrow")
-    pairs_ds = expanded.groupby("gkey").map_groups(
-        lambda g: _verify_group(g.drop(["gkey"]), cfg.max_hamming), batch_format="pyarrow")
+    if est_banded <= _LOCAL_VERIFY_ROWS:
+        # single-task verify: below ~60 MB of banded rows, a sort-based
+        # groupby shuffle would move the relation through the object store
+        # 2-3x to feed 256 near-empty groups. Instead coalesce to one block
+        # and run the (fully vectorized) verify kernel in ONE worker task —
+        # the driver sees only the resulting pairs. The distributed
+        # chunk-split + groupby path below is the scale path.
+        def verify_all(b: pa.Table) -> pa.Table:
+            t = chunk_pairs(b)
+            return _verify_group(t.drop(["gkey"]), cfg.max_hamming, nb)
+
+        pairs_ds = banded.repartition(1).map_batches(
+            verify_all, batch_format="pyarrow", batch_size=None)
+    else:
+        expanded = banded.map_batches(chunk_pairs, batch_format="pyarrow")
+        pairs_ds = expanded.groupby("gkey").map_groups(
+            lambda g: _verify_group(g.drop(["gkey"]), cfg.max_hamming, nb),
+            batch_format="pyarrow")
     a_chunks, b_chunks = [], []
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         if b.num_rows:

@@ -196,3 +196,41 @@ def test_simhash_dedup_reference_greedy_semantics(ray_session):
     ])
     res = simhash_dedup(ds, DEFAULT_CONFIG)
     assert res.dropped == {2}
+
+
+def test_simhash_banding_exact_across_band_configs(ray_session):
+    """Candidate generation must be EXACT for both regimes: classic 20-band
+    exact-match banding (radius 0) and 10 wide bands with flip-down probing
+    (radius 1) — both must find precisely the brute-force within-threshold
+    pair set on random fingerprints with planted near-dups."""
+    import ray.data as rd
+    from ics_search_engine_ray.config import DEFAULT_CONFIG
+    from ics_search_engine_ray.stages.dedup import simhash_dedup
+
+    rng = np.random.default_rng(13)
+    n = 300
+    base = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    # plant near-dup partners: flip <=19 random bits of some rows
+    for i in range(0, n, 7):
+        j = (i + 1) % n
+        bits = np.unpackbits(base[i])
+        flips = rng.choice(128, size=rng.integers(1, 20), replace=False)
+        bits[flips] ^= 1
+        base[j] = np.packbits(bits)
+    fps = [base[i].tobytes() for i in range(n)]
+    ds = rd.from_items([{"doc_id": i, "simhash": fps[i]} for i in range(n)])
+
+    # brute force within-threshold pairs
+    bits = np.unpackbits(base, axis=1).astype(np.int16)
+    ham = (bits[:, None, :] != bits[None, :, :]).sum(axis=2)
+    want = {(i, j) for i in range(n) for j in range(i + 1, n)
+            if ham[i, j] <= DEFAULT_CONFIG.max_hamming}
+
+    results = {}
+    for bands in (20, 10):
+        cfg = DEFAULT_CONFIG.with_(simhash_bands=bands)
+        res = simhash_dedup(ds, cfg)
+        assert res.num_pairs == len(want), bands
+        results[bands] = (frozenset(res.dropped),
+                          tuple(tuple(c) for c in res.clusters))
+    assert results[20] == results[10]
