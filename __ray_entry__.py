@@ -280,15 +280,19 @@ def _q_simhash_dedup(sf_dir: str):
     sigs = _read_docs(sf_dir).map_batches(Sig, batch_format="pyarrow",
                                           concurrency=(1, 4))
     res = simhash_dedup(sigs, DEFAULT_CONFIG)
-    docs = sorted(r["doc_id"] for r in _read_docs(sf_dir, columns=("doc_id",)).take_all())
-    keep = [d for d in docs if d not in res.dropped]
-    return pa.table({"doc_id": pa.array(keep, pa.int64())})
+    # survivors as an anti-join against the broadcast drop set — the corpus
+    # id list never lands on the driver
+    import ray
+    from ics_search_engine_ray.stages.common import filter_dropped_ids
+    dropped_ref = ray.put(res.dropped)
+    return _read_docs(sf_dir, columns=("doc_id",)).map_batches(
+        filter_dropped_ids(dropped_ref), batch_format="pyarrow")
 
 
 def _q_minhash_dedup(sf_dir: str):
     from ics_search_engine_ray.stages.dedup_text import minhash_dedup
-    survivors, dropped, _ = minhash_dedup(_read_docs(sf_dir), threshold=0.8)
-    return pa.table({"doc_id": pa.array(survivors, pa.int64())})
+    survivors_ds, dropped, _ = minhash_dedup(_read_docs(sf_dir), threshold=0.8)
+    return survivors_ds
 
 
 def _q_ngram_jaccard(sf_dir: str):

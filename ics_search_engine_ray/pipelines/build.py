@@ -40,6 +40,7 @@ import pyarrow.compute as pc
 
 from ..config import EngineConfig, DEFAULT_CONFIG, head_terms
 from ..index.segments import write_segment
+from ..stages.common import filter_dropped_ids as _filter_dropped
 from ..stages.doc_terms import explode_doc_terms
 from ..stages.dedup import simhash_dedup
 from ..stages.extract import extract_dataset
@@ -99,29 +100,6 @@ class AssignPartition:
         return batch.append_column("part", pa.array(part, pa.int64()))
 
 
-def _filter_dropped(dropped_ref):
-    """batch fn factory: drop near-duplicate doc_ids.
-
-    The drop set rides in the object store (``ray.put`` once by the driver);
-    tasks ``ray.get`` it — Ray caches the object per worker process, so it is
-    fetched once per worker, not per batch (broadcast-small-side pattern).
-    """
-    import ray
-
-    state: dict = {}     # per-worker cache (Ray caches the deserialized fn
-                         # per worker process, so this survives across batches)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        if "arr" not in state:
-            dropped = ray.get(dropped_ref)
-            state["arr"] = pa.array(sorted(dropped), pa.int64()) if dropped else None
-        arr = state["arr"]
-        if arr is None:
-            return batch
-        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=arr))
-        return batch.filter(mask)
-
-    return fn
 
 
 def _marker_valid(path: str, fingerprint: str) -> bool:

@@ -123,7 +123,8 @@ def minhash_dedup(docs, threshold: float = 0.8, n_perm: int = 128,
                   num_verify_groups: int = 256):
     """documents(doc_id, text) -> (survivor doc_ids, dropped set, pairs).
 
-    Returns (survivors: sorted list[int], dropped: set[int], n_pairs: int).
+    Returns (survivors: Dataset[doc_id], dropped: set[int], n_pairs: int).
+    Driver memory is O(duplicate pairs), never O(N).
     """
     sigs = docs.map_batches(MinHashBatch, fn_constructor_args=(n_perm, shingle_k),
                             batch_format="pyarrow", concurrency=(1, 4))
@@ -169,9 +170,14 @@ def minhash_dedup(docs, threshold: float = 0.8, n_perm: int = 128,
         for a, b2 in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
             pairs.add((a, b2))
     dropped = _min_survivor_drops(pairs)
-    all_ids = sorted(r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all())
-    survivors = [d for d in all_ids if d not in dropped]
-    return survivors, dropped, len(pairs)
+    # survivors stay a DATASET: the corpus anti-joins the (small) broadcast
+    # drop set — the driver never materializes a full-corpus id list
+    import ray
+    from .common import filter_dropped_ids
+    dropped_ref = ray.put(dropped)
+    survivors_ds = docs.select_columns(["doc_id"]).map_batches(
+        filter_dropped_ids(dropped_ref), batch_format="pyarrow")
+    return survivors_ds, dropped, len(pairs)
 
 
 def _min_survivor_drops(pairs: Set[Tuple[int, int]]) -> Set[int]:
@@ -202,39 +208,109 @@ def _min_survivor_drops(pairs: Set[Tuple[int, int]]) -> Set[int]:
 
 
 def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
-                        num_verify_groups: int = 64):
-    """Exact word-n-gram Jaccard similar pairs via a shared-shingle inverted
-    candidate index: flat-map (shingle_hash, doc) -> groupby -> co-occurring
-    pairs -> exact verify with full shingle sets (broadcast via re-read).
+                        num_shuffle_groups: int = 64):
+    """Exact word-n-gram Jaccard similar pairs, as a distributed pipeline:
 
-    Intended for moderate corpora / verification of minhash recall; the
-    minhash path is the scale path. Returns list of (a, b, jaccard).
+    1. per batch: distinct-shingle hash rows (shingle_hash, doc_id,
+       set_size) — set_size rides along so no doc-size join is needed later;
+    2. ``groupby(shingle_hash % G)`` -> vectorized co-occurrence pair
+       emission per shingle run (pair templates, no per-shingle Python);
+    3. ``groupby([a, b])`` native aggregation: shared-shingle count c =
+       |A ∩ B| (each shared shingle emits the pair exactly once) + set
+       sizes — J = c / (|A| + |B| - c) computed vectorized, filtered.
+
+    Exact (no candidate cap): J comes from complete co-occurrence counts.
+    A pathologically hot shingle (boilerplate shared by ~everyone) makes
+    pair emission quadratic in its bucket — at web scale, add the same
+    chunk-split used by stages/dedup.py; the synthetic corpora have none.
+
+    Returns a sorted list of (a, b, jaccard) — the RESULT set, small by
+    construction; the corpus itself never lands on the driver.
     """
-    import ray
+    from ray.data.aggregate import Count, Max
 
-    tbl_rows = docs.select_columns(["doc_id", "text"]).take_all()
-    sets = {r["doc_id"]: set(_shingles((r["text"] or "").split(), n)) for r in tbl_rows}
-    ids = sorted(sets)
-    inv: Dict[int, List[int]] = {}
-    for d in ids:
-        for s in sets[d]:
-            h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-            inv.setdefault(h, []).append(d)
-    cand = set()
-    for _, ds_ in inv.items():
-        if 1 < len(ds_) <= 200:
-            for i in range(len(ds_)):
-                for j in range(i + 1, len(ds_)):
-                    cand.add((ds_[i], ds_[j]))
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        shs, dids, sizes = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            hset = {int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                    for s in _shingles((text or "").split(), n)}
+            shs.extend(hset)
+            dids.extend([did] * len(hset))
+            sizes.extend([len(hset)] * len(hset))
+        return pa.table({
+            "sh": pa.array(np.array(shs, dtype=np.uint64).astype(np.int64), pa.int64()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "size": pa.array(sizes, pa.int64()),
+        })
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        shingle_rows, batch_format="pyarrow")
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        g = b.column("sh").to_numpy(zero_copy_only=False) % num_shuffle_groups
+        return b.append_column("gkey", pa.array(g, pa.int64()))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "sa": pa.array([], pa.int64()), "sb": pa.array([], pa.int64())})
+        m = g.num_rows
+        if m < 2:
+            return empty
+        g = g.sort_by([("sh", "ascending"), ("doc_id", "ascending")])
+        sh = g.column("sh").to_numpy(zero_copy_only=False)
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sizes = g.column("size").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+        lens = np.diff(np.append(starts, m))
+        aa, bb, sa_l, sb_l = [], [], [], []
+        for run_len in np.unique(lens[lens >= 2]):
+            st = starts[lens == run_len]
+            if run_len <= 256:
+                ti, tj = np.triu_indices(int(run_len), k=1)
+                ii = (st[:, None] + ti[None, :]).ravel()
+                jj = (st[:, None] + tj[None, :]).ravel()
+            else:               # rare giant bucket: per-run meshgrid
+                ii_l, jj_l = [], []
+                for s0 in st:
+                    ti, tj = np.triu_indices(int(run_len), k=1)
+                    ii_l.append(s0 + ti)
+                    jj_l.append(s0 + tj)
+                ii, jj = np.concatenate(ii_l), np.concatenate(jj_l)
+            aa.append(np.minimum(dids[ii], dids[jj]))
+            bb.append(np.maximum(dids[ii], dids[jj]))
+            lo_is_i = dids[ii] <= dids[jj]
+            sa_l.append(np.where(lo_is_i, sizes[ii], sizes[jj]))
+            sb_l.append(np.where(lo_is_i, sizes[jj], sizes[ii]))
+        if not aa:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(aa), pa.int64()),
+                         "b": pa.array(np.concatenate(bb), pa.int64()),
+                         "sa": pa.array(np.concatenate(sa_l), pa.int64()),
+                         "sb": pa.array(np.concatenate(sb_l), pa.int64())})
+
+    cand = rows.map_batches(add_gkey, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(
+            lambda g: emit_pairs(g.drop(["gkey"])), batch_format="pyarrow")
+    agg = cand.groupby(["a", "b"]).aggregate(Count(), Max("sa"), Max("sb"))
+
+    def jaccard_filter(b: pa.Table) -> pa.Table:
+        c = b.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = b.column("max(sa)").to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = b.column("max(sb)").to_numpy(zero_copy_only=False).astype(np.float64)
+        union = sa + sb - c
+        j = np.where(union > 0, c / np.maximum(union, 1e-300), 0.0)
+        keep = j >= threshold - 1e-12
+        return pa.table({"a": b.column("a").filter(pa.array(keep)),
+                         "b": b.column("b").filter(pa.array(keep)),
+                         "jaccard": pa.array(np.round(j[keep], 6), pa.float64())})
+
     out = []
-    for a, b in sorted(cand):
-        sa, sb = sets[a], sets[b]
-        if not sa and not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out.append((a, b, round(j, 6)))
-    return out
+    for b in agg.map_batches(jaccard_filter, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        out.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist(),
+                       b.column("jaccard").to_pylist()))
+    return sorted(out)
 
 
 # ---------------- embedding cosine near-dup ----------------

@@ -53,7 +53,8 @@ def test_minhash_dedup_catches_near_identical(ray_session):
         {"doc_id": 4, "text": " ".join(f"z{i}" for i in range(100))},  # distinct
     ]
     ds = rd.from_items(rows)
-    survivors, dropped, n_pairs = minhash_dedup(ds, threshold=0.8)
+    survivors_ds, dropped, n_pairs = minhash_dedup(ds, threshold=0.8)
+    survivors = sorted(r["doc_id"] for r in survivors_ds.take_all())
     assert 1 in survivors and 4 in survivors
     assert 2 in dropped and 3 in dropped
 
