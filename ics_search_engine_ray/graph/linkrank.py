@@ -58,11 +58,12 @@ def build_edges(doc_links: Iterable[Tuple[str, List[str]]]):
     return urls, np.asarray(src, dtype=np.int64), np.asarray(dst, dtype=np.int64), out_deg
 
 
-def pagerank(urls, src, dst, out_deg, damping: float = 0.85,
-             max_iterations: int = 100, threshold: float = 1e-4) -> Dict[str, float]:
-    n = len(urls)
+def pagerank_arr(n: int, src: np.ndarray, dst: np.ndarray, out_deg: np.ndarray,
+                 damping: float = 0.85, max_iterations: int = 100,
+                 threshold: float = 1e-4) -> np.ndarray:
+    """Dense-position PageRank (scores scaled x1000, quirk-compatible)."""
     if n == 0:
-        return {}
+        return np.empty(0)
     scores = np.ones(n) / n
     inv_deg = np.zeros(n)
     nz = out_deg > 0
@@ -73,14 +74,15 @@ def pagerank(urls, src, dst, out_deg, damping: float = 0.85,
         if np.abs(new_scores - scores).sum() < threshold:
             break  # reference breaks BEFORE assignment: returns old iterate
         scores = new_scores
-    return {u: float(s) * 1000 for u, s in zip(urls, scores)}
+    return scores * 1000
 
 
-def hits(urls, src, dst, max_iterations: int = 20,
-         threshold: float = 1e-4) -> Tuple[Dict[str, float], Dict[str, float]]:
-    n = len(urls)
+def hits_arr(n: int, src: np.ndarray, dst: np.ndarray,
+             max_iterations: int = 20,
+             threshold: float = 1e-4) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense-position HITS (auth, hub; scaled x10, quirk-compatible)."""
     if n == 0:
-        return {}, {}
+        return np.empty(0), np.empty(0)
     hub = np.ones(n) / n
     auth = np.ones(n) / n
     for _ in range(max_iterations):
@@ -98,13 +100,28 @@ def hits(urls, src, dst, max_iterations: int = 20,
             break  # reference returns previous iterate
         auth = new_auth
         hub = new_hub
-    auth_scores = {u: float(s) * 10 for u, s in zip(urls, auth)}
-    hub_scores = {u: float(s) * 10 for u, s in zip(urls, hub)}
-    return auth_scores, hub_scores
+    return auth * 10, hub * 10
+
+
+def pagerank(urls, src, dst, out_deg, damping: float = 0.85,
+             max_iterations: int = 100, threshold: float = 1e-4) -> Dict[str, float]:
+    s = pagerank_arr(len(urls), src, dst, out_deg, damping, max_iterations, threshold)
+    return {u: float(v) for u, v in zip(urls, s)}
+
+
+def hits(urls, src, dst, max_iterations: int = 20,
+         threshold: float = 1e-4) -> Tuple[Dict[str, float], Dict[str, float]]:
+    auth, hub = hits_arr(len(urls), src, dst, max_iterations, threshold)
+    return ({u: float(v) for u, v in zip(urls, auth)},
+            {u: float(v) for u, v in zip(urls, hub)})
 
 
 def link_scores_from_docmeta(docmeta_rows: Iterable[Tuple[str, List[str]]]):
-    """Compute the link_scores table rows (url, auth, hub, pagerank)."""
+    """Compute the link_scores table rows (url, auth, hub, pagerank).
+
+    Driver-side variant over collected (url, links) rows — kept for tests
+    and small corpora; the build pipeline uses :func:`link_scores_dataset`.
+    """
     urls, src, dst, out_deg = build_edges(docmeta_rows)
     pr = pagerank(urls, src, dst, out_deg)
     auth, hub = hits(urls, src, dst)
@@ -113,3 +130,108 @@ def link_scores_from_docmeta(docmeta_rows: Iterable[Tuple[str, List[str]]]):
          "pagerank": pr.get(u, 0.0)}
         for u in urls
     ]
+
+
+# ---------------------------------------------------------------------------
+# distributed edge extraction + score join-back (the build-pipeline path)
+# ---------------------------------------------------------------------------
+
+
+def extract_edges_dataset(meta_ds):
+    """docmeta Dataset (url, outgoing_links) -> (node_hash_sorted, src_pos,
+    dst_pos, out_deg) — the driver receives ONLY integer arrays.
+
+    Node identity is the 63-bit md5 url hash (the same function as page
+    doc_ids); positions index the sorted hash array. Internal-edge detection
+    is a broadcast membership test against the sorted node hashes (8 bytes x
+    N — broadcastable far past this scope; at 10^9+ nodes switch to a
+    hash-partitioned semi-join). Reference semantics preserved: out-degree
+    counts ALL links incl. external and duplicates; duplicate internal edges
+    collapse (dense-matrix assignment, pagerank.py:26-31, hits.py:27-35).
+    """
+    import pyarrow as pa
+    import ray
+    from ..stages.tokenize import url_doc_id
+
+    hd = meta_ds.map_batches(lambda b: pa.table({
+        "h": pa.array([url_doc_id(u) for u in b.column("url").to_pylist()],
+                      pa.int64())}), batch_format="pyarrow")
+    h_parts = [b.column("h").to_numpy(zero_copy_only=False)
+               for b in hd.iter_batches(batch_format="pyarrow") if b.num_rows]
+    node_h = np.sort(np.concatenate(h_parts)) if h_parts else np.empty(0, np.int64)
+    n = int(node_h.size)
+    nodes_ref = ray.put(node_h)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        nodes = ray.get(nodes_ref)
+        nn = nodes.size
+        srcs, dsts = [], []
+        for u, links in zip(b.column("url").to_pylist(),
+                            b.column("outgoing_links").to_pylist()):
+            links = links or []
+            sh = url_doc_id(u)
+            sp = int(np.searchsorted(nodes, sh))
+            # kind=1 degree row: (src_pos, total link count incl. external)
+            srcs.append(-sp - 1)                 # negative marks degree rows
+            dsts.append(len(links))
+            if not links:
+                continue
+            dh = np.fromiter((url_doc_id(l) for l in links),
+                             dtype=np.int64, count=len(links))
+            pos = np.searchsorted(nodes, dh)
+            ok = pos < nn
+            ok[ok] = nodes[pos[ok]] == dh[ok]    # exact membership
+            tpos = np.unique(pos[ok])            # duplicate edges collapse
+            srcs.extend([sp] * tpos.size)
+            dsts.extend(tpos.tolist())
+        return pa.table({"src": pa.array(srcs, pa.int64()),
+                         "dst": pa.array(dsts, pa.int64())})
+
+    src_parts, dst_parts = [], []
+    for b in meta_ds.map_batches(edge_rows, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            src_parts.append(b.column("src").to_numpy(zero_copy_only=False))
+            dst_parts.append(b.column("dst").to_numpy(zero_copy_only=False))
+    src_all = np.concatenate(src_parts) if src_parts else np.empty(0, np.int64)
+    dst_all = np.concatenate(dst_parts) if dst_parts else np.empty(0, np.int64)
+    is_deg = src_all < 0
+    out_deg = np.zeros(n, dtype=np.int64)
+    out_deg[-src_all[is_deg] - 1] = dst_all[is_deg]
+    return node_h, src_all[~is_deg], dst_all[~is_deg], out_deg
+
+
+def link_scores_dataset(meta_ds):
+    """docmeta Dataset -> link_scores Dataset (url, auth, hub, pagerank).
+
+    Edge extraction and the final url join-back are dataset passes; the
+    driver holds integer arrays only and the power iteration runs on them
+    (SURVEY.md §2.8: driver-side iteration at this scope; ``groupby(dst)``
+    passes at web scale).
+    """
+    import pyarrow as pa
+    import ray
+    from ..stages.tokenize import url_doc_id
+
+    node_h, src, dst, out_deg = extract_edges_dataset(
+        meta_ds.select_columns(["url", "outgoing_links"]))
+    n = int(node_h.size)
+    pr = pagerank_arr(n, src, dst, out_deg)
+    auth, hub = hits_arr(n, src, dst)
+    sc_ref = ray.put((node_h, auth, hub, pr))
+
+    def join_scores(b: pa.Table) -> pa.Table:
+        nodes, auth_a, hub_a, pr_a = ray.get(sc_ref)
+        urls = b.column("url").to_pylist()
+        hs = np.fromiter((url_doc_id(u) for u in urls), dtype=np.int64,
+                         count=len(urls))
+        pos = np.searchsorted(nodes, hs)
+        return pa.table({
+            "url": b.column("url"),
+            "auth": pa.array(auth_a[pos], pa.float64()),
+            "hub": pa.array(hub_a[pos], pa.float64()),
+            "pagerank": pa.array(pr_a[pos], pa.float64()),
+        })
+
+    return meta_ds.select_columns(["url"]).map_batches(
+        join_scores, batch_format="pyarrow")

@@ -45,7 +45,7 @@ from ..stages.doc_terms import explode_doc_terms
 from ..stages.dedup import simhash_dedup
 from ..stages.extract import extract_dataset
 from ..stages.tokenize import tokenize_dataset
-from ..graph.linkrank import link_scores_from_docmeta
+from ..graph.linkrank import link_scores_dataset
 
 DOCMETA_COLS = ["doc_id", "url", "title", "simhash", "token_count", "outgoing_links"]
 
@@ -344,18 +344,15 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     ls_path = os.path.join(out_dir, "link_scores.parquet")
     ls_marker = ls_path + ".done"
     if not (resume and os.path.exists(ls_path) and _marker_valid(ls_marker, fingerprint)):
-        meta_links = meta_mat.select_columns(["url", "outgoing_links"])
-        rows = [(r["url"], list(r["outgoing_links"]) if r["outgoing_links"] is not None else [])
-                for r in meta_links.take_all()]
-        ls_rows = link_scores_from_docmeta(rows)
-        ls_tbl = pa.table({
-            "url": pa.array([r["url"] for r in ls_rows], pa.string()),
-            "auth": pa.array([r["auth"] for r in ls_rows], pa.float64()),
-            "hub": pa.array([r["hub"] for r in ls_rows], pa.float64()),
-            "pagerank": pa.array([r["pagerank"] for r in ls_rows], pa.float64()),
-        })
-        import pyarrow.parquet as pq
-        pq.write_table(ls_tbl, ls_path)
+        # edge extraction + score join-back are dataset passes; the driver
+        # holds only integer arrays during the power iteration
+        # (graph/linkrank.py link_scores_dataset); output written distributed
+        import shutil
+        if os.path.isfile(ls_path):
+            os.remove(ls_path)          # pre-r2 single-file layout
+        shutil.rmtree(ls_path, ignore_errors=True)
+        ls_ds = link_scores_dataset(meta_mat)
+        ls_ds.write_parquet(ls_path)
         with open(ls_marker, "w") as f:
             f.write(fingerprint)
     stage_secs["link_scores"] = time.time() - t0

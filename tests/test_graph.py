@@ -106,3 +106,41 @@ def test_hits_empty_graph_returns_zeros():
     urls, src, dst, deg = build_edges(rows)
     auth, hub = hits(urls, src, dst)
     assert all(v == 0 or v == pytest.approx(5.0) for v in auth.values())
+
+
+def test_link_scores_dataset_matches_driver_path(ray_session):
+    """The distributed edge-extraction + join-back path must equal the
+    driver-side reference implementation url-for-url."""
+    import ray.data as rd
+    import pyarrow as pa
+    from ics_search_engine_ray.graph.linkrank import (
+        link_scores_dataset, link_scores_from_docmeta)
+
+    urls = [f"https://s{i % 7}.test/p{i}" for i in range(60)]
+    rows = []
+    for i, u in enumerate(urls):
+        links = []
+        if i % 3 == 0:
+            links.append(urls[(i + 5) % 60])
+        if i % 4 == 0:
+            links.append(urls[(i + 11) % 60])
+            links.append(urls[(i + 11) % 60])      # duplicate edge collapses
+        if i % 5 == 0:
+            links.append("http://external.example/x")
+        rows.append({"url": u, "outgoing_links": links})
+    ds = rd.from_arrow(pa.table({
+        "url": [r["url"] for r in rows],
+        "outgoing_links": pa.array([r["outgoing_links"] for r in rows],
+                                   pa.list_(pa.string())),
+    })).repartition(4)
+
+    got = {r["url"]: (r["auth"], r["hub"], r["pagerank"])
+           for b in link_scores_dataset(ds).iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+    want = {r["url"]: (r["auth"], r["hub"], r["pagerank"])
+            for r in link_scores_from_docmeta(
+                [(r["url"], r["outgoing_links"]) for r in rows])}
+    assert set(got) == set(want)
+    for u in want:
+        for g, w in zip(got[u], want[u]):
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12), u
