@@ -1,18 +1,42 @@
-"""Porter stemmer — implemented from the published algorithm (M.F. Porter,
-"An algorithm for suffix stripping", Program 14(3), 1980).
+"""Porter stemmer in NLTK's default NLTK_EXTENSIONS mode.
 
-The reference uses NLTK's PorterStemmer (reference: utils/tokenizer.py:3,21).
-NLTK is not a dependency here, so this is a from-scratch implementation of the
-classic algorithm. NLTK's default mode adds a handful of non-paper extensions
-(e.g. special-casing 'fully', 'ied'); this module follows the original paper,
-matching the behaviour of Martin Porter's reference implementation. Words of
-length <= 2 are returned unchanged (as in NLTK's guard), which also guarantees
-a stem is never shorter than 2 characters.
+The reference stems with ``nltk.stem.PorterStemmer()`` (reference:
+utils/tokenizer.py:3,21), whose DEFAULT mode is not the 1980 paper but
+NLTK_EXTENSIONS — the paper algorithm (M.F. Porter, "An algorithm for suffix
+stripping", Program 14(3), 1980) plus NLTK's documented additions. NLTK is
+not available in this environment, so this is a from-scratch implementation
+of those published semantics:
+
+- irregular-forms pool (sky/dying/lying/tying/news/innings/outings/
+  cannings/howe/proceed/exceed/succeed) returned verbatim,
+- step 1a: 'ies' on 4-letter words -> 'ie' (dies->die, not di),
+- step 1b: 'ied' -> 'ie' (4-letter) / 'i' (longer), before the eed rule,
+- step 1c: y -> i only when preceded by a consonant in a stem of length > 1
+  (enjoy->enjoy, say->say; the paper's vowel-in-stem test gave enjoi/sai),
+- step 2: 'bli' -> 'ble' replaces the paper's 'abli' -> 'able'; 'alli' ->
+  'al' applies first with a re-run of step 2; extra rules 'fulli' -> 'ful'
+  and 'logi' -> 'log' (measure taken on word[:-3], keeping the l),
+- words of length <= 2 returned unchanged (guarantees stems >= 2 chars).
+
+Divergences are pinned by tests/test_functions.py goldens derived from the
+published NLTK behaviour.
 """
 
 from __future__ import annotations
 
 _VOWELS = frozenset("aeiou")
+
+# NLTK_EXTENSIONS irregular forms (nltk/stem/porter.py, public source)
+_POOL = {
+    "sky": "sky", "skies": "sky",
+    "dying": "die", "lying": "lie", "tying": "tie",
+    "news": "news",
+    "innings": "inning", "inning": "inning",
+    "outings": "outing", "outing": "outing",
+    "cannings": "canning", "canning": "canning",
+    "howe": "howe",
+    "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+}
 
 
 def _is_cons(w: str, i: int) -> bool:
@@ -73,11 +97,15 @@ def _replace_m(word: str, suffix: str, repl: str, min_m: int) -> str | None:
 
 
 _STEP2 = [
+    # NLTK_EXTENSIONS list: 'bli'->'ble' replaces the paper's 'abli'->'able';
+    # 'fulli'->'ful' appended; 'logi'->'log' handled separately (special
+    # condition on word[:-3])
     ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
-    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
     ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
     ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("fulli", "ful"),
 ]
 
 _STEP3 = [
@@ -92,6 +120,8 @@ _STEP4 = [
 
 
 def _step1a(w: str) -> str:
+    if w.endswith("ies") and len(w) == 4:
+        return w[:-1]                        # NLTK: dies -> die, ties -> tie
     if w.endswith("sses"):
         return w[:-2]
     if w.endswith("ies"):
@@ -104,6 +134,9 @@ def _step1a(w: str) -> str:
 
 
 def _step1b(w: str) -> str:
+    if w.endswith("ied"):
+        # NLTK: spied -> spi but died -> die
+        return w[:-1] if len(w) == 4 else w[:-2]
     if w.endswith("eed"):
         stem = w[:-3]
         if _measure(stem) > 0:
@@ -131,18 +164,29 @@ def _step1b(w: str) -> str:
 
 
 def _step1c(w: str) -> str:
-    if w.endswith("y") and _has_vowel(w[:-1]):
-        return w[:-1] + "i"
+    # NLTK condition: y -> i iff the stem ends in a consonant and has
+    # length > 1 (the paper used "stem contains a vowel")
+    stem = w[:-1]
+    if w.endswith("y") and len(stem) > 1 and _is_cons(stem, len(stem) - 1):
+        return stem + "i"
     return w
 
 
 def _step2(w: str) -> str:
+    # NLTK pre-rule: 'alli' -> 'al' applies FIRST (before the ordered list)
+    # and, on success, re-runs step 2 on the result
+    if w.endswith("alli") and _measure(w[:-4]) > 0:
+        return _step2(w[:-4] + "al")
     for suffix, repl in _STEP2:
         if w.endswith(suffix):
             stem = w[: len(w) - len(suffix)]
             if _measure(stem) > 0:
                 return stem + repl
             return w
+    # NLTK 'logi' -> 'log': measure condition on word[:-3] (the 'l' stays
+    # with the stem, so geo-/theo- work like archaeo-)
+    if w.endswith("logi") and _measure(w[:-3]) > 0:
+        return w[:-4] + "log"
     return w
 
 
@@ -186,7 +230,9 @@ def _step5b(w: str) -> str:
 
 
 def porter_stem(word: str) -> str:
-    """Stem a single lowercase word."""
+    """Stem a single lowercase word (NLTK_EXTENSIONS semantics)."""
+    if word in _POOL:
+        return _POOL[word]
     if len(word) <= 2:
         return word
     w = _step1a(word)

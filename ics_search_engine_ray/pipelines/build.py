@@ -188,7 +188,8 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     seg_dir = os.path.join(out_dir, "segments")
     fingerprint = hashlib.md5(
         f"{os.path.abspath(input_path)}|{cfg.num_index_partitions}|{cfg.head_term_salt}|"
-        f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|{skip_dedup}|v1".encode()).hexdigest()[:16]
+        f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|{skip_dedup}|v2".encode()).hexdigest()[:16]
+    # (version bump v2: Porter stemmer moved to NLTK_EXTENSIONS semantics)
 
     # ---- 1-3: extract + tokenize checkpoint ----
     # The tokenized relation is materialized ONCE into the object store and

@@ -19,10 +19,12 @@ from ics_search_engine_ray.functions.varint import (
 from ics_search_engine_ray.functions.htmlx import extract_page
 
 
-# ---------- Porter (Porter 1980 paper examples) ----------
+# ---------- Porter (NLTK_EXTENSIONS mode — what the reference's
+# nltk.PorterStemmer() actually runs; paper vectors below are unchanged
+# by the extensions except 'ties') ----------
 
 PORTER_GOLDEN = {
-    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "caresses": "caress", "ponies": "poni", "ties": "tie", "caress": "caress",
     "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
     "motoring": "motor", "sing": "sing", "conflated": "conflat",
     "hopping": "hop", "falling": "fall", "hissing": "hiss", "filing": "file",
@@ -44,6 +46,34 @@ PORTER_GOLDEN = {
 
 def test_porter_paper_vectors():
     for w, want in PORTER_GOLDEN.items():
+        assert porter_stem(w) == want, w
+
+
+# NLTK_EXTENSIONS divergences from the 1980 paper, derived from NLTK's
+# published porter.py (irregular pool; ies/ied on short words; the
+# consonant-y condition in step 1c; bli/fulli/logi in step 2). The reference
+# indexes through nltk.PorterStemmer(), so these ARE its semantics.
+PORTER_NLTK_GOLDEN = {
+    # irregular-forms pool
+    "sky": "sky", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "news": "news", "innings": "inning", "inning": "inning",
+    "outings": "outing", "outing": "outing", "cannings": "canning",
+    "canning": "canning", "howe": "howe", "proceed": "proceed",
+    "exceed": "exceed", "succeed": "succeed",
+    # step 1a/1b short-word ies/ied
+    "dies": "die", "ties": "tie", "flies": "fli", "cries": "cri",
+    "died": "die", "tied": "tie", "spied": "spi", "cried": "cri",
+    # step 1c consonant-y condition (paper mode gave enjoi / sai)
+    "enjoy": "enjoy", "say": "say", "destroy": "destroy", "happy": "happi",
+    # step 2 extensions (paper mode left carefulli / possibli untouched)
+    "carefully": "care", "fully": "fulli", "wonderfully": "wonder",
+    "possibly": "possibl", "freely": "freeli",
+    "geology": "geolog", "biology": "biolog",
+}
+
+
+def test_porter_nltk_extension_vectors():
+    for w, want in PORTER_NLTK_GOLDEN.items():
         assert porter_stem(w) == want, w
 
 
