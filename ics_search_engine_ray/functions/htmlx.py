@@ -2,36 +2,53 @@
 
 Mirrors the reference's BeautifulSoup(html.parser) usage (reference:
 components/document_processor.py:38-91) without depending on bs4 (not
-available here):
+available here). Parity is against bs4's *html.parser tree builder*
+semantics specifically, which differ from lxml/html5lib:
 
-- ``soup.get_text()``  -> concatenation of every text node, no separator
-  (script/style contents included, entity refs decoded);
+- no implied end tags: ``<p>a<p>b</p>`` NESTS the second p inside the first
+  (html.parser performs no HTML5 implicit closes), so ``find_all('p')``
+  yields both and the outer's ``get_text()`` contains the inner's text;
+- an end tag closes the nearest matching open element and implicitly closes
+  everything opened after it (bs4 ``_popToTag``); unmatched end tags are
+  ignored;
+- void elements (br/img/meta/...) never stay open;
+- ``soup.get_text()`` concatenates every text node with no separator:
+  script/style contents and CDATA sections included, comments and doctype
+  excluded, entity references decoded (html.parser ``convert_charrefs``);
 - branch rule (document_processor.py:42-46): if the page is utf-8 and has
-  ``<p>`` tags, text = ``' '.join(p.get_text().strip() for p in ps)``,
-  else the full-document text; both cleaned with :func:`clean_text`.
-  ``input_hint`` pages have no ``encoding`` column, so "is utf-8" is defined
-  as "the html bytes decode strictly as utf-8";
+  ``<p>`` elements, text = ``' '.join(p.get_text().strip() for p in ps)``
+  in document (start-tag) order, else the full-document text; both cleaned
+  with :func:`clean_text`. ``input_hint`` pages have no ``encoding`` column,
+  so "is utf-8" is defined as "the html bytes decode strictly as utf-8";
 - important text (document_processor.py:50-59): for each tag in TAG_WEIGHTS,
   per-element ``get_text().strip()``; identical strings accumulate weight
-  (nested important tags each collect their own subtree, as bs4 find_all does);
+  (nested important tags each collect their own subtree, as find_all does);
 - links (document_processor.py:81-91): every ``<a href>`` starting with
   http:// or https:// and != the page url, deduplicated. The reference's
   ``list(set(...))`` order is hash-seed dependent; we sort for determinism
   (documented divergence — reference order was never stable).
 
-Known divergence: nested ``<p>`` inside ``<p>`` is counted once here (bs4
-would count the inner text twice via both elements). Real HTML cannot nest
-``<p>``, and the synthetic corpus never does.
+These semantics are pinned by hand-authored goldens in
+``tests/test_extract_goldens.py`` (independent of the corpus generator).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from html.parser import HTMLParser
 from typing import Dict, List, Optional, Tuple
 
 from ..config import TAG_WEIGHTS
 from .textclean import clean_text
+
+# bs4 HTMLTreeBuilder.empty_element_tags (public source): HTML5 voids plus
+# legacy empties — these become empty elements immediately, never stay open
+_VOID_TAGS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "keygen",
+    "link", "menuitem", "meta", "param", "source", "track", "wbr",
+    "basefont", "bgsound", "command", "frame", "image", "isindex", "nextid",
+    "spacer",
+})
 
 
 @dataclass
@@ -45,77 +62,101 @@ class PageExtract:
 
 
 class _Collector(HTMLParser):
+    """Streaming equivalent of the bs4 tree + the reference's three
+    ``find_all`` passes, with a real open-element stack so end-tag recovery
+    matches bs4's ``_popToTag`` (close nearest match, implicitly closing
+    anything opened after it)."""
+
     def __init__(self, tag_weights: Dict[str, float]):
         super().__init__(convert_charrefs=True)
         self.tag_weights = tag_weights
         self.all_text: List[str] = []
-        self.p_texts: List[str] = []
-        self._p_depth = 0
-        self._p_buf: List[str] = []
-        # stack of [tag, buffer] for open important elements
-        self._imp_stack: List[List] = []
+        # each frame: [tag, buf-or-None, slot] — buf collects subtree text
+        # for tracked elements (p / weighted tags / first title)
+        self._stack: List[list] = []
+        self._p_slots: List[Optional[str]] = []    # per-<p> text, start order
         self.weighted: Dict[str, float] = {}
         self.links: List[str] = []
         self._title: Optional[str] = None
-        self._title_buf: Optional[List[str]] = None
+        self._seen_title = False
+
+    # ---- tree building ----
 
     def handle_starttag(self, tag, attrs):
-        if tag == "p":
-            if self._p_depth == 0:
-                self._p_buf = []
-            self._p_depth += 1
-        if tag in self.tag_weights:
-            self._imp_stack.append([tag, []])
-        if tag == "title" and self._title is None:
-            self._title_buf = []
         if tag == "a":
             for k, v in attrs:
                 if k == "href" and v:
                     self.links.append(v)
                     break
+        if tag in _VOID_TAGS:
+            return                                  # empty element: never open
+        slot = -1
+        buf = None
+        first_title = False
+        if tag == "p":
+            self._p_slots.append(None)
+            slot = len(self._p_slots) - 1
+            buf = []
+        else:
+            if tag in self.tag_weights or tag == "title":
+                buf = []
+            if tag == "title" and not self._seen_title:
+                self._seen_title = True
+                first_title = True      # soup.title = first in document order
+        self._stack.append([tag, buf, slot, first_title])
+
+    def _finalize(self, frame):
+        tag, buf, slot, first_title = frame
+        if buf is None:
+            return
+        text = "".join(buf)
+        if tag == "p":
+            self._p_slots[slot] = text
+            return
+        if tag in self.tag_weights:
+            t = text.strip()
+            if t:
+                self.weighted[t] = self.weighted.get(t, 0.0) + self.tag_weights[tag]
+        if first_title:
+            self._title = text
 
     def handle_endtag(self, tag):
-        if tag == "p" and self._p_depth > 0:
-            self._p_depth -= 1
-            if self._p_depth == 0:
-                self.p_texts.append("".join(self._p_buf))
-        if tag in self.tag_weights:
-            for i in range(len(self._imp_stack) - 1, -1, -1):
-                if self._imp_stack[i][0] == tag:
-                    _, buf = self._imp_stack.pop(i)
-                    text = "".join(buf).strip()
-                    if text:
-                        self.weighted[text] = self.weighted.get(text, 0.0) + self.tag_weights[tag]
-                    break
-        if tag == "title" and self._title_buf is not None:
-            self._title = "".join(self._title_buf)
-            self._title_buf = None
+        if tag in _VOID_TAGS:
+            return
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                # pop i..top: nearest match closes, everything above closes
+                # implicitly (bs4 _popToTag)
+                while len(self._stack) > i:
+                    self._finalize(self._stack.pop())
+                return
+        # unmatched end tag: ignored (bs4 drops it)
 
     def handle_data(self, data):
         if not data:
             return
         self.all_text.append(data)
-        if self._p_depth > 0:
-            self._p_buf.append(data)
-        for frame in self._imp_stack:
-            frame[1].append(data)
-        if self._title_buf is not None:
-            self._title_buf.append(data)
+        for frame in self._stack:
+            if frame[1] is not None:
+                frame[1].append(data)
+
+    def unknown_decl(self, data):
+        # <![CDATA[x]]> -> CData node; bs4 get_text() includes CData
+        if data.startswith("CDATA["):
+            self.handle_data(data[6:])
+
+    # comments (handle_comment) and doctype (handle_decl) default to no-ops:
+    # bs4 get_text() excludes Comment/Doctype nodes
 
     def close(self):
         super().close()
-        # unclosed elements at EOF: bs4 still yields their collected text
-        if self._p_depth > 0 and self._p_buf:
-            self.p_texts.append("".join(self._p_buf))
-            self._p_depth = 0
-        while self._imp_stack:
-            tag, buf = self._imp_stack.pop()
-            text = "".join(buf).strip()
-            if text:
-                self.weighted[text] = self.weighted.get(text, 0.0) + self.tag_weights[tag]
-        if self._title_buf is not None:
-            self._title = "".join(self._title_buf)
-            self._title_buf = None
+        # document end closes every still-open element
+        while self._stack:
+            self._finalize(self._stack.pop())
+
+    @property
+    def p_texts(self) -> List[str]:
+        return [s for s in self._p_slots if s is not None]
 
 
 def extract_page(html: bytes, url: str, tag_weights: Optional[Dict[str, float]] = None) -> PageExtract:
@@ -135,10 +176,11 @@ def extract_page(html: bytes, url: str, tag_weights: Optional[Dict[str, float]] 
     except Exception:
         pass  # tolerate malformed HTML like bs4's lenient parser
 
+    p_texts = c.p_texts
     used_p = False
-    if is_utf8 and c.p_texts:
+    if is_utf8 and p_texts:
         used_p = True
-        text = " ".join(t.strip() for t in c.p_texts)
+        text = " ".join(t.strip() for t in p_texts)
     else:
         text = "".join(c.all_text)
     text = clean_text(text)
