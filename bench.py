@@ -73,6 +73,19 @@ def run_single(sf_dir: str, num_cpus: int, replication: int, keep_index: bool = 
             times.append(time.time() - tq)
         qsecs[name] = round(sorted(times)[1], 5)
 
+    # concurrent query throughput through the partition-sharded actor pool
+    from concurrent.futures import ThreadPoolExecutor
+    from ics_search_engine_ray.query.actors import ShardedSearchIndex
+    pool = ShardedSearchIndex(out, num_actors=min(8, num_cpus))
+    qlist = list(BENCH_QUERIES.values())
+    pool.search(qlist[0], 10)                      # warm actors
+    tq = time.time()
+    reps = 25
+    with ThreadPoolExecutor(max_workers=16) as tp:
+        list(tp.map(lambda q: pool.search(q, 10), qlist * reps))
+    actor_qps = len(qlist) * reps / (time.time() - tq)
+    pool.shutdown()
+
     out_row = {
         "metric": "index_build_e2e",
         "value": round(build_secs, 3),
@@ -87,6 +100,7 @@ def run_single(sf_dir: str, num_cpus: int, replication: int, keep_index: bool = 
         "index_bytes": sum(r["seg_bytes"] for r in res.manifest),
         "stage_secs": {k: round(v, 2) for k, v in res.stage_secs.items()},
         "query_avg_sec": round(sum(qsecs.values()) / len(qsecs), 5),
+        "query_actor_qps": round(actor_qps, 1),
     }
     if not keep_index:
         shutil.rmtree(out, ignore_errors=True)

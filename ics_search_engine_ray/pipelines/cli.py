@@ -58,9 +58,14 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from ..query.engine import SearchIndex
-
-    si = SearchIndex(args.index)
+    if args.actors > 0:
+        # partition-sharded actor pool (concurrent serving path)
+        _ray_up(args.num_cpus)
+        from ..query.actors import ShardedSearchIndex
+        si = ShardedSearchIndex(args.index, num_actors=args.actors)
+    else:
+        from ..query.engine import SearchIndex
+        si = SearchIndex(args.index)
 
     def run_one(q: str):
         t0 = time.time()
@@ -71,7 +76,8 @@ def cmd_query(args) -> int:
             return
         print(f"Found {len(results)} results:")
         for i, r in enumerate(results, 1):
-            print(f"{i}. {r.url}")
+            head = f"{i}. {r.title} — {r.url}" if r.title else f"{i}. {r.url}"
+            print(head)
             print(f"   Score: {r.score:.4f}")
             print(f"   Matched terms: {sorted(r.matched_terms)}")
         print(f"Search completed in {secs:.4f} seconds")
@@ -123,6 +129,9 @@ def main(argv=None) -> int:
     q.add_argument("--scorer", choices=["bm25", "tfidf-ref"], default="bm25")
     q.add_argument("--algo", choices=["auto", "taat", "wand"], default="auto")
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--actors", type=int, default=0,
+                   help="serve through a sharded actor pool of this size")
+    q.add_argument("--num-cpus", type=int, default=None)
     q.add_argument("query", nargs="*")
     q.set_defaults(fn=cmd_query)
 

@@ -46,6 +46,7 @@ class SearchResult:
     doc_id: int
     score: float
     matched_terms: List[str]
+    title: str = ""          # from docmeta (reference main.py:29-53 surface)
 
 
 @dataclass
@@ -55,6 +56,45 @@ class _MergedPostings:
     scores: np.ndarray          # per-posting partial score for active scorer
     block_last: np.ndarray
     block_max: np.ndarray
+
+
+def block_bounds(doc_ids: np.ndarray, scores: np.ndarray, B: int):
+    """Per-block (last doc_id, max score) for WAND skipping, recomputed from
+    the (merged, sorted) posting arrays."""
+    nb = (doc_ids.size + B - 1) // B
+    bl = doc_ids[np.minimum(np.arange(1, nb + 1) * B - 1, doc_ids.size - 1)]
+    bm = np.maximum.reduceat(scores, np.arange(0, scores.size, B)) if scores.size else np.empty(0)
+    return bl.astype(np.int64), bm
+
+
+def rank_topk(posts: Dict[str, _MergedPostings], qtf: Dict[str, int], k: int,
+              block_size: int, algo: str = "auto") -> Tuple[List[int], List[float]]:
+    """Shared ranking core: BM25 top-k over per-term scored postings.
+
+    Used by both the in-process SearchIndex and the sharded actor client —
+    both paths produce identical results by construction (same accumulation
+    order, same (-score, doc_id) tie-break)."""
+    total = sum(p.doc_ids.size for p in posts.values())
+    if algo == "auto":
+        # vectorized TAAT (np.unique + bincount) beats the Python
+        # document-at-a-time WAND loop until candidate volume is large
+        # enough that block skipping wins over per-posting numpy kernels;
+        # stopword-heavy queries skip poorly (flat block maxima), so the
+        # crossover is high
+        algo = "wand" if total > 5_000_000 and len(posts) > 1 else "taat"
+    if algo == "wand":
+        ranked = wand_topk(
+            [(p.doc_ids, p.scores, p.block_last, p.block_max, float(qtf[t]))
+             for t, p in posts.items()], k, block_size)
+        return [d for d, _ in ranked], [s for _, s in ranked]
+    all_ids = np.concatenate([p.doc_ids for p in posts.values()])
+    all_sc = np.concatenate([p.scores * qtf[t] for t, p in posts.items()])
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    acc = np.bincount(inv, weights=all_sc, minlength=uniq.size)
+    kk = min(k, uniq.size)
+    # rank by (-score, doc_id): lexsort keys (primary last)
+    order = np.lexsort((uniq, -acc))[:kk]
+    return uniq[order].tolist(), acc[order].tolist()
 
 
 class SearchIndex:
@@ -76,6 +116,7 @@ class SearchIndex:
         self.tokenizer = Tokenizer(stem=self.cfg.stem)
         self._readers: Dict[int, SegmentReader] = {}
         self._url_of: Optional[Dict[int, str]] = None
+        self._title_of: Optional[Dict[int, str]] = None
         self._link_scores: Optional[Dict[str, Tuple[float, float, float]]] = None
 
     # ---- plumbing ----
@@ -130,6 +171,17 @@ class SearchIndex:
                                     t.column("url").to_pylist()))
         return self._url_of
 
+    def _titles(self) -> Dict[int, str]:
+        if self._title_of is None:
+            try:
+                t = pq.read_table(os.path.join(self.index_dir, "docmeta"),
+                                  columns=["doc_id", "title"])
+                self._title_of = dict(zip(t.column("doc_id").to_pylist(),
+                                          t.column("title").to_pylist()))
+            except Exception:      # pre-title index layouts
+                self._title_of = {}
+        return self._title_of
+
     def link_scores(self) -> Dict[str, Tuple[float, float, float]]:
         if self._link_scores is None:
             p = os.path.join(self.index_dir, "link_scores.parquet")
@@ -150,13 +202,10 @@ class SearchIndex:
                             self.num_docs, self.avgdl, self.cfg.bm25_k1, self.cfg.bm25_b)
         else:
             s = tfidf_ref_scores(tp.tf, tp.importance, tp.doclen, tp.df, self.num_docs)
-        B = self.cfg.posting_block_size
-        nb = (tp.doc_ids.size + B - 1) // B
         # block bounds recomputed from the f64 scores (stored f32 block_max is
         # for the IO-skipping scale path; bounds must be >= actual scores)
-        bl = tp.doc_ids[np.minimum(np.arange(1, nb + 1) * B - 1, tp.doc_ids.size - 1)]
-        bm = np.maximum.reduceat(s, np.arange(0, s.size, B)) if s.size else np.empty(0)
-        return _MergedPostings(tp.df, tp.doc_ids, s, bl.astype(np.int64), bm)
+        bl, bm = block_bounds(tp.doc_ids, s, self.cfg.posting_block_size)
+        return _MergedPostings(tp.df, tp.doc_ids, s, bl, bm)
 
     # ---- public API ----
 
@@ -177,38 +226,18 @@ class SearchIndex:
         posts = {t: p for t, p in posts.items() if p is not None}
         if not posts:
             return []
-        total = sum(p.doc_ids.size for p in posts.values())
-        if algo == "auto":
-            # vectorized TAAT (np.unique + bincount) beats the Python
-            # document-at-a-time WAND loop until candidate volume is large
-            # enough that block skipping wins over per-posting numpy kernels;
-            # stopword-heavy queries skip poorly (flat block maxima), so the
-            # crossover is high
-            algo = "wand" if total > 5_000_000 and len(posts) > 1 else "taat"
-        if algo == "wand":
-            ranked = wand_topk(
-                [(p.doc_ids, p.scores, p.block_last, p.block_max, float(qtf[t]))
-                 for t, p in posts.items()], k, self.cfg.posting_block_size)
-            top_ids = [d for d, _ in ranked]
-            top_scores = [s for _, s in ranked]
-        else:
-            all_ids = np.concatenate([p.doc_ids for p in posts.values()])
-            all_sc = np.concatenate([p.scores * qtf[t] for t, p in posts.items()])
-            uniq, inv = np.unique(all_ids, return_inverse=True)
-            acc = np.bincount(inv, weights=all_sc, minlength=uniq.size)
-            kk = min(k, uniq.size)
-            # rank by (-score, doc_id): lexsort keys (primary last)
-            order = np.lexsort((uniq, -acc))[:kk]
-            top_ids = uniq[order].tolist()
-            top_scores = acc[order].tolist()
+        top_ids, top_scores = rank_topk(posts, qtf, k,
+                                        self.cfg.posting_block_size, algo)
         urls = self._urls()
+        titles = self._titles()
         out = []
         for d, s in zip(top_ids, top_scores):
             matched = [t for t, p in posts.items()
                        if p.doc_ids[np.searchsorted(p.doc_ids, d):np.searchsorted(p.doc_ids, d) + 1].size
                        and p.doc_ids[np.searchsorted(p.doc_ids, d)] == d]
             out.append(SearchResult(url=self._defrag(urls.get(int(d), "")),
-                                    doc_id=int(d), score=float(s), matched_terms=matched))
+                                    doc_id=int(d), score=float(s), matched_terms=matched,
+                                    title=titles.get(int(d), "") or ""))
         return out
 
     @staticmethod
@@ -258,6 +287,7 @@ class SearchIndex:
                     + 0.1 * auth + 0.1 * hub + 0.2 * pr)     # search.py:183-190
         kk = min(k, uniq.size)
         order = np.lexsort((uniq, -combined))[:kk]
+        titles = self._titles()
         out = []
         for i in order:
             d = int(uniq[i])
@@ -265,7 +295,8 @@ class SearchIndex:
                        if p.doc_ids[np.searchsorted(p.doc_ids, d):np.searchsorted(p.doc_ids, d) + 1].size
                        and p.doc_ids[np.searchsorted(p.doc_ids, d)] == d]
             out.append(SearchResult(url=self._defrag(url_arr[i]), doc_id=d,
-                                    score=float(combined[i]), matched_terms=matched))
+                                    score=float(combined[i]), matched_terms=matched,
+                                    title=titles.get(d, "") or ""))
         return out
 
     def close(self):

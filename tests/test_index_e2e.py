@@ -213,3 +213,35 @@ def test_tfidf_ref_scorer_shape(built_index):
     # descending with deterministic tie-break
     for a, b in zip(res, res[1:]):
         assert (a.score, -a.doc_id) >= (b.score, -b.doc_id)
+
+
+def test_sharded_actor_pool_matches_local_index(built_index):
+    """VERDICT r1 item 7: N concurrent queries through the partition-sharded
+    actor pool must return results identical to the local SearchIndex
+    (doc_ids, scores, matched terms, urls, titles)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from ics_search_engine_ray.query.actors import ShardedSearchIndex
+
+    _, out, _ = built_index
+    local = SearchIndex(out)
+    pool = ShardedSearchIndex(out, num_actors=3)
+    try:
+        def run_one(q):
+            return q, pool.search(q, k=10)
+        with ThreadPoolExecutor(max_workers=6) as tp:
+            results = list(tp.map(run_one, QUERIES * 2))
+        for q, got in results:
+            want = local.search(q, k=10)
+            assert [(r.doc_id, r.score, sorted(r.matched_terms), r.url, r.title)
+                    for r in got] == \
+                   [(r.doc_id, r.score, sorted(r.matched_terms), r.url, r.title)
+                    for r in want], q
+    finally:
+        pool.shutdown()
+
+
+def test_search_results_carry_titles(built_index):
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    res = si.search("spark batch merge", k=5)
+    assert res and any(r.title for r in res)
