@@ -73,6 +73,10 @@ class EngineConfig:
     # --- physical execution ---
     num_index_partitions: int = 16          # term-hash shuffle width (P)
     head_term_salt: int = 4                 # S: doc-hash buckets per head term
+    dynamic_salt_df_frac: float = 0.10      # ALSO salt any term whose df
+    # exceeds this fraction of the corpus (sampled pre-pass in build step 6;
+    # the static stemmed-stopword set alone misses corpus-specific hot terms
+    # — reference todo.md:44-50 pathology generalized). 0 disables.
     posting_block_size: int = 128           # postings per skip/block-max block
     tokenize_concurrency: Tuple[int, int] = (2, 64)  # actor pool min/max;
     # autoscaling pool — max sized for a multi-node cluster, the scheduler

@@ -188,7 +188,8 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     seg_dir = os.path.join(out_dir, "segments")
     fingerprint = hashlib.md5(
         f"{os.path.abspath(input_path)}|{cfg.num_index_partitions}|{cfg.head_term_salt}|"
-        f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|{skip_dedup}|v2".encode()).hexdigest()[:16]
+        f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|{skip_dedup}|"
+        f"{cfg.dynamic_salt_df_frac}|v2".encode()).hexdigest()[:16]
     # (version bump v2: Porter stemmer moved to NLTK_EXTENSIONS semantics)
 
     # ---- 1-3: extract + tokenize checkpoint ----
@@ -260,9 +261,53 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     avgdl = total_len / num_docs if num_docs else 0.0
     stage_secs["docmeta_stats"] = time.time() - t0
 
-    # ---- 6: head-term df pre-aggregation (partial combine, then tiny groupby) ----
+    # ---- 6: head-term discovery + df pre-aggregation ----
     t0 = time.time()
     head = head_terms(cfg) if cfg.head_term_salt > 0 else frozenset()
+    # dynamic extension (SURVEY §4 skew): the static stemmed-stopword set
+    # misses corpus-specific hot terms, which would land every posting on one
+    # reducer. A sampled df pre-pass (distributed partial value_counts ->
+    # groupby-sum -> threshold filter; only hot terms reach the driver) adds
+    # any term whose estimated df exceeds dynamic_salt_df_frac of the corpus.
+    # Misses cost parallelism only; step 6's exact-df pass below then gives
+    # every salted term its true global df, so scoring is unaffected.
+    head_path = os.path.join(out_dir, "head_terms.json")
+    head_saved = None
+    if resume and os.path.exists(head_path):
+        with open(head_path) as f:
+            hs = json.load(f)
+        if hs.get("fingerprint") == fingerprint:
+            head_saved = frozenset(hs["terms"])
+    if head_saved is not None:
+        # resume MUST reuse the original head set: partition routing depends
+        # on it, and the sampled discovery below is not bit-stable across
+        # block layouts — a drifted set would re-route salted terms while
+        # completed partitions keep the old routing
+        head = head_saved
+    elif head and cfg.dynamic_salt_df_frac > 0 and num_docs > 0:
+        frac = 1.0 if num_docs <= 20_000 else 0.1
+        thresh = cfg.dynamic_salt_df_frac * num_docs * frac
+
+        def term_counts(batch: pa.Table) -> pa.Table:
+            terms_col = batch.column("terms").combine_chunks()
+            vc = pc.list_flatten(terms_col).value_counts()
+            return pa.table({"term": vc.field("values"),
+                             "cnt": vc.field("counts").cast(pa.int64())})
+
+        sample = tok_mat.select_columns(["doc_id", "terms"]) \
+            .map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
+        if frac < 1.0:
+            sample = sample.random_sample(frac, seed=23)
+        hot_rows = (sample.map_batches(term_counts, batch_format="pyarrow")
+                    .groupby("term").sum("cnt")
+                    .map_batches(lambda b: b.filter(
+                        pc.greater(b.column("sum(cnt)"), int(thresh))),
+                        batch_format="pyarrow")
+                    .take_all())
+        head = frozenset(head | {r["term"] for r in hot_rows})
+    if head_saved is None:
+        with open(head_path, "w") as f:
+            json.dump({"fingerprint": fingerprint, "terms": sorted(head)}, f)
     head_df: Dict[str, int] = {}
     if head:
         head_arr = pa.array(sorted(head), pa.string())

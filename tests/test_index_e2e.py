@@ -245,3 +245,59 @@ def test_search_results_carry_titles(built_index):
     si = SearchIndex(out)
     res = si.search("spark batch merge", k=5)
     assert res and any(r.title for r in res)
+
+
+def test_dynamic_salting_of_corpus_hot_term(ray_session, tmp_path):
+    """SURVEY §5 item 5 / VERDICT r1 item 8: a corpus-specific hot term (not
+    a stopword) must be routed to the salt partitions by the dynamic df
+    pre-pass, with postings and search results identical to an unsalted
+    build."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ics_search_engine_ray.pipelines.build import build_index_from_texts, term_partition
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(300)]
+    texts = []
+    for i in range(400):
+        body = " ".join(rng.choice(words, size=30).tolist())
+        # 'zebrahot' stuffed into 90% of docs -> df far above the 10% bar
+        if i % 10 != 0:
+            body = "zebrahot " + body + " zebrahot"
+        texts.append(body)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                             "text": pa.array(texts)}), src)
+
+    from ics_search_engine_ray.config import DEFAULT_CONFIG
+    cfg_salted = DEFAULT_CONFIG.with_(stem=False, num_index_partitions=8,
+                                      head_term_salt=4)
+    cfg_plain = DEFAULT_CONFIG.with_(stem=False, num_index_partitions=8,
+                                     head_term_salt=0, dynamic_salt_df_frac=0)
+    out_s = str(tmp_path / "idx_salted")
+    out_p = str(tmp_path / "idx_plain")
+    build_index_from_texts(src, out_s, cfg_salted, skip_dedup=True)
+    build_index_from_texts(src, out_p, cfg_plain, skip_dedup=True)
+
+    s_salted, s_plain = SearchIndex(out_s), SearchIndex(out_p)
+    # the hot term was dynamically salted: routed to salt partitions, with
+    # its exact global df recorded
+    assert "zebrahot" in s_salted.head_df
+    assert s_salted.head_df["zebrahot"] == 360
+    assert s_salted._parts_for_term("zebrahot") == [8, 9, 10, 11]
+    # each salt partition holds a shard, none holds everything (no straggler)
+    sizes = [s_salted._reader(p).postings("zebrahot").doc_ids.size
+             for p in (8, 9, 10, 11)]
+    assert sum(sizes) == 360 and max(sizes) < 360 and min(sizes) > 0
+    # merged postings identical to the unsalted build
+    tp_s = s_salted.term_postings("zebrahot")
+    tp_p = s_plain.term_postings("zebrahot")
+    assert tp_s.df == tp_p.df == 360
+    assert np.array_equal(tp_s.doc_ids, tp_p.doc_ids)
+    assert np.array_equal(tp_s.tf, tp_p.tf)
+    # search results identical
+    for q in ("zebrahot", "zebrahot w001 w002", "w005 w250"):
+        rs = [(r.doc_id, round(r.score, 10)) for r in s_salted.search(q, k=10)]
+        rp = [(r.doc_id, round(r.score, 10)) for r in s_plain.search(q, k=10)]
+        assert rs == rp, q
