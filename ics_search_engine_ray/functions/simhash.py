@@ -95,22 +95,6 @@ def fps_to_matrix(fps: Iterable[bytes]) -> np.ndarray:
     return arr.reshape(-1, NBYTES)
 
 
-def band_keys(fp: bytes, num_bands: int) -> List[int]:
-    """Split a 128-bit fingerprint into `num_bands` contiguous bit bands and
-    return one integer key per band (band index folded in).
-
-    Pigeonhole guarantee: two fingerprints with hamming distance d share at
-    least one identical band when ``d < num_bands`` — so ``num_bands =
-    max_hamming + 1`` makes LSH candidate generation *exact* for the
-    reference's 0.85 threshold (d <= 19 -> 20 bands).
-    """
-    bits = np.unpackbits(np.frombuffer(fp, dtype=np.uint8))
-    bounds = np.linspace(0, BITS, num_bands + 1).astype(int)
-    keys = []
-    for i in range(num_bands):
-        seg = bits[bounds[i]:bounds[i + 1]]
-        val = 0
-        for b in seg:
-            val = (val << 1) | int(b)
-        keys.append((i << 8) | val if num_bands >= BITS // 8 else (i << 32) | val)
-    return keys
+# (band-key computation lives solely in stages/dedup.py BandEmitter; its
+# pigeonhole exactness is pinned by the brute-force equivalence test in
+# tests/test_training_ops.py)

@@ -4,7 +4,8 @@ Mirrors the reference's three executables (indexer.py:167-176,
 multithread_indexer.py:228-238, search.py:205-227) as subcommands:
 
     python -m ics_search_engine_ray build --pages DIR --out DIR [--resume]
-    python -m ics_search_engine_ray query --index DIR [--scorer bm25] [QUERY...]
+    python -m ics_search_engine_ray query --index DIR [--scorer bm25] [--actors N] [QUERY...]
+    python -m ics_search_engine_ray serve --index DIR [--port 8080] [--actors N]
     python -m ics_search_engine_ray gen-pages --sf-dir DIR [--replication N]
 
 ``build`` is what a cluster job submits (``ray job submit -- python -m
@@ -98,6 +99,35 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray
+    from ..config import DEFAULT_CONFIG
+    from .migrate import migrate_reference_index
+
+    cfg = DEFAULT_CONFIG.with_(num_index_partitions=args.partitions)
+    man = migrate_reference_index(args.src, args.out, cfg)
+    print(json.dumps({"num_docs": man["num_docs"],
+                      "postings": sum(r["num_postings"] for r in man["partitions"]),
+                      "build_secs": round(man["build_secs"], 2)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_serve(args) -> int:
+    if args.actors > 0:
+        _ray_up(args.num_cpus)
+    from .webui import serve
+
+    srv = serve(args.index, port=args.port, actors=args.actors)
+    print(f"serving on http://127.0.0.1:{args.port}/ (Ctrl-C to stop)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def cmd_gen_pages(args) -> int:
     _ray_up(args.num_cpus)
     import ray
@@ -134,6 +164,21 @@ def main(argv=None) -> int:
     q.add_argument("--num-cpus", type=int, default=None)
     q.add_argument("query", nargs="*")
     q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser("migrate", help="convert a reference full_analytics/ "
+                                       "JSON index into this engine's format")
+    m.add_argument("--src", required=True, help="reference full_analytics dir")
+    m.add_argument("--out", required=True)
+    m.add_argument("--partitions", type=int, default=16)
+    m.add_argument("--num-cpus", type=int, default=None)
+    m.set_defaults(fn=cmd_migrate)
+
+    s = sub.add_parser("serve", help="minimal web UI + JSON API over an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--actors", type=int, default=0)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("gen-pages", help="generate the synthetic pages corpus")
     g.add_argument("--sf-dir", required=True)

@@ -34,7 +34,7 @@ import pyarrow as pa
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..functions.bufpool import fsb_to_numpy, get_buf
 from ..functions.memtune import tune_malloc
-from ..functions.simhash import NBYTES, hamming_bytes
+from ..functions.simhash import NBYTES
 
 # (256, 8) bit-expansion lookup: row b = bits of byte b, MSB first (the
 # np.unpackbits convention) — lets us unpack into a REUSED buffer via np.take

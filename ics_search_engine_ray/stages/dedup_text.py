@@ -147,7 +147,7 @@ def minhash_dedup(docs, threshold: float = 0.8, n_perm: int = 128,
         sigs_l = group.column("minhash").to_pylist()
         starts = np.flatnonzero(np.concatenate(([True], bands[1:] != bands[:-1])))
         ends = np.append(starts[1:], n)
-        aa, bb = [], []
+        a_parts, b_parts = [], []
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
@@ -155,13 +155,16 @@ def minhash_dedup(docs, threshold: float = 0.8, n_perm: int = 128,
             eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
             ii, jj = np.nonzero(eq >= threshold)
             keep = ii < jj
-            for p, q in zip(ii[keep], jj[keep]):
-                a, b2 = int(dids[s + p]), int(dids[s + q])
-                aa.append(min(a, b2))
-                bb.append(max(a, b2))
-        if not aa:
+            ii, jj = ii[keep], jj[keep]
+            if ii.size:
+                da, db = dids[s + ii], dids[s + jj]
+                ne = da != db
+                a_parts.append(np.minimum(da, db)[ne])
+                b_parts.append(np.maximum(da, db)[ne])
+        if not a_parts:
             return empty
-        return pa.table({"a": pa.array(aa, pa.int64()), "b": pa.array(bb, pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_parts), pa.int64()),
+                         "b": pa.array(np.concatenate(b_parts), pa.int64())})
 
     pairs_ds = banded.groupby("gkey").map_groups(
         lambda g: verify(g.drop(["gkey"])), batch_format="pyarrow")

@@ -11,7 +11,7 @@ from ics_search_engine_ray.functions.tokenizer import Tokenizer, tokenize_text
 from ics_search_engine_ray.functions.textclean import clean_text
 from ics_search_engine_ray.functions.simhash import (
     SimHasher, fingerprint_to_bitstring, hamming_bytes, hamming_matrix,
-    fps_to_matrix, band_keys, word_hash_bits,
+    fps_to_matrix, word_hash_bits,
 )
 from ics_search_engine_ray.functions.varint import (
     encode_varints, decode_varints, encode_sorted, decode_sorted,
@@ -178,18 +178,8 @@ def test_hamming():
     assert m[0, 1] == m[1, 0] == d and m[0, 0] == 0
 
 
-def test_band_keys_pigeonhole():
-    rng = np.random.default_rng(3)
-    sh = SimHasher()
-    f1 = sh.fingerprint(["x%d" % i for i in range(30)])
-    # flip exactly 19 bits -> must share >= 1 of 20 bands
-    bits = np.unpackbits(np.frombuffer(f1, dtype=np.uint8))
-    idx = rng.choice(128, size=19, replace=False)
-    bits2 = bits.copy()
-    bits2[idx] ^= 1
-    f2 = np.packbits(bits2).tobytes()
-    k1, k2 = band_keys(f1, 20), band_keys(f2, 20)
-    assert set(k1) & set(k2)
+# (banding pigeonhole exactness is covered by the brute-force equivalence
+# test in tests/test_training_ops.py, over the real BandEmitter)
 
 
 # ---------- varint ----------

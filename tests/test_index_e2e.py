@@ -301,3 +301,28 @@ def test_dynamic_salting_of_corpus_hot_term(ray_session, tmp_path):
         rs = [(r.doc_id, round(r.score, 10)) for r in s_salted.search(q, k=10)]
         rp = [(r.doc_id, round(r.score, 10)) for r in s_plain.search(q, k=10)]
         assert rs == rp, q
+
+
+def test_web_ui_serves_results(built_index):
+    """Q7 surface: the stdlib web UI serves HTML + a JSON API with titles."""
+    import json as _json
+    import threading
+    import urllib.request
+    from ics_search_engine_ray.pipelines.webui import serve
+
+    _, out, _ = built_index
+    srv = serve(out, port=0)          # ephemeral port
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/?q=spark+batch+merge").read().decode()
+        assert "results in" in page and "score" in page
+        api = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api?q=spark+batch+merge&k=5").read())
+        assert len(api) == 5
+        assert all(r["url"] and "score" in r for r in api)
+        assert any(r["title"] for r in api)
+    finally:
+        srv.shutdown()
