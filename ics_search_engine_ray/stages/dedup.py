@@ -85,7 +85,7 @@ class BandEmitter:
       pair checks and max bucket 4% of corpus vs 23% (better skew).
     """
 
-    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG):
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, include_fp: bool = True):
         self.num_bands = int(getattr(cfg, "simhash_bands", 0)) or (cfg.max_hamming + 1)
         k1 = cfg.max_hamming + 1
         self.radius = -(-k1 // self.num_bands) - 1
@@ -95,15 +95,23 @@ class BandEmitter:
                 f"{self.radius}; only radius <= 1 is implemented "
                 f"(use bands >= {-(-k1 // 2)})")
         self.bounds = _band_bounds(cfg.simhash_bits, self.num_bands)
+        # include_fp=False drops the 16-byte fingerprint from the emitted
+        # rows (HALVING the verify-shuffle bytes); the verify stage then
+        # rehydrates fingerprints from a broadcast (doc_id-sorted) table —
+        # chosen by simhash_dedup when the distinct-fp table is small enough
+        # to broadcast; carrying the fp is the unbounded-scale path
+        self.include_fp = include_fp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         n = batch.num_rows
         if n == 0:
-            return pa.table({"band": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "stored": pa.array([], pa.int8()),
-                             "simhash": pa.array([], pa.binary(16))})
+            empty = {"band": pa.array([], pa.int64()),
+                     "doc_id": pa.array([], pa.int64()),
+                     "stored": pa.array([], pa.int8())}
+            if self.include_fp:
+                empty["simhash"] = pa.array([], pa.binary(16))
+            return pa.table(empty)
         mat = fsb_to_numpy(batch.column("simhash"), NBYTES)
         bits = np.unpackbits(mat, axis=1)                      # (n, 128)
         keys_parts, idx_parts, stored_parts = [], [], []
@@ -129,16 +137,17 @@ class BandEmitter:
         keys = np.concatenate(keys_parts)
         idx = np.concatenate(idx_parts)
         stored = np.concatenate(stored_parts)
-        # simhash gathered buffer-level (no per-row Python objects)
-        sh = np.ascontiguousarray(mat[idx])
-        sh_col = pa.Array.from_buffers(pa.binary(NBYTES), idx.size,
-                                       [None, pa.py_buffer(sh.tobytes())])
-        return pa.table({
+        cols = {
             "band": pa.array(keys, pa.int64()),
             "doc_id": pa.array(doc_ids[idx], pa.int64()),
             "stored": pa.array(stored, pa.int8()),
-            "simhash": sh_col,
-        })
+        }
+        if self.include_fp:
+            # simhash gathered buffer-level (no per-row Python objects)
+            sh = np.ascontiguousarray(mat[idx])
+            cols["simhash"] = pa.Array.from_buffers(
+                pa.binary(NBYTES), idx.size, [None, pa.py_buffer(sh.tobytes())])
+        return pa.table(cols)
 
 
 _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
@@ -151,10 +160,14 @@ _LOCAL_VERIFY_ROWS = 300_000     # banded rows below this verify in ONE task
                                  # a sort shuffle costs more than it buys);
                                  # above it, the distributed chunk-split +
                                  # groupby(gkey) path runs on all cores
+_BCAST_FP_ROWS = 2_000_000       # distinct fps below this broadcast as one
+                                 # (doc_id, fp) table (~48 MB) so banded rows
+                                 # shuffle fingerprint-free; above, fps are
+                                 # carried in the rows (unbounded scale)
 
 
 def _verify_group(group: pa.Table, max_hamming: int, num_bands: int,
-                  bits: int = 128) -> pa.Table:
+                  bits: int = 128, fp_ref=None) -> pa.Table:
     """Verify one *coarse* group (many verify units): sort rows by vkey, then
     run a pairwise-hamming check per unit. A unit is either a whole band
     bucket (chunk a == b) or one chunk-PAIR of a split hot bucket — see the
@@ -189,7 +202,16 @@ def _verify_group(group: pa.Table, max_hamming: int, num_bands: int,
     bands = group.column("band").to_numpy(zero_copy_only=False)
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
     stored = group.column("stored").to_numpy(zero_copy_only=False).astype(bool)
-    mat = fsb_to_numpy(group.column("simhash"), NBYTES)
+    if "simhash" in group.column_names:
+        mat = fsb_to_numpy(group.column("simhash"), NBYTES)
+    else:
+        # broadcast-fp mode: rehydrate from the doc_id-sorted table (fetched
+        # once per worker; gather lands in a reused arena)
+        import ray as _ray
+        ids_sorted, fp_mat = _ray.get(fp_ref)
+        pos = np.searchsorted(ids_sorted, doc_ids)
+        mat = get_buf("vg.fpg", (n, NBYTES), np.uint8)
+        np.take(fp_mat, pos, axis=0, out=mat)
     dot_min = float(bits - 2 * max_hamming)
     band_idx = (bands >> np.int64(40)).astype(np.int64)
     # band-0 STORED key: any pair sharing it was verified in band 0's own
@@ -391,7 +413,8 @@ class DedupResult:
 
 
 def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
-                  num_verify_groups: int = 256) -> DedupResult:
+                  num_verify_groups: int = 256,
+                  broadcast_fp: bool = None) -> DedupResult:
     """docs: Dataset with (doc_id, simhash). Returns deterministic drop set.
 
     Stage 0 collapses *identical* fingerprints first (groupby(simhash), min
@@ -480,14 +503,39 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     # _CHUNK_SPLIT split into ceil(m/_CHUNK_SPLIT) doc-hash chunks, and each
     # chunk PAIR (a <= b) becomes its own verify task — same pairs, bounded
     # task size, replication factor = n_chunks per row.
-    emitter = BandEmitter(cfg)
+    n_reps = collapsed.count() - sum(len(v) for v in followers_of.values())
+    # Broadcast-fp mode (size-gated): below _BCAST_FP_ROWS distinct
+    # fingerprints, the (doc_id, fp) table broadcasts once via the object
+    # store and banded rows shuffle WITHOUT the 16-byte fingerprint —
+    # halving the verify-shuffle volume. Above the gate, fingerprints are
+    # carried in the rows (the unbounded-scale path; a broadcast table does
+    # not exist at 10^9 distinct fps).
+    if broadcast_fp is None:
+        broadcast_fp = n_reps <= _BCAST_FP_ROWS
+    fp_ref = None
+    if broadcast_fp:
+        import ray as _ray
+        ids_parts, fp_parts = [], []
+        for b in reps_mat.select_columns(["doc_id", "simhash"]) \
+                         .iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+                fp_parts.append(fsb_to_numpy(b.column("simhash"), NBYTES).copy())
+        ids_all = (np.concatenate(ids_parts) if ids_parts
+                   else np.empty(0, np.int64))
+        fps_all = (np.vstack(fp_parts) if fp_parts
+                   else np.empty((0, NBYTES), np.uint8))
+        order = np.argsort(ids_all)
+        fp_ref = _ray.put((ids_all[order], np.ascontiguousarray(fps_all[order])))
+        del ids_parts, fp_parts, ids_all, fps_all   # transient, size-gated
+
+    emitter = BandEmitter(cfg, include_fp=not broadcast_fp)
     nb = emitter.num_bands
     # banding is LAZY — fused by the streaming executor straight into the
     # verify consumer, so the banded relation (the widest intermediate) never
     # round-trips through the object store as its own materialization.
     banded = reps_mat.select_columns(["doc_id", "simhash"]).map_batches(
         emitter, batch_format="pyarrow")
-    n_reps = collapsed.count() - sum(len(v) for v in followers_of.values())
     w_avg = cfg.simhash_bits / nb
     est_banded = int(n_reps * nb * (1 + (w_avg / 2 if emitter.radius else 0)))
 
@@ -566,14 +614,16 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
         # chunk-split + groupby path below is the scale path.
         def verify_all(b: pa.Table) -> pa.Table:
             t = chunk_pairs(b)
-            return _verify_group(t.drop(["gkey"]), cfg.max_hamming, nb)
+            return _verify_group(t.drop(["gkey"]), cfg.max_hamming, nb,
+                                 fp_ref=fp_ref)
 
         pairs_ds = banded.repartition(1).map_batches(
             verify_all, batch_format="pyarrow", batch_size=None)
     else:
         expanded = banded.map_batches(chunk_pairs, batch_format="pyarrow")
         pairs_ds = expanded.groupby("gkey").map_groups(
-            lambda g: _verify_group(g.drop(["gkey"]), cfg.max_hamming, nb),
+            lambda g: _verify_group(g.drop(["gkey"]), cfg.max_hamming, nb,
+                                    fp_ref=fp_ref),
             batch_format="pyarrow")
     a_chunks, b_chunks = [], []
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):

@@ -228,10 +228,10 @@ def test_simhash_banding_exact_across_band_configs(ray_session):
             if ham[i, j] <= DEFAULT_CONFIG.max_hamming}
 
     results = {}
-    for bands in (20, 10):
+    for bands, bcast in ((20, True), (10, True), (20, False), (10, False)):
         cfg = DEFAULT_CONFIG.with_(simhash_bands=bands)
-        res = simhash_dedup(ds, cfg)
-        assert res.num_pairs == len(want), bands
-        results[bands] = (frozenset(res.dropped),
-                          tuple(tuple(c) for c in res.clusters))
-    assert results[20] == results[10]
+        res = simhash_dedup(ds, cfg, broadcast_fp=bcast)
+        assert res.num_pairs == len(want), (bands, bcast)
+        results[(bands, bcast)] = (frozenset(res.dropped),
+                                   tuple(tuple(c) for c in res.clusters))
+    assert len(set(results.values())) == 1     # all four modes identical
