@@ -318,6 +318,22 @@ def _q_embedding_dedup(sf_dir: str):
     })
 
 
+def _q_knn_ivf(sf_dir: str):
+    from ics_search_engine_ray.stages.similarity import knn_ivf
+    import pyarrow.parquet as pq
+
+    qtbl = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    idx = qtbl.column("vec_id").to_pylist().index(0)
+    qvec = np.asarray(qtbl.column("embedding")[idx].as_py(), dtype=np.float64)
+    # n_probe == n_lists -> exact (degenerates to brute force); rows-only
+    # correctness plus a pytest recall bound cover the approximate regime
+    res = knn_ivf(_read_emb(sf_dir), qvec[None, :], k=10, n_lists=8, n_probe=8)[0]
+    return pa.table({
+        "vec_id": pa.array([v for v, _ in res], pa.int64()),
+        "cos": pa.array([round(c, 6) for _, c in res], pa.float64()),
+    })
+
+
 def _q_knn_lsh(sf_dir: str):
     from ics_search_engine_ray.stages.similarity import knn_lsh
     import pyarrow.parquet as pq
@@ -428,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "quality_stats": _q_quality,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
@@ -476,6 +493,15 @@ FROM scores ORDER BY s DESC, doc_id LIMIT 10"""
             "GROUP BY term ORDER BY df DESC, term LIMIT 100"),
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
+        "knn_ivf": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                         (SELECT qe FROM q)), 6) AS DOUBLE) AS cos
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC,
+         vec_id
+LIMIT 10""",
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

@@ -99,6 +99,20 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray
+    from .merge import merge_indexes
+
+    man = merge_indexes(args.indexes, args.out, near_dedup=not args.no_dedup)
+    print(json.dumps({"num_docs": man["num_docs"],
+                      "dropped": man["num_dropped"],
+                      "postings": sum(r["num_postings"] for r in man["partitions"]),
+                      "build_secs": round(man["build_secs"], 2)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_migrate(args) -> int:
     _ray_up(args.num_cpus)
     import ray
@@ -164,6 +178,15 @@ def main(argv=None) -> int:
     q.add_argument("--num-cpus", type=int, default=None)
     q.add_argument("query", nargs="*")
     q.set_defaults(fn=cmd_query)
+
+    mg = sub.add_parser("merge", help="merge built indexes (incremental "
+                                      "indexing / compaction)")
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--no-dedup", action="store_true",
+                    help="skip cross-corpus near-duplicate removal")
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.add_argument("indexes", nargs="+", help="source index dirs")
+    mg.set_defaults(fn=cmd_merge)
 
     m = sub.add_parser("migrate", help="convert a reference full_analytics/ "
                                        "JSON index into this engine's format")

@@ -4,8 +4,14 @@
   (``ray.put``), each batch computes a numpy matmul and emits its *local*
   top-k (the combiner), the driver merges the tiny partials. Nothing but
   (batch x k) rows ever leave the workers.
-- ``knn_lsh``: the scale path — hyperplane-LSH bucket the corpus once, probe
-  only matching buckets (approximate; recall grows with n_tables).
+- ``knn_lsh``: hyperplane-LSH bucket the corpus once, probe only matching
+  buckets (approximate; recall grows with n_tables).
+- ``knn_ivf``: the classic scale path (IVF / coarse quantizer): k-means
+  centroids trained on a driver-side sample, broadcast; each batch scores
+  only the vectors whose nearest centroid is among the query's ``n_probe``
+  closest lists — per-batch masked matmul + local top-k combiner, same
+  merge shape as knn_brute. Recall grows with n_probe (n_probe == n_lists
+  degenerates to exact brute force — tested).
 """
 
 from __future__ import annotations
@@ -128,3 +134,119 @@ def knn_lsh(embeds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 10,
         lst.sort(key=lambda x: (-x[1], x[0]))
         out[qi] = lst[:k]
     return out
+
+
+def _kmeans(sample: np.ndarray, n_lists: int, iters: int = 12,
+            seed: int = 3) -> np.ndarray:
+    """Spherical k-means on a (normalized) sample: cosine assignment, mean
+    update, renormalize. Deterministic (seeded init from sample rows)."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    n_lists = min(n_lists, n)
+    cent = sample[rng.choice(n, size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if members.shape[0]:
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(embeds, query_vecs: np.ndarray, k: int = 10, n_lists: int = 32,
+            n_probe: int = 8, train_sample: int = 4096, seed: int = 3):
+    """Approximate cosine top-k via an IVF coarse quantizer.
+
+    Train: sample -> spherical k-means (driver; centroids are tiny and
+    broadcast). Search: one streaming pass — each batch assigns its vectors
+    to their nearest centroid, keeps only rows whose list is probed by some
+    query, and emits per-query local top-k; the driver merges (batch x k)
+    partials exactly like knn_brute. No separate "build index" pass is
+    needed for one-shot queries; for repeated querying, persist the
+    ``list_id`` column once with ``ivf_assign`` and filter on it.
+    """
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+
+    # ---- train on a bounded sample ----
+    n_total = embeds.count()
+    frac = min(1.0, train_sample / max(n_total, 1))
+    sample_rows = embeds.random_sample(frac, seed=seed).take_all() \
+        if frac < 1.0 else embeds.take_all()
+    smat = _normalize(np.array([r["embedding"] for r in sample_rows],
+                               dtype=np.float64))
+    cent = _kmeans(smat, n_lists, seed=seed)
+
+    # ---- per-query probe lists ----
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :min(n_probe, cent.shape[0])]
+    probed_any = np.zeros(cent.shape[0], dtype=bool)
+    probed_any[np.unique(probes)] = True
+    # per-list bitmask of which queries probe it: (n_lists, nq)
+    probe_mask = np.zeros((cent.shape[0], q.shape[0]), dtype=bool)
+    for qi in range(q.shape[0]):
+        probe_mask[probes[qi], qi] = True
+    state_ref = ray.put((q, cent, probed_any, probe_mask))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm, cm, p_any, p_mask = ray.get(state_ref)
+        ids, vecs = _batch_vecs(batch)
+        vn = _normalize(vecs)
+        assign = np.argmax(vn @ cm.T, axis=1)
+        keep = p_any[assign]
+        empty = pa.table({"q": pa.array([], pa.int32()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if not keep.any():
+            return empty
+        ids, vn, assign = ids[keep], vn[keep], assign[keep]
+        sim = qm @ vn.T                              # (nq, nb_kept)
+        allowed = p_mask[assign].T                   # (nq, nb_kept)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(qm.shape[0]):
+            cols = np.flatnonzero(allowed[qi])
+            if not cols.size:
+                continue
+            s = sim[qi, cols]
+            kk = min(k, cols.size)
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < cols.size else np.arange(cols.size)
+            for j in idx:
+                out_q.append(qi)
+                out_id.append(int(ids[cols[j]]))
+                out_cos.append(float(s[j]))
+        if not out_q:
+            return empty
+        return pa.table({"q": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cos": pa.array(out_cos, pa.float64())})
+
+    parts = embeds.map_batches(partial_topk, batch_format="pyarrow")
+    per_q: List[List[Tuple[int, float]]] = [[] for _ in range(q.shape[0])]
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qi, vid, cos in zip(b.column("q").to_pylist(),
+                                b.column("vec_id").to_pylist(),
+                                b.column("cos").to_pylist()):
+            per_q[qi].append((vid, cos))
+    out = []
+    for lst in per_q:
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        out.append(lst[:k])
+    return out
+
+
+def ivf_assign(embeds, centroids: np.ndarray):
+    """Persistable IVF assignment: adds a ``list_id`` column (write the
+    result partitioned by list_id for a reusable on-disk IVF index)."""
+    import ray
+
+    cent_ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        _, vecs = _batch_vecs(batch)
+        vn = _normalize(vecs)
+        lid = np.argmax(vn @ cm.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(lid, pa.int32()))
+
+    return embeds.map_batches(assign, batch_format="pyarrow")

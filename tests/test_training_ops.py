@@ -235,3 +235,34 @@ def test_simhash_banding_exact_across_band_configs(ray_session):
         results[(bands, bcast)] = (frozenset(res.dropped),
                                    tuple(tuple(c) for c in res.clusters))
     assert len(set(results.values())) == 1     # all four modes identical
+
+
+def test_knn_ivf_recall_and_exact_degenerate(emb_ds, sf_dir):
+    from ics_search_engine_ray.stages.similarity import knn_brute, knn_ivf
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
+    exact = knn_brute(emb_ds, q[None, :], k=10)[0]
+    # n_probe == n_lists probes everything -> must EQUAL brute force
+    full = knn_ivf(emb_ds, q[None, :], k=10, n_lists=8, n_probe=8)[0]
+    assert [(v, round(c, 9)) for v, c in full] == \
+           [(v, round(c, 9)) for v, c in exact]
+    # partial probing: reasonable recall on near-orthogonal random vectors
+    approx = knn_ivf(emb_ds, q[None, :], k=10, n_lists=16, n_probe=6)[0]
+    got = {v for v, _ in approx}
+    want = {v for v, _ in exact}
+    assert len(got & want) >= 5
+    # multi-query shape
+    q2 = np.stack([q, np.array(t.column("embedding")[1].as_py())])
+    multi = knn_ivf(emb_ds, q2, k=5, n_lists=8, n_probe=8)
+    assert len(multi) == 2 and all(len(m) == 5 for m in multi)
+
+
+def test_ivf_assign_persistable(emb_ds):
+    from ics_search_engine_ray.stages.similarity import _kmeans, _normalize, ivf_assign
+    rows = emb_ds.take(64)
+    smat = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    cent = _kmeans(smat, 4)
+    assigned = ivf_assign(emb_ds, cent)
+    got = assigned.take(20)
+    assert all(0 <= r["list_id"] < 4 for r in got)
