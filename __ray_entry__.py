@@ -318,6 +318,16 @@ def _q_embedding_dedup(sf_dir: str):
     })
 
 
+def _q_cosine_pairs(sf_dir: str):
+    from ics_search_engine_ray.stages.similarity import cosine_pairs_exact
+    pairs = cosine_pairs_exact(_read_emb(sf_dir), threshold=0.4)
+    return pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+        "cos": pa.array([p[2] for p in pairs], pa.float64()),
+    })
+
+
 def _q_knn_ivf(sf_dir: str):
     from ics_search_engine_ray.stages.similarity import knn_ivf
     import pyarrow.parquet as pq
@@ -445,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "cosine_pairs_exact": _q_cosine_pairs,
         "quality_stats": _q_quality,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
@@ -531,6 +542,34 @@ SELECT doc_id,
                   * 1.0 / length(text), 6) END AS DOUBLE) AS digit_ratio
 FROM w""",
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "ngram_jaccard_pairs": """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
+  FROM w)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+            len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+ORDER BY a, b""",
+        "cosine_pairs_exact": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(round(list_cosine_similarity(a.e, b.e), 6) AS DOUBLE) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.4 - 1e-12
+ORDER BY a, b""",
         "media_features": """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

@@ -250,3 +250,51 @@ def ivf_assign(embeds, centroids: np.ndarray):
         return batch.append_column("list_id", pa.array(lid, pa.int32()))
 
     return embeds.map_batches(assign, batch_format="pyarrow")
+
+
+def cosine_pairs_exact(embeds, threshold: float = 0.99):
+    """EXACT all-pairs cosine join: every (a, b, cos) with cos >= threshold.
+
+    The normalized matrix broadcasts once (``ray.put``); each batch computes
+    one (batch x N) matmul and emits only its above-threshold pairs with
+    a < b — O(N^2/2) FLOPs spread across batches, only result pairs move.
+    This is the ground-truth/verification counterpart of the approximate
+    ``embedding_dedup`` (LSH) path; the broadcast bounds it to corpora whose
+    matrix fits the object store (at larger N, tile block-pairs instead).
+
+    Returns a sorted list of (a, b, cos) — the result set, small by
+    construction for near-dup thresholds.
+    """
+    import ray
+
+    ids_parts, vec_parts = [], []
+    for b in embeds.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            i, v = _batch_vecs(b)
+            ids_parts.append(i.copy())
+            vec_parts.append(_normalize(v))
+    if not ids_parts:
+        return []
+    all_ids = np.concatenate(ids_parts)
+    all_vecs = np.vstack(vec_parts)
+    ref = ray.put((all_ids, all_vecs))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        gids, gvecs = ray.get(ref)
+        ids, vecs = _batch_vecs(batch)
+        vn = _normalize(vecs)
+        sim = vn @ gvecs.T                           # (nb, N)
+        mask = (sim >= threshold - 1e-12) & (ids[:, None] < gids[None, :])
+        ii, jj = np.nonzero(mask)
+        return pa.table({
+            "a": pa.array(ids[ii], pa.int64()),
+            "b": pa.array(gids[jj], pa.int64()),
+            "cos": pa.array(np.round(sim[ii, jj], 6), pa.float64()),
+        })
+
+    out = []
+    for b in embeds.map_batches(pairs, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        out.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist(),
+                       b.column("cos").to_pylist()))
+    return sorted(out)

@@ -266,3 +266,19 @@ def test_ivf_assign_persistable(emb_ds):
     assigned = ivf_assign(emb_ds, cent)
     got = assigned.take(20)
     assert all(0 <= r["list_id"] < 4 for r in got)
+
+
+def test_cosine_pairs_exact_matches_numpy(emb_ds, sf_dir):
+    from ics_search_engine_ray.stages.similarity import cosine_pairs_exact
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = matn @ matn.T
+    want = sorted((int(min(ids[i], ids[j])), int(max(ids[i], ids[j])),
+                   round(float(sim[i, j]), 6))
+                  for i in range(len(ids)) for j in range(i + 1, len(ids))
+                  if sim[i, j] >= 0.4 - 1e-12)
+    got = cosine_pairs_exact(emb_ds, threshold=0.4)
+    assert got == want
