@@ -318,6 +318,22 @@ def _q_embedding_dedup(sf_dir: str):
     })
 
 
+def _q_window_agg(sf_dir: str):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import tumbling_window_agg
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+    return tumbling_window_agg(ev, window_secs=3600)
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import sessionize
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    return sessionize(ev, gap_secs=1800)
+
+
 def _q_cosine_pairs(sf_dir: str):
     from ics_search_engine_ray.stages.similarity import cosine_pairs_exact
     pairs = cosine_pairs_exact(_read_emb(sf_dir), threshold=0.4)
@@ -456,6 +472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "cosine_pairs_exact": _q_cosine_pairs,
+        "window_agg": _q_window_agg,
+        "sessionize": _q_sessionize,
         "quality_stats": _q_quality,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
@@ -542,6 +560,26 @@ SELECT doc_id,
                   * 1.0 / length(text), 6) END AS DOUBLE) AS digit_ratio
 FROM w""",
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "window_agg": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid""",
         "ngram_jaccard_pairs": """
 WITH w AS (
   SELECT doc_id,

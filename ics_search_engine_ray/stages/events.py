@@ -1,0 +1,107 @@
+"""Event-stream batch operators: tumbling-window aggregation and
+sessionization (the "windowed aggregate" class of custom operators the task
+brief calls out — Ray Data has no native window primitive, so both are
+expressed as key-partitioned compositions, per the documented pattern:
+map_batches window assignment + groupby for tumbling windows; coarse-keyed
+groupby + vectorized run detection for sessions).
+
+Partitioning assumptions (documented per brief):
+- tumbling windows are a pure function of the row -> embarrassingly
+  parallel; the groupby key (window, type) is low-cardinality and safe;
+- sessionization requires co-locating each user's events; the shuffle key
+  is ``user_id % G`` (G coarse groups bound the per-call Python overhead;
+  all real work is vectorized run detection over the sorted group). Skewed
+  single users stay within one group — salt by day first if one user can
+  exceed a worker's memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window_agg(events, window_secs: int = 3600):
+    """events(ts, event_type, value) -> per (window_start, event_type):
+    n_events + sum_value (rounded 1e-6). Tumbling (non-overlapping) windows
+    aligned to the epoch."""
+    from ray.data.aggregate import Count, Sum
+
+    us = int(window_secs) * 1_000_000
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // us) * us
+        return pa.table({
+            "window_us": pa.array(w, pa.int64()),
+            "event_type": b.column("event_type"),
+            "value": b.column("value"),
+        })
+
+    agg = (events.select_columns(["ts", "event_type", "value"])
+           .map_batches(add_window, batch_format="pyarrow")
+           .groupby(["window_us", "event_type"])
+           .aggregate(Count(), Sum("value")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        sv = b.column("sum(value)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_start": b.column("window_us").cast(pa.timestamp("us")),
+            "event_type": b.column("event_type"),
+            "n_events": b.column("count()").cast(pa.int64()),
+            "sum_value": pa.array(np.round(sv, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(events, gap_secs: int = 1800, num_groups: int = 64):
+    """events(event_id, ts, user_id, value) -> one row per session:
+    (user_id, session_start, n_events, sum_value).
+
+    A session is a maximal run of a user's events (ordered by ts, event_id)
+    whose consecutive gaps are <= gap_secs. Stateful only WITHIN a user:
+    groupby co-locates each user's events, then run detection is one
+    vectorized pass per coarse group.
+    """
+    gap_us = int(gap_secs) * 1_000_000
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("_g", pa.array(u % num_groups, pa.int64()))
+
+    def sessions(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        sid = np.cumsum(new_sess) - 1
+        counts = np.bincount(sid)
+        sums = np.bincount(sid, weights=val)
+        starts = np.flatnonzero(new_sess)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_start": pa.array(ts[starts], pa.int64()).cast(pa.timestamp("us")),
+            "n_events": pa.array(counts, pa.int64()),
+            "sum_value": pa.array(np.round(sums, 6), pa.float64()),
+        })
+
+    return (events.select_columns(["event_id", "ts", "user_id", "value"])
+            .map_batches(add_gkey, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: sessions(g.drop(["_g"])),
+                        batch_format="pyarrow"))

@@ -1,0 +1,74 @@
+"""Event-stream operators: tumbling-window aggregate + sessionization
+(hand-computed goldens; the driver additionally hash-verifies both against
+DuckDB window-function oracles at sf0.01)."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+
+def _events(rows):
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+def test_tumbling_window_agg(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import tumbling_window_agg
+
+    rows = [
+        (0, _ts(5), 1, "click", 1.0),
+        (1, _ts(59), 1, "click", 2.0),
+        (2, _ts(60), 2, "click", 4.0),      # next hour
+        (3, _ts(61), 2, "view", 8.0),
+    ]
+    out = tumbling_window_agg(rd.from_arrow(_events(rows))).take_all()
+    got = {(r["window_start"].hour, r["event_type"]):
+           (r["n_events"], r["sum_value"]) for r in out}
+    assert got == {(0, "click"): (2, 3.0), (1, "click"): (1, 4.0),
+                   (1, "view"): (1, 8.0)}
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import sessionize
+
+    rows = [
+        # user 1: events at 0, 20, 70 min -> gap 20 <= 30 (same session),
+        # gap 50 > 30 (new session)
+        (0, _ts(0), 1, "c", 1.0),
+        (1, _ts(20), 1, "c", 2.0),
+        (2, _ts(70), 1, "c", 4.0),
+        # user 2: single event
+        (3, _ts(10), 2, "c", 8.0),
+        # exactly-30-min gap stays in session (strictly-greater breaks)
+        (4, _ts(100), 3, "c", 16.0),
+        (5, _ts(130), 3, "c", 32.0),
+    ]
+    out = sessionize(rd.from_arrow(_events(rows)), gap_secs=1800).take_all()
+    got = sorted((r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour,
+                  r["n_events"], r["sum_value"]) for r in out)
+    assert got == [(1, 0, 2, 3.0), (1, 70, 1, 4.0),
+                   (2, 10, 1, 8.0), (3, 100, 2, 48.0)]
+
+
+def test_sessionize_order_ties_by_event_id(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import sessionize
+
+    # two events with the SAME ts: run detection must order by event_id
+    rows = [(1, _ts(0), 7, "c", 1.0), (0, _ts(0), 7, "c", 2.0),
+            (2, _ts(29), 7, "c", 4.0)]
+    out = sessionize(rd.from_arrow(_events(rows)), gap_secs=1800).take_all()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 3 and out[0]["sum_value"] == 7.0
