@@ -318,6 +318,12 @@ def _q_embedding_dedup(sf_dir: str):
     })
 
 
+def _q_phrase_match(sf_dir: str):
+    si = _text_index(sf_dir)
+    docs = si.phrase_match("spark join")
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def _q_window_agg(sf_dir: str):
     import ray.data as rd
     from ics_search_engine_ray.stages.events import tumbling_window_agg
@@ -457,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,            # M6 token_count semantics
         "bm25_topk": _q_bm25_topk,                # A3 + Q1-Q6 (TAAT)
         "bm25_topk_wand": _q_bm25_topk_wand,      # block-max WAND path
+        "phrase_match": _q_phrase_match,          # positional index query
         "extract_text": _q_extract_text,          # M1-M3 (rows-only)
         "search_bm25": _q_search_bm25,            # full pipeline (rows-only)
         "search_tfidf_ref": _q_search_tfidf_ref,  # Q3-Q5 parity scorer
@@ -522,6 +529,16 @@ FROM scores ORDER BY s DESC, doc_id LIMIT 10"""
             "GROUP BY term ORDER BY df DESC, term LIMIT 100"),
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
+        "phrase_match": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             x -> length(x) > 1) AS tk
+  FROM documents)
+SELECT doc_id FROM toks
+WHERE len(tk) >= 2
+  AND len(list_filter(range(1, len(tk)),
+          i -> tk[i] = 'spark' AND tk[i+1] = 'join')) > 0
+ORDER BY doc_id""",
         "knn_ivf": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

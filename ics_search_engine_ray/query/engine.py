@@ -245,6 +245,37 @@ class SearchIndex:
         # reference defrags at result-render time (search.py:194)
         return url.split("#", 1)[0]
 
+    def phrase_match(self, phrase: str) -> List[int]:
+        """doc_ids containing the phrase as CONSECUTIVE index tokens.
+
+        Uses the stored per-posting positions (which the reference wrote but
+        never queried — index_manager.py:17-23). Index-side tokenization
+        (stopwords kept, len-1 tokens dropped before position assignment),
+        so e.g. 'spark x join' indexes spark/join as adjacent. Positions
+        chain by successive (prev+1) ∩ next intersections per doc."""
+        terms = self.tokenizer.tokens(phrase)
+        if not terms:
+            return []
+        tps = [self.term_postings(t, with_positions=True) for t in terms]
+        if any(tp is None for tp in tps):
+            return []
+        common = tps[0].doc_ids
+        for tp in tps[1:]:
+            common = common[np.isin(common, tp.doc_ids, assume_unique=True)]
+        out = []
+        pos_of = [dict(zip(tp.doc_ids.tolist(),
+                           range(tp.doc_ids.size))) for tp in tps]
+        for d in common.tolist():
+            cur = tps[0].positions[pos_of[0][d]]
+            for tp, pmap in zip(tps[1:], pos_of[1:]):
+                nxt = tp.positions[pmap[d]]
+                cur = np.intersect1d(cur + 1, nxt, assume_unique=True)
+                if not cur.size:
+                    break
+            if cur.size:
+                out.append(int(d))
+        return sorted(out)
+
     def _search_tfidf_ref(self, terms: List[str], k: int) -> List[SearchResult]:
         """Reference Q3-Q5 semantics (search.py:141-198)."""
         total_q = len(terms)

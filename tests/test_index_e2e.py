@@ -326,3 +326,33 @@ def test_web_ui_serves_results(built_index):
         assert any(r["title"] for r in api)
     finally:
         srv.shutdown()
+
+
+def test_phrase_match_positions(ray_session, tmp_path):
+    """Positional phrase query: consecutive index tokens, including the
+    len-1-token-drop adjacency quirk and 3-term phrases."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ics_search_engine_ray.pipelines.build import build_index_from_texts
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha x beta"),              # 'x' dropped -> alpha/beta adjacent
+        (3, "beta alpha"),                # wrong order
+        (4, "alpha beta alpha beta gamma"),
+        (5, "gamma alpha"),
+    ]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                             "text": pa.array([r[1] for r in rows])}), src)
+    out = str(tmp_path / "idx")
+    build_index_from_texts(src, out, DEFAULT_CONFIG.with_(stem=False),
+                           skip_dedup=True)
+    si = SearchIndex(out)
+    assert si.phrase_match("alpha beta") == [1, 2, 4]
+    assert si.phrase_match("alpha beta gamma") == [1, 4]
+    assert si.phrase_match("beta alpha") == [3, 4]
+    assert si.phrase_match("gamma delta") == [1]
+    assert si.phrase_match("delta gamma") == []
+    assert si.phrase_match("missingterm beta") == []
+    assert si.phrase_match("alpha") == [1, 2, 3, 4, 5]
