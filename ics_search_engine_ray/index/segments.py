@@ -112,7 +112,8 @@ def write_segment(part_id: int, tbl: pa.Table, out_dir: str,
         term_tbl = _empty_terms_table()
         pq.write_table(term_tbl, base + ".terms.parquet")
         open(base + ".seg", "wb").close()
-        row = _manifest_row(part_id, 0, 0, 0, input_fingerprint, t0)
+        row = _manifest_row(part_id, 0, 0, 0, input_fingerprint, t0,
+                            block_size=cfg.posting_block_size)
         _write_done(base, row)
         return row
 
@@ -139,7 +140,13 @@ def write_segment(part_id: int, tbl: pa.Table, out_dir: str,
                          cfg.bm25_k1, cfg.bm25_b)
 
     # ---- encode streams (whole-partition vectorized) ----
-    ids_delta = _delta_with_resets(doc_ids.astype(np.uint64), start_mask)
+    # delta resets at every BLOCK boundary (not just term starts): each
+    # block's first doc_id is absolute, so any block decodes independently —
+    # the prerequisite for block-level IO skipping (Ding & Suel 2011)
+    B = cfg.posting_block_size
+    within = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    blk_start_mask = (within % B) == 0
+    ids_delta = _delta_with_resets(doc_ids.astype(np.uint64), blk_start_mask)
     ids_bl = _varint_lengths(ids_delta)
     tf_u = tf.astype(np.uint64)
     tf_bl = _varint_lengths(tf_u)
@@ -211,8 +218,16 @@ def write_segment(part_id: int, tbl: pa.Table, out_dir: str,
         acc += len(sections[name])
 
     # ---- block-max / skip metadata (Ding & Suel 2011) ----
-    B = cfg.posting_block_size
+    # per-term, per-block: last doc_id + max score (pruning bounds) AND the
+    # block's byte offset into each stream (relative to the term's stream
+    # start) — block-independent delta resets above make any block
+    # decodable from just these offsets
+    cum_ids = np.concatenate(([0], np.cumsum(ids_bl)))
+    cum_tf = np.concatenate(([0], np.cumsum(tf_bl)))
+    cum_dl = np.concatenate(([0], np.cumsum(dl_bl)))
+    cum_imp = np.concatenate(([0], np.cumsum(imp_bl)))
     block_last, block_max = [], []
+    ids_boff, tf_boff, dl_boff, imp_boff = [], [], [], []
     for i in range(n_terms):
         s, e = starts[i], starts[i] + counts[i]
         d = doc_ids[s:e]
@@ -222,6 +237,11 @@ def write_segment(part_id: int, tbl: pa.Table, out_dir: str,
         maxs = np.maximum.reduceat(sc, np.arange(0, d.size, B))
         block_last.append(lasts.astype(np.int64))
         block_max.append(maxs.astype(np.float32))
+        rows = s + np.arange(0, d.size, B)
+        ids_boff.append((cum_ids[rows] - cum_ids[s]).astype(np.int64))
+        tf_boff.append((cum_tf[rows] - cum_tf[s]).astype(np.int64))
+        dl_boff.append((cum_dl[rows] - cum_dl[s]).astype(np.int64))
+        imp_boff.append((cum_imp[rows] - cum_imp[s]).astype(np.int64))
 
     order = np.argsort(np.array(vocab, dtype=object)[run_codes].astype(str), kind="stable")
     term_names = [vocab[run_codes[i]] for i in order]
@@ -247,6 +267,10 @@ def write_segment(part_id: int, tbl: pa.Table, out_dir: str,
         "pos_len": pa.array(col(pos_len), pa.int32()),
         "block_last": pa.array([block_last[i].tolist() for i in order], pa.list_(pa.int64())),
         "block_max": pa.array([block_max[i].tolist() for i in order], pa.list_(pa.float32())),
+        "ids_boff": pa.array([ids_boff[i].tolist() for i in order], pa.list_(pa.int64())),
+        "tf_boff": pa.array([tf_boff[i].tolist() for i in order], pa.list_(pa.int64())),
+        "dl_boff": pa.array([dl_boff[i].tolist() for i in order], pa.list_(pa.int64())),
+        "imp_boff": pa.array([imp_boff[i].tolist() for i in order], pa.list_(pa.int64())),
     })
 
     # atomic writes: temp name then rename (idempotent under task retry)
@@ -259,7 +283,7 @@ def write_segment(part_id: int, tbl: pa.Table, out_dir: str,
     os.replace(base + ".terms.parquet.tmp", base + ".terms.parquet")
 
     row = _manifest_row(part_id, n_terms, int(n), acc, input_fingerprint, t0,
-                        imp_exact=imp_exact)
+                        imp_exact=imp_exact, block_size=B)
     _write_done(base, row)
     return row
 
@@ -272,19 +296,36 @@ def _empty_terms_table() -> pa.Table:
         **{f"{s}_len": pa.array([], pa.int32()) for s in _STREAMS},
         "block_last": pa.array([], pa.list_(pa.int64())),
         "block_max": pa.array([], pa.list_(pa.float32())),
+        **{f"{s}_boff": pa.array([], pa.list_(pa.int64()))
+           for s in ("ids", "tf", "dl", "imp")},
     }).select(["term", "df", "n",
                "ids_off", "ids_len", "tf_off", "tf_len", "dl_off", "dl_len",
                "imp_off", "imp_len", "npos_off", "npos_len", "pos_off", "pos_len",
-               "block_last", "block_max"])
+               "block_last", "block_max",
+               "ids_boff", "tf_boff", "dl_boff", "imp_boff"])
 
 
-def _manifest_row(part_id, n_terms, n_postings, n_bytes, fingerprint, t0, imp_exact=True):
+def _manifest_row(part_id, n_terms, n_postings, n_bytes, fingerprint, t0,
+                  imp_exact=True, block_size=0):
     return {
         "part": int(part_id), "num_terms": int(n_terms),
         "num_postings": int(n_postings), "seg_bytes": int(n_bytes),
         "imp_varint": bool(imp_exact), "input_fingerprint": fingerprint,
+        "block_size": int(block_size),
         "build_secs": round(time.time() - t0, 4), "status": "complete",
     }
+
+
+def _ids_from_block_deltas(d: np.ndarray, block_size: int) -> np.ndarray:
+    """Reconstruct doc_ids from per-block-reset deltas (first value of every
+    block is absolute), vectorized: global cumsum minus a per-block base."""
+    if d.size == 0:
+        return d.astype(np.int64)
+    cs = np.cumsum(d, dtype=np.uint64)
+    bs = np.arange(0, d.size, block_size)
+    adj = cs[bs] - d[bs]
+    sizes = np.diff(np.append(bs, d.size))
+    return (cs - np.repeat(adj, sizes)).astype(np.int64)
 
 
 def _write_done(base: str, row: dict):
@@ -312,11 +353,18 @@ class SegmentReader:
                                     "npos_off", "npos_len", "pos_off", "pos_len")}
         self._block_last = self._tbl.column("block_last").to_pylist()
         self._block_max = self._tbl.column("block_max").to_pylist()
+        names = self._tbl.schema.names
+        self._boffs = ({s: self._tbl.column(f"{s}_boff").to_pylist()
+                        for s in ("ids", "tf", "dl", "imp")}
+                       if "ids_boff" in names else None)
         with open(base + ".done.json") as f:
             self.meta = json.load(f)
+        self.block_size = int(self.meta.get("block_size", 0))
         self._fh = None
         self._cache: Dict[str, TermPostings] = {}
         self._max_cache = max_cache
+        # IO-skipping observability: block decodes vs whole-term decodes
+        self.stats = {"blocks_decoded": 0, "full_decodes": 0}
 
     def _file(self):
         if self._fh is None:
@@ -342,10 +390,14 @@ class SegmentReader:
         i = self._find(term)
         if i < 0:
             return None
+        self.stats["full_decodes"] += 1
         c = self._cols
         cnt = int(c["n"][i])
-        ids = np.cumsum(decode_varints(self._read(c["ids_off"][i], c["ids_len"][i]), cnt),
-                        dtype=np.uint64).astype(np.int64)
+        d = decode_varints(self._read(c["ids_off"][i], c["ids_len"][i]), cnt)
+        if self.block_size:
+            ids = _ids_from_block_deltas(d, self.block_size)
+        else:                         # pre-block-reset (v1) segment layout
+            ids = np.cumsum(d, dtype=np.uint64).astype(np.int64)
         tf = decode_varints(self._read(c["tf_off"][i], c["tf_len"][i]), cnt).astype(np.int64)
         dl = decode_varints(self._read(c["dl_off"][i], c["dl_len"][i]), cnt).astype(np.int64)
         if self.meta.get("imp_varint", True):
@@ -372,6 +424,58 @@ class SegmentReader:
             self._cache.pop(next(iter(self._cache)))
         self._cache[term] = tp
         return tp
+
+    # ---- block-level access (IO skipping; needs the v2 layout) ----
+
+    def term_handle(self, term: str):
+        """(index, df, n, block_last, block_max) WITHOUT decoding postings —
+        the metadata a lazy block-skipping cursor needs. None if the term is
+        absent or the segment predates the blocked layout."""
+        if self._boffs is None or not self.block_size:
+            return None
+        i = self._find(term)
+        if i < 0:
+            return None
+        return (i, int(self._cols["df"][i]), int(self._cols["n"][i]),
+                np.asarray(self._block_last[i], dtype=np.int64),
+                np.asarray(self._block_max[i], dtype=np.float32))
+
+    def decode_block(self, term_idx: int, blk: int):
+        """Decode ONE block of a term: (doc_ids, tf, doclen, importance).
+
+        Reads only that block's byte ranges of each stream (per-block delta
+        resets make the ids self-contained)."""
+        c = self._cols
+        i = term_idx
+        cnt = int(c["n"][i])
+        B = self.block_size
+        nb = (cnt + B - 1) // B
+        if not (0 <= blk < nb):
+            raise IndexError(blk)
+        bcnt = min(B, cnt - blk * B)
+        bo = self._boffs
+        self.stats["blocks_decoded"] += 1
+
+        def rng(stream, stream_total_len):
+            offs = bo[stream][i]
+            start = int(offs[blk])
+            end = int(offs[blk + 1]) if blk + 1 < len(offs) else int(stream_total_len)
+            return start, end - start
+
+        s, ln = rng("ids", c["ids_len"][i])
+        d = decode_varints(self._read(int(c["ids_off"][i]) + s, ln), bcnt)
+        ids = np.cumsum(d, dtype=np.uint64).astype(np.int64)   # block-local
+        s, ln = rng("tf", c["tf_len"][i])
+        tf = decode_varints(self._read(int(c["tf_off"][i]) + s, ln), bcnt).astype(np.int64)
+        s, ln = rng("dl", c["dl_len"][i])
+        dl = decode_varints(self._read(int(c["dl_off"][i]) + s, ln), bcnt).astype(np.int64)
+        s, ln = rng("imp", c["imp_len"][i])
+        raw = self._read(int(c["imp_off"][i]) + s, ln)
+        if self.meta.get("imp_varint", True):
+            imp = decode_varints(raw, bcnt).astype(np.float64) / 4.0
+        else:
+            imp = np.frombuffer(raw, dtype=np.float32).astype(np.float64)
+        return ids, tf, dl, imp
 
     def terms(self):
         return list(self._terms)

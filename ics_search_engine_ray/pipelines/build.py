@@ -189,8 +189,9 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     fingerprint = hashlib.md5(
         f"{os.path.abspath(input_path)}|{cfg.num_index_partitions}|{cfg.head_term_salt}|"
         f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|{skip_dedup}|"
-        f"{cfg.dynamic_salt_df_frac}|v2".encode()).hexdigest()[:16]
-    # (version bump v2: Porter stemmer moved to NLTK_EXTENSIONS semantics)
+        f"{cfg.dynamic_salt_df_frac}|v3".encode()).hexdigest()[:16]
+    # (v2: Porter stemmer moved to NLTK_EXTENSIONS; v3: blocked segment
+    # layout with per-block delta resets + block byte offsets)
 
     # ---- 1-3: extract + tokenize checkpoint ----
     # The tokenized relation is materialized ONCE into the object store and

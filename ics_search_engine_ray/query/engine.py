@@ -222,6 +222,8 @@ class SearchIndex:
         qtf: Dict[str, int] = {}
         for t in terms:
             qtf[t] = qtf.get(t, 0) + 1
+        if algo == "wand_lazy":
+            return self._search_bm25_lazy(qtf, k)
         posts = {t: self._scored(t, "bm25") for t in qtf}
         posts = {t: p for t, p in posts.items() if p is not None}
         if not posts:
@@ -244,6 +246,49 @@ class SearchIndex:
     def _defrag(url: str) -> str:
         # reference defrags at result-render time (search.py:194)
         return url.split("#", 1)[0]
+
+    def _search_bm25_lazy(self, qtf: Dict[str, int], k: int) -> List[SearchResult]:
+        """Block-skipping WAND: the IO-scale query path. Unsalted terms get
+        a lazy cursor that decodes ONLY the blocks the document-at-a-time
+        loop lands in (seeks driven by block_last skip whole blocks without
+        IO); salted / legacy-layout terms fall back to eager merged cursors
+        — the two kinds mix freely in one query. Results are identical to
+        TAAT/eager WAND (same per-posting scores, same canonical-order
+        accumulation, same tie-break; tested)."""
+        from .wand import _Cursor, _LazyCursor, wand_topk_cursors
+
+        term_list = list(qtf)
+        cursors = []
+        for oi, t in enumerate(term_list):
+            parts = self._parts_for_term(t)
+            handle = reader = None
+            if len(parts) == 1:
+                reader = self._reader(parts[0])
+                handle = reader.term_handle(t)
+            if handle is not None:
+                df = handle[1]
+                score_fn = (lambda df_: lambda tf, imp, dl: bm25_scores(
+                    tf, imp, dl, df_, self.num_docs, self.avgdl,
+                    self.cfg.bm25_k1, self.cfg.bm25_b))(df)
+                cursors.append(_LazyCursor(reader, handle, score_fn,
+                                           float(qtf[t]), oi))
+            else:
+                mp = self._scored(t, "bm25")
+                if mp is not None:
+                    cursors.append(_Cursor(mp.doc_ids, mp.scores,
+                                           mp.block_last, mp.block_max,
+                                           float(qtf[t]), oi))
+        ranked = wand_topk_cursors(cursors, k)
+        urls = self._urls()
+        titles = self._titles()
+        out = []
+        for d, s, ords in ranked:
+            d = int(d)
+            out.append(SearchResult(
+                url=self._defrag(urls.get(d, "")), doc_id=d, score=float(s),
+                matched_terms=[term_list[o] for o in ords],
+                title=titles.get(d, "") or ""))
+        return out
 
     def phrase_match(self, phrase: str) -> List[int]:
         """doc_ids containing the phrase as CONSECUTIVE index tokens.

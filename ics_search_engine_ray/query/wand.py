@@ -40,7 +40,7 @@ class _Cursor:
             return
         self.pos += int(np.searchsorted(self.doc_ids[self.pos:], target, side="left"))
 
-    def block_ub(self, doc: int, block_size: int) -> float:
+    def block_ub(self, doc: int) -> float:
         """Upper bound of the block containing the first doc_id >= doc."""
         if self.block_last.size == 0:
             return 0.0
@@ -49,6 +49,82 @@ class _Cursor:
             return 0.0
         return float(self.block_max[bi]) * self.qw
 
+    def score_cur(self) -> float:
+        return float(self.scores[self.pos])
+
+    def advance(self):
+        self.pos += 1
+
+
+class _LazyCursor:
+    """Block-skipping cursor over a SegmentReader term handle: decodes a
+    block's postings (and scores them) only when the document-at-a-time loop
+    actually lands in it — seeks driven by ``block_last`` move PAST blocks
+    without any IO or decode (the point of the block-max layout)."""
+
+    __slots__ = ("reader", "ti", "n", "B", "block_last", "block_max",
+                 "score_fn", "qw", "ord", "ub", "pos", "_blk", "_ids", "_scores")
+
+    def __init__(self, reader, handle, score_fn, qw: float, ord_idx: int):
+        ti, df, n, block_last, block_max = handle
+        self.reader = reader
+        self.ti = ti
+        self.n = int(n)
+        self.B = int(reader.block_size)
+        self.block_last = block_last
+        self.block_max = block_max
+        self.score_fn = score_fn
+        self.qw = qw
+        self.ord = ord_idx
+        self.ub = float(block_max.max()) * qw if block_max.size else 0.0
+        self.pos = 0
+        self._blk = -1
+        self._ids = None
+        self._scores = None
+
+    def _ensure(self):
+        blk = self.pos // self.B
+        if blk != self._blk:
+            ids, tf, dl, imp = self.reader.decode_block(self.ti, blk)
+            self._ids = ids
+            self._scores = self.score_fn(tf, imp, dl)
+            self._blk = blk
+
+    def cur(self) -> int:
+        if self.pos >= self.n:
+            return 1 << 62
+        self._ensure()
+        return int(self._ids[self.pos - self._blk * self.B])
+
+    def seek(self, target: int):
+        if self.pos >= self.n:
+            return
+        bi = int(np.searchsorted(self.block_last, target, side="left"))
+        if bi >= self.block_last.size:
+            self.pos = self.n                  # past the last posting
+            return
+        if bi * self.B > self.pos:
+            self.pos = bi * self.B             # whole blocks skipped, no IO
+        self._ensure()
+        local = self.pos - self._blk * self.B
+        self.pos = self._blk * self.B + local + int(
+            np.searchsorted(self._ids[local:], target, side="left"))
+
+    def block_ub(self, doc: int) -> float:
+        if self.block_last.size == 0:
+            return 0.0
+        bi = int(np.searchsorted(self.block_last, doc, side="left"))
+        if bi >= self.block_max.size:
+            return 0.0
+        return float(self.block_max[bi]) * self.qw
+
+    def score_cur(self) -> float:
+        self._ensure()
+        return float(self._scores[self.pos - self._blk * self.B])
+
+    def advance(self):
+        self.pos += 1
+
 
 def wand_topk(term_postings: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]],
               k: int, block_size: int = 128) -> List[Tuple[int, float]]:
@@ -56,6 +132,16 @@ def wand_topk(term_postings: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, 
     block_max, query_weight). Returns [(doc_id, score)] ranked by
     (-score, doc_id)."""
     cursors = [_Cursor(*tp, ord_idx=i) for i, tp in enumerate(term_postings) if tp[0].size]
+    return [(d, s) for d, s, _ in wand_topk_cursors(cursors, k)]
+
+
+def wand_topk_cursors(cursors, k: int):
+    """Generic WAND loop over cursor objects (eager or lazy, mixable).
+
+    Returns [(doc_id, score, matched_ords)] ranked by (-score, doc_id) —
+    matched_ords are the ``ord`` tags of the cursors that contained the doc
+    (free here; the lazy path would otherwise need extra decodes for
+    matched-terms assembly)."""
     if not cursors:
         return []
     heap: List[Tuple[float, int]] = []   # (score, -doc_id) min-heap of top-k
@@ -87,7 +173,7 @@ def wand_topk(term_postings: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, 
         bub = 0.0
         d_prime = (1 << 62)
         for c in cursors[: pivot_idx + 1]:
-            bub += c.block_ub(pivot_doc, block_size)
+            bub += c.block_ub(pivot_doc)
             bi = int(np.searchsorted(c.block_last, pivot_doc, side="left"))
             if bi < c.block_last.size:
                 d_prime = min(d_prime, int(c.block_last[bi]))
@@ -115,14 +201,14 @@ def wand_topk(term_postings: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, 
             hits.sort(key=lambda c: c.ord)
             score = 0.0
             for c in hits:
-                score += float(c.scores[c.pos]) * c.qw
-                c.pos += 1
-            entry = (score, -pivot_doc)
+                score += c.score_cur() * c.qw
+                c.advance()
+            entry = (score, -pivot_doc, tuple(c.ord for c in hits))
             if len(heap) < k:
                 heapq.heappush(heap, entry)
                 if len(heap) == k:
                     theta = heap[0][0]
-            elif entry > heap[0]:
+            elif entry[:2] > heap[0][:2]:
                 heapq.heapreplace(heap, entry)
                 theta = heap[0][0]
         else:
@@ -130,6 +216,6 @@ def wand_topk(term_postings: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, 
             for c in cursors[:pivot_idx]:
                 c.seek(pivot_doc)
 
-    out = [(-nd, s) for s, nd in heap]
+    out = [(-nd, s, ords) for s, nd, ords in heap]
     out.sort(key=lambda x: (-x[1], x[0]))
     return out

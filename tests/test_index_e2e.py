@@ -356,3 +356,56 @@ def test_phrase_match_positions(ray_session, tmp_path):
     assert si.phrase_match("delta gamma") == []
     assert si.phrase_match("missingterm beta") == []
     assert si.phrase_match("alpha") == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_lazy_equals_taat(built_index, query):
+    """Block-skipping lazy WAND (mixed lazy + eager-salted cursors) must be
+    result-identical to exhaustive TAAT."""
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    a = si.search(query, k=10, algo="taat")
+    b = si.search(query, k=10, algo="wand_lazy")
+    assert [(r.doc_id, round(r.score, 10), sorted(r.matched_terms), r.url, r.title)
+            for r in a] == \
+           [(r.doc_id, round(r.score, 10), sorted(r.matched_terms), r.url, r.title)
+            for r in b], query
+
+
+def test_wand_lazy_skips_blocks(ray_session, tmp_path):
+    """The lazy path must actually SKIP block decodes: a selective query
+    (rare high-scoring term + broad common term) over many small blocks
+    decodes only a fraction of the common term's blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ics_search_engine_ray.pipelines.build import build_index_from_texts
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(3000):
+        # doclen grows with doc_id -> BM25 for 'common' decays across blocks,
+        # so block maxima fall below theta after the first blocks (prunable)
+        size = 5 + 3 * (i // 64)
+        body = " ".join(rng.choice([f"w{j:03d}" for j in range(400)], size=size).tolist())
+        text = f"common {body}"                  # 'common' in every doc
+        if i == 2345:
+            text = "needle " + text              # rare term, one doc
+        rows.append((i, text))
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                             "text": pa.array([r[1] for r in rows])}), src)
+    out = str(tmp_path / "idx")
+    cfg = DEFAULT_CONFIG.with_(stem=False, posting_block_size=64,
+                               num_index_partitions=1, head_term_salt=0)
+    build_index_from_texts(src, out, cfg, skip_dedup=True)
+    si = SearchIndex(out, cfg=cfg)
+    lazy = si.search("needle common", k=3, algo="wand_lazy")
+    taat = si.search("needle common", k=3, algo="taat")
+    assert [(r.doc_id, round(r.score, 10)) for r in lazy] == \
+           [(r.doc_id, round(r.score, 10)) for r in taat]
+    stats = si._reader(0).stats
+    total_common_blocks = (3000 + 63) // 64
+    # eager would decode all ~47 blocks of 'common'; lazy must prune most of
+    # them (theta from the short-doc blocks dominates later block maxima)
+    assert 0 < stats["blocks_decoded"] <= total_common_blocks // 3
