@@ -477,6 +477,11 @@ class SegmentReader:
             imp = np.frombuffer(raw, dtype=np.float32).astype(np.float64)
         return ids, tf, dl, imp
 
+    def df(self, term: str) -> int:
+        """Document frequency from the term dictionary alone (no decode)."""
+        i = self._find(term)
+        return int(self._cols["df"][i]) if i >= 0 else 0
+
     def terms(self):
         return list(self._terms)
 

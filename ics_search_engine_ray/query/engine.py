@@ -193,6 +193,14 @@ class SearchIndex:
                     self._link_scores[u] = (a, h, r)
         return self._link_scores
 
+    def _df_quick(self, term: str) -> int:
+        """df without decoding postings (head_df for salted terms, term-dict
+        lookup otherwise)."""
+        if self.S > 0 and term in self.head_df:
+            return int(self.head_df[term])
+        from ..pipelines.build import term_partition
+        return self._reader(term_partition(term, self.P)).df(term)
+
     def _scored(self, term: str, scorer: str) -> Optional[_MergedPostings]:
         tp = self.term_postings(term)
         if tp is None:
@@ -222,6 +230,13 @@ class SearchIndex:
         qtf: Dict[str, int] = {}
         for t in terms:
             qtf[t] = qtf.get(t, 0) + 1
+        if algo == "auto":
+            # candidate volume from the term DICTIONARY alone (no posting
+            # decode): vectorized TAAT wins until the volume is large enough
+            # that block skipping pays; then the lazy path avoids ever
+            # decoding the skipped blocks
+            est = sum(self._df_quick(t) for t in qtf)
+            algo = "wand_lazy" if est > 5_000_000 and len(qtf) > 1 else "taat"
         if algo == "wand_lazy":
             return self._search_bm25_lazy(qtf, k)
         posts = {t: self._scored(t, "bm25") for t in qtf}
