@@ -31,7 +31,7 @@ from ..config import EngineConfig
 from ..index.scoring import bm25_scores, tfidf_ref_scores
 from ..index.segments import SegmentReader
 from .engine import (SearchIndex, SearchResult, _MergedPostings, block_bounds,
-                     rank_topk)
+                     rank_topk, tfidf_ref_rank)
 
 
 class SearchShardActor:
@@ -115,6 +115,29 @@ class ShardedSearchIndex:
             return list(range(self.P, self.P + self.S))
         return [term_partition(term, self.P)]
 
+    def _full_urls(self):
+        if not hasattr(self, "_all_urls"):
+            import pyarrow.parquet as pq
+            t = pq.read_table(os.path.join(self.index_dir, "docmeta"),
+                              columns=["doc_id", "url"])
+            self._all_urls = dict(zip(t.column("doc_id").to_pylist(),
+                                      t.column("url").to_pylist()))
+        return self._all_urls
+
+    def _full_links(self):
+        if not hasattr(self, "_all_links"):
+            import pyarrow.parquet as pq
+            p = os.path.join(self.index_dir, "link_scores.parquet")
+            self._all_links = {}
+            if os.path.exists(p):
+                t = pq.read_table(p)
+                for u, a, h, r in zip(t.column("url").to_pylist(),
+                                      t.column("auth").to_pylist(),
+                                      t.column("hub").to_pylist(),
+                                      t.column("pagerank").to_pylist()):
+                    self._all_links[u] = (a, h, r)
+        return self._all_links
+
     # ---- lookup for result assembly (filtered parquet read, cached) ----
 
     def _meta_of(self, doc_ids: List[int]) -> Dict[int, Tuple[str, str]]:
@@ -175,6 +198,19 @@ class ShardedSearchIndex:
             posts[t] = _MergedPostings(chunks[0][3], ids, sc, bl, bm)
         if not posts:
             return []
+        if scorer == "tfidf-ref":
+            # reference-parity combined scorer: link signals enter BEFORE
+            # ranking, so this mode loads the full url/link maps (it is the
+            # parity mode, not the scale path)
+            ranked = tfidf_ref_rank(posts, terms, k, self._full_urls(),
+                                    self._full_links())
+            out = []
+            for d, s, matched, url in ranked:
+                title = self._meta_of([d]).get(d, ("", ""))[1]
+                out.append(SearchResult(url=SearchIndex._defrag(url), doc_id=d,
+                                        score=s, matched_terms=matched,
+                                        title=title))
+            return out
         top_ids, top_scores = rank_topk(posts, qtf, k, self.block_size, algo)
         meta = self._meta_of([int(d) for d in top_ids])
         out = []

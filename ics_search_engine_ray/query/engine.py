@@ -97,6 +97,61 @@ def rank_topk(posts: Dict[str, _MergedPostings], qtf: Dict[str, int], k: int,
     return uniq[order].tolist(), acc[order].tolist()
 
 
+def tfidf_ref_rank(posts: Dict[str, _MergedPostings], terms: List[str], k: int,
+                   url_of: Dict[int, str],
+                   link_scores: Dict[str, Tuple[float, float, float]]):
+    """Reference Q3-Q5 combined scoring (search.py:141-198), shared by the
+    local index and the sharded actor client. Returns
+    [(doc_id, combined_score, matched_terms, url)] ranked by
+    (-score, doc_id).
+
+    Note: the combined score folds per-URL link signals in BEFORE ranking,
+    so every candidate needs a url lookup — inherently a full-map scorer
+    (it is the reference-parity mode, not the scale path)."""
+    total_q = len(terms)
+    qtf: Dict[str, int] = {}
+    for t in terms:
+        qtf[t] = qtf.get(t, 0) + 1
+    qvec = {t: c / total_q for t, c in qtf.items()}       # search.py:84-99
+
+    all_ids = np.concatenate([p.doc_ids for p in posts.values()])
+    all_sc = np.concatenate([p.scores * qvec[t] for t, p in posts.items()])
+    all_qc = np.concatenate([np.full(p.doc_ids.size, qtf[t], dtype=np.float64)
+                             for t, p in posts.items()])
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    tfidf_sum = np.bincount(inv, weights=all_sc, minlength=uniq.size)
+    n_matched = np.bincount(inv, minlength=uniq.size).astype(np.float64)
+    qcnt_sum = np.bincount(inv, weights=all_qc, minlength=uniq.size)
+
+    # cosine quirk (search.py:101-130): query vector = per-term counts
+    # (csr duplicate indices sum); doc vector = the doc's accumulated
+    # combined tf-idf score at each matched-term index.
+    qnorm = float(np.sqrt(sum(c * c for c in qtf.values())))
+    dnorm = np.abs(tfidf_sum) * np.sqrt(n_matched)
+    dot = tfidf_sum * qcnt_sum
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where((dnorm > 0) & (qnorm > 0), dot / (qnorm * dnorm), 0.0)
+
+    term_boost = n_matched / total_q
+    url_arr = [url_of.get(int(d), "") for d in uniq]
+    auth = np.array([link_scores.get(u, (0.0, 0.0, 0.0))[0] for u in url_arr])
+    hub = np.array([link_scores.get(u, (0.0, 0.0, 0.0))[1] for u in url_arr])
+    pr = np.array([link_scores.get(u, (0.0, 0.0, 0.0))[2] for u in url_arr])
+
+    combined = (0.2 * tfidf_sum + 0.2 * cos + 0.6 * term_boost
+                + 0.1 * auth + 0.1 * hub + 0.2 * pr)      # search.py:183-190
+    kk = min(k, uniq.size)
+    order = np.lexsort((uniq, -combined))[:kk]
+    out = []
+    for i in order:
+        d = int(uniq[i])
+        matched = [t for t, p in posts.items()
+                   if p.doc_ids[np.searchsorted(p.doc_ids, d):np.searchsorted(p.doc_ids, d) + 1].size
+                   and p.doc_ids[np.searchsorted(p.doc_ids, d)] == d]
+        out.append((d, float(combined[i]), matched, url_arr[i]))
+    return out
+
+
 class SearchIndex:
     """Loads an index directory produced by pipelines/build.py."""
 
@@ -338,55 +393,19 @@ class SearchIndex:
 
     def _search_tfidf_ref(self, terms: List[str], k: int) -> List[SearchResult]:
         """Reference Q3-Q5 semantics (search.py:141-198)."""
-        total_q = len(terms)
         qtf: Dict[str, int] = {}
         for t in terms:
             qtf[t] = qtf.get(t, 0) + 1
-        qvec = {t: c / total_q for t, c in qtf.items()}   # search.py:84-99
-
         posts = {t: self._scored(t, "tfidf") for t in qtf}
         posts = {t: p for t, p in posts.items() if p is not None}
         if not posts:
             return []
-        all_ids = np.concatenate([p.doc_ids for p in posts.values()])
-        all_sc = np.concatenate([p.scores * qvec[t] for t, p in posts.items()])
-        all_qc = np.concatenate([np.full(p.doc_ids.size, qtf[t], dtype=np.float64)
-                                 for t, p in posts.items()])
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        tfidf_sum = np.bincount(inv, weights=all_sc, minlength=uniq.size)
-        n_matched = np.bincount(inv, minlength=uniq.size).astype(np.float64)
-        qcnt_sum = np.bincount(inv, weights=all_qc, minlength=uniq.size)
-
-        # cosine quirk (search.py:101-130): query vector = per-term counts
-        # (csr duplicate indices sum); doc vector = the doc's accumulated
-        # combined tf-idf score at each matched-term index.
-        qnorm = float(np.sqrt(sum(c * c for c in qtf.values())))
-        dnorm = np.abs(tfidf_sum) * np.sqrt(n_matched)
-        dot = tfidf_sum * qcnt_sum
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where((dnorm > 0) & (qnorm > 0), dot / (qnorm * dnorm), 0.0)
-
-        term_boost = n_matched / total_q
-        urls = self._urls()
-        links = self.link_scores()
-        url_arr = [urls.get(int(d), "") for d in uniq]
-        auth = np.array([links.get(u, (0.0, 0.0, 0.0))[0] for u in url_arr])
-        hub = np.array([links.get(u, (0.0, 0.0, 0.0))[1] for u in url_arr])
-        pr = np.array([links.get(u, (0.0, 0.0, 0.0))[2] for u in url_arr])
-
-        combined = (0.2 * tfidf_sum + 0.2 * cos + 0.6 * term_boost
-                    + 0.1 * auth + 0.1 * hub + 0.2 * pr)     # search.py:183-190
-        kk = min(k, uniq.size)
-        order = np.lexsort((uniq, -combined))[:kk]
         titles = self._titles()
         out = []
-        for i in order:
-            d = int(uniq[i])
-            matched = [t for t, p in posts.items()
-                       if p.doc_ids[np.searchsorted(p.doc_ids, d):np.searchsorted(p.doc_ids, d) + 1].size
-                       and p.doc_ids[np.searchsorted(p.doc_ids, d)] == d]
-            out.append(SearchResult(url=self._defrag(url_arr[i]), doc_id=d,
-                                    score=float(combined[i]), matched_terms=matched,
+        for d, score, matched, url in tfidf_ref_rank(
+                posts, terms, k, self._urls(), self.link_scores()):
+            out.append(SearchResult(url=self._defrag(url), doc_id=d,
+                                    score=score, matched_terms=matched,
                                     title=titles.get(d, "") or ""))
         return out
 

@@ -409,3 +409,23 @@ def test_wand_lazy_skips_blocks(ray_session, tmp_path):
     # eager would decode all ~47 blocks of 'common'; lazy must prune most of
     # them (theta from the short-doc blocks dominates later block maxima)
     assert 0 < stats["blocks_decoded"] <= total_common_blocks // 3
+
+
+def test_sharded_actor_pool_tfidf_ref_parity(built_index):
+    """The sharded client must apply the FULL reference combined scorer
+    (tfidf + cosine quirk + term boost + link signals), not raw tfidf sums."""
+    from ics_search_engine_ray.query.actors import ShardedSearchIndex
+
+    _, out, _ = built_index
+    local = SearchIndex(out)
+    pool = ShardedSearchIndex(out, num_actors=2)
+    try:
+        for q in ("spark batch merge", "fast join the order"):
+            got = pool.search(q, k=10, scorer="tfidf-ref")
+            want = local.search(q, k=10, scorer="tfidf-ref")
+            assert [(r.doc_id, round(r.score, 10), sorted(r.matched_terms), r.url)
+                    for r in got] == \
+                   [(r.doc_id, round(r.score, 10), sorted(r.matched_terms), r.url)
+                    for r in want], q
+    finally:
+        pool.shutdown()
