@@ -256,6 +256,18 @@ def _q_media_features(sf_dir: str):
 # ---- rows-only (non-SQL-expressible) ----
 
 
+def _q_frame_sample(sf_dir: str):
+    from ics_search_engine_ray.stages.multimodal import (
+        synth_video_from_documents, frame_sample_dataset)
+    video = synth_video_from_documents(_read_docs(sf_dir))
+    fs = frame_sample_dataset(video, every_n=5)
+    return fs.map_batches(
+        lambda b: pa.table({"media_id": b.column("media_id"),
+                            "frame_idx": b.column("frame_idx"),
+                            "sha16": b.column("sha16")}),
+        batch_format="pyarrow")
+
+
 def _q_lang_id(sf_dir: str):
     from ics_search_engine_ray.stages.text_analysis import langid_dataset
     return langid_dataset(_read_docs(sf_dir))
@@ -485,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
     }
 
 

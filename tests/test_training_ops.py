@@ -282,3 +282,32 @@ def test_cosine_pairs_exact_matches_numpy(emb_ds, sf_dir):
                   if sim[i, j] >= 0.4 - 1e-12)
     got = cosine_pairs_exact(emb_ds, threshold=0.4)
     assert got == want
+
+
+def test_frame_sampling_and_resize_plumbing(docs_ds):
+    from ics_search_engine_ray.stages.multimodal import (
+        synth_video_from_documents, frame_sample_dataset,
+        synth_media_from_documents, resize_images_dataset,
+        FrameSampler, ImageResizer)
+    import hashlib as _h
+
+    video = synth_video_from_documents(docs_ds, width=8, height=8, n_frames=12)
+    frames = frame_sample_dataset(video, every_n=5)
+    rows = frames.take(30)
+    # every video contributes frames 0, 5, 10
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+        assert len(r["frame"]) == 64
+        assert r["sha16"] == _h.sha256(r["frame"]).hexdigest()[:16]
+    assert all(sorted(v) == [0, 5, 10] for v in by_media.values() if len(v) == 3)
+    # real decode path is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        FrameSampler(real=True)._frames(b"x", 8, 8, 2)
+
+    media = synth_media_from_documents(docs_ds)
+    small = resize_images_dataset(media, out_w=4, out_h=4)
+    rrows = small.take(10)
+    assert all(len(r["payload"]) == 16 and r["width"] == 4 for r in rrows)
+    with pytest.raises(NotImplementedError):
+        ImageResizer(real=True)(None)
