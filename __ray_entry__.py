@@ -344,6 +344,14 @@ def _q_window_agg(sf_dir: str):
     return tumbling_window_agg(ev, window_secs=3600)
 
 
+def _q_sliding_window(sf_dir: str):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import sliding_window_agg
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+    return sliding_window_agg(ev, window_secs=3600, slide_secs=900)
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data as rd
     from ics_search_engine_ray.stages.events import sessionize
@@ -492,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "cosine_pairs_exact": _q_cosine_pairs,
         "window_agg": _q_window_agg,
+        "sliding_window_agg": _q_sliding_window,
         "sessionize": _q_sessionize,
         "quality_stats": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -595,6 +604,18 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "sliding_window_agg": """
+WITH e AS (
+  SELECT event_type, value, ts,
+         unnest(list_transform(range(0, 4),
+                i -> make_timestamp(
+                     (CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - i)
+                     * 900000000))) AS window_start
+  FROM events),
+f AS (SELECT * FROM e WHERE ts < window_start + INTERVAL 60 MINUTE)
+SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM f GROUP BY 1, 2""",
         "sessionize": """
 WITH e AS (
   SELECT user_id, ts, event_id, value,

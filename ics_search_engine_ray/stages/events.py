@@ -105,3 +105,52 @@ def sessionize(events, gap_secs: int = 1800, num_groups: int = 64):
             .groupby("_g")
             .map_groups(lambda g: sessions(g.drop(["_g"])),
                         batch_format="pyarrow"))
+
+
+def sliding_window_agg(events, window_secs: int = 3600, slide_secs: int = 900):
+    """events(ts, event_type, value) -> per (window_start, event_type):
+    n_events + sum_value over SLIDING windows of length ``window_secs``
+    advancing every ``slide_secs``.
+
+    Each event fans out to the ceil(window/slide) windows containing it — a
+    pure per-row map (replication factor = window/slide), then the same
+    low-cardinality groupby as the tumbling case. No ordering or state
+    needed: the window membership is a function of the row.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    w_us = int(window_secs) * 1_000_000
+    s_us = int(slide_secs) * 1_000_000
+    nw = -(-w_us // s_us)                       # ceil(window / slide)
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        base = ts // s_us
+        n = ts.size
+        rep = np.repeat(np.arange(n), nw)
+        i = np.tile(np.arange(nw, dtype=np.int64), n)
+        win = (base[rep] - i) * s_us
+        keep = ts[rep] < win + w_us             # true window membership
+        return pa.table({
+            "window_us": pa.array(win[keep], pa.int64()),
+            "event_type": pa.array(et[rep][keep]),
+            "value": pa.array(val[rep][keep], pa.float64()),
+        })
+
+    agg = (events.select_columns(["ts", "event_type", "value"])
+           .map_batches(fan_out, batch_format="pyarrow")
+           .groupby(["window_us", "event_type"])
+           .aggregate(Count(), Sum("value")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        sv = b.column("sum(value)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_start": b.column("window_us").cast(pa.timestamp("us")),
+            "event_type": b.column("event_type"),
+            "n_events": b.column("count()").cast(pa.int64()),
+            "sum_value": pa.array(np.round(sv, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -72,3 +72,25 @@ def test_sessionize_order_ties_by_event_id(ray_session):
     out = sessionize(rd.from_arrow(_events(rows)), gap_secs=1800).take_all()
     assert len(out) == 1
     assert out[0]["n_events"] == 3 and out[0]["sum_value"] == 7.0
+
+
+def test_sliding_window_agg(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import sliding_window_agg
+
+    rows = [
+        (0, _ts(5), 1, "click", 2.0),     # windows starting 23:15..00:00
+        (1, _ts(50), 1, "click", 4.0),
+        (2, _ts(70), 1, "view", 8.0),
+    ]
+    out = sliding_window_agg(rd.from_arrow(_events(rows)),
+                             window_secs=3600, slide_secs=900).take_all()
+    got = {(r["window_start"].isoformat(), r["event_type"]):
+           (r["n_events"], r["sum_value"]) for r in out}
+    # the 00:00 window (covers 00:00-01:00) holds both clicks
+    assert got[("2024-01-01T00:00:00", "click")] == (2, 6.0)
+    # 00:45 window covers 00:45-01:45: click@50, view@70
+    assert got[("2024-01-01T00:45:00", "click")] == (1, 4.0)
+    assert got[("2024-01-01T00:45:00", "view")] == (1, 8.0)
+    # each event appears in exactly 4 windows
+    assert sum(n for n, _ in got.values()) == 12
