@@ -115,24 +115,24 @@ def knn_lsh(embeds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 10,
         return tbl.filter(pc.is_in(tbl.column("bucket"), value_set=wanted_arr))
 
     cand = embeds.map_batches(bucketize, batch_format="pyarrow")
-    # candidates are few: collect and score exactly
-    ids_all, vec_all = [], []
-    seen = set()
+    # candidates are few: collect, dedupe vectorized, score exactly
+    id_parts, vec_parts = [], []
     for b in cand.iter_batches(batch_format="pyarrow"):
-        for vid, v in zip(b.column("vec_id").to_pylist(), b.column("vec").to_pylist()):
-            if vid not in seen:
-                seen.add(vid)
-                ids_all.append(vid)
-                vec_all.append(v)
+        if b.num_rows:
+            id_parts.append(b.column("vec_id").to_numpy(zero_copy_only=False))
+            vec_parts.append(np.array(b.column("vec").to_pylist(), dtype=np.float64))
     out: List[List[Tuple[int, float]]] = [[] for _ in range(q.shape[0])]
-    if not ids_all:
+    if not id_parts:
         return out
-    mat = np.asarray(vec_all, dtype=np.float64)
+    ids_all = np.concatenate(id_parts)
+    mat = np.vstack(vec_parts)
+    _, first = np.unique(ids_all, return_index=True)     # multi-table dupes
+    ids_all, mat = ids_all[first], mat[first]
     sim = q @ mat.T
     for qi in range(q.shape[0]):
-        lst = [(int(ids_all[j]), float(sim[qi, j])) for j in range(len(ids_all))]
-        lst.sort(key=lambda x: (-x[1], x[0]))
-        out[qi] = lst[:k]
+        kk = min(k, ids_all.size)
+        order = np.lexsort((ids_all, -sim[qi]))[:kk]
+        out[qi] = [(int(ids_all[j]), float(sim[qi, j])) for j in order]
     return out
 
 
