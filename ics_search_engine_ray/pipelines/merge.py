@@ -150,11 +150,18 @@ def merge_indexes(index_dirs: List[str], out_dir: str,
              for d, m in zip(index_dirs, manifests)
              for p in range(int(m["total_parts"]))]
 
+    empty_dt = pa.table({
+        "doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int32()), "importance": pa.array([], pa.float32()),
+        "positions": pa.array([], pa.list_(pa.int32())),
+        "doclen": pa.array([], pa.int32()),
+    })
+
     def decode(b: pa.Table) -> pa.Table:
         tables = [_decode_partition(d, int(p))
                   for d, p in zip(b.column("dir").to_pylist(),
                                   b.column("part").to_pylist())]
-        return pa.concat_tables(tables) if tables else _decode_partition("", -1)
+        return pa.concat_tables(tables) if tables else empty_dt
 
     dt = rd.from_items(items).map_batches(decode, batch_format="pyarrow",
                                           batch_size=1)
