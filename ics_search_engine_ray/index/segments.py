@@ -231,12 +231,19 @@ def write_segment(part_id: int, tbl: pa.Table, out_dir: str,
     for i in range(n_terms):
         s, e = starts[i], starts[i] + counts[i]
         d = doc_ids[s:e]
-        sc = scores[s:e].astype(np.float32)
         nb = (d.size + B - 1) // B
         lasts = d[np.minimum(np.arange(1, nb + 1) * B - 1, d.size - 1)]
-        maxs = np.maximum.reduceat(sc, np.arange(0, d.size, B))
+        # block maxima taken in f64 then cast CONSERVATIVELY to f32: a
+        # round-to-nearest cast can round DOWN, and a stored bound below the
+        # true block max would let block-skipping prune a winning doc. Bump
+        # any down-rounded value to the next f32 up (bound >= true max).
+        maxs64 = np.maximum.reduceat(scores[s:e], np.arange(0, d.size, B))
+        maxs = maxs64.astype(np.float32)
+        low = maxs.astype(np.float64) < maxs64
+        if low.any():
+            maxs[low] = np.nextafter(maxs[low], np.float32(np.inf))
         block_last.append(lasts.astype(np.int64))
-        block_max.append(maxs.astype(np.float32))
+        block_max.append(maxs)
         rows = s + np.arange(0, d.size, B)
         ids_boff.append((cum_ids[rows] - cum_ids[s]).astype(np.int64))
         tf_boff.append((cum_tf[rows] - cum_tf[s]).astype(np.int64))

@@ -189,9 +189,10 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     fingerprint = hashlib.md5(
         f"{os.path.abspath(input_path)}|{cfg.num_index_partitions}|{cfg.head_term_salt}|"
         f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|{skip_dedup}|"
-        f"{cfg.dynamic_salt_df_frac}|v3".encode()).hexdigest()[:16]
+        f"{cfg.dynamic_salt_df_frac}|v4".encode()).hexdigest()[:16]
     # (v2: Porter stemmer moved to NLTK_EXTENSIONS; v3: blocked segment
-    # layout with per-block delta resets + block byte offsets)
+    # layout with per-block delta resets + block byte offsets; v4:
+    # conservative round-up f32 block maxima)
 
     # ---- 1-3: extract + tokenize checkpoint ----
     # The tokenized relation is materialized ONCE into the object store and
@@ -206,6 +207,11 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
         tok_mat = rd.read_parquet(tok_dir).materialize()
     else:
         tok_mat = tokenize_dataset(make_docs(), cfg).materialize()
+        # clear any stale checkpoint first: Ray's write_parquet APPENDS
+        # uniquely-named files, so rewriting after a fingerprint change
+        # would otherwise leave old+new rows unioned in the directory
+        import shutil
+        shutil.rmtree(tok_dir, ignore_errors=True)
         os.makedirs(tok_dir, exist_ok=True)
         tok_mat.write_parquet(tok_dir)
         with open(tok_marker, "w") as f:
@@ -252,6 +258,8 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
                 .map_batches(_filter_dropped(dropped_ref), batch_format="pyarrow")
                 .materialize())
     if not (resume and _marker_valid(meta_marker, fingerprint)):
+        import shutil
+        shutil.rmtree(meta_dir, ignore_errors=True)   # write_parquet appends
         os.makedirs(meta_dir, exist_ok=True)
         meta_mat.write_parquet(meta_dir)
         with open(meta_marker, "w") as f:

@@ -120,13 +120,22 @@ def merge_indexes(index_dirs: List[str], out_dir: str,
     ).hexdigest()[:16]
 
     # ---- 1: docmeta union -> id dedupe -> cross-corpus near-dedup ----
-    # (read_parquet wants files when given a list: expand each docmeta dir)
-    meta_files: List[str] = []
+    def ensure_title(b: pa.Table) -> pa.Table:
+        # pre-title index layouts (the query engine tolerates them too)
+        if "title" not in b.column_names:
+            b = b.append_column("title", pa.array([""] * b.num_rows, pa.string()))
+        return b.select(DOCMETA_COLS)
+
+    # each source read + normalized separately, then unioned — a single
+    # read_parquet over mixed (pre/post-title) schemas fails at read time
+    metas = []
     for d in index_dirs:
         md = os.path.join(d, "docmeta")
-        meta_files.extend(sorted(os.path.join(md, f) for f in os.listdir(md)
-                                 if f.endswith(".parquet")))
-    meta = rd.read_parquet(meta_files)
+        files = sorted(os.path.join(md, f) for f in os.listdir(md)
+                       if f.endswith(".parquet"))
+        metas.append(rd.read_parquet(files)
+                     .map_batches(ensure_title, batch_format="pyarrow"))
+    meta = metas[0].union(*metas[1:]) if len(metas) > 1 else metas[0]
     meta = _first_per_doc_id(meta).materialize()
     dropped: Set[int] = set()
     num_pairs = 0

@@ -204,13 +204,11 @@ class ShardedSearchIndex:
             # parity mode, not the scale path)
             ranked = tfidf_ref_rank(posts, terms, k, self._full_urls(),
                                     self._full_links())
-            out = []
-            for d, s, matched, url in ranked:
-                title = self._meta_of([d]).get(d, ("", ""))[1]
-                out.append(SearchResult(url=SearchIndex._defrag(url), doc_id=d,
-                                        score=s, matched_terms=matched,
-                                        title=title))
-            return out
+            meta = self._meta_of([d for d, _, _, _ in ranked])
+            return [SearchResult(url=SearchIndex._defrag(url), doc_id=d,
+                                 score=s, matched_terms=matched,
+                                 title=meta.get(d, ("", ""))[1])
+                    for d, s, matched, url in ranked]
         top_ids, top_scores = rank_topk(posts, qtf, k, self.block_size, algo)
         meta = self._meta_of([int(d) for d in top_ids])
         out = []

@@ -180,7 +180,25 @@ def wand_topk_cursors(cursors, k: int):
         if pivot_idx + 1 < len(cursors):
             d_prime = min(d_prime, cursors[pivot_idx + 1].cur() - 1)
         if bub < theta and d_prime >= pivot_doc:
+            # DEEP skip: keep extending the target across consecutive block
+            # ranges whose summed bounds still cannot reach theta. This is
+            # metadata-only (block_last/block_max lookups — no decode), so a
+            # lazy cursor jumps a long sub-theta run in one seek instead of
+            # decoding every intermediate block just to re-sort on cur().
+            cap = (cursors[pivot_idx + 1].cur() - 1
+                   if pivot_idx + 1 < len(cursors) else (1 << 62))
             target = d_prime + 1
+            while target <= cap:
+                nb_bub = 0.0
+                nd = 1 << 62
+                for c in cursors[: pivot_idx + 1]:
+                    nb_bub += c.block_ub(target)
+                    bi = int(np.searchsorted(c.block_last, target, side="left"))
+                    if bi < c.block_last.size:
+                        nd = min(nd, int(c.block_last[bi]))
+                if nb_bub >= theta or nd >= cap:
+                    break
+                target = nd + 1
             for c in cursors[: pivot_idx + 1]:
                 if c.cur() < target:
                     c.seek(target)

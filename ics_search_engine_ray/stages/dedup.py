@@ -34,7 +34,7 @@ import pyarrow as pa
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..functions.bufpool import fsb_to_numpy, get_buf
 from ..functions.memtune import tune_malloc
-from ..functions.simhash import NBYTES
+from ..functions.simhash import NBYTES, _POPCNT as _POP
 
 # (256, 8) bit-expansion lookup: row b = bits of byte b, MSB first (the
 # np.unpackbits convention) — lets us unpack into a REUSED buffer via np.take
@@ -443,11 +443,10 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     t0 = _time.time()
 
     def add_ckey(b: pa.Table) -> pa.Table:
-        fps = b.column("simhash").to_pylist()
-        n = len(fps)
+        n = b.num_rows
         if n == 0:
             return b.append_column("ckey", pa.array([], pa.int64()))
-        mat = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(n, NBYTES)
+        mat = fsb_to_numpy(b.column("simhash"), NBYTES)
         ck = mat[:, :8].astype(np.int64) @ (np.int64(1) << (np.arange(8, dtype=np.int64) * 7))
         return b.append_column("ckey", pa.array(ck % num_verify_groups, pa.int64()))
 
@@ -459,8 +458,7 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
                              "rep_of": pa.array([], pa.int64())})
         g = g.sort_by([("simhash", "ascending"), ("doc_id", "ascending")])
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        fps = g.column("simhash").to_pylist()
-        mat = np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(n, NBYTES)
+        mat = fsb_to_numpy(g.column("simhash"), NBYTES)
         new_run = np.empty(n, dtype=bool)
         new_run[0] = True
         new_run[1:] = (mat[1:] != mat[:-1]).any(axis=1)
@@ -478,9 +476,11 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
                  .map_groups(lambda g: collapse_coarse(g.drop(["ckey"])),
                              batch_format="pyarrow")
                  .materialize())
+    # materialized: up to three consumers (fp-broadcast collection, hot-band
+    # sampling, banding) would otherwise re-run the filter over the corpus
     reps_mat = collapsed.map_batches(
         lambda b: b.filter(pc.equal(b.column("rep_of"), -1)).drop(["rep_of"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     # only exact-dup followers (rep_of != -1) come to the driver
     followers_of: Dict[int, List[int]] = {}
@@ -702,9 +702,6 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     stage_secs["cluster_greedy"] = _time.time() - t0
 
     return DedupResult(dropped, full_clusters, num_pairs, stage_secs)
-
-
-_POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
 
 
 def exact_dedup_min_doc_id(docs):
