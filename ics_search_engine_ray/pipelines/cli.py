@@ -171,7 +171,8 @@ def main(argv=None) -> int:
     q = sub.add_parser("query", help="query an index (REPL if no query given)")
     q.add_argument("--index", required=True)
     q.add_argument("--scorer", choices=["bm25", "tfidf-ref"], default="bm25")
-    q.add_argument("--algo", choices=["auto", "taat", "wand"], default="auto")
+    q.add_argument("--algo", choices=["auto", "taat", "wand", "wand_lazy"],
+                   default="auto")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--actors", type=int, default=0,
                    help="serve through a sharded actor pool of this size")

@@ -42,6 +42,14 @@ from ..stages.dedup import simhash_dedup
 from .build import AssignPartition, DOCMETA_COLS
 
 
+_EMPTY_DOC_TERMS = pa.table({
+    "doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+    "tf": pa.array([], pa.int32()), "importance": pa.array([], pa.float32()),
+    "positions": pa.array([], pa.list_(pa.int32())),
+    "doclen": pa.array([], pa.int32()),
+})
+
+
 def _first_per_doc_id(meta):
     """Dataset -> one row per doc_id (vectorized run-boundary keep-first
     inside coarse hash groups; duplicate ids come from identical docs)."""
@@ -77,12 +85,7 @@ def _decode_partition(index_dir: str, part: int) -> pa.Table:
         dls.append(tp.doclen)
     r.close()
     if not dids:
-        return pa.table({
-            "doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
-            "tf": pa.array([], pa.int32()), "importance": pa.array([], pa.float32()),
-            "positions": pa.array([], pa.list_(pa.int32())),
-            "doclen": pa.array([], pa.int32()),
-        })
+        return _EMPTY_DOC_TERMS
     return pa.table({
         "doc_id": pa.array(np.concatenate(dids), pa.int64()),
         "term": pa.array(terms, pa.string()),
@@ -159,18 +162,11 @@ def merge_indexes(index_dirs: List[str], out_dir: str,
              for d, m in zip(index_dirs, manifests)
              for p in range(int(m["total_parts"]))]
 
-    empty_dt = pa.table({
-        "doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
-        "tf": pa.array([], pa.int32()), "importance": pa.array([], pa.float32()),
-        "positions": pa.array([], pa.list_(pa.int32())),
-        "doclen": pa.array([], pa.int32()),
-    })
-
     def decode(b: pa.Table) -> pa.Table:
         tables = [_decode_partition(d, int(p))
                   for d, p in zip(b.column("dir").to_pylist(),
                                   b.column("part").to_pylist())]
-        return pa.concat_tables(tables) if tables else empty_dt
+        return pa.concat_tables(tables) if tables else _EMPTY_DOC_TERMS
 
     dt = rd.from_items(items).map_batches(decode, batch_format="pyarrow",
                                           batch_size=1)
@@ -225,13 +221,7 @@ def merge_indexes(index_dirs: List[str], out_dir: str,
     done = {r["part"] for r in manifest_rows}
     for p in range(total_parts):
         if p not in done:
-            empty = pa.table({
-                "doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
-                "tf": pa.array([], pa.int32()), "importance": pa.array([], pa.float32()),
-                "positions": pa.array([], pa.list_(pa.int32())),
-                "doclen": pa.array([], pa.int32()),
-            })
-            manifest_rows.append(write_segment(p, empty, seg_dir, num_docs,
+            manifest_rows.append(write_segment(p, _EMPTY_DOC_TERMS, seg_dir, num_docs,
                                                avgdl, head_df, cfg, fingerprint))
     manifest_rows.sort(key=lambda r: r["part"])
 

@@ -116,12 +116,24 @@ class ShardedSearchIndex:
         return [term_partition(term, self.P)]
 
     def _full_urls(self):
+        """Full doc_id->url map (tfidf-ref parity mode only); the same read
+        pre-populates the title cache so result assembly needs no second
+        docmeta scan."""
         if not hasattr(self, "_all_urls"):
             import pyarrow.parquet as pq
-            t = pq.read_table(os.path.join(self.index_dir, "docmeta"),
-                              columns=["doc_id", "url"])
-            self._all_urls = dict(zip(t.column("doc_id").to_pylist(),
-                                      t.column("url").to_pylist()))
+            try:
+                t = pq.read_table(os.path.join(self.index_dir, "docmeta"),
+                                  columns=["doc_id", "url", "title"])
+                titles = t.column("title").to_pylist()
+            except Exception:                     # pre-title index layouts
+                t = pq.read_table(os.path.join(self.index_dir, "docmeta"),
+                                  columns=["doc_id", "url"])
+                titles = [""] * t.num_rows
+            ids = t.column("doc_id").to_pylist()
+            urls = t.column("url").to_pylist()
+            self._all_urls = dict(zip(ids, urls))
+            for d, u, ti in zip(ids, urls, titles):
+                self._url_cache[d] = (u, ti or "")
         return self._all_urls
 
     def _full_links(self):

@@ -82,6 +82,10 @@ def rank_topk(posts: Dict[str, _MergedPostings], qtf: Dict[str, int], k: int,
         # stopword-heavy queries skip poorly (flat block maxima), so the
         # crossover is high
         algo = "wand" if total > 5_000_000 and len(posts) > 1 else "taat"
+    if algo == "wand_lazy":
+        # callers with only merged arrays (the sharded client) can't skip
+        # block IO — run eager WAND, which is result-identical
+        algo = "wand"
     if algo == "wand":
         ranked = wand_topk(
             [(p.doc_ids, p.scores, p.block_last, p.block_max, float(qtf[t]))
@@ -327,12 +331,17 @@ class SearchIndex:
         accumulation, same tie-break; tested)."""
         from .wand import _Cursor, _LazyCursor, wand_topk_cursors
 
+        # stored block maxima were computed with the BUILD's k1/b; a runtime
+        # cfg override changes the scores, so the lazy bounds would no longer
+        # dominate them — fall back to eager cursors (bounds recomputed)
+        lazy_ok = (float(self.cfg.bm25_k1) == float(self.manifest["bm25_k1"])
+                   and float(self.cfg.bm25_b) == float(self.manifest["bm25_b"]))
         term_list = list(qtf)
         cursors = []
         for oi, t in enumerate(term_list):
             parts = self._parts_for_term(t)
             handle = reader = None
-            if len(parts) == 1:
+            if lazy_ok and len(parts) == 1:
                 reader = self._reader(parts[0])
                 handle = reader.term_handle(t)
             if handle is not None:

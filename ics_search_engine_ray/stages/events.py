@@ -124,6 +124,12 @@ def sliding_window_agg(events, window_secs: int = 3600, slide_secs: int = 900):
     nw = -(-w_us // s_us)                       # ceil(window / slide)
 
     def fan_out(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # explicit types: pa.array over an empty object array would
+            # infer a null-typed column and poison the block schema
+            return pa.table({"window_us": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
         ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         et = b.column("event_type").to_numpy(zero_copy_only=False)
         val = b.column("value").to_numpy(zero_copy_only=False)

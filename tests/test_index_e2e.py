@@ -429,3 +429,20 @@ def test_sharded_actor_pool_tfidf_ref_parity(built_index):
                     for r in want], q
     finally:
         pool.shutdown()
+
+
+def test_wand_lazy_falls_back_on_bm25_param_override(built_index):
+    """A runtime k1/b override invalidates the STORED block maxima; the lazy
+    path must fall back to eager bound recomputation and still match TAAT."""
+    _, out, _ = built_index
+    si = SearchIndex(out, cfg=DEFAULT_CONFIG.with_(bm25_k1=3.0, bm25_b=0.5))
+    for q in ("spark batch merge", "value stream big table hash sort filter"):
+        a = si.search(q, k=10, algo="taat")
+        b = si.search(q, k=10, algo="wand_lazy")
+        assert [(r.doc_id, round(r.score, 10)) for r in a] == \
+               [(r.doc_id, round(r.score, 10)) for r in b], q
+    # and the stored-param index still skips (sanity that the guard is
+    # comparing, not always falling back)
+    si2 = SearchIndex(out)
+    r1 = si2.search("spark batch merge", k=10, algo="wand_lazy")
+    assert r1

@@ -57,6 +57,12 @@ def vhash(tbl: pa.Table) -> str:
 
 qs = E.queries()
 oracles = E.oracle_sql()
+if ONLY:
+    unknown = [n for n in ONLY if n not in qs]
+    if unknown:
+        print(f"FATAL: unknown query names {unknown}; known: {sorted(qs)}")
+        ray.shutdown()
+        sys.exit(2)
 fails = 0
 for name, fn in qs.items():
     if ONLY and name not in ONLY:
