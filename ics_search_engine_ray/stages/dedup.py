@@ -705,11 +705,12 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
 
 
 def exact_dedup_min_doc_id(docs):
-    """D-exact: groupby(simhash) keep min doc_id (special case of T2)."""
-    import pyarrow.compute as pc
+    """D-exact: groupby(simhash) keep min doc_id (special case of T2).
 
-    def keep_min(g: pa.Table) -> pa.Table:
-        i = pc.index(g.column("doc_id"), pc.min(g.column("doc_id")))
-        return g.slice(int(i.as_py()), 1) if g.num_rows else g
-
-    return docs.groupby("simhash").map_groups(keep_min, batch_format="pyarrow")
+    Native vectorized aggregation — one `min` per fingerprint, no per-group
+    Python. (For text-keyed exact dedup use stages/dedup_text.exact_dedup.)
+    """
+    return docs.groupby("simhash").min("doc_id").map_batches(
+        lambda b: pa.table({"simhash": b.column("simhash"),
+                            "doc_id": b.column("min(doc_id)")}),
+        batch_format="pyarrow")

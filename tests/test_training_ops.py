@@ -311,3 +311,14 @@ def test_frame_sampling_and_resize_plumbing(docs_ds):
     assert all(len(r["payload"]) == 16 and r["width"] == 4 for r in rrows)
     with pytest.raises(NotImplementedError):
         ImageResizer(real=True)(None)
+
+
+def test_exact_dedup_min_doc_id_by_fingerprint(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup import exact_dedup_min_doc_id
+    fa, fb = b"\x01" * 16, b"\x02" * 16
+    ds = rd.from_items([{"doc_id": 5, "simhash": fa},
+                        {"doc_id": 2, "simhash": fa},
+                        {"doc_id": 9, "simhash": fb}])
+    got = sorted((r["doc_id"] for r in exact_dedup_min_doc_id(ds).take_all()))
+    assert got == [2, 9]
