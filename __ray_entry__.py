@@ -188,10 +188,22 @@ def _q_doc_terms_tf(sf_dir: str):
 
 
 def _q_top_terms(sf_dir: str):
+    """Global top-100 by df via per-batch partial top-k: each (term, df)
+    batch emits only its local top-100, the driver merges the tiny partials
+    (the knn_brute combiner pattern) — the full vocabulary relation never
+    lands on the driver."""
     ds = _q_term_df(sf_dir)
-    tbl = _collect(ds)
-    tbl = tbl.sort_by([("df", "descending"), ("term", "ascending")]).slice(0, 100)
-    return tbl
+
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.sort_by([("df", "descending"), ("term", "ascending")]) \
+                .slice(0, 100)
+
+    partials = _collect(ds.map_batches(local_top, batch_format="pyarrow"))
+    if partials is None:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    return partials.sort_by([("df", "descending"),
+                             ("term", "ascending")]).slice(0, 100)
 
 
 def _q_bm25_topk(sf_dir: str):

@@ -89,7 +89,12 @@ def serve(index_dir: str, port: int = 8080, actors: int = 0, max_k: int = 20):
         def _api(self, u):
             qs = parse_qs(u.query)
             q = (qs.get("q") or [""])[0]
-            k = int((qs.get("k") or ["10"])[0])
+            try:
+                k = int((qs.get("k") or ["10"])[0])
+            except ValueError:
+                self.send_error(400, "k must be an integer")
+                return
+            k = max(1, min(k, max_k))
             scorer = (qs.get("scorer") or ["bm25"])[0]
             results = si.search(q, k, scorer=scorer) if q.strip() else []
             data = json.dumps([

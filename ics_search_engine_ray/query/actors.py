@@ -37,14 +37,18 @@ from .engine import (SearchIndex, SearchResult, _MergedPostings, block_bounds,
 class SearchShardActor:
     """Owns a subset of index partitions; serves per-term scored chunks."""
 
-    def __init__(self, index_dir: str, parts: Sequence[int]):
+    def __init__(self, index_dir: str, parts: Sequence[int],
+                 k1: Optional[float] = None, b: Optional[float] = None):
         import json
         with open(os.path.join(index_dir, "manifest.json")) as f:
             m = json.load(f)
         self.num_docs = int(m["num_docs"])
         self.avgdl = float(m["avgdl"])
-        self.k1 = float(m["bm25_k1"])
-        self.b = float(m["bm25_b"])
+        # runtime cfg overrides (matching SearchIndex._scored, which honors
+        # cfg k1/b over the manifest) keep the 'bit-identical to the local
+        # path' claim true when a caller passes non-build BM25 params
+        self.k1 = float(m["bm25_k1"] if k1 is None else k1)
+        self.b = float(m["bm25_b"] if b is None else b)
         self.readers = {p: SegmentReader(os.path.join(index_dir, "segments",
                                                       f"part-{p:05d}"))
                         for p in parts}
@@ -100,11 +104,15 @@ class ShardedSearchIndex:
         self.tokenizer = Tokenizer(stem=bool(self.manifest["stem"]))
         num_actors = max(1, min(num_actors, total))
         self.part_of = {p: p % num_actors for p in range(total)}
+        # plumb runtime BM25 overrides through to the shard actors so the
+        # pool scores exactly like SearchIndex under the same cfg
+        k1 = None if cfg is None else float(cfg.bm25_k1)
+        b = None if cfg is None else float(cfg.bm25_b)
         Actor = ray.remote(SearchShardActor)
         self.actors = []
         for a in range(num_actors):
             parts = [p for p in range(total) if self.part_of[p] == a]
-            self.actors.append(Actor.remote(index_dir, parts))
+            self.actors.append(Actor.remote(index_dir, parts, k1, b))
         self._url_cache: Dict[int, Tuple[str, str]] = {}
 
     # ---- routing ----

@@ -25,10 +25,26 @@ import pyarrow as pa
 from .dedup_text import HyperplaneLSH
 
 
+def _list_col_np(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix WITHOUT to_pylist: the
+    flattened value buffer converts in one numpy pass and reshapes (embedding
+    columns are uniform-length by construction; ragged input falls back)."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if not (lens == lens[0]).all():
+        return np.array(col.to_pylist(), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n, int(lens[0]))
+
+
 def _batch_vecs(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-    vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, vecs
+    return ids, _list_col_np(batch.column("embedding"))
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:
@@ -85,6 +101,9 @@ def knn_lsh(embeds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 10,
     Builds the bucketed corpus as a Dataset groupby; each probed bucket is a
     small exact matmul. Returns same shape as knn_brute (may miss neighbors —
     approximate by design; recall tested against knn_brute)."""
+    q_arr = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    if embeds.count() == 0:
+        return [[] for _ in range(q_arr.shape[0])]
     first = embeds.take_batch(1, batch_format="pyarrow")
     dim = len(first.column("embedding")[0].as_py())
     tables = [HyperplaneLSH(dim, n_bits, seed=101 + 7 * t) for t in range(n_tables)]
@@ -114,25 +133,55 @@ def knn_lsh(embeds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 10,
         })
         return tbl.filter(pc.is_in(tbl.column("bucket"), value_set=wanted_arr))
 
-    cand = embeds.map_batches(bucketize, batch_format="pyarrow")
-    # candidates are few: collect, dedupe vectorized, score exactly
-    id_parts, vec_parts = [], []
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        if b.num_rows:
-            id_parts.append(b.column("vec_id").to_numpy(zero_copy_only=False))
-            vec_parts.append(np.array(b.column("vec").to_pylist(), dtype=np.float64))
-    out: List[List[Tuple[int, float]]] = [[] for _ in range(q.shape[0])]
-    if not id_parts:
-        return out
-    ids_all = np.concatenate(id_parts)
-    mat = np.vstack(vec_parts)
-    _, first = np.unique(ids_all, return_index=True)     # multi-table dupes
-    ids_all, mat = ids_all[first], mat[first]
-    sim = q @ mat.T
-    for qi in range(q.shape[0]):
-        kk = min(k, ids_all.size)
-        order = np.lexsort((ids_all, -sim[qi]))[:kk]
-        out[qi] = [(int(ids_all[j]), float(sim[qi, j])) for j in order]
+    import ray
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        """Bucket-matching candidates scored in-task; only per-query local
+        top-k rows leave the worker (same combiner shape as knn_brute) —
+        a hot bucket costs a bigger matmul here, never unbounded driver
+        memory. Exact cosine over the candidate set, so cross-batch /
+        multi-table duplicates carry identical scores and dedupe by vec_id
+        at the driver merge."""
+        empty = pa.table({"q": pa.array([], pa.int32()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        qm = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _list_col_np(batch.column("vec"))
+        _, first_ix = np.unique(ids, return_index=True)   # within-batch dupes
+        ids, mat = ids[first_ix], mat[first_ix]
+        sim = qm @ mat.T                                   # (nq, nc)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(qm.shape[0]):
+            kk = min(k, ids.size)
+            order = np.lexsort((ids, -sim[qi]))[:kk]
+            out_q.extend([qi] * order.size)
+            out_id.extend(int(ids[j]) for j in order)
+            out_cos.extend(float(sim[qi, j]) for j in order)
+        return pa.table({"q": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cos": pa.array(out_cos, pa.float64())})
+
+    parts = embeds.map_batches(bucketize, batch_format="pyarrow") \
+                  .map_batches(local_topk, batch_format="pyarrow")
+    per_q: List[List[Tuple[int, float]]] = [[] for _ in range(q.shape[0])]
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qi, vid, cos in zip(b.column("q").to_pylist(),
+                                b.column("vec_id").to_pylist(),
+                                b.column("cos").to_pylist()):
+            per_q[qi].append((vid, cos))
+    out: List[List[Tuple[int, float]]] = []
+    for lst in per_q:
+        # duplicates across batches carry the same exact score: keep first
+        seen, merged = set(), []
+        for vid, cos in sorted(lst, key=lambda x: (-x[1], x[0])):
+            if vid not in seen:
+                seen.add(vid)
+                merged.append((vid, cos))
+        out.append(merged[:k])
     return out
 
 
@@ -172,11 +221,15 @@ def knn_ivf(embeds, query_vecs: np.ndarray, k: int = 10, n_lists: int = 32,
 
     # ---- train on a bounded sample ----
     n_total = embeds.count()
+    if n_total == 0:
+        return [[] for _ in range(q.shape[0])]
     frac = min(1.0, train_sample / max(n_total, 1))
     sample_rows = embeds.random_sample(frac, seed=seed).take_all() \
         if frac < 1.0 else embeds.take_all()
+    if not sample_rows:        # tiny corpus x small frac can sample nothing
+        sample_rows = embeds.limit(min(n_total, train_sample)).take_all()
     smat = _normalize(np.array([r["embedding"] for r in sample_rows],
-                               dtype=np.float64))
+                               dtype=np.float64).reshape(len(sample_rows), -1))
     cent = _kmeans(smat, n_lists, seed=seed)
 
     # ---- per-query probe lists ----
@@ -252,20 +305,43 @@ def ivf_assign(embeds, centroids: np.ndarray):
     return embeds.map_batches(assign, batch_format="pyarrow")
 
 
-def cosine_pairs_exact(embeds, threshold: float = 0.99):
+# broadcast gate for the exact all-pairs join: below this many rows the
+# normalized f64 matrix (rows x dim x 8B; ~0.5 GB at 200k x 256-dim) rides
+# the object store as ONE broadcast; above it the tiled block-pair join runs
+# instead — the driver never materializes the corpus in either mode beyond
+# this bound (repo hard rule: size-gated broadcasts with a scale path).
+_BCAST_VEC_ROWS = 200_000
+
+
+def cosine_pairs_exact(embeds, threshold: float = 0.99, broadcast: bool = None,
+                       tile_rows: int = 8192):
     """EXACT all-pairs cosine join: every (a, b, cos) with cos >= threshold.
 
-    The normalized matrix broadcasts once (``ray.put``); each batch computes
-    one (batch x N) matmul and emits only its above-threshold pairs with
-    a < b — O(N^2/2) FLOPs spread across batches, only result pairs move.
-    This is the ground-truth/verification counterpart of the approximate
-    ``embedding_dedup`` (LSH) path; the broadcast bounds it to corpora whose
-    matrix fits the object store (at larger N, tile block-pairs instead).
+    Two size-gated modes, identical results (tested):
+    - broadcast (N <= _BCAST_VEC_ROWS): the normalized matrix broadcasts
+      once (``ray.put``); each batch computes one (batch x N) matmul and
+      emits only its above-threshold pairs with a < b.
+    - tiled (the scale path): rows hash into T = ceil(N / tile_rows) tiles;
+      each row replicates to the T tile-pairs containing its tile (the same
+      triangle-join decomposition as stages/dedup.py hot buckets) and a
+      ``groupby(pair)`` computes one bounded cross/triangle matmul per tile
+      pair — per-task memory is <= 2 x tile_rows vectors regardless of N.
+      The O(N^2) FLOPs and the N x T shuffled rows are inherent to an exact
+      all-pairs join; this is the ground-truth/verification counterpart of
+      the approximate ``embedding_dedup`` (LSH) path.
 
     Returns a sorted list of (a, b, cos) — the result set, small by
     construction for near-dup thresholds.
     """
     import ray
+
+    n_total = embeds.count()
+    if n_total == 0:
+        return []
+    if broadcast is None:
+        broadcast = n_total <= _BCAST_VEC_ROWS
+    if not broadcast:
+        return _cosine_pairs_tiled(embeds, threshold, n_total, tile_rows)
 
     ids_parts, vec_parts = [], []
     for b in embeds.iter_batches(batch_format="pyarrow"):
@@ -295,6 +371,86 @@ def cosine_pairs_exact(embeds, threshold: float = 0.99):
     out = []
     for b in embeds.map_batches(pairs, batch_format="pyarrow") \
                    .iter_batches(batch_format="pyarrow"):
+        out.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist(),
+                       b.column("cos").to_pylist()))
+    return sorted(out)
+
+
+def _cosine_pairs_tiled(embeds, threshold: float, n_total: int,
+                        tile_rows: int):
+    """Block-pair (triangle) decomposition of the exact all-pairs join.
+
+    Tile id = multiplicative hash of vec_id mod T (id-clustering-proof);
+    group key = lo * T + hi over unordered tile pairs, so every unordered
+    row pair meets in EXACTLY one group: (c, c) groups emit their triangle,
+    (lo, hi) groups the full cross product between the two tile sides.
+    """
+    T = max(2, -(-n_total // max(1, tile_rows)))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ids, vecs = _batch_vecs(batch)
+        if not ids.size:
+            return pa.table({
+                "pk": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float64()))})
+        vn = _normalize(vecs)
+        mixed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ci = (mixed % np.uint64(T)).astype(np.int64)
+        rep = np.repeat(np.arange(ids.size), T)
+        cj = np.tile(np.arange(T, dtype=np.int64), ids.size)
+        lo = np.minimum(ci[rep], cj)
+        hi = np.maximum(ci[rep], cj)
+        # list<double> built from one flat buffer + arithmetic offsets (no
+        # per-row Python); plain list (not fixed_size) keeps the block schema
+        # identical to the typed empty-batch table above
+        flat = pa.array(vn[rep].ravel(), pa.float64())
+        offs = pa.array(np.arange(rep.size + 1, dtype=np.int32) * vn.shape[1],
+                        pa.int32())
+        return pa.table({
+            "pk": pa.array(lo * T + hi, pa.int64()),
+            "chunk": pa.array(ci[rep], pa.int64()),
+            "vec_id": pa.array(ids[rep], pa.int64()),
+            "vec": pa.ListArray.from_arrays(offs, flat),
+        })
+
+    def pairs_group(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if g.num_rows < 2:
+            return empty
+        lo, hi = divmod(int(g.column("pk")[0].as_py()), T)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _list_col_np(g.column("vec"))
+        if lo == hi:                                 # triangle within a tile
+            sim = mat @ mat.T
+            mask = (sim >= threshold - 1e-12) & (ids[:, None] < ids[None, :])
+            ii, jj = np.nonzero(mask)
+            a, b, c = ids[ii], ids[jj], sim[ii, jj]
+        else:                                        # cross between tiles
+            sa = g.column("chunk").to_numpy(zero_copy_only=False) == lo
+            ia, va = ids[sa], mat[sa]
+            ib, vb = ids[~sa], mat[~sa]
+            if not ia.size or not ib.size:
+                return empty
+            sim = va @ vb.T
+            ii, jj = np.nonzero(sim >= threshold - 1e-12)
+            a = np.minimum(ia[ii], ib[jj])
+            b = np.maximum(ia[ii], ib[jj])
+            c = sim[ii, jj]
+        if not a.size:
+            return empty
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "cos": pa.array(np.round(c, 6), pa.float64())})
+
+    pairs_ds = embeds.map_batches(fan_out, batch_format="pyarrow") \
+                     .groupby("pk").map_groups(pairs_group,
+                                               batch_format="pyarrow")
+    out = []
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         out.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist(),
                        b.column("cos").to_pylist()))
     return sorted(out)

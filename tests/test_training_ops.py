@@ -322,3 +322,26 @@ def test_exact_dedup_min_doc_id_by_fingerprint(ray_session):
                         {"doc_id": 9, "simhash": fb}])
     got = sorted((r["doc_id"] for r in exact_dedup_min_doc_id(ds).take_all()))
     assert got == [2, 9]
+
+
+def test_cosine_pairs_tiled_equals_broadcast(emb_ds):
+    """The scale-path (tiled block-pair join) must produce exactly the
+    broadcast path's pairs; tiny tile_rows forces many tiles + both the
+    triangle and cross group kinds."""
+    from ics_search_engine_ray.stages.similarity import cosine_pairs_exact
+    bcast = cosine_pairs_exact(emb_ds, threshold=0.4, broadcast=True)
+    tiled = cosine_pairs_exact(emb_ds, threshold=0.4, broadcast=False,
+                               tile_rows=7)
+    assert tiled == bcast
+    assert len(bcast) > 0          # non-vacuous at this threshold
+
+
+def test_knn_ivf_empty_corpus(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.similarity import knn_ivf, knn_lsh
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))}))
+    q = np.ones((2, 8))
+    assert knn_ivf(empty, q, k=5) == [[], []]
+    assert knn_lsh(empty, q, k=5) == [[], []]
