@@ -238,7 +238,7 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
                        "skipped": True, "fingerprint": fingerprint}, f)
     else:
         tok_ids = tok_mat.select_columns(["doc_id", "simhash"])
-        res = simhash_dedup(tok_ids, cfg)
+        res = simhash_dedup(tok_ids, cfg, n_docs_hint=tok_mat.count())
         dropped = res.dropped
         num_pairs = res.num_pairs
         if res.stage_secs:

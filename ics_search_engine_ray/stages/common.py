@@ -30,3 +30,20 @@ def filter_dropped_ids(dropped_ref, id_col: str = "doc_id"):
         return batch.filter(mask)
 
     return fn
+
+
+def adaptive_groups(est_rows, target_rows_per_group: int,
+                    lo: int = 16, hi: int = 4096) -> int:
+    """Shuffle-group count scaled to the estimated relation size.
+
+    ``groupby(key % G).map_groups`` materializes one whole group per task, so
+    a FIXED G means per-task rows grow linearly with the input — a memory
+    ceiling no config adjusts (VERDICT r2 item 2). Deriving G from the
+    estimated row count keeps rows-per-task <= target regardless of scale
+    (until the hi clamp, sized so a 4096-way shuffle stays reasonable on a
+    256-node cluster); outputs are G-invariant by construction, so the
+    estimate only needs to be order-of-magnitude right.
+    """
+    if not est_rows or est_rows <= 0:
+        return lo
+    return int(min(hi, max(lo, -(-int(est_rows) // int(target_rows_per_group)))))

@@ -413,8 +413,9 @@ class DedupResult:
 
 
 def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
-                  num_verify_groups: int = 256,
-                  broadcast_fp: bool = None) -> DedupResult:
+                  num_verify_groups: int = None,
+                  broadcast_fp: bool = None,
+                  n_docs_hint: int = None) -> DedupResult:
     """docs: Dataset with (doc_id, simhash). Returns deterministic drop set.
 
     Stage 0 collapses *identical* fingerprints first (groupby(simhash), min
@@ -433,13 +434,18 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     import pyarrow.compute as pc
     import ray.data as rd
 
+    from .common import adaptive_groups
+
     stage_secs: Dict[str, float] = {}
 
     # ---- stage 0: identical-fingerprint collapse (stays distributed) ----
     # Grouped by a coarse hash of the fingerprint (not by exact simhash):
     # per-group Python-call overhead for N tiny groups would dominate; the
     # coarse fn handles many fingerprints per call, fully vectorized via
-    # sorted run boundaries.
+    # sorted run boundaries. Group count scales with the (hinted) doc count
+    # — one group materializes per task — at ~1M 40 B rows per group.
+    collapse_groups = (adaptive_groups(n_docs_hint, 1_000_000, lo=256)
+                       if n_docs_hint else 256)
     t0 = _time.time()
 
     def add_ckey(b: pa.Table) -> pa.Table:
@@ -448,7 +454,7 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
             return b.append_column("ckey", pa.array([], pa.int64()))
         mat = fsb_to_numpy(b.column("simhash"), NBYTES)
         ck = mat[:, :8].astype(np.int64) @ (np.int64(1) << (np.arange(8, dtype=np.int64) * 7))
-        return b.append_column("ckey", pa.array(ck % num_verify_groups, pa.int64()))
+        return b.append_column("ckey", pa.array(ck % collapse_groups, pa.int64()))
 
     def collapse_coarse(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -538,6 +544,10 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
         emitter, batch_format="pyarrow")
     w_avg = cfg.simhash_bits / nb
     est_banded = int(n_reps * nb * (1 + (w_avg / 2 if emitter.radius else 0)))
+    if num_verify_groups is None:
+        # verify groups scale with the banded relation (~40 B rows): per-task
+        # group memory stays bounded at any corpus size (VERDICT r2 item 2)
+        num_verify_groups = adaptive_groups(est_banded, 1_000_000, lo=256)
 
     # hot-band discovery. Splitting is a pure work-decomposition decision —
     # missing a hot band costs parallelism, never correctness — so it runs on

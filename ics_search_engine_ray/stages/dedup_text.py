@@ -21,6 +21,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# module-level (NOT inside batch fns): batch callables run on workers where
+# the package may not be importable — by-value cloudpickle captures these as
+# serialized globals, a runtime relative import would raise ModuleNotFoundError
+from ..functions.wordhash import _apow, _splitmix, batch_shingle_hashes
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -58,8 +63,12 @@ def _shingles(words: List[str], k: int) -> List[str]:
 
 
 class MinHashBatch:
-    """Per-batch minhash signatures: k-word shingles -> 64-bit hash -> n_perm
-    universal-hash minima (vectorized: (n_shingles, n_perm) min-reduce)."""
+    """Per-batch minhash signatures: k-word shingles -> 64-bit vectorized
+    polynomial hash (functions/wordhash.py — no per-shingle hashlib) ->
+    n_perm universal-hash minima, min-reduced in doc-boundary-aligned slabs
+    (``np.minimum.reduceat``) so one kernel call covers many docs."""
+
+    _SLAB = 1 << 15        # shingles per (slab x n_perm) uint64 working set
 
     def __init__(self, n_perm: int = 128, shingle_k: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -68,21 +77,39 @@ class MinHashBatch:
         self.n_perm = n_perm
         self.k = shingle_k
 
+    def signatures(self, texts: List[str]) -> np.ndarray:
+        """(n_docs, n_perm) uint64 signature matrix; empty docs keep the
+        uint64-max sentinel (matching the old per-doc path)."""
+        flat, offs = batch_shingle_hashes(texts, self.k)
+        n_docs = len(texts)
+        sigs = np.full((n_docs, self.n_perm), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        if flat.size == 0:
+            return sigs
+        doc_of = np.repeat(np.arange(n_docs), np.diff(offs))
+        with np.errstate(over="ignore"):
+            for s0 in range(0, flat.size, self._SLAB):
+                sl = slice(s0, min(s0 + self._SLAB, int(flat.size)))
+                x = (flat[sl, None] * self.a[None, :] + self.b[None, :]) \
+                    % np.uint64(_MERSENNE)
+                d = doc_of[sl]
+                bs = np.concatenate(
+                    ([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+                mins = np.minimum.reduceat(x, bs, axis=0)
+                docs_here = d[bs]                 # unique within a slab
+                sigs[docs_here] = np.minimum(sigs[docs_here], mins)
+        return sigs
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles((text or "").split(), self.k)
-        if not sh:
-            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                         for s in sh], dtype=np.uint64)
-        # (n_shingles, n_perm) universal hashing mod Mersenne prime
-        x = (base[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
-        return x.min(axis=0)
+        return self.signatures([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        sigs = self.signatures(batch.column("text").to_pylist())
+        sigs64 = sigs.view(np.int64)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "minhash": pa.array([s.astype(np.int64).tobytes() for s in sigs], pa.binary()),
+            "minhash": pa.array([sigs64[i].tobytes()
+                                 for i in range(sigs64.shape[0])], pa.binary()),
         })
 
 
@@ -94,21 +121,29 @@ class MinHashBands:
         self.r = n_perm // n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        sigs = batch.column("minhash").to_pylist()
-        bands, dids, sig_out = [], [], []
-        for did, sb in zip(doc_ids, sigs):
-            sig = np.frombuffer(sb, dtype=np.int64)
-            for bi in range(self.n_bands):
-                seg = sig[bi * self.r:(bi + 1) * self.r].tobytes()
-                key = (bi << 48) | (int.from_bytes(hashlib.md5(seg).digest()[:6], "big"))
-                bands.append(key)
-                dids.append(did)
-                sig_out.append(sb)
+        """Band keys vectorized: (n, n_bands, r) polynomial combine +
+        splitmix, 48-bit mask, band index in the top bits — no per-(doc,
+        band) Python or hashlib."""
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "minhash": pa.array([], pa.binary())})
+        sig_col = batch.column("minhash")
+        flat = np.frombuffer(b"".join(sig_col.to_pylist()), dtype=np.uint64)
+        segs = flat.reshape(n, self.n_bands, self.r)
+        with np.errstate(over="ignore"):
+            h = np.zeros((n, self.n_bands), np.uint64)
+            for j in range(self.r):
+                h += segs[:, :, j] * _apow(self.r - 1 - j)
+            h = _splitmix(h) & np.uint64((1 << 48) - 1)
+            keys = (np.arange(self.n_bands, dtype=np.int64)[None, :] << 48) \
+                | h.astype(np.int64)
+        rep = np.repeat(np.arange(n), self.n_bands)
         return pa.table({
-            "band": pa.array(bands, pa.int64()),
-            "doc_id": pa.array(dids, pa.int64()),
-            "minhash": pa.array(sig_out, pa.binary()),
+            "band": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": batch.column("doc_id").take(pa.array(rep)),
+            "minhash": sig_col.take(pa.array(rep)),
         })
 
 
@@ -120,12 +155,21 @@ def _minhash_jaccard_est(a: bytes, b: bytes) -> float:
 
 def minhash_dedup(docs, threshold: float = 0.8, n_perm: int = 128,
                   n_bands: int = 32, shingle_k: int = 3,
-                  num_verify_groups: int = 256):
+                  num_verify_groups: int = None):
     """documents(doc_id, text) -> (survivor doc_ids, dropped set, pairs).
 
     Returns (survivors: Dataset[doc_id], dropped: set[int], n_pairs: int).
-    Driver memory is O(duplicate pairs), never O(N).
+    Driver memory is O(duplicate pairs), never O(N). The verify-group count
+    scales with the banded relation (n_docs x n_bands rows, each carrying
+    the ~n_perm x 8 B signature) so per-task group memory stays bounded at
+    any corpus size; pass an explicit count to pin it.
     """
+    from .common import adaptive_groups
+    if num_verify_groups is None:
+        # banded rows are signature-heavy (~n_perm x 8 B each): target
+        # ~50k rows (~50 MB at n_perm=128) per verify group
+        est_banded = docs.count() * n_bands
+        num_verify_groups = adaptive_groups(est_banded, 50_000, lo=64)
     sigs = docs.map_batches(MinHashBatch, fn_constructor_args=(n_perm, shingle_k),
                             batch_format="pyarrow", concurrency=(1, 4))
     banded = sigs.map_batches(MinHashBands(n_perm, n_bands), batch_format="pyarrow")
@@ -211,7 +255,8 @@ def _min_survivor_drops(pairs: Set[Tuple[int, int]]) -> Set[int]:
 
 
 def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
-                        num_shuffle_groups: int = 64):
+                        num_shuffle_groups: int = None,
+                        est_shingles_per_doc: int = 256):
     """Exact word-n-gram Jaccard similar pairs, as a distributed pipeline:
 
     1. per batch: distinct-shingle hash rows (shingle_hash, doc_id,
@@ -231,20 +276,39 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
     construction; the corpus itself never lands on the driver.
     """
     from ray.data.aggregate import Count, Max
+    from .common import adaptive_groups
+
+    if num_shuffle_groups is None:
+        # shingle rows are 24 B each; target ~1M rows per pair-emission group
+        num_shuffle_groups = adaptive_groups(
+            docs.count() * est_shingles_per_doc, 1_000_000, lo=64)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        shs, dids, sizes = [], [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            hset = {int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                    for s in _shingles((text or "").split(), n)}
-            shs.extend(hset)
-            dids.extend([did] * len(hset))
-            sizes.extend([len(hset)] * len(hset))
+        """Distinct-shingle rows, fully vectorized: batch shingle hashes
+        (functions/wordhash.py), per-doc dedupe via one lexsort + run
+        compare, per-doc set sizes via bincount."""
+        empty = pa.table({"sh": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "size": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        flat, offs = batch_shingle_hashes(texts, n)
+        if flat.size == 0:
+            return empty
+        doc_of = np.repeat(np.arange(len(texts)), np.diff(offs))
+        order = np.lexsort((flat, doc_of))
+        d, h = doc_of[order], flat[order]
+        keep = np.empty(d.size, bool)
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        d, h = d[keep], h[keep]
+        set_sizes = np.bincount(d, minlength=len(texts))
         return pa.table({
-            "sh": pa.array(np.array(shs, dtype=np.uint64).astype(np.int64), pa.int64()),
-            "doc_id": pa.array(dids, pa.int64()),
-            "size": pa.array(sizes, pa.int64()),
+            "sh": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc_ids[d], pa.int64()),
+            "size": pa.array(set_sizes[d], pa.int64()),
         })
 
     rows = docs.select_columns(["doc_id", "text"]).map_batches(

@@ -56,15 +56,21 @@ def tumbling_window_agg(events, window_secs: int = 3600):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def sessionize(events, gap_secs: int = 1800, num_groups: int = 64):
+def sessionize(events, gap_secs: int = 1800, num_groups: int = None):
     """events(event_id, ts, user_id, value) -> one row per session:
     (user_id, session_start, n_events, sum_value).
 
     A session is a maximal run of a user's events (ordered by ts, event_id)
     whose consecutive gaps are <= gap_secs. Stateful only WITHIN a user:
     groupby co-locates each user's events, then run detection is one
-    vectorized pass per coarse group.
+    vectorized pass per coarse group. The coarse-group count scales with the
+    event count (one group materializes per task) unless pinned.
     """
+    from .common import adaptive_groups
+
+    if num_groups is None:
+        # event rows are ~32 B; target ~1M rows per run-detection group
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=64)
     gap_us = int(gap_secs) * 1_000_000
 
     def add_gkey(b: pa.Table) -> pa.Table:

@@ -264,3 +264,60 @@ def test_extract_nested_important_tags_count_both():
     pe = extract_page(html, "u")
     w = dict(pe.weighted_text)
     assert w["Head deep"] == 1.5 and w["deep"] == 0.5
+
+
+def test_wordhash_vectorized_matches_scalar_reference():
+    """Pin the vectorized polynomial word/shingle kernels against a
+    straightforward per-word Python-int reimplementation of the same hash
+    family (catches indexing/boundary bugs in the cumsum/reduceat tricks)."""
+    import numpy as np
+    from ics_search_engine_ray.functions.wordhash import (
+        flat_word_hashes, batch_shingle_hashes)
+
+    M = 1 << 64
+    P = 0x100000001B3
+    A = 0x9E3779B97F4A7C15
+    LS = 0xD6E8FEB86659FD93
+
+    def mix(x):
+        z = (x + 0x9E3779B97F4A7C15) % M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % M
+        return z ^ (z >> 31)
+
+    def word_h(w):
+        b = w.encode("utf-8")
+        h = 0
+        for i, byte in enumerate(b):
+            h = (h + byte * pow(P, i, M)) % M
+        return mix((h + len(b) * LS) % M)
+
+    def shingle_h(words):
+        h = 0
+        for i, w in enumerate(words):
+            h = (h + word_h(w) * pow(A, len(words) - 1 - i, M)) % M
+        return mix((h + len(words) * LS) % M)
+
+    words = ["hello", "a", "über", "x" * 50, "b", "hello", "末端", ""]
+    words = [w for w in words if w]          # split() never yields empty
+    got = flat_word_hashes(words)
+    want = np.array([word_h(w) for w in words], dtype=np.uint64)
+    assert (got == want).all()
+
+    texts = ["hello a über b hello",           # >= k windows
+             "one two",                        # short doc: one whole shingle
+             "",                               # empty: none
+             "solo",                           # 1 word
+             " ".join(f"w{i%7}" for i in range(40))]
+    k = 3
+    flat, offs = batch_shingle_hashes(texts, k)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        if not ws:
+            want_sh = []
+        elif len(ws) < k:
+            want_sh = [shingle_h(ws)]
+        else:
+            want_sh = [shingle_h(ws[j:j + k]) for j in range(len(ws) - k + 1)]
+        got_sh = flat[offs[i]:offs[i + 1]].tolist()
+        assert got_sh == want_sh, f"doc {i}"

@@ -345,3 +345,31 @@ def test_knn_ivf_empty_corpus(ray_session):
     q = np.ones((2, 8))
     assert knn_ivf(empty, q, k=5) == [[], []]
     assert knn_lsh(empty, q, k=5) == [[], []]
+
+
+def test_adaptive_groups_bounds_group_size(ray_session):
+    """Shuffle-group counts must scale with the input so per-task group rows
+    stay bounded as replication grows (fixed constants were VERDICT r2 item
+    2); outputs are G-invariant."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.common import adaptive_groups
+    from ics_search_engine_ray.stages.dedup_text import minhash_dedup
+
+    target = 50_000
+    for est in (1, 10_000, 1_000_000, 50_000_000, 10**12):
+        g = adaptive_groups(est, target, lo=64)
+        if g < 4096:                       # below the hi clamp
+            assert est / g <= target
+        assert 64 <= g <= 4096
+    # monotone: 100x input never reduces parallelism
+    assert adaptive_groups(10**9, target) >= adaptive_groups(10**7, target)
+
+    # output invariance: adaptive G == pinned G on a real corpus
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " tail"},
+            {"doc_id": 3, "text": " ".join(f"q{i}" for i in range(60))}]
+    ds = rd.from_items(rows)
+    _, d_auto, p_auto = minhash_dedup(ds, threshold=0.8)
+    _, d_pin, p_pin = minhash_dedup(ds, threshold=0.8, num_verify_groups=7)
+    assert d_auto == d_pin and p_auto == p_pin
