@@ -375,8 +375,13 @@ class SearchIndex:
         Uses the stored per-posting positions (which the reference wrote but
         never queried — index_manager.py:17-23). Index-side tokenization
         (stopwords kept, len-1 tokens dropped before position assignment),
-        so e.g. 'spark x join' indexes spark/join as adjacent. Positions
-        chain by successive (prev+1) ∩ next intersections per doc."""
+        so e.g. 'spark x join' indexes spark/join as adjacent.
+
+        The chain runs VECTORIZED over all candidate docs at once: positions
+        flatten to sorted (doc_rank << 32 | pos) keys and each step is one
+        galloping ``searchsorted`` membership of (prev + 1) in the next
+        term's keys — no per-doc Python loop, so stopword phrases (many
+        candidate docs x many positions each) stay a few array passes."""
         terms = self.tokenizer.tokens(phrase)
         if not terms:
             return []
@@ -386,19 +391,34 @@ class SearchIndex:
         common = tps[0].doc_ids
         for tp in tps[1:]:
             common = common[np.isin(common, tp.doc_ids, assume_unique=True)]
-        out = []
+        if common.size == 0:
+            return []
+        m = int(common.size)
+        shift = np.int64(1) << np.int64(32)   # positions are < 2^32
         pos_of = [dict(zip(tp.doc_ids.tolist(),
                            range(tp.doc_ids.size))) for tp in tps]
-        for d in common.tolist():
-            cur = tps[0].positions[pos_of[0][d]]
-            for tp, pmap in zip(tps[1:], pos_of[1:]):
-                nxt = tp.positions[pmap[d]]
-                cur = np.intersect1d(cur + 1, nxt, assume_unique=True)
-                if not cur.size:
-                    break
-            if cur.size:
-                out.append(int(d))
-        return sorted(out)
+
+        def flat_keys(tp, pmap) -> np.ndarray:
+            """Strictly ascending (doc_rank, pos) keys for the common docs —
+            docs ascend, positions ascend within a doc."""
+            arrs = [tp.positions[pmap[d]] for d in common.tolist()]
+            lens = np.fromiter((a.size for a in arrs), np.int64, m)
+            pos = (np.concatenate(arrs).astype(np.int64)
+                   if m else np.empty(0, np.int64))
+            docr = np.repeat(np.arange(m, dtype=np.int64), lens)
+            return docr * shift + pos
+
+        cur = flat_keys(tps[0], pos_of[0])
+        for tp, pmap in zip(tps[1:], pos_of[1:]):
+            nxt = flat_keys(tp, pmap)
+            tgt = cur + 1                     # same doc, next position
+            idx = np.searchsorted(nxt, tgt)
+            ok = idx < nxt.size
+            ok[ok] = nxt[idx[ok]] == tgt[ok]
+            cur = tgt[ok]
+            if cur.size == 0:
+                return []
+        return sorted(int(common[i]) for i in np.unique(cur >> np.int64(32)))
 
     def _search_tfidf_ref(self, terms: List[str], k: int) -> List[SearchResult]:
         """Reference Q3-Q5 semantics (search.py:141-198)."""

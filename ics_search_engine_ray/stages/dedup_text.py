@@ -254,9 +254,18 @@ def _min_survivor_drops(pairs: Set[Tuple[int, int]]) -> Set[int]:
 # ---------------- n-gram Jaccard (exact set similarity) ----------------
 
 
+_NGRAM_CHUNK = 4096        # shingle buckets above this split into chunk pairs
+_NGRAM_MAX_CHUNKS = 64     # K cap: per-unit rows stay ~est/K even for the
+                           # hottest shingle (beyond, raise the cap, not G)
+_NGRAM_LOCAL_ROWS = 1_000_000   # below this, skip hot discovery entirely
+
+
 def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
                         num_shuffle_groups: int = None,
-                        est_shingles_per_doc: int = 256):
+                        est_shingles_per_doc: int = 256,
+                        hot_gate_rows: int = _NGRAM_LOCAL_ROWS,
+                        chunk_rows: int = _NGRAM_CHUNK,
+                        sample_frac: float = 0.02):
     """Exact word-n-gram Jaccard similar pairs, as a distributed pipeline:
 
     1. per batch: distinct-shingle hash rows (shingle_hash, doc_id,
@@ -268,20 +277,29 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
        sizes — J = c / (|A| + |B| - c) computed vectorized, filtered.
 
     Exact (no candidate cap): J comes from complete co-occurrence counts.
-    A pathologically hot shingle (boilerplate shared by ~everyone) makes
-    pair emission quadratic in its bucket — at web scale, add the same
-    chunk-split used by stages/dedup.py; the synthetic corpora have none.
+    A pathologically hot shingle (boilerplate shared by ~everyone) would make
+    pair emission quadratic in ONE task, so hot shingles (discovered on a 2%
+    sample — missing one costs parallelism, never correctness) split into
+    chunk-PAIR units: rows chunk by doc_id % K and replicate to the K units
+    containing their chunk; a unit (lo < hi) emits only cross pairs between
+    its two chunks, a diagonal unit (lo == hi) its triangle — every doc pair
+    sharing the shingle is emitted exactly once, so the downstream
+    ``Count()`` stays exact (same triangle decomposition as stages/dedup.py,
+    but routed by the exact (sh, lo, hi) triple because here a group-key
+    collision would corrupt counts, not just over-generate candidates).
 
     Returns a sorted list of (a, b, jaccard) — the RESULT set, small by
     construction; the corpus itself never lands on the driver.
     """
+    import ray as _ray
     from ray.data.aggregate import Count, Max
     from .common import adaptive_groups
 
+    n_docs = docs.count()
+    est_rows = n_docs * est_shingles_per_doc
     if num_shuffle_groups is None:
         # shingle rows are 24 B each; target ~1M rows per pair-emission group
-        num_shuffle_groups = adaptive_groups(
-            docs.count() * est_shingles_per_doc, 1_000_000, lo=64)
+        num_shuffle_groups = adaptive_groups(est_rows, 1_000_000, lo=64)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         """Distinct-shingle rows, fully vectorized: batch shingle hashes
@@ -314,8 +332,64 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
         shingle_rows, batch_format="pyarrow")
 
-    def add_gkey(b: pa.Table) -> pa.Table:
-        g = b.column("sh").to_numpy(zero_copy_only=False) % num_shuffle_groups
+    # hot-shingle discovery: sampled distinct-doc counts per shingle; only
+    # sampled-hot shingles reach the driver (O(hot) memory). Skipped on small
+    # inputs where even a worst-case single bucket is one sub-second task.
+    plan: Dict[int, int] = {}
+    if est_rows > hot_gate_rows:
+        frac = sample_frac
+        thresh = max(2, int(chunk_rows * frac / 2))
+
+        def sh_counts(b: pa.Table) -> pa.Table:
+            vc = b.column("sh").value_counts()
+            return pa.table({"sh": vc.field("values"),
+                             "cnt": vc.field("counts").cast(pa.int64())})
+
+        hot = (docs.select_columns(["doc_id", "text"]).random_sample(frac, seed=19)
+               .map_batches(shingle_rows, batch_format="pyarrow")
+               .map_batches(sh_counts, batch_format="pyarrow")
+               .groupby("sh").sum("cnt")
+               .map_batches(lambda b: b.filter(
+                   pc.greater(b.column("sum(cnt)"), thresh)),
+                   batch_format="pyarrow")
+               .take_all())
+        plan = {int(r["sh"]): min(_NGRAM_MAX_CHUNKS,
+                                  -(-int(r["sum(cnt)"] / frac) // chunk_rows))
+                for r in hot}
+    plan_ref = _ray.put(plan)
+
+    def expand_chunks(b: pa.Table) -> pa.Table:
+        """Route each row to its chunk-pair unit(s). Non-hot shingles are a
+        single (0, 0) unit; a hot shingle with K chunks replicates each row
+        to the K units containing its chunk (ci = doc_id % K)."""
+        sh = b.column("sh").to_numpy(zero_copy_only=False)
+        cplan = _ray.get(plan_ref)
+        if cplan:
+            dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            nck = np.ones(sh.size, dtype=np.int64)
+            for s, kk in cplan.items():        # plan is tiny (hot shingles)
+                nck[sh == s] = kk
+            ci = dids % nck
+            rep = np.repeat(np.arange(sh.size), nck)
+            seg_start = np.cumsum(nck) - nck
+            cj = np.arange(rep.size, dtype=np.int64) - seg_start[rep]
+            lo = np.minimum(ci[rep], cj)
+            hi = np.maximum(ci[rep], cj)
+            b = b.take(rep)
+            chunk = ci[rep]
+            shx = sh[rep]
+        else:
+            lo = hi = chunk = np.zeros(sh.size, np.int64)
+            shx = sh
+        # shuffle key mixes the EXACT unit triple; % G only merges units into
+        # coarse groups — emit_pairs re-segments on the exact triple, so a
+        # key collision can never conflate two different shingles
+        g = _splitmix(shx.view(np.uint64) + np.uint64(0x9E37)
+                      * (lo * _NGRAM_MAX_CHUNKS + hi).view(np.uint64)) \
+            .view(np.int64) % num_shuffle_groups
+        b = b.append_column("chunk", pa.array(chunk, pa.int64()))
+        b = b.append_column("lo", pa.array(lo, pa.int64()))
+        b = b.append_column("hi", pa.array(hi, pa.int64()))
         return b.append_column("gkey", pa.array(g, pa.int64()))
 
     def emit_pairs(g: pa.Table) -> pa.Table:
@@ -324,31 +398,50 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
         m = g.num_rows
         if m < 2:
             return empty
-        g = g.sort_by([("sh", "ascending"), ("doc_id", "ascending")])
+        g = g.sort_by([("sh", "ascending"), ("lo", "ascending"),
+                       ("hi", "ascending"), ("chunk", "ascending"),
+                       ("doc_id", "ascending")])
         sh = g.column("sh").to_numpy(zero_copy_only=False)
+        lo = g.column("lo").to_numpy(zero_copy_only=False)
+        hi = g.column("hi").to_numpy(zero_copy_only=False)
         dids = g.column("doc_id").to_numpy(zero_copy_only=False)
         sizes = g.column("size").to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+        new_unit = np.concatenate(([True], (sh[1:] != sh[:-1])
+                                   | (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])))
+        starts = np.flatnonzero(new_unit)
         lens = np.diff(np.append(starts, m))
+        diag = lo[starts] == hi[starts]
         aa, bb, sa_l, sb_l = [], [], [], []
-        for run_len in np.unique(lens[lens >= 2]):
-            st = starts[lens == run_len]
-            if run_len <= 256:
-                ti, tj = np.triu_indices(int(run_len), k=1)
-                ii = (st[:, None] + ti[None, :]).ravel()
-                jj = (st[:, None] + tj[None, :]).ravel()
-            else:               # rare giant bucket: per-run meshgrid
-                ii_l, jj_l = [], []
-                for s0 in st:
-                    ti, tj = np.triu_indices(int(run_len), k=1)
-                    ii_l.append(s0 + ti)
-                    jj_l.append(s0 + tj)
-                ii, jj = np.concatenate(ii_l), np.concatenate(jj_l)
+
+        def push(ii, jj):
             aa.append(np.minimum(dids[ii], dids[jj]))
             bb.append(np.maximum(dids[ii], dids[jj]))
             lo_is_i = dids[ii] <= dids[jj]
             sa_l.append(np.where(lo_is_i, sizes[ii], sizes[jj]))
             sb_l.append(np.where(lo_is_i, sizes[jj], sizes[ii]))
+
+        # diagonal units (the common case — every non-hot shingle):
+        # triangle via batched templates per run length
+        d_lens = lens[diag]
+        d_starts = starts[diag]
+        for run_len in np.unique(d_lens[d_lens >= 2]):
+            st = d_starts[d_lens == run_len]
+            ti, tj = np.triu_indices(int(run_len), k=1)
+            push((st[:, None] + ti[None, :]).ravel(),
+                 (st[:, None] + tj[None, :]).ravel())
+        # cross units (hot shingles only — few): chunk-lo rows x chunk-hi
+        # rows; rows are chunk-sorted inside the unit, so one searchsorted
+        # finds the split point
+        chunk = g.column("chunk").to_numpy(zero_copy_only=False)
+        for u in np.flatnonzero(~diag):
+            s0, ln = int(starts[u]), int(lens[u])
+            split = s0 + int(np.searchsorted(chunk[s0:s0 + ln], hi[s0]))
+            n_lo, n_hi = split - s0, s0 + ln - split
+            if n_lo == 0 or n_hi == 0:
+                continue
+            ii = np.repeat(np.arange(s0, split), n_hi)
+            jj = np.tile(np.arange(split, s0 + ln), n_lo)
+            push(ii, jj)
         if not aa:
             return empty
         return pa.table({"a": pa.array(np.concatenate(aa), pa.int64()),
@@ -356,7 +449,7 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
                          "sa": pa.array(np.concatenate(sa_l), pa.int64()),
                          "sb": pa.array(np.concatenate(sb_l), pa.int64())})
 
-    cand = rows.map_batches(add_gkey, batch_format="pyarrow") \
+    cand = rows.map_batches(expand_chunks, batch_format="pyarrow") \
         .groupby("gkey").map_groups(
             lambda g: emit_pairs(g.drop(["gkey"])), batch_format="pyarrow")
     agg = cand.groupby(["a", "b"]).aggregate(Count(), Max("sa"), Max("sb"))
@@ -412,20 +505,24 @@ def embedding_dedup(embeds, threshold: float = 0.99, n_bits: int = 12,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = batch.column("embedding").combine_chunks()
+        # flatten() honors list offsets: zero-copy values -> (n, dim)
+        vecs = np.asarray(emb.flatten(), dtype=np.float64).reshape(-1, dim)
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         vn = vecs / norm
-        ks, ds, vs = [], [], []
-        for t, lsh in enumerate(tables):
-            key = lsh.keys(vn) | (np.int64(t) << np.int64(n_bits + 1))
-            ks.append(key)
-            ds.append(ids)
-            vs.extend(vn.tolist())
+        n = vn.shape[0]
+        keys = np.concatenate([
+            lsh.keys(vn) | (np.int64(t) << np.int64(n_bits + 1))
+            for t, lsh in enumerate(tables)])
+        # vn replicated n_tables times as ONE list column built from flat
+        # values + arithmetic offsets (no per-row Python tolist)
+        flat = pa.array(np.tile(vn, (n_tables, 1)).ravel(), pa.float64())
+        offs = pa.array(np.arange(n * n_tables + 1, dtype=np.int32) * dim)
         return pa.table({
-            "bucket": pa.array(np.concatenate(ks), pa.int64()),
-            "vec_id": pa.array(np.concatenate(ds), pa.int64()),
-            "vec": pa.array(vs, pa.list_(pa.float64())),
+            "bucket": pa.array(keys, pa.int64()),
+            "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
+            "vec": pa.ListArray.from_arrays(offs, flat),
         })
 
     bucketed = embeds.map_batches(bucketize, batch_format="pyarrow")
@@ -437,32 +534,45 @@ def embedding_dedup(embeds, threshold: float = 0.99, n_bits: int = 12,
         if m < 2:
             return empty
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        vecs = np.array(group.column("vec").to_pylist(), dtype=np.float64)
+        vc = group.column("vec").combine_chunks()
+        vecs = np.asarray(vc.flatten(), dtype=np.float64).reshape(m, -1)
         sim = vecs @ vecs.T
         ii, jj = np.nonzero(sim >= threshold - 1e-12)
         keep = ii < jj
-        aa, bb, cc = [], [], []
-        seen = set()
-        for p, q in zip(ii[keep], jj[keep]):
-            a, b = int(ids[p]), int(ids[q])
-            if a == b:
-                continue
-            key = (min(a, b), max(a, b))
-            if key in seen:
-                continue
-            seen.add(key)
-            aa.append(key[0])
-            bb.append(key[1])
-            cc.append(round(float(sim[p, q]), 6))
-        if not aa:
+        ii, jj = ii[keep], jj[keep]
+        aa = np.minimum(ids[ii], ids[jj])
+        bb = np.maximum(ids[ii], ids[jj])
+        cc = np.round(sim[ii, jj], 6)
+        ne = aa != bb                  # duplicate vec_ids within a bucket
+        aa, bb, cc = aa[ne], bb[ne], cc[ne]
+        if aa.size == 0:
             return empty
-        return pa.table({"a": pa.array(aa, pa.int64()), "b": pa.array(bb, pa.int64()),
-                         "cos": pa.array(cc, pa.float64())})
+        # (a, b) dedupe via lexsort + run compare (same trick as
+        # stages/dedup.py pair dedupe) — no per-pair Python set
+        order = np.lexsort((bb, aa))
+        aa, bb, cc = aa[order], bb[order], cc[order]
+        uniq = np.empty(aa.size, bool)
+        uniq[0] = True
+        uniq[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+        return pa.table({"a": pa.array(aa[uniq], pa.int64()),
+                         "b": pa.array(bb[uniq], pa.int64()),
+                         "cos": pa.array(cc[uniq], pa.float64())})
 
     pairs_ds = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
-    pairs = {}
+    # cross-table dedupe of the RESULT set (O(pairs), small): one lexsort
+    a_p, b_p, c_p = [], [], []
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-        for a, b2, c in zip(b.column("a").to_pylist(), b.column("b").to_pylist(),
-                            b.column("cos").to_pylist()):
-            pairs[(a, b2)] = c
-    return sorted((a, b, c) for (a, b), c in pairs.items())
+        if b.num_rows:
+            a_p.append(b.column("a").to_numpy(zero_copy_only=False))
+            b_p.append(b.column("b").to_numpy(zero_copy_only=False))
+            c_p.append(b.column("cos").to_numpy(zero_copy_only=False))
+    if not a_p:
+        return []
+    aa, bb, cc = map(np.concatenate, (a_p, b_p, c_p))
+    order = np.lexsort((bb, aa))
+    aa, bb, cc = aa[order], bb[order], cc[order]
+    uniq = np.empty(aa.size, bool)
+    uniq[0] = True
+    uniq[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+    return [(int(a), int(b), float(c))
+            for a, b, c in zip(aa[uniq], bb[uniq], cc[uniq])]

@@ -373,3 +373,28 @@ def test_adaptive_groups_bounds_group_size(ray_session):
     _, d_auto, p_auto = minhash_dedup(ds, threshold=0.8)
     _, d_pin, p_pin = minhash_dedup(ds, threshold=0.8, num_verify_groups=7)
     assert d_auto == d_pin and p_auto == p_pin
+
+
+def test_ngram_hot_shingle_chunk_split(ray_session):
+    """A boilerplate shingle shared by every doc must yield IDENTICAL pairs
+    whether or not the hot-shingle chunk-pair split engages (VERDICT r2 item
+    7): the split is pure work decomposition — each shared shingle still
+    emits its doc pair exactly once, so Jaccard counts stay exact."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import ngram_jaccard_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dogs daily"
+    rows = [{"doc_id": i, "text": boiler + f" unique{i} tok{i} end{i}"}
+            for i in range(40)]
+    rows.append({"doc_id": 100, "text": boiler + " same tail here now"})
+    rows.append({"doc_id": 101, "text": boiler + " same tail here now x"})
+    ds = rd.from_items(rows)
+
+    base = ngram_jaccard_pairs(ds, n=3, threshold=0.3)
+    # force discovery (full sample) + tiny chunks so the boiler shingles
+    # split into many chunk-pair units with real cross emissions
+    split = ngram_jaccard_pairs(ds, n=3, threshold=0.3,
+                                hot_gate_rows=1, chunk_rows=4,
+                                sample_frac=1.0)
+    assert len(base) > 0
+    assert split == base
