@@ -26,6 +26,7 @@ passes at web scale).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
@@ -137,9 +138,10 @@ def link_scores_from_docmeta(docmeta_rows: Iterable[Tuple[str, List[str]]]):
 # ---------------------------------------------------------------------------
 
 
-def extract_edges_dataset(meta_ds):
-    """docmeta Dataset (url, outgoing_links) -> (node_hash_sorted, src_pos,
-    dst_pos, out_deg) — the driver receives ONLY integer arrays.
+def edge_dataset(meta_ds):
+    """docmeta Dataset (url, outgoing_links) -> (node_hash_sorted, edges_ds,
+    out_deg) — edges stay a (materialized) Dataset of (src, dst) positions;
+    the driver receives only O(V) arrays (node hashes + out-degrees).
 
     Node identity is the 63-bit md5 url hash (the same function as page
     doc_ids); positions index the sorted hash array. Internal-edge detection
@@ -187,37 +189,156 @@ def extract_edges_dataset(meta_ds):
         return pa.table({"src": pa.array(srcs, pa.int64()),
                          "dst": pa.array(dsts, pa.int64())})
 
+    all_rows = meta_ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    # degree rows (one per node, O(V)) come to the driver; real edges stay out
+    out_deg = np.zeros(n, dtype=np.int64)
+    for b in all_rows.filter(expr="src < 0").iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            s = b.column("src").to_numpy(zero_copy_only=False)
+            out_deg[-s - 1] = b.column("dst").to_numpy(zero_copy_only=False)
+    edges_ds = all_rows.filter(expr="src >= 0").materialize()
+    return node_h, edges_ds, out_deg
+
+
+def extract_edges_dataset(meta_ds):
+    """Back-compat wrapper: (node_hash_sorted, src_pos, dst_pos, out_deg)
+    with the edge arrays collected to the driver (the small-graph path)."""
+    node_h, edges_ds, out_deg = edge_dataset(meta_ds)
+    src, dst = collect_edges(edges_ds)
+    return node_h, src, dst, out_deg
+
+
+def collect_edges(edges_ds):
+    """Materialized edges Dataset -> driver (src, dst) int64 arrays."""
     src_parts, dst_parts = [], []
-    for b in meta_ds.map_batches(edge_rows, batch_format="pyarrow") \
-                    .iter_batches(batch_format="pyarrow"):
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
         if b.num_rows:
             src_parts.append(b.column("src").to_numpy(zero_copy_only=False))
             dst_parts.append(b.column("dst").to_numpy(zero_copy_only=False))
-    src_all = np.concatenate(src_parts) if src_parts else np.empty(0, np.int64)
-    dst_all = np.concatenate(dst_parts) if dst_parts else np.empty(0, np.int64)
-    is_deg = src_all < 0
-    out_deg = np.zeros(n, dtype=np.int64)
-    out_deg[-src_all[is_deg] - 1] = dst_all[is_deg]
-    return node_h, src_all[~is_deg], dst_all[~is_deg], out_deg
+    src = np.concatenate(src_parts) if src_parts else np.empty(0, np.int64)
+    dst = np.concatenate(dst_parts) if dst_parts else np.empty(0, np.int64)
+    return src, dst
 
 
-def link_scores_dataset(meta_ds):
+def _scatter_sum_ds(edges_ds, n: int, w: np.ndarray, group_col: str,
+                    gather_col: str) -> np.ndarray:
+    """Dataset pass computing out[g] = sum over edges grouped by `group_col`
+    of w[edge[gather_col]] — the distributed scatter-add one power-iteration
+    step needs. Per-batch local combine (np.unique + bincount) shrinks the
+    shuffled relation to unique group keys per block before the native
+    ``groupby(g).sum(w)``; the driver receives only the O(V) aggregate.
+    """
+    import pyarrow as pa
+    import ray
+
+    w_ref = ray.put(np.ascontiguousarray(w, dtype=np.float64))
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64())})
+        wv = ray.get(w_ref)
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        s = b.column(gather_col).to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(g, return_inverse=True)
+        ps = np.bincount(inv, weights=wv[s])
+        return pa.table({"g": pa.array(ug, pa.int64()),
+                         "w": pa.array(ps, pa.float64())})
+
+    agg = edges_ds.map_batches(part, batch_format="pyarrow").groupby("g").sum("w")
+    out = np.zeros(n)
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            out[b.column("g").to_numpy(zero_copy_only=False)] = \
+                b.column("sum(w)").to_numpy(zero_copy_only=False)
+    return out
+
+
+def pagerank_arr_ds(n: int, edges_ds, out_deg: np.ndarray,
+                    damping: float = 0.85, max_iterations: int = 100,
+                    threshold: float = 1e-4) -> np.ndarray:
+    """Dataset-pass PageRank: each iteration is one ``groupby(dst).sum``
+    over the (materialized) edges Dataset; the driver holds only the O(V)
+    score/degree vectors. Quirk-identical control flow to
+    :func:`pagerank_arr` (break before assignment, x1000 scaling); values
+    match up to float summation order (groupby partials vs bincount).
+
+    Scale path: edges never reside on the driver. The O(V) score broadcast
+    (8 B/node) holds to ~10^8 nodes; past that, scores become a keyed
+    Dataset joined to edges by src (documented in SCALE.md).
+    """
+    if n == 0:
+        return np.empty(0)
+    scores = np.ones(n) / n
+    inv_deg = np.zeros(n)
+    nz = out_deg > 0
+    inv_deg[nz] = 1.0 / out_deg[nz]
+    for _ in range(max_iterations):
+        contrib = _scatter_sum_ds(edges_ds, n, scores * inv_deg, "dst", "src")
+        new_scores = (1 - damping) / n + damping * contrib
+        if np.abs(new_scores - scores).sum() < threshold:
+            break  # reference breaks BEFORE assignment: returns old iterate
+        scores = new_scores
+    return scores * 1000
+
+
+def hits_arr_ds(n: int, edges_ds, max_iterations: int = 20,
+                threshold: float = 1e-4):
+    """Dataset-pass HITS: two ``groupby().sum`` passes per iteration
+    (auth over dst, hub over src). Quirk-identical control flow to
+    :func:`hits_arr`; L1 normalization on the driver-held O(V) vectors."""
+    if n == 0:
+        return np.empty(0), np.empty(0)
+    hub = np.ones(n) / n
+    auth = np.ones(n) / n
+    for _ in range(max_iterations):
+        new_auth = _scatter_sum_ds(edges_ds, n, hub, "dst", "src")
+        na = np.abs(new_auth).sum()
+        if na == 0:
+            break
+        new_auth /= na
+        new_hub = _scatter_sum_ds(edges_ds, n, new_auth, "src", "dst")
+        nh = np.abs(new_hub).sum()
+        if nh == 0:
+            break
+        new_hub /= nh
+        if (np.abs(new_auth - auth) < threshold).all() and (np.abs(new_hub - hub) < threshold).all():
+            break  # reference returns previous iterate
+        auth = new_auth
+        hub = new_hub
+    return auth * 10, hub * 10
+
+
+_DIST_EDGE_GATE = int(os.environ.get("ICSER_LINKRANK_DIST_EDGES", 50_000_000))
+
+
+def link_scores_dataset(meta_ds, dist_edge_gate: int = None):
     """docmeta Dataset -> link_scores Dataset (url, auth, hub, pagerank).
 
-    Edge extraction and the final url join-back are dataset passes; the
-    driver holds integer arrays only and the power iteration runs on them
-    (SURVEY.md §2.8: driver-side iteration at this scope; ``groupby(dst)``
-    passes at web scale).
+    Edge extraction and the final url join-back are always dataset passes.
+    The power iteration has two variants selected by an edge-count gate
+    (``ICSER_LINKRANK_DIST_EDGES``, default 50M): below it the edges are
+    collected and iterated driver-side in numpy (fast — no per-iteration
+    shuffle); above it the edges stay a Dataset and each iteration is a
+    ``groupby().sum`` pass (:func:`pagerank_arr_ds` / :func:`hits_arr_ds`) —
+    the driver never holds O(E), only the O(V) score vectors. Both variants
+    are tested equal (tests/test_graph.py).
     """
     import pyarrow as pa
     import ray
     from ..stages.tokenize import url_doc_id
 
-    node_h, src, dst, out_deg = extract_edges_dataset(
+    gate = _DIST_EDGE_GATE if dist_edge_gate is None else dist_edge_gate
+    node_h, edges_ds, out_deg = edge_dataset(
         meta_ds.select_columns(["url", "outgoing_links"]))
     n = int(node_h.size)
-    pr = pagerank_arr(n, src, dst, out_deg)
-    auth, hub = hits_arr(n, src, dst)
+    if edges_ds.count() > gate:
+        pr = pagerank_arr_ds(n, edges_ds, out_deg)
+        auth, hub = hits_arr_ds(n, edges_ds)
+    else:
+        src, dst = collect_edges(edges_ds)
+        pr = pagerank_arr(n, src, dst, out_deg)
+        auth, hub = hits_arr(n, src, dst)
     sc_ref = ray.put((node_h, auth, hub, pr))
 
     def join_scores(b: pa.Table) -> pa.Table:

@@ -144,3 +144,55 @@ def test_link_scores_dataset_matches_driver_path(ray_session):
     for u in want:
         for g, w in zip(got[u], want[u]):
             assert g == pytest.approx(w, rel=1e-9, abs=1e-12), u
+
+    # gate=0 forces the dataset-pass power iteration (groupby().sum per
+    # step); must match the driver-side numpy iteration up to float
+    # summation order (groupby partials vs bincount)
+    got_ds = {r["url"]: (r["auth"], r["hub"], r["pagerank"])
+              for b in link_scores_dataset(ds, dist_edge_gate=0)
+                       .iter_batches(batch_format="pyarrow")
+              for r in b.to_pylist()}
+    assert set(got_ds) == set(want)
+    for u in want:
+        for g, w in zip(got_ds[u], want[u]):
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12), u
+
+
+def test_distributed_power_iteration_kernels(ray_session):
+    """pagerank_arr_ds / hits_arr_ds == pagerank_arr / hits_arr on the same
+    edge set (the two gate branches of link_scores_dataset)."""
+    import ray.data as rd
+    import pyarrow as pa
+    from ics_search_engine_ray.graph.linkrank import (
+        pagerank_arr, hits_arr, pagerank_arr_ds, hits_arr_ds)
+
+    rng = np.random.default_rng(11)
+    n = 80
+    src = rng.integers(0, n, size=400).astype(np.int64)
+    dst = rng.integers(0, n, size=400).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    out_deg = np.bincount(src, minlength=n) + rng.integers(0, 3, size=n)
+    edges_ds = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+    })).repartition(5).materialize()
+
+    # bounded iteration counts keep the test fast; equality is per-step so
+    # the cap exercises the same math as a converged run
+    pr_drv = pagerank_arr(n, src, dst, out_deg, max_iterations=8)
+    pr_ds = pagerank_arr_ds(n, edges_ds, out_deg, max_iterations=8)
+    np.testing.assert_allclose(pr_ds, pr_drv, rtol=1e-9, atol=1e-12)
+
+    a_drv, h_drv = hits_arr(n, src, dst, max_iterations=5)
+    a_ds, h_ds = hits_arr_ds(n, edges_ds, max_iterations=5)
+    np.testing.assert_allclose(a_ds, a_drv, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(h_ds, h_drv, rtol=1e-9, atol=1e-12)
+
+    # empty edge set: both variants return the teleport-only fixpoint
+    empty = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+    })).materialize()
+    np.testing.assert_allclose(
+        pagerank_arr_ds(4, empty, np.zeros(4, np.int64)),
+        pagerank_arr(4, np.empty(0, np.int64), np.empty(0, np.int64),
+                     np.zeros(4, np.int64)))
