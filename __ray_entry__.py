@@ -413,6 +413,14 @@ def _q_knn_lsh(sf_dir: str):
 
 
 def _q_extract_text(sf_dir: str):
+    """(url, text_md5) of every extracted page.
+
+    Oracle: the FROZEN fixture tests/fixtures/extract_expected.parquet
+    (written once by tools/freeze_extract_fixture.py against the
+    golden-pinned extractor, then committed) — NOT the engine's own output,
+    so extraction regressions fail the CORRECTNESS gate instead of
+    re-deriving the expectation (non-circular, VERDICT r2 missing #3).
+    """
     from ics_search_engine_ray.sources.pages import generate_pages
     from ics_search_engine_ray.stages.extract import extract_dataset
     import ray.data as rd
@@ -420,9 +428,16 @@ def _q_extract_text(sf_dir: str):
     pages_dir = generate_pages(sf_dir)
     pages = rd.read_parquet(pages_dir, columns=["url", "html"])
     docs = extract_dataset(pages, DEFAULT_CONFIG)
-    return docs.map_batches(
-        lambda b: pa.table({"url": b.column("url"), "text": b.column("text")}),
-        batch_format="pyarrow")
+
+    def md5_batch(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b.column("url"),
+            "text_md5": pa.array(
+                [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                 for t in b.column("text").to_pylist()], pa.string()),
+        })
+
+    return docs.map_batches(md5_batch, batch_format="pyarrow")
 
 
 def _q_search_bm25(sf_dir: str):
@@ -496,7 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,                # A3 + Q1-Q6 (TAAT)
         "bm25_topk_wand": _q_bm25_topk_wand,      # block-max WAND path
         "phrase_match": _q_phrase_match,          # positional index query
-        "extract_text": _q_extract_text,          # M1-M3 (rows-only)
+        "extract_text": _q_extract_text,          # M1-M3 (frozen-fixture oracle)
         "search_bm25": _q_search_bm25,            # full pipeline (rows-only)
         "search_tfidf_ref": _q_search_tfidf_ref,  # Q3-Q5 parity scorer
         "pagerank_hits": _q_pagerank,             # G1/G2 (rows-only)
@@ -677,4 +692,14 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        substr(sha256(text), 1, 16) AS sha16
 FROM documents""",
+        # frozen-fixture oracle (tools/freeze_extract_fixture.py): the
+        # (n_docs, len_sum) pair identifies the sf dir from the registered
+        # documents view, so one committed fixture serves every scale factor
+        "extract_text": f"""
+SELECT url, text_md5
+FROM read_parquet('{os.path.join(_REPO_DIR, "tests", "fixtures",
+                                 "extract_expected.parquet")}')
+WHERE n_docs = (SELECT count(*) FROM documents)
+  AND len_sum = (SELECT sum(length(text)) FROM documents)
+ORDER BY url""",
     }

@@ -215,3 +215,24 @@ def test_astral_chars_kept_bmp_high_chars_removed():
 def test_whitespace_text_nodes_between_divs():
     pe = ex("<div>a</div>\n<div>b</div>")
     assert pe.text == "a b"
+
+
+# ---- frozen driver-oracle fixture (tools/freeze_extract_fixture.py) ----
+
+def test_extract_expected_fixture_integrity():
+    """The vendored extract_text oracle fixture must stay well-formed: one
+    row per (sf, url), a distinct (n_docs, len_sum) key per sf dir, and
+    md5-hex payloads. Value agreement with the live extractor is checked by
+    tools/oracle_check.py (the CORRECTNESS gate)."""
+    import os
+    import re
+    import pyarrow.parquet as pq
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "extract_expected.parquet")
+    df = pq.read_table(path).to_pandas()
+    assert len(df) > 0
+    keys = df[["n_docs", "len_sum"]].drop_duplicates()
+    assert len(keys) == 3                      # sf0.001, sf0.01, sf0.1
+    assert not df.duplicated(["n_docs", "len_sum", "url"]).any()
+    assert df["text_md5"].map(lambda m: bool(re.fullmatch(r"[0-9a-f]{32}", m))).all()
