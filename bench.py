@@ -91,6 +91,19 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
             times.append(time.time() - tq)
         qsecs[name] = round(sorted(times)[1], 5)
 
+    # stopword/common-phrase latency (VERDICT r2 item 8): phrase_match over
+    # high-df terms exercises the vectorized position-chain intersection
+    phrase_secs = {}
+    for name, ph in (("ph_common", "the spark"),
+                     ("ph_stopword", "of the")):
+        si.phrase_match(ph)  # warm
+        times = []
+        for _ in range(3):
+            tq = time.time()
+            si.phrase_match(ph)
+            times.append(time.time() - tq)
+        phrase_secs[name] = round(sorted(times)[1], 5)
+
     # concurrent query throughput through the partition-sharded actor pool
     from concurrent.futures import ThreadPoolExecutor
     from ics_search_engine_ray.query.actors import ShardedSearchIndex
@@ -118,6 +131,7 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
         "index_bytes": sum(r["seg_bytes"] for r in res.manifest),
         "stage_secs": {k: round(v, 2) for k, v in res.stage_secs.items()},
         "query_avg_sec": round(sum(qsecs.values()) / len(qsecs), 5),
+        "phrase_secs": phrase_secs,
         "query_actor_qps": round(actor_qps, 1),
     }
     if steady:
