@@ -265,19 +265,48 @@ def _q_media_features(sf_dir: str):
         batch_format="pyarrow")
 
 
-# ---- rows-only (non-SQL-expressible) ----
-
-
 def _q_frame_sample(sf_dir: str):
+    """Sampled frames of the synthetic video table (oracle: blob repeat +
+    slice + sha256 in SQL; exact because the testdata texts are ASCII, so
+    VARCHAR slicing == byte slicing)."""
     from ics_search_engine_ray.stages.multimodal import (
         synth_video_from_documents, frame_sample_dataset)
     video = synth_video_from_documents(_read_docs(sf_dir))
     fs = frame_sample_dataset(video, every_n=5)
     return fs.map_batches(
         lambda b: pa.table({"media_id": b.column("media_id"),
-                            "frame_idx": b.column("frame_idx"),
+                            "frame_idx": b.column("frame_idx").cast(pa.int64()),
                             "sha16": b.column("sha16")}),
         batch_format="pyarrow")
+
+
+def _q_simhash_fingerprint(sf_dir: str):
+    """T1 fingerprint math over the documents table (stem OFF so the
+    tokenizer is SQL-replicable): (doc_id, 128-char bitstring). The oracle
+    re-derives the md5 bit expansion + tf-weighted majority vote in SQL —
+    the reference formula (utils/simhash.py:13-47) checked end-to-end by
+    DuckDB rather than only by pytest goldens."""
+    from ics_search_engine_ray.functions.simhash import (
+        SimHasher, fingerprint_to_bitstring)
+    from ics_search_engine_ray.functions.tokenizer import Tokenizer
+
+    class Fp:
+        def __init__(self):
+            self.tk = Tokenizer(stem=False)
+            self.sh = SimHasher()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            fps = [fingerprint_to_bitstring(
+                       self.sh.fingerprint(self.tk.tokens(t or "")))
+                   for t in b.column("text").to_pylist()]
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "simhash": pa.array(fps, pa.string())})
+
+    return _read_docs(sf_dir).map_batches(
+        Fp, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---- rows-only (non-SQL-expressible) ----
 
 
 def _q_lang_id(sf_dir: str):
@@ -534,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "simhash_fingerprint": _q_simhash_fingerprint,  # T1 (SQL oracle)
     }
 
 
@@ -692,6 +722,36 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        substr(sha256(text), 1, 16) AS sha16
 FROM documents""",
+        "frame_sample": """
+WITH reps AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(768 // length(text) AS INT) + 1), 1, 768) AS rep
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id AS media_id, CAST(j AS BIGINT) AS frame_idx,
+       substr(sha256(substr(rep, CAST(j AS INT) * 64 + 1, 64)), 1, 16) AS sha16
+FROM reps, range(0, 12, 5) t(j)
+ORDER BY media_id, frame_idx""",
+        # reference simhash formula (utils/simhash.py:13-47): md5 bit j of a
+        # term is bit (3 - j%4) of hex nibble j//4; fingerprint bit = 1 iff
+        # the tf-weighted vote over terms is strictly positive
+        "simhash_fingerprint": """
+WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1)) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+votes AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(tf * (2 * ((strpos('0123456789abcdef',
+                    substr(md5(term), CAST(j // 4 AS INT) + 1, 1)) - 1
+                    >> (3 - CAST(j % 4 AS INT))) & 1) - 1)) > 0
+              THEN '1' ELSE '0' END AS b
+  FROM tf, range(128) t(j) GROUP BY doc_id, j
+),
+fp AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+       FROM votes GROUP BY doc_id)
+SELECT d.doc_id, coalesce(fp.simhash, repeat('0', 128)) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+ORDER BY d.doc_id""",
         # frozen-fixture oracle (tools/freeze_extract_fixture.py): the
         # (n_docs, len_sum) pair identifies the sf dir from the registered
         # documents view, so one committed fixture serves every scale factor
