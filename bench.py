@@ -104,6 +104,33 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
             times.append(time.time() - tq)
         phrase_secs[name] = round(sorted(times)[1], 5)
 
+    # training-data operator wall times over the sf tables (documents /
+    # embeddings) — tracks the dedup-family kernels (vectorized MinHash
+    # signatures, adaptive groups, banded LSH) release over release
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import (
+        exact_dedup, minhash_dedup, ngram_jaccard_pairs, embedding_dedup)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tops = {}
+    t = time.time()
+    exact_dedup(rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
+    tops["exact_dedup"] = round(time.time() - t, 2)
+    t = time.time()
+    surv, _, _ = minhash_dedup(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]), threshold=0.8)
+    surv.count()
+    tops["minhash_dedup"] = round(time.time() - t, 2)
+    t = time.time()
+    ngram_jaccard_pairs(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]), n=3, threshold=0.8)
+    tops["ngram_jaccard"] = round(time.time() - t, 2)
+    t = time.time()
+    embedding_dedup(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+        threshold=0.4, n_bits=4, n_tables=16)
+    tops["embedding_dedup"] = round(time.time() - t, 2)
+
     # concurrent query throughput through the partition-sharded actor pool
     from concurrent.futures import ThreadPoolExecutor
     from ics_search_engine_ray.query.actors import ShardedSearchIndex
@@ -132,6 +159,7 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
         "stage_secs": {k: round(v, 2) for k, v in res.stage_secs.items()},
         "query_avg_sec": round(sum(qsecs.values()) / len(qsecs), 5),
         "phrase_secs": phrase_secs,
+        "training_ops_secs": tops,
         "query_actor_qps": round(actor_qps, 1),
     }
     if steady:

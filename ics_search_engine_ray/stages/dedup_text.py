@@ -262,7 +262,7 @@ _NGRAM_LOCAL_ROWS = 1_000_000   # below this, skip hot discovery entirely
 
 def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
                         num_shuffle_groups: int = None,
-                        est_shingles_per_doc: int = 256,
+                        est_shingles_per_doc: int = 256,  # unused (kept for API compat; exact count from the materialized relation)
                         hot_gate_rows: int = _NGRAM_LOCAL_ROWS,
                         chunk_rows: int = _NGRAM_CHUNK,
                         sample_frac: float = 0.02):
@@ -274,17 +274,21 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
        emission per shingle run (pair templates, no per-shingle Python);
     3. ``groupby([a, b])`` native aggregation: shared-shingle count c =
        |A ∩ B| (each shared shingle emits the pair exactly once) + set
-       sizes — J = c / (|A| + |B| - c) computed vectorized, filtered.
+       sizes — J = c / (|A| + |B| - c) computed vectorized, filtered. Pair rows
+    are pre-pruned by the exact PPJoin length bound and partially combined
+    per (a, b) inside each emission task, so the aggregate shuffle carries
+    one row per (pair, group) instead of one per shared shingle.
 
     Exact (no candidate cap): J comes from complete co-occurrence counts.
     A pathologically hot shingle (boilerplate shared by ~everyone) would make
     pair emission quadratic in ONE task, so hot shingles (discovered on a 2%
-    sample — missing one costs parallelism, never correctness) split into
+    sample of the materialized shingle relation — missing one costs
+    parallelism, never correctness) split into
     chunk-PAIR units: rows chunk by doc_id % K and replicate to the K units
     containing their chunk; a unit (lo < hi) emits only cross pairs between
     its two chunks, a diagonal unit (lo == hi) its triangle — every doc pair
     sharing the shingle is emitted exactly once, so the downstream
-    ``Count()`` stays exact (same triangle decomposition as stages/dedup.py,
+    ``Sum(c)`` stays exact (same triangle decomposition as stages/dedup.py,
     but routed by the exact (sh, lo, hi) triple because here a group-key
     collision would corrupt counts, not just over-generate candidates).
 
@@ -292,14 +296,8 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
     construction; the corpus itself never lands on the driver.
     """
     import ray as _ray
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Max, Sum
     from .common import adaptive_groups
-
-    n_docs = docs.count()
-    est_rows = n_docs * est_shingles_per_doc
-    if num_shuffle_groups is None:
-        # shingle rows are 24 B each; target ~1M rows per pair-emission group
-        num_shuffle_groups = adaptive_groups(est_rows, 1_000_000, lo=64)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         """Distinct-shingle rows, fully vectorized: batch shingle hashes
@@ -329,8 +327,15 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
             "size": pa.array(set_sizes[d], pa.int64()),
         })
 
+    # one shingle pass, materialized: the shuffle would put this relation in
+    # the object store anyway, and both consumers (hot-shingle sampling and
+    # pair emission) reuse it instead of re-shingling the corpus
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        shingle_rows, batch_format="pyarrow")
+        shingle_rows, batch_format="pyarrow").materialize()
+    est_rows = rows.count()        # exact and free on a materialized dataset
+    if num_shuffle_groups is None:
+        # shingle rows are 24 B each; target ~1M rows per pair-emission group
+        num_shuffle_groups = adaptive_groups(est_rows, 1_000_000, lo=64)
 
     # hot-shingle discovery: sampled distinct-doc counts per shingle; only
     # sampled-hot shingles reach the driver (O(hot) memory). Skipped on small
@@ -345,8 +350,7 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
             return pa.table({"sh": vc.field("values"),
                              "cnt": vc.field("counts").cast(pa.int64())})
 
-        hot = (docs.select_columns(["doc_id", "text"]).random_sample(frac, seed=19)
-               .map_batches(shingle_rows, batch_format="pyarrow")
+        hot = (rows.random_sample(frac, seed=19)
                .map_batches(sh_counts, batch_format="pyarrow")
                .groupby("sh").sum("cnt")
                .map_batches(lambda b: b.filter(
@@ -394,6 +398,7 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
 
     def emit_pairs(g: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
                           "sa": pa.array([], pa.int64()), "sb": pa.array([], pa.int64())})
         m = g.num_rows
         if m < 2:
@@ -444,18 +449,41 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
             push(ii, jj)
         if not aa:
             return empty
-        return pa.table({"a": pa.array(np.concatenate(aa), pa.int64()),
-                         "b": pa.array(np.concatenate(bb), pa.int64()),
-                         "sa": pa.array(np.concatenate(sa_l), pa.int64()),
-                         "sb": pa.array(np.concatenate(sb_l), pa.int64())})
+        a = np.concatenate(aa)
+        b = np.concatenate(bb)
+        sa = np.concatenate(sa_l)
+        sb = np.concatenate(sb_l)
+        # exact length filter (Xiao et al., PPJoin): J <= min(|A|,|B|) /
+        # max(|A|,|B|), so size-mismatched pairs can never reach the
+        # threshold — prune them before they shuffle (epsilon matches the
+        # final jaccard_filter so no boundary pair is lost)
+        keep = np.minimum(sa, sb) >= (threshold - 1e-12) * np.maximum(sa, sb)
+        if not keep.any():
+            return empty
+        a, b, sa, sb = a[keep], b[keep], sa[keep], sb[keep]
+        # in-task partial combine: one row per (a, b) with the local shared-
+        # shingle count — pairs sharing many shingles inside this group
+        # shuffle one row instead of one per shingle
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        new = np.empty(a.size, bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.append(starts, a.size))
+        return pa.table({"a": pa.array(a[starts], pa.int64()),
+                         "b": pa.array(b[starts], pa.int64()),
+                         "c": pa.array(c, pa.int64()),
+                         "sa": pa.array(sa[starts], pa.int64()),
+                         "sb": pa.array(sb[starts], pa.int64())})
 
     cand = rows.map_batches(expand_chunks, batch_format="pyarrow") \
         .groupby("gkey").map_groups(
             lambda g: emit_pairs(g.drop(["gkey"])), batch_format="pyarrow")
-    agg = cand.groupby(["a", "b"]).aggregate(Count(), Max("sa"), Max("sb"))
+    agg = cand.groupby(["a", "b"]).aggregate(Sum("c"), Max("sa"), Max("sb"))
 
     def jaccard_filter(b: pa.Table) -> pa.Table:
-        c = b.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = b.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.float64)
         sa = b.column("max(sa)").to_numpy(zero_copy_only=False).astype(np.float64)
         sb = b.column("max(sb)").to_numpy(zero_copy_only=False).astype(np.float64)
         union = sa + sb - c
