@@ -120,30 +120,34 @@ class MinHashBands:
         self.n_bands = n_bands
         self.r = n_perm // n_bands
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        """Band keys vectorized: (n, n_bands, r) polynomial combine +
-        splitmix, 48-bit mask, band index in the top bits — no per-(doc,
-        band) Python or hashlib."""
+    def keys(self, batch: pa.Table) -> np.ndarray:
+        """(n, n_bands) int64 band keys, vectorized: (n, n_bands, r)
+        polynomial combine + splitmix, 48-bit mask, band index in the top
+        bits — no per-(doc, band) Python or hashlib."""
         n = batch.num_rows
-        if n == 0:
-            return pa.table({"band": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "minhash": pa.array([], pa.binary())})
-        sig_col = batch.column("minhash")
-        flat = np.frombuffer(b"".join(sig_col.to_pylist()), dtype=np.uint64)
+        flat = np.frombuffer(b"".join(batch.column("minhash").to_pylist()),
+                             dtype=np.uint64)
         segs = flat.reshape(n, self.n_bands, self.r)
         with np.errstate(over="ignore"):
             h = np.zeros((n, self.n_bands), np.uint64)
             for j in range(self.r):
                 h += segs[:, :, j] * _apow(self.r - 1 - j)
             h = _splitmix(h) & np.uint64((1 << 48) - 1)
-            keys = (np.arange(self.n_bands, dtype=np.int64)[None, :] << 48) \
+            return (np.arange(self.n_bands, dtype=np.int64)[None, :] << 48) \
                 | h.astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "minhash": pa.array([], pa.binary())})
+        keys = self.keys(batch)
         rep = np.repeat(np.arange(n), self.n_bands)
         return pa.table({
             "band": pa.array(keys.ravel(), pa.int64()),
             "doc_id": batch.column("doc_id").take(pa.array(rep)),
-            "minhash": sig_col.take(pa.array(rep)),
+            "minhash": batch.column("minhash").take(pa.array(rep)),
         })
 
 
@@ -159,28 +163,47 @@ def minhash_dedup(docs, threshold: float = 0.8, n_perm: int = 128,
     """documents(doc_id, text) -> (survivor doc_ids, dropped set, pairs).
 
     Returns (survivors: Dataset[doc_id], dropped: set[int], n_pairs: int).
-    Driver memory is O(duplicate pairs), never O(N). The verify-group count
-    scales with the banded relation (n_docs x n_bands rows, each carrying
-    the ~n_perm x 8 B signature) so per-task group memory stays bounded at
-    any corpus size; pass an explicit count to pin it.
+
+    Two-phase LSH: (1) candidate generation shuffles ONLY 16 B (band,
+    doc_id) rows — the n_perm x 8 B signatures never ride the all-to-all
+    exchange (at n_bands=32 that cuts the banded shuffle from ~32 KB to
+    ~0.5 KB per doc); (2) verification pulls the signatures of candidate
+    docs alone (a broadcast id filter over the materialized signature
+    dataset) and runs the equal-permutation estimator vectorized. Driver
+    memory is O(candidate pairs + their signatures), never O(N). The
+    verify-group count scales with the banded row count so per-task group
+    memory stays bounded at any corpus size; pass an explicit count to pin.
     """
+    import ray
     from .common import adaptive_groups
     if num_verify_groups is None:
-        # banded rows are signature-heavy (~n_perm x 8 B each): target
-        # ~50k rows (~50 MB at n_perm=128) per verify group
+        # banded rows are 16 B each: target ~2M rows (~32 MB) per group
         est_banded = docs.count() * n_bands
-        num_verify_groups = adaptive_groups(est_banded, 50_000, lo=64)
+        num_verify_groups = adaptive_groups(est_banded, 2_000_000, lo=64)
     sigs = docs.map_batches(MinHashBatch, fn_constructor_args=(n_perm, shingle_k),
-                            batch_format="pyarrow", concurrency=(1, 4))
-    banded = sigs.map_batches(MinHashBands(n_perm, n_bands), batch_format="pyarrow")
+                            batch_format="pyarrow", concurrency=(1, 4)) \
+               .materialize()
+    bander = MinHashBands(n_perm, n_bands)
 
-    def add_gkey(b: pa.Table) -> pa.Table:
-        g = b.column("band").to_numpy(zero_copy_only=False) % num_verify_groups
-        return b.append_column("gkey", pa.array(g, pa.int64()))
+    def band_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "gkey": pa.array([], pa.int64())})
+        keys = bander.keys(b)
+        g = keys % num_verify_groups
+        rep = np.repeat(np.arange(b.num_rows), bander.n_bands)
+        return pa.table({
+            "band": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": b.column("doc_id").take(pa.array(rep)),
+            "gkey": pa.array(g.ravel(), pa.int64()),
+        })
 
-    banded = banded.map_batches(add_gkey, batch_format="pyarrow")
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def verify(group: pa.Table) -> pa.Table:
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        """Distinct candidate pairs per band run (triangle templates per run
+        length, lexsort-deduped in-task)."""
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         n = group.num_rows
         if n < 2:
@@ -188,34 +211,64 @@ def minhash_dedup(docs, threshold: float = 0.8, n_perm: int = 128,
         group = group.sort_by([("band", "ascending"), ("doc_id", "ascending")])
         bands = group.column("band").to_numpy(zero_copy_only=False)
         dids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        sigs_l = group.column("minhash").to_pylist()
         starts = np.flatnonzero(np.concatenate(([True], bands[1:] != bands[:-1])))
-        ends = np.append(starts[1:], n)
+        lens = np.diff(np.append(starts, n))
         a_parts, b_parts = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            mat = np.frombuffer(b"".join(sigs_l[s:e]), dtype=np.int64).reshape(e - s, -1)
-            eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
-            ii, jj = np.nonzero(eq >= threshold)
-            keep = ii < jj
-            ii, jj = ii[keep], jj[keep]
-            if ii.size:
-                da, db = dids[s + ii], dids[s + jj]
-                ne = da != db
-                a_parts.append(np.minimum(da, db)[ne])
-                b_parts.append(np.maximum(da, db)[ne])
+        for run_len in np.unique(lens[lens >= 2]):
+            st = starts[lens == run_len]
+            ti, tj = np.triu_indices(int(run_len), k=1)
+            ii = (st[:, None] + ti[None, :]).ravel()
+            jj = (st[:, None] + tj[None, :]).ravel()
+            da, db = dids[ii], dids[jj]
+            ne = da != db
+            a_parts.append(np.minimum(da, db)[ne])
+            b_parts.append(np.maximum(da, db)[ne])
         if not a_parts:
             return empty
-        return pa.table({"a": pa.array(np.concatenate(a_parts), pa.int64()),
-                         "b": pa.array(np.concatenate(b_parts), pa.int64())})
+        a = np.concatenate(a_parts)
+        b2 = np.concatenate(b_parts)
+        order = np.lexsort((b2, a))
+        a, b2 = a[order], b2[order]
+        new = np.empty(a.size, bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        return pa.table({"a": pa.array(a[new], pa.int64()),
+                         "b": pa.array(b2[new], pa.int64())})
 
     pairs_ds = banded.groupby("gkey").map_groups(
-        lambda g: verify(g.drop(["gkey"])), batch_format="pyarrow")
-    pairs: Set[Tuple[int, int]] = set()
+        lambda g: cand_pairs(g.drop(["gkey"])), batch_format="pyarrow")
+    cand: Set[Tuple[int, int]] = set()
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         for a, b2 in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
-            pairs.add((a, b2))
+            cand.add((a, b2))
+
+    pairs: Set[Tuple[int, int]] = set()
+    if cand:
+        # fetch candidate docs' signatures (distributed filter, O(cand) out)
+        need = np.array(sorted({d for p in cand for d in p}), dtype=np.int64)
+        need_ref = ray.put(need)
+
+        def sig_filter(b: pa.Table) -> pa.Table:
+            nd = ray.get(need_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nd, ids)
+            ok = pos < nd.size
+            ok[ok] = nd[pos[ok]] == ids[ok]
+            return b.filter(pa.array(ok))
+
+        sigmap: Dict[int, bytes] = {}
+        for b in sigs.map_batches(sig_filter, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+            for did, s in zip(b.column("doc_id").to_pylist(),
+                              b.column("minhash").to_pylist()):
+                sigmap[did] = s
+        plist = sorted(cand)
+        amat = np.frombuffer(b"".join(sigmap[a] for a, _ in plist),
+                             dtype=np.int64).reshape(len(plist), -1)
+        bmat = np.frombuffer(b"".join(sigmap[b2] for _, b2 in plist),
+                             dtype=np.int64).reshape(len(plist), -1)
+        est = (amat == bmat).mean(axis=1)
+        pairs = {p for p, e in zip(plist, est) if e >= threshold}
     dropped = _min_survivor_drops(pairs)
     # survivors stay a DATASET: the corpus anti-joins the (small) broadcast
     # drop set — the driver never materializes a full-corpus id list
