@@ -280,6 +280,15 @@ def _q_frame_sample(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_curate(sf_dir: str):
+    """Composed curation pipeline (pipelines/curate.py): quality-rule filter
+    + exact dedup of survivors, signals per kept doc. Oracle re-derives the
+    rules and the min-doc_id-per-md5 dedup in SQL."""
+    from ics_search_engine_ray.pipelines.curate import curate_dataset
+    curated, _ = curate_dataset(_read_docs(sf_dir))
+    return curated
+
+
 def _q_simhash_fingerprint(sf_dir: str):
     """T1 fingerprint math over the documents table (stem OFF so the
     tokenizer is SQL-replicable): (doc_id, 128-char bitstring). The oracle
@@ -564,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "simhash_fingerprint": _q_simhash_fingerprint,  # T1 (SQL oracle)
+        "curate": _q_curate,                      # composed curation pipeline
     }
 
 
@@ -656,6 +666,40 @@ SELECT doc_id,
                   * 1.0 / length(text), 6) END AS DOUBLE) AS digit_ratio
 FROM w""",
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        # CurateRules defaults (pipelines/curate.py) re-derived in SQL:
+        # quality thresholds on the same 6-dp-rounded signals, then exact
+        # dedup keeping min doc_id per md5(text)
+        "curate": f"""
+WITH w AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS words
+  FROM documents),
+q AS (
+  SELECT doc_id, md5(text) AS h,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         x -> length(x) > 1)) AS BIGINT) AS n_tokens,
+    CAST(CASE WHEN len(words) = 0 THEN 0.0
+         ELSE round(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                    * 1.0 / len(words), 6) END AS DOUBLE) AS mean_word_len,
+    CAST(CASE WHEN len(words) = 0 THEN 0.0
+         ELSE round(len(list_filter(words, x -> lower(x) IN ({stop_list})))
+                    * 1.0 / len(words), 6) END AS DOUBLE) AS stopword_ratio,
+    CAST(CASE WHEN length(text) = 0 THEN 0.0
+         ELSE round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    * 1.0 / length(text), 6) END AS DOUBLE) AS digit_ratio
+  FROM w),
+f AS (
+  SELECT * FROM q
+  WHERE n_words >= 20 AND n_words <= 100000 AND n_tokens >= 15
+    AND digit_ratio <= 0.3 AND stopword_ratio <= 0.8
+    AND mean_word_len >= 2.0 AND mean_word_len <= 15.0),
+k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY h)
+SELECT f.doc_id, n_chars, n_words, n_tokens, mean_word_len,
+       stopword_ratio, digit_ratio
+FROM f JOIN k USING (doc_id) ORDER BY f.doc_id""",
         "window_agg": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -7,6 +7,7 @@ multithread_indexer.py:228-238, search.py:205-227) as subcommands:
     python -m ics_search_engine_ray query --index DIR [--scorer bm25] [--actors N] [QUERY...]
     python -m ics_search_engine_ray serve --index DIR [--port 8080] [--actors N]
     python -m ics_search_engine_ray gen-pages --sf-dir DIR [--replication N]
+    python -m ics_search_engine_ray curate --docs PARQUET --out DIR
 
 ``build`` is what a cluster job submits (``ray job submit -- python -m
 ics_search_engine_ray build ...``); in this sandbox it starts a local Ray.
@@ -154,6 +155,20 @@ def cmd_gen_pages(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray
+    from .curate import CurateRules, curate_corpus
+
+    rules = CurateRules(min_words=args.min_words, min_tokens=args.min_tokens,
+                        max_digit_ratio=args.max_digit_ratio,
+                        max_stopword_ratio=args.max_stopword_ratio)
+    res = curate_corpus(args.docs, args.out, rules)
+    print(json.dumps(res))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ics_search_engine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -211,6 +226,17 @@ def main(argv=None) -> int:
     g.add_argument("--force", action="store_true")
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_gen_pages)
+
+    c = sub.add_parser("curate", help="quality-filter + exact-dedup a "
+                                      "documents parquet into a curated corpus")
+    c.add_argument("--docs", required=True, help="documents parquet path")
+    c.add_argument("--out", required=True)
+    c.add_argument("--min-words", type=int, default=20)
+    c.add_argument("--min-tokens", type=int, default=15)
+    c.add_argument("--max-digit-ratio", type=float, default=0.3)
+    c.add_argument("--max-stopword-ratio", type=float, default=0.8)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

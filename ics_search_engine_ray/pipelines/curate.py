@@ -1,0 +1,170 @@
+"""Corpus curation: the composed training-data pipeline (task brief).
+
+One streaming pass computes quality signals per document and applies the
+keep rules; a second (narrow) shuffle deduplicates the survivors exactly.
+The text column never rides a shuffle: the signal pass hashes it in place
+(128-bit md5 as two int64 columns) and drops it, so the dedup ``groupby``
+carries only fixed-width rows, and the curated-corpus writer re-reads the
+source filtered by the (small) dropped-id broadcast — the same
+drop-set-broadcast shape the index build uses for near-dups
+(pipelines/build.py docmeta filter).
+
+Stages:
+  1. ``signal_rows``: quality metrics (stages/text_analysis.quality_batch
+     definitions, 6-dp rounded so the SQL oracle compares identically),
+     token count, and the content hash — one vectorized ``map_batches``.
+  2. rule filter (vectorized mask over the signal columns; thresholds in
+     :class:`CurateRules`).
+  3. exact dedup of survivors: ``groupby(hash)`` emits non-min doc_ids
+     (the DROPPED set, O(duplicates)) via per-group vectorized argmin.
+  4. anti-join: survivors minus broadcast dropped ids.
+
+``curate_corpus`` additionally writes the curated documents (doc_id, text)
+as partitioned parquet for downstream training jobs — resumable output per
+the repo's sink conventions (fresh dir per run; Ray appends otherwise).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.dedup_text import _text_hash_batch
+from ..stages.text_analysis import quality_batch, token_count_batch
+
+
+@dataclass(frozen=True)
+class CurateRules:
+    """Keep thresholds; all comparisons run on the 6-dp-rounded signal
+    values so the DuckDB oracle filters identically."""
+    min_words: int = 20
+    max_words: int = 100_000
+    min_tokens: int = 15
+    max_digit_ratio: float = 0.3
+    max_stopword_ratio: float = 0.8
+    min_mean_word_len: float = 2.0
+    max_mean_word_len: float = 15.0
+
+
+SIGNAL_COLUMNS = ("n_chars", "n_words", "n_tokens", "mean_word_len",
+                  "stopword_ratio", "digit_ratio")
+
+
+def signal_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, signals..., hash_hi, hash_lo) — text consumed, not emitted."""
+    q = quality_batch(batch)
+    t = token_count_batch(batch)
+    h = _text_hash_batch(batch)
+    return pa.table({
+        "doc_id": q.column("doc_id"),
+        "n_chars": q.column("n_chars"),
+        "n_words": q.column("n_words"),
+        "n_tokens": t.column("n_tokens"),
+        "mean_word_len": q.column("mean_word_len"),
+        "stopword_ratio": q.column("stopword_ratio"),
+        "digit_ratio": q.column("digit_ratio"),
+        "hash_hi": h.column("hash_hi"),
+        "hash_lo": h.column("hash_lo"),
+    })
+
+
+def _rule_mask(b: pa.Table, r: CurateRules) -> np.ndarray:
+    nw = b.column("n_words").to_numpy(zero_copy_only=False)
+    nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+    dr = b.column("digit_ratio").to_numpy(zero_copy_only=False)
+    sr = b.column("stopword_ratio").to_numpy(zero_copy_only=False)
+    mw = b.column("mean_word_len").to_numpy(zero_copy_only=False)
+    return ((nw >= r.min_words) & (nw <= r.max_words)
+            & (nt >= r.min_tokens)
+            & (dr <= r.max_digit_ratio)
+            & (sr <= r.max_stopword_ratio)
+            & (mw >= r.min_mean_word_len) & (mw <= r.max_mean_word_len))
+
+
+def _dropped_dups(kept_signals):
+    """groupby(content hash) -> non-min doc_ids (the dropped set)."""
+
+    def non_min(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(
+            np.sort(ids)[1:], pa.int64())})
+
+    dropped_ds = kept_signals.select_columns(["hash_hi", "hash_lo", "doc_id"]) \
+        .groupby(["hash_hi", "hash_lo"]).map_groups(
+            non_min, batch_format="pyarrow")
+    dropped = set()
+    for b in dropped_ds.iter_batches(batch_format="pyarrow"):
+        dropped.update(b.column("doc_id").to_pylist())
+    return dropped
+
+
+def curate_dataset(docs, rules: CurateRules = CurateRules()):
+    """documents(doc_id, text) -> (curated signal Dataset, dropped id set).
+
+    The returned Dataset has (doc_id, *SIGNAL_COLUMNS) for every kept,
+    dedup-surviving document; ``dropped`` is the exact-duplicate id set
+    (O(duplicates) — broadcastable by construction).
+    """
+    import ray
+
+    signals = docs.map_batches(signal_rows, batch_format="pyarrow")
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_rule_mask(b, rules)))
+
+    kept = signals.map_batches(keep, batch_format="pyarrow").materialize()
+    dropped = _dropped_dups(kept)
+    dropped_ref = ray.put(np.array(sorted(dropped), dtype=np.int64))
+
+    def anti(b: pa.Table) -> pa.Table:
+        nd = ray.get(dropped_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nd, ids)
+        hit = pos < nd.size
+        hit[hit] = nd[pos[hit]] == ids[hit]
+        return b.drop(["hash_hi", "hash_lo"]).filter(pa.array(~hit))
+
+    return kept.map_batches(anti, batch_format="pyarrow"), dropped
+
+
+def curate_corpus(docs_path: str, out_dir: str,
+                  rules: CurateRules = CurateRules()) -> dict:
+    """Read documents parquet -> write curated (doc_id, text) parquet.
+
+    Returns {"kept": n, "dropped_dups": n}. The writer holds NO O(corpus)
+    driver state: the keep rules are a pure per-row function re-applied
+    in-batch during the write pass, and the only broadcast is the dropped
+    duplicate-id set (O(duplicates) by construction).
+    """
+    import ray
+    import ray.data as rd
+
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    signals = docs.map_batches(signal_rows, batch_format="pyarrow")
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_rule_mask(b, rules)))
+
+    kept = signals.map_batches(keep, batch_format="pyarrow")
+    dropped = _dropped_dups(kept)
+    dropped_ref = ray.put(np.array(sorted(dropped), dtype=np.int64))
+
+    def keep_text(b: pa.Table) -> pa.Table:
+        mask = _rule_mask(signal_rows(b), rules)
+        nd = ray.get(dropped_ref)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nd, did)
+        hit = pos < nd.size
+        hit[hit] = nd[pos[hit]] == did[hit]
+        return b.filter(pa.array(mask & ~hit))
+
+    shutil.rmtree(out_dir, ignore_errors=True)   # Ray write_parquet APPENDS
+    out = docs.map_batches(keep_text, batch_format="pyarrow")
+    out.write_parquet(out_dir)
+    kept_n = rd.read_parquet(out_dir, columns=["doc_id"]).count()
+    return {"kept": int(kept_n), "dropped_dups": len(dropped)}
