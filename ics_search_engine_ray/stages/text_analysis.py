@@ -112,6 +112,10 @@ _LANG_SEEDS: Dict[str, str] = {
     "de": "der schnelle braune fuchs springt über den faulen hund und dies ist ein test der deutschen sprache mit vielen wörtern",
     "fr": "le renard brun rapide saute par dessus le chien paresseux et ceci est un test de la langue française avec beaucoup de mots",
     "es": "el rápido zorro marrón salta sobre el perro perezoso y esto es una prueba del idioma español con muchas palabras comunes",
+    "it": "la rapida volpe marrone salta sopra il cane pigro e questo è una prova della lingua italiana con molte parole comuni che sono",
+    "pt": "a rápida raposa marrom pula sobre o cão preguiçoso e isto é um teste da língua portuguesa com muitas palavras comuns que são",
+    "nl": "de snelle bruine vos springt over de luie hond en dit is een test van de nederlandse taal met veel woorden die vaak voorkomen",
+    "sv": "den snabba bruna räven hoppar över den lata hunden och detta är ett test av det svenska språket med många vanliga ord som finns",
 }
 
 
