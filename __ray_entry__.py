@@ -280,6 +280,52 @@ def _q_frame_sample(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join (stages/joins.py): each click joined to the user's most
+    recent prior-or-simultaneous purchase. Oracle: DuckDB ASOF JOIN."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.joins import asof_join
+
+    ev = os.path.join(sf_dir, "events.parquet")
+
+    def read_type(t):
+        ds = rd.read_parquet(
+            ev, columns=["user_id", "ts", "event_id", "value", "event_type"])
+        return ds.filter(expr=f"event_type == '{t}'") \
+                 .drop_columns(["event_type"])
+
+    return asof_join(read_type("click"), read_type("purchase"),
+                     by="user_id", on="ts",
+                     left_cols=["event_id"],
+                     right_cols=["event_id", "value"])
+
+
+def _q_interval_join(sf_dir: str):
+    """Range join (stages/joins.py): clicks within one hour after a
+    purchase by the same user. Oracle: plain BETWEEN join in SQL."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.joins import interval_join
+
+    ev = os.path.join(sf_dir, "events.parquet")
+
+    def read_type(t):
+        ds = rd.read_parquet(
+            ev, columns=["user_id", "ts", "event_id", "event_type"])
+        return ds.filter(expr=f"event_type == '{t}'") \
+                 .drop_columns(["event_type"])
+
+    def add_end(b: pa.Table) -> pa.Table:
+        end = b.column("ts").to_numpy(zero_copy_only=False) \
+               .astype("datetime64[us]") + np.timedelta64(3600, "s")
+        return b.append_column("ts_end", pa.array(end, pa.timestamp("us")))
+
+    purchases = read_type("purchase").map_batches(add_end,
+                                                  batch_format="pyarrow")
+    return interval_join(read_type("click"), purchases,
+                         by="user_id", on="ts", lo="ts", hi="ts_end",
+                         left_cols=["event_id"], right_cols=["event_id"])
+
+
 def _q_curate(sf_dir: str):
     """Composed curation pipeline (pipelines/curate.py): quality-rule filter
     + exact dedup of survivors, signals per kept doc. Oracle re-derives the
@@ -574,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "simhash_fingerprint": _q_simhash_fingerprint,  # T1 (SQL oracle)
         "curate": _q_curate,                      # composed curation pipeline
+        "asof_join": _q_asof_join,                # temporal as-of join
+        "interval_join": _q_interval_join,        # temporal range join
     }
 
 
@@ -666,6 +714,22 @@ SELECT doc_id,
                   * 1.0 / length(text), 6) END AS DOUBLE) AS digit_ratio
 FROM w""",
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "asof_join": """
+SELECT l.user_id AS user_id, l.ts AS l_ts, l.event_id AS l_event_id,
+       r.ts AS r_ts, r.event_id AS r_event_id, r.value AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l_event_id""",
+        "interval_join": """
+SELECT l.user_id AS user_id, l.ts AS l_ts, l.event_id AS l_event_id,
+       r.ts AS r_ts, r.ts + INTERVAL 1 HOUR AS r_ts_end,
+       r.event_id AS r_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND l.ts BETWEEN r.ts AND r.ts + INTERVAL 1 HOUR
+ORDER BY l_event_id, r_event_id""",
         # CurateRules defaults (pipelines/curate.py) re-derived in SQL:
         # quality thresholds on the same 6-dp-rounded signals, then exact
         # dedup keeping min doc_id per md5(text)

@@ -1,0 +1,247 @@
+"""Temporal joins Ray Data lacks natively, as key-co-partitioned
+compositions (task brief: "custom operators — as-of join, range join — as a
+composition of map_batches + groupby().map_groups if semantics allow").
+
+``asof_join``: for each left row, attach the right row with the greatest
+``on`` value <= the left row's ``on`` within the same ``by`` key (inner
+semantics — unmatched left rows drop), i.e. DuckDB's
+``l ASOF JOIN r ON l.by = r.by AND l.on >= r.on``.
+
+Shape: both inputs are tagged and unioned into one fixed schema (absent
+side's columns are typed nulls), hash-co-partitioned on ``by`` into
+adaptive groups, and each group resolves matches vectorized — rows sort
+once by (by, on) per side, then one ``np.searchsorted`` per by-key segment
+(the loop is over distinct keys in the group, not rows; every step inside
+is a numpy kernel). Only the needed columns ride the shuffle.
+
+Partitioning assumption: one ``by`` key's rows fit one task (same
+assumption as sessionize; salt by a coarse time bucket if a key ever
+exceeds a worker — documented in SCALE.md).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .common import adaptive_groups
+
+
+def asof_join(left_ds, right_ds, by: str, on: str,
+              left_cols: List[str], right_cols: List[str],
+              left_prefix: str = "l_", right_prefix: str = "r_",
+              num_groups: Optional[int] = None):
+    """Returns a Dataset with columns: ``by``, ``{left_prefix}{on}``, the
+    prefixed ``left_cols``/``right_cols`` payloads, and ``{right_prefix}{on}``.
+
+    ``on`` must be an ordered numeric/timestamp column; right-side
+    (by, on) pairs must be unique for deterministic output (matching the
+    ASOF SQL contract).
+    """
+    est = left_ds.count() + right_ds.count()
+    if num_groups is None:
+        num_groups = adaptive_groups(est, 1_000_000, lo=32)
+
+    l_schema = left_ds.schema().base_schema
+    r_schema = right_ds.schema().base_schema
+    by_t = l_schema.field(by).type
+    on_t = l_schema.field(on).type
+    l_types = {c: l_schema.field(c).type for c in left_cols}
+    r_types = {c: r_schema.field(c).type for c in right_cols}
+
+    def union_schema() -> pa.Schema:
+        fields = [pa.field(by, by_t), pa.field(on, on_t),
+                  pa.field("side", pa.int8()),
+                  pa.field("gkey", pa.int64())]
+        fields += [pa.field(left_prefix + c, l_types[c]) for c in left_cols]
+        fields += [pa.field(right_prefix + c, r_types[c]) for c in right_cols]
+        return pa.schema(fields)
+
+    u_schema = union_schema()
+
+    def tag(side: int, cols: List[str], prefix: str, types: dict):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            keys = b.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+            g = (keys % num_groups + num_groups) % num_groups
+            arrays = [b.column(by), b.column(on),
+                      pa.array(np.full(n, side, np.int8), pa.int8()),
+                      pa.array(g, pa.int64())]
+            for f in list(u_schema)[4:]:
+                if f.name.startswith(prefix) and f.name[len(prefix):] in cols:
+                    arrays.append(b.column(f.name[len(prefix):]).cast(f.type))
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(arrays, schema=u_schema)
+        return fn
+
+    tagged = left_ds.select_columns(list(dict.fromkeys([by, on] + left_cols))) \
+        .map_batches(tag(0, left_cols, left_prefix, l_types),
+                     batch_format="pyarrow") \
+        .union(right_ds.select_columns(list(dict.fromkeys([by, on] + right_cols)))
+               .map_batches(tag(1, right_cols, right_prefix, r_types),
+                            batch_format="pyarrow"))
+
+    out_fields = ([pa.field(by, by_t), pa.field(left_prefix + on, on_t)]
+                  + [pa.field(left_prefix + c, l_types[c]) for c in left_cols]
+                  + [pa.field(right_prefix + on, on_t)]
+                  + [pa.field(right_prefix + c, r_types[c]) for c in right_cols])
+    out_schema = pa.schema(out_fields)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.nulls(0, f.type) for f in out_schema], schema=out_schema)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        ons = g.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_l = side == 0
+        if not is_l.any() or is_l.all():
+            return empty
+        li = np.flatnonzero(is_l)
+        ri = np.flatnonzero(~is_l)
+        lo_order = np.lexsort((ons[li], keys[li]))
+        ro_order = np.lexsort((ons[ri], keys[ri]))
+        li, ri = li[lo_order], ri[ro_order]
+        lk, lt = keys[li], ons[li]
+        rk, rt = keys[ri], ons[ri]
+        # per-key segments; loop over distinct keys, searchsorted per segment
+        l_starts = np.flatnonzero(np.concatenate(([True], lk[1:] != lk[:-1])))
+        l_ends = np.append(l_starts[1:], lk.size)
+        r_starts = np.searchsorted(rk, lk[l_starts], side="left")
+        r_ends = np.searchsorted(rk, lk[l_starts], side="right")
+        src_l, src_r = [], []
+        for s, e, rs, re_ in zip(l_starts, l_ends, r_starts, r_ends):
+            if rs == re_:
+                continue
+            pos = np.searchsorted(rt[rs:re_], lt[s:e], side="right") - 1
+            ok = pos >= 0
+            if ok.any():
+                src_l.append(li[s:e][ok])
+                src_r.append(ri[rs + pos[ok]])
+        if not src_l:
+            return empty
+        sl = np.concatenate(src_l)
+        sr = np.concatenate(src_r)
+        ls = pa.array(sl, pa.int64())
+        rs_ = pa.array(sr, pa.int64())
+        arrays = [g.column(by).take(ls), g.column(on).take(ls)]
+        arrays += [g.column(left_prefix + c).take(ls) for c in left_cols]
+        arrays.append(g.column(on).take(rs_))
+        arrays += [g.column(right_prefix + c).take(rs_) for c in right_cols]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return tagged.groupby("gkey").map_groups(
+        lambda g: resolve(g.drop(["gkey"])), batch_format="pyarrow")
+
+
+def interval_join(left_ds, right_ds, by: str, on: str, lo: str, hi: str,
+                  left_cols: List[str], right_cols: List[str],
+                  left_prefix: str = "l_", right_prefix: str = "r_",
+                  num_groups: Optional[int] = None):
+    """Range join: every (left, right) pair with the same ``by`` key and
+    ``right.lo <= left.on <= right.hi`` — i.e. SQL
+    ``l JOIN r ON l.by = r.by AND l.on BETWEEN r.lo AND r.hi``.
+
+    Same co-partitioned shape as :func:`asof_join`. Inside a group, each
+    key segment builds its candidate set with one repeat x tile + mask
+    (per-key work is points x intervals — fine while single keys stay
+    small; the upgrade path for adversarial keys is a sorted-endpoint
+    sweep, and hot keys can be salted by a coarse ``on`` bucket exactly
+    like sessionize).
+    """
+    est = left_ds.count() + right_ds.count()
+    if num_groups is None:
+        num_groups = adaptive_groups(est, 1_000_000, lo=32)
+
+    l_schema = left_ds.schema().base_schema
+    r_schema = right_ds.schema().base_schema
+    by_t = l_schema.field(by).type
+    on_t = l_schema.field(on).type
+    l_types = {c: l_schema.field(c).type for c in left_cols}
+    r_types = {c: r_schema.field(c).type for c in right_cols}
+    bound_t = r_schema.field(lo).type
+
+    fields = [pa.field(by, by_t), pa.field("pos", on_t),
+              pa.field("hi", bound_t),
+              pa.field("side", pa.int8()), pa.field("gkey", pa.int64())]
+    fields += [pa.field(left_prefix + c, l_types[c]) for c in left_cols]
+    fields += [pa.field(right_prefix + c, r_types[c]) for c in right_cols]
+    u_schema = pa.schema(fields)
+
+    def tag(side: int, cols: List[str], prefix: str, pos_col: str,
+            hi_col: Optional[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            keys = b.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+            g = (keys % num_groups + num_groups) % num_groups
+            arrays = [b.column(by), b.column(pos_col).cast(on_t)]
+            arrays.append(b.column(hi_col).cast(bound_t) if hi_col
+                          else pa.nulls(n, bound_t))
+            arrays += [pa.array(np.full(n, side, np.int8), pa.int8()),
+                       pa.array(g, pa.int64())]
+            for f in list(u_schema)[5:]:
+                if f.name.startswith(prefix) and f.name[len(prefix):] in cols:
+                    arrays.append(b.column(f.name[len(prefix):]).cast(f.type))
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(arrays, schema=u_schema)
+        return fn
+
+    tagged = left_ds.select_columns(list(dict.fromkeys([by, on] + left_cols))) \
+        .map_batches(tag(0, left_cols, left_prefix, on, None),
+                     batch_format="pyarrow") \
+        .union(right_ds.select_columns(
+                   list(dict.fromkeys([by, lo, hi] + right_cols)))
+               .map_batches(tag(1, right_cols, right_prefix, lo, hi),
+                            batch_format="pyarrow"))
+
+    out_fields = ([pa.field(by, by_t), pa.field(left_prefix + on, on_t)]
+                  + [pa.field(left_prefix + c, l_types[c]) for c in left_cols]
+                  + [pa.field(right_prefix + lo, on_t),
+                     pa.field(right_prefix + hi, bound_t)]
+                  + [pa.field(right_prefix + c, r_types[c]) for c in right_cols])
+    out_schema = pa.schema(out_fields)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.nulls(0, f.type) for f in out_schema], schema=out_schema)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_l = side == 0
+        if not is_l.any() or is_l.all():
+            return empty
+        his = g.column("hi").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(is_l)[np.lexsort((pos[is_l], keys[is_l]))]
+        ri = np.flatnonzero(~is_l)[np.lexsort((pos[~is_l], keys[~is_l]))]
+        lk, rk = keys[li], keys[ri]
+        l_starts = np.flatnonzero(np.concatenate(([True], lk[1:] != lk[:-1])))
+        l_ends = np.append(l_starts[1:], lk.size)
+        r_starts = np.searchsorted(rk, lk[l_starts], side="left")
+        r_ends = np.searchsorted(rk, lk[l_starts], side="right")
+        src_l, src_r = [], []
+        for s, e, rs, re_ in zip(l_starts, l_ends, r_starts, r_ends):
+            if rs == re_:
+                continue
+            pl = li[s:e]
+            pr = ri[rs:re_]
+            ii = np.repeat(pl, pr.size)
+            jj = np.tile(pr, pl.size)
+            m = (pos[jj] <= pos[ii]) & (pos[ii] <= his[jj].astype(np.int64))
+            if m.any():
+                src_l.append(ii[m])
+                src_r.append(jj[m])
+        if not src_l:
+            return empty
+        ls = pa.array(np.concatenate(src_l), pa.int64())
+        rs_ = pa.array(np.concatenate(src_r), pa.int64())
+        arrays = [g.column(by).take(ls), g.column("pos").take(ls)]
+        arrays += [g.column(left_prefix + c).take(ls) for c in left_cols]
+        arrays += [g.column("pos").take(rs_), g.column("hi").take(rs_)]
+        arrays += [g.column(right_prefix + c).take(rs_) for c in right_cols]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return tagged.groupby("gkey").map_groups(
+        lambda g: resolve(g.drop(["gkey"])), batch_format="pyarrow")
