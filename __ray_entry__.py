@@ -326,6 +326,28 @@ def _q_interval_join(sf_dir: str):
                          left_cols=["event_id"], right_cols=["event_id"])
 
 
+def _q_distinct_users_exact(sf_dir: str):
+    """Exact distinct users per event type (two-stage groupby; the wide
+    step carries only (event_type, user_id) pairs)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import distinct_count_exact
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return distinct_count_exact(ev, key="event_type", value="user_id")
+
+
+def _q_distinct_users_kmv(sf_dir: str):
+    """KMV sketch estimate of distinct users per event type (rows-only:
+    approximate by design; accuracy pinned vs exact in pytest)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import distinct_count_kmv
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return distinct_count_kmv(ev, key="event_type", value="user_id", k=256)
+
+
 def _q_curate(sf_dir: str):
     """Composed curation pipeline (pipelines/curate.py): quality-rule filter
     + exact dedup of survivors, signals per kept doc. Oracle re-derives the
@@ -622,6 +644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,                      # composed curation pipeline
         "asof_join": _q_asof_join,                # temporal as-of join
         "interval_join": _q_interval_join,        # temporal range join
+        "distinct_users_exact": _q_distinct_users_exact,  # 2-stage groupby
+        "distinct_users_kmv": _q_distinct_users_kmv,      # KMV sketch
     }
 
 
@@ -721,6 +745,9 @@ FROM (SELECT * FROM events WHERE event_type = 'click') l
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l_event_id""",
+        "distinct_users_exact": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type""",
         "interval_join": """
 SELECT l.user_id AS user_id, l.ts AS l_ts, l.event_id AS l_event_id,
        r.ts AS r_ts, r.ts + INTERVAL 1 HOUR AS r_ts_end,

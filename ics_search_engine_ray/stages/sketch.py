@@ -1,0 +1,94 @@
+"""Mergeable distinct-count sketches over a keyed column (task brief:
+"a novel sketch" as a custom operator).
+
+KMV (k minimum values) estimator [Bar-Yossef et al. 2002; Beyer et al.
+2007 "On synopses for distinct-value estimation"]: hash every value with a
+64-bit mixer onto [0, 1); keep the k smallest distinct hashes per group.
+With m >= k observed distinct hashes, the k-th smallest hash h_(k)
+estimates the distinct count as (k - 1) / h_(k); with fewer than k the
+sketch is exact. Sketches merge by union + re-truncate, so the map side
+emits one bounded partial sketch per (batch, group) and the single tiny
+``groupby(key).map_groups`` merge sees only O(batches x k) rows — the
+classic pre-aggregated-combiner shape; the raw value column never
+shuffles.
+
+``distinct_count_exact`` is the exact companion (two-stage groupby:
+distinct pairs, then count) used as the SQL-oracle-checkable truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.wordhash import _splitmix
+
+
+def _hash01(vals: np.ndarray) -> np.ndarray:
+    """uint64 mix -> float64 in [0, 1) (53-bit mantissa precision)."""
+    h = _splitmix(vals.astype(np.uint64))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def kmv_estimate(hashes: np.ndarray, k: int) -> float:
+    """Estimate distinct count from a merged set of distinct hashes."""
+    hs = np.unique(hashes)
+    if hs.size < k:
+        return float(hs.size)
+    return (k - 1) / float(hs[k - 1])
+
+
+def distinct_count_kmv(ds, key: str, value: str, k: int = 256):
+    """Dataset -> Dataset (key, estimate): approximate distinct `value`
+    per `key`. Returns estimates as float64 (deterministic: the hash is
+    seedless splitmix)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({key: pa.array([], b.schema.field(key).type),
+                             "h": pa.array([], pa.float64())})
+        keys = b.column(key)
+        vals = b.column(value).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash01(vals)
+        # per-key k-smallest distinct hashes within this batch
+        import pyarrow.compute as pc
+        codes = pc.dictionary_encode(keys)
+        idx = codes.combine_chunks().indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, idx))
+        gi, hh = idx[order], h[order]
+        keep = np.empty(gi.size, bool)
+        keep[0] = True
+        keep[1:] = (gi[1:] != gi[:-1]) | (hh[1:] != hh[:-1])   # distinct
+        gi, hh = gi[keep], hh[keep]
+        starts = np.flatnonzero(np.concatenate(([True], gi[1:] != gi[:-1])))
+        rank = np.arange(gi.size) - np.repeat(starts, np.diff(np.append(starts, gi.size)))
+        top = rank < k
+        gi, hh = gi[top], hh[top]
+        dict_arr = codes.combine_chunks().dictionary
+        return pa.table({key: dict_arr.take(pa.array(gi, pa.int64())),
+                         "h": pa.array(hh, pa.float64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        kt = g.schema.field(key).type
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             "estimate": pa.array([], pa.float64())})
+        est = kmv_estimate(g.column("h").to_numpy(zero_copy_only=False), k)
+        return pa.table({key: g.column(key).slice(0, 1),
+                         "estimate": pa.array([round(est, 6)], pa.float64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def distinct_count_exact(ds, key: str, value: str):
+    """Exact distinct `value` per `key`: two-stage groupby — distinct
+    (key, value) pairs first (the wide step carries only the pair), then a
+    native count per key."""
+    pairs = ds.select_columns([key, value]) \
+              .groupby([key, value]).count()
+    out = pairs.groupby(key).count()
+    return out.map_batches(
+        lambda b: pa.table({key: b.column(key),
+                            "n_distinct": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow")

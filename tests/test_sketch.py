@@ -1,0 +1,50 @@
+"""KMV distinct-count sketch (stages/sketch.py): estimate accuracy vs the
+exact path, saturation/exact regimes, and partition invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _make_ds(rd, n_keys, vals_per_key, n_distinct, parts, seed=0):
+    rng = np.random.default_rng(seed)
+    keys, vals = [], []
+    for ki in range(n_keys):
+        v = rng.integers(0, n_distinct, size=vals_per_key)
+        keys += [f"k{ki}"] * vals_per_key
+        vals += v.tolist()
+    return rd.from_arrow(pa.table({
+        "key": pa.array(keys, pa.string()),
+        "val": pa.array(vals, pa.int64()),
+    })).repartition(parts)
+
+
+def test_kmv_exact_below_k(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import distinct_count_kmv
+    ds = _make_ds(rd, n_keys=3, vals_per_key=500, n_distinct=100, parts=4)
+    got = {r["key"]: r["estimate"]
+           for r in distinct_count_kmv(ds, "key", "val", k=256).take_all()}
+    # fewer distinct values than k -> the sketch is exact
+    for ki in range(3):
+        assert got[f"k{ki}"] == 100.0
+
+
+def test_kmv_estimate_and_partition_invariance(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import (
+        distinct_count_exact, distinct_count_kmv)
+    ds = _make_ds(rd, n_keys=2, vals_per_key=20_000, n_distinct=5_000, parts=6)
+    exact = {r["key"]: r["n_distinct"]
+             for r in distinct_count_exact(ds, "key", "val").take_all()}
+    est = {r["key"]: r["estimate"]
+           for r in distinct_count_kmv(ds, "key", "val", k=256).take_all()}
+    for k in exact:
+        # k=256 -> relative error ~1/sqrt(k-2) ~ 6%; assert a loose 20%
+        assert est[k] == pytest.approx(exact[k], rel=0.2)
+    # estimate is a pure function of the value SET: repartitioning must
+    # not change it
+    est2 = {r["key"]: r["estimate"]
+            for r in distinct_count_kmv(ds.repartition(13), "key", "val",
+                                        k=256).take_all()}
+    assert est == est2
