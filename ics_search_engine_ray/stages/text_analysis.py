@@ -133,11 +133,23 @@ class LangIdBatch:
     (profiles built once per actor in __init__)."""
 
     def __init__(self):
-        self.profiles = {}
-        for lang, seed in _LANG_SEEDS.items():
-            tg = _trigrams(seed)
+        # languages sorted so np.argmax's first-max rule == the documented
+        # lexicographically-smallest tie-break; profile matrix (L, V) over
+        # the union trigram vocabulary, L2-normalized per language
+        self.langs = sorted(_LANG_SEEDS)
+        profs = []
+        vocab: Dict[str, int] = {}
+        for lang in self.langs:
+            tg = _trigrams(_LANG_SEEDS[lang])
             norm = np.sqrt(sum(v * v for v in tg.values()))
-            self.profiles[lang] = ({k: v / norm for k, v in tg.items()})
+            profs.append({k: v / norm for k, v in tg.items()})
+            for k in tg:
+                vocab.setdefault(k, len(vocab))
+        self.vocab = vocab
+        self.mat = np.zeros((len(self.langs), len(vocab)))
+        for i, prof in enumerate(profs):
+            for k, v in prof.items():
+                self.mat[i, vocab[k]] = v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [x or "" for x in batch.column("text").to_pylist()]
@@ -149,13 +161,16 @@ class LangIdBatch:
                 confs.append(0.0)
                 continue
             norm = np.sqrt(sum(v * v for v in tg.values()))
-            best, best_s = "und", 0.0
-            for lang, prof in self.profiles.items():
-                s = sum(v * prof.get(k, 0.0) for k, v in tg.items()) / norm
-                if s > best_s or (s == best_s and lang < best):
-                    best, best_s = lang, s
-            langs.append(best)
-            confs.append(round(float(best_s), 6))
+            idx = [self.vocab[k] for k in tg if k in self.vocab]
+            if idx:
+                cnt = np.fromiter((tg[k] for k in tg if k in self.vocab),
+                                  dtype=np.float64, count=len(idx))
+                scores = self.mat[:, idx] @ cnt / norm   # one kernel, all langs
+            else:
+                scores = np.zeros(len(self.langs))
+            bi = int(np.argmax(scores))
+            langs.append(self.langs[bi])
+            confs.append(round(float(scores[bi]), 6))
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "lang_pred": pa.array(langs, pa.string()),
