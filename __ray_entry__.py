@@ -326,6 +326,17 @@ def _q_interval_join(sf_dir: str):
                          left_cols=["event_id"], right_cols=["event_id"])
 
 
+def _q_quantile_agg(sf_dir: str):
+    """p50/p95 of event value per type (exact; DuckDB quantile_cont
+    oracle)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import quantile_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return quantile_agg(ev, key="event_type", value="value", qs=(0.5, 0.95))
+
+
 def _q_distinct_users_exact(sf_dir: str):
     """Exact distinct users per event type (two-stage groupby; the wide
     step carries only (event_type, user_id) pairs)."""
@@ -644,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,                      # composed curation pipeline
         "asof_join": _q_asof_join,                # temporal as-of join
         "interval_join": _q_interval_join,        # temporal range join
+        "quantile_agg": _q_quantile_agg,          # per-key exact quantiles
         "distinct_users_exact": _q_distinct_users_exact,  # 2-stage groupby
         "distinct_users_kmv": _q_distinct_users_kmv,      # KMV sketch
     }
@@ -745,6 +757,14 @@ FROM (SELECT * FROM events WHERE event_type = 'click') l
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l_event_id""",
+        "quantile_agg": """
+SELECT event_type, CAST(q AS DOUBLE) AS q, CAST(round(v, 6) AS DOUBLE) AS value
+FROM (
+  SELECT event_type,
+         unnest([0.5, 0.95]) AS q,
+         unnest([quantile_cont(value, 0.5), quantile_cont(value, 0.95)]) AS v
+  FROM events GROUP BY event_type)
+ORDER BY event_type, q""",
         "distinct_users_exact": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type ORDER BY event_type""",

@@ -166,3 +166,38 @@ def sliding_window_agg(events, window_secs: int = 3600, slide_secs: int = 900):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def quantile_agg(events, key: str = "event_type", value: str = "value",
+                 qs=(0.5, 0.95)):
+    """Exact per-key quantiles of `value` (linear interpolation — matches
+    DuckDB ``quantile_cont`` and np.quantile's default).
+
+    ``groupby(key).map_groups`` materializes one key's values per task —
+    exact quantiles need the full sorted set, so this is the small-key-
+    cardinality tool (event types, status codes). At high cardinality or
+    unbounded per-key rows, swap the group fn for a mergeable quantile
+    sketch (t-digest / KLL) with per-batch partials, the same combiner
+    shape as stages/sketch.distinct_count_kmv.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    qlist = list(qs)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        kt = g.schema.field(key).type
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        vals = g.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        est = np.quantile(vals, qlist)           # linear interpolation
+        return pa.table({
+            key: pa.concat_arrays([g.column(key).combine_chunks().slice(0, 1)] * len(qlist)),
+            "q": pa.array(qlist, pa.float64()),
+            "value": pa.array(np.round(est, 6), pa.float64()),
+        })
+
+    return events.select_columns([key, value]).groupby(key).map_groups(
+        per_key, batch_format="pyarrow")

@@ -94,3 +94,24 @@ def test_sliding_window_agg(ray_session):
     assert got[("2024-01-01T00:45:00", "view")] == (1, 8.0)
     # each event appears in exactly 4 windows
     assert sum(n for n, _ in got.values()) == 12
+
+
+def test_quantile_agg_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import quantile_agg
+
+    rng = np.random.default_rng(9)
+    keys = [f"t{i % 3}" for i in range(300)]
+    vals = rng.normal(50, 20, size=300)
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })).repartition(5)
+    got = {(r["event_type"], r["q"]): r["value"]
+           for r in quantile_agg(ds, qs=(0.5, 0.95)).take_all()}
+    for t in ("t0", "t1", "t2"):
+        sub = vals[np.array([k == t for k in keys])]
+        for q in (0.5, 0.95):
+            assert got[(t, q)] == round(float(np.quantile(sub, q)), 6)
