@@ -326,6 +326,24 @@ def _q_interval_join(sf_dir: str):
                          left_cols=["event_id"], right_cols=["event_id"])
 
 
+def _q_top_events_per_type(sf_dir: str):
+    """Top-3 events by value per type (per-batch combiner + tiny merge;
+    row_number() window oracle)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import top_k_per_group
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value", "event_id"])
+    out = top_k_per_group(ev, key="event_type", order_col="value", k=3,
+                          tiebreak="event_id")
+    return out.map_batches(
+        lambda b: pa.table({"event_type": b.column("event_type"),
+                            "event_id": b.column("event_id"),
+                            "value": b.column("value"),
+                            "rank": b.column("rank")}),
+        batch_format="pyarrow")
+
+
 def _q_quantile_agg(sf_dir: str):
     """p50/p95 of event value per type (exact; DuckDB quantile_cont
     oracle)."""
@@ -655,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,                      # composed curation pipeline
         "asof_join": _q_asof_join,                # temporal as-of join
         "interval_join": _q_interval_join,        # temporal range join
+        "top_events_per_type": _q_top_events_per_type,  # group-wise top-k
         "quantile_agg": _q_quantile_agg,          # per-key exact quantiles
         "distinct_users_exact": _q_distinct_users_exact,  # 2-stage groupby
         "distinct_users_kmv": _q_distinct_users_kmv,      # KMV sketch
@@ -757,6 +776,13 @@ FROM (SELECT * FROM events WHERE event_type = 'click') l
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l_event_id""",
+        "top_events_per_type": """
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id) AS BIGINT) AS rank
+  FROM events)
+WHERE rank <= 3 ORDER BY event_type, rank""",
         "quantile_agg": """
 SELECT event_type, CAST(q AS DOUBLE) AS q, CAST(round(v, 6) AS DOUBLE) AS value
 FROM (

@@ -201,3 +201,48 @@ def quantile_agg(events, key: str = "event_type", value: str = "value",
 
     return events.select_columns([key, value]).groupby(key).map_groups(
         per_key, batch_format="pyarrow")
+
+
+def top_k_per_group(ds, key: str, order_col: str, k: int = 3,
+                    tiebreak: str = None):
+    """Top-k rows per key by `order_col` (descending; ties broken ascending
+    on `tiebreak`), with a 1-based `rank` column — SQL's
+    ``row_number() OVER (PARTITION BY key ORDER BY order_col DESC, tiebreak)
+    <= k``.
+
+    Classic pre-aggregated combiner: every batch emits only its local
+    top-k per key, so the final ``groupby(key)`` merge sees O(batches x k)
+    rows per key — the full relation never shuffles.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cols = [key, order_col] + ([tiebreak] if tiebreak else [])
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        ov = b.column(order_col).to_numpy(zero_copy_only=False)
+        tb = (b.column(tiebreak).to_numpy(zero_copy_only=False)
+              if tiebreak else np.arange(b.num_rows))
+        order = np.lexsort((tb, -ov, kv))
+        kk = kv[order]
+        starts = np.flatnonzero(np.concatenate(([True], kk[1:] != kk[:-1])))
+        rank = np.arange(kk.size) - np.repeat(
+            starts, np.diff(np.append(starts, kk.size)))
+        keep = order[rank < k]
+        return b.take(pa.array(np.sort(keep), pa.int64()))
+
+    def final_top(g: pa.Table) -> pa.Table:
+        t = local_top(g)
+        ov = t.column(order_col).to_numpy(zero_copy_only=False)
+        tb = (t.column(tiebreak).to_numpy(zero_copy_only=False)
+              if tiebreak else np.arange(t.num_rows))
+        order = np.lexsort((tb, -ov))
+        t = t.take(pa.array(order, pa.int64()))
+        return t.append_column(
+            "rank", pa.array(np.arange(1, t.num_rows + 1), pa.int64()))
+
+    return ds.select_columns(cols).map_batches(local_top, batch_format="pyarrow") \
+             .groupby(key).map_groups(final_top, batch_format="pyarrow")

@@ -115,3 +115,31 @@ def test_quantile_agg_matches_numpy(ray_session):
         sub = vals[np.array([k == t for k in keys])]
         for q in (0.5, 0.95):
             assert got[(t, q)] == round(float(np.quantile(sub, q)), 6)
+
+
+def test_top_k_per_group_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import top_k_per_group
+
+    rng = np.random.default_rng(13)
+    n = 400
+    keys = [f"g{i % 5}" for i in range(n)]
+    vals = rng.integers(0, 50, size=n).astype(float)   # many value ties
+    ids = np.arange(n)
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "event_id": pa.array(ids, pa.int64()),
+    })).repartition(7)
+
+    got = [(r["event_type"], r["rank"], r["event_id"])
+           for r in top_k_per_group(ds, "event_type", "value", k=4,
+                                    tiebreak="event_id").take_all()]
+    want = []
+    for g in sorted(set(keys)):
+        rows = sorted(((vals[i], ids[i]) for i in range(n) if keys[i] == g),
+                      key=lambda t: (-t[0], t[1]))[:4]
+        want += [(g, rk + 1, int(i)) for rk, (_, i) in enumerate(rows)]
+    assert sorted(got) == sorted(want)
