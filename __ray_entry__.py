@@ -326,6 +326,18 @@ def _q_interval_join(sf_dir: str):
                          left_cols=["event_id"], right_cols=["event_id"])
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-style multi-way join + aggregate (stages/relational.py):
+    pruned+filtered reads, lineitem pre-aggregated per batch before the
+    one large-large native hash join, small sides broadcast, revenue
+    summed in exact integer units so the hash matches SQL bit-for-bit."""
+    from ics_search_engine_ray.stages.relational import (
+        read_revenue_inputs, revenue_by_nation)
+
+    li, orders, customer, nation = read_revenue_inputs(sf_dir)
+    return revenue_by_nation(li, orders, customer, nation)
+
+
 def _q_top_events_per_type(sf_dir: str):
     """Top-3 events by value per type (per-batch combiner + tiny merge;
     row_number() window oracle)."""
@@ -673,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,                      # composed curation pipeline
         "asof_join": _q_asof_join,                # temporal as-of join
         "interval_join": _q_interval_join,        # temporal range join
+        "revenue_by_nation": _q_revenue_by_nation,  # multi-way join + agg
         "top_events_per_type": _q_top_events_per_type,  # group-wise top-k
         "quantile_agg": _q_quantile_agg,          # per-key exact quantiles
         "distinct_users_exact": _q_distinct_users_exact,  # 2-stage groupby
@@ -776,6 +789,18 @@ FROM (SELECT * FROM events WHERE event_type = 'click') l
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l_event_id""",
+        "revenue_by_nation": """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) *
+                (100 - CAST(round(l_discount*100,0) AS BIGINT))) / 10000.0
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
         "top_events_per_type": """
 SELECT event_type, event_id, value, rank FROM (
   SELECT event_type, event_id, value,

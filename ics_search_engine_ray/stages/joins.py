@@ -136,6 +136,72 @@ def asof_join(left_ds, right_ds, by: str, on: str,
         lambda g: resolve(g.drop(["gkey"])), batch_format="pyarrow")
 
 
+_BCAST_JOIN_ROWS = 2_000_000     # small side below this broadcasts whole
+"""Size gate for :func:`broadcast_join` (same hard rule as dedup's
+``_BCAST_FP_ROWS``: no un-gated driver-side O(corpus) state). Above the
+gate callers must use :func:`hash_join` — the error message says so."""
+
+
+def broadcast_join(left_ds, right, on: str, right_on: Optional[str] = None,
+                   join_type: str = "inner",
+                   max_rows: int = _BCAST_JOIN_ROWS):
+    """Equi-join where the RIGHT side is small: materialize it once, ship it
+    to every task via the object store (``ray.put`` once — Ray serializes
+    the captured Arrow table into the object store, so every task on a node
+    maps the same copy instead of re-shipping it per batch), and join each
+    left batch against it with pyarrow's vectorized Acero hash join.
+
+    ``right`` may be a Dataset or a ``pa.Table``. Raises ``ValueError``
+    when the small side exceeds ``max_rows`` — the scale path is
+    :func:`hash_join` (a real two-sided shuffle), never an unbounded
+    driver materialization.
+    """
+    import ray
+
+    if isinstance(right, pa.Table):
+        r_tbl = right
+    else:
+        parts = right.to_arrow_refs()
+        r_tbl = pa.concat_tables(
+            [t for t in ray.get(parts) if t.num_rows] or
+            [right.schema().base_schema.empty_table()])
+    if r_tbl.num_rows > max_rows:
+        raise ValueError(
+            f"broadcast_join small side has {r_tbl.num_rows} rows "
+            f"(> {max_rows}); use hash_join for large-large joins")
+    r_tbl = r_tbl.combine_chunks()
+    r_on = right_on or on
+    r_ref = ray.put(r_tbl)
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        small = ray.get(r_ref)
+        # single-threaded inside the task: Ray owns cross-task parallelism
+        return b.join(small, keys=on, right_keys=r_on,
+                      join_type=join_type, use_threads=False)
+
+    return left_ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def hash_join(left_ds, right_ds, on: str, right_on: Optional[str] = None,
+              join_type: str = "inner", num_partitions: Optional[int] = None):
+    """Large-large equi-join: Ray Data's native hash-partitioned join
+    (both sides shuffle on the key; per-partition Arrow hash join inside
+    the aggregator actors). This is the scale path when neither side fits
+    :func:`broadcast_join`'s gate.
+
+    ``num_partitions`` defaults adaptively from the two input sizes
+    (~1M rows per partition) so partition count grows with data instead of
+    being a fixed constant that under-splits at 100 TB.
+    """
+    if num_partitions is None:
+        est = left_ds.count() + right_ds.count()
+        num_partitions = adaptive_groups(est, 1_000_000, lo=16)
+    return left_ds.join(right_ds, join_type=join_type,
+                        num_partitions=num_partitions,
+                        on=(on,),
+                        right_on=(right_on,) if right_on else (on,))
+
+
 def interval_join(left_ds, right_ds, by: str, on: str, lo: str, hi: str,
                   left_cols: List[str], right_cols: List[str],
                   left_prefix: str = "l_", right_prefix: str = "r_",

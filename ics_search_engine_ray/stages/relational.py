@@ -1,0 +1,188 @@
+"""Relational analytics over the TPC-H-ish tables — the multi-way
+join + aggregate shapes a warehouse-style pipeline needs, expressed
+shuffle-minimally on Ray Data.
+
+``revenue_by_nation`` (TPC-H Q5-like): revenue per customer nation over a
+date window. The physical plan is chosen for 100 TB, not for the small
+test input:
+
+- **prune at the read**: only the 3 lineitem / 2 orders columns leave
+  storage; the date window is a pyarrow filter pushed into the parquet
+  scan (row-group pruning).
+- **pre-aggregate before the shuffle**: lineitem collapses to one
+  ``(orderkey, revenue)`` row per order per batch BEFORE the join, so the
+  only large shuffle moves ~|orders| rows, never |lineitem|.
+- **one large-large hash join** (lineitem-agg x orders) via the native
+  hash-partitioned join; **small sides broadcast** (customer's
+  custkey->nationkey map and the 25-row nation table ride the object
+  store once) — above the size gate the customer lookup flips to a
+  second hash join automatically.
+- **exact integer arithmetic**: revenue sums in integer "cent-basis
+  points" (price-cents x discount-complement-percent), so the aggregate
+  is order-independent and hash-identical to the SQL oracle — no float
+  summation-order drift.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .joins import _BCAST_JOIN_ROWS, hash_join
+
+
+def _rev_units(ep: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """Exact revenue in 1e-4 currency units: round(price*100) cents times
+    (100 - round(discount*100)) percent-complement — int64, no float sum."""
+    cents = np.rint(ep * 100.0).astype(np.int64)
+    dpct = np.rint(disc * 100.0).astype(np.int64)
+    return cents * (100 - dpct)
+
+
+def revenue_by_nation(lineitem, orders, customer, nation,
+                      num_partitions: Optional[int] = None,
+                      bcast_max_rows: int = _BCAST_JOIN_ROWS):
+    """``SELECT n_name, sum(l_extendedprice*(1-l_discount)) ... GROUP BY``
+    across lineitem |><| orders |><| customer |><| nation.
+
+    Inputs are Datasets already projected/filtered by the caller (see
+    ``read_revenue_inputs``). Returns (n_name, revenue DOUBLE) sorted by
+    revenue desc.
+    """
+    import ray
+
+    # 1. lineitem -> (l_orderkey, rev_units): per-batch combine first, so
+    #    the join input is ~|orders| rows, not |lineitem|.
+    def li_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_units": pa.array([], pa.int64())})
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "rev_units": pa.array(sums, pa.int64())})
+
+    li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
+
+    # 2. the one large-large shuffle: lineitem-agg x orders on orderkey.
+    joined = hash_join(li_agg, orders, on="l_orderkey",
+                       right_on="o_orderkey", num_partitions=num_partitions)
+
+    # 3. custkey -> nationkey. Small side broadcasts (sorted arrays +
+    #    searchsorted — one binary-search kernel per batch); above the
+    #    gate, fall back to a second hash-partitioned join.
+    n_cust = customer.count()
+    if n_cust <= bcast_max_rows:
+        ct = pa.concat_tables(ray.get(customer.to_arrow_refs()))
+        ck = ct.column("c_custkey").to_numpy(zero_copy_only=False)
+        nk = ct.column("c_nationkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        cust_ref = ray.put((np.ascontiguousarray(ck[order]),
+                            np.ascontiguousarray(nk[order].astype(np.int64))))
+
+        def attach_nation(b: pa.Table) -> pa.Table:
+            sck, snk = ray.get(cust_ref)
+            if b.num_rows == 0:
+                return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                                 "rev_units": pa.array([], pa.int64())})
+            cust = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sck, cust)
+            pos = np.clip(pos, 0, sck.size - 1)
+            ok = sck[pos] == cust          # inner semantics on misses
+            nat = snk[pos[ok]]
+            rev = b.column("rev_units").to_numpy(zero_copy_only=False)[ok]
+            # 4. partial agg by nationkey inside the same batch (<=25 keys)
+            uk, inv = np.unique(nat, return_inverse=True)
+            sums = np.bincount(inv, weights=rev).astype(np.int64)
+            return pa.table({"n_nationkey": pa.array(uk, pa.int64()),
+                             "rev_units": pa.array(sums, pa.int64())})
+
+        per_nation = joined.map_batches(attach_nation, batch_format="pyarrow")
+    else:
+        cust_i64 = customer.map_batches(
+            lambda b: pa.table({
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "n_nationkey": b.column("c_nationkey").cast(pa.int64())}),
+            batch_format="pyarrow")
+        j2 = hash_join(joined, cust_i64, on="o_custkey",
+                       right_on="c_custkey", num_partitions=num_partitions)
+
+        def partial_by_nation(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                                 "rev_units": pa.array([], pa.int64())})
+            nat = b.column("n_nationkey").to_numpy(zero_copy_only=False)
+            rev = b.column("rev_units").to_numpy(zero_copy_only=False)
+            uk, inv = np.unique(nat, return_inverse=True)
+            sums = np.bincount(inv, weights=rev).astype(np.int64)
+            return pa.table({"n_nationkey": pa.array(uk, pa.int64()),
+                             "rev_units": pa.array(sums, pa.int64())})
+
+        per_nation = j2.map_batches(partial_by_nation, batch_format="pyarrow")
+
+    # 5. final merge: input is (num_batches x <=25) rows — a tiny groupby.
+    def merge_all(g: pa.Table) -> pa.Table:
+        keys = g.column("n_nationkey").to_numpy(zero_copy_only=False)
+        rev = g.column("rev_units").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        return pa.table({"n_nationkey": pa.array(uk, pa.int64()),
+                         "rev_units": pa.array(sums, pa.int64())})
+
+    nt = pa.concat_tables(ray.get(nation.to_arrow_refs()))
+    names = dict(zip(nt.column("n_nationkey").to_pylist(),
+                     nt.column("n_name").to_pylist()))
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = merge_all(g)
+        keys = t.column("n_nationkey").to_pylist()      # <=25 rows
+        rev = t.column("rev_units").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([names[k] for k in keys], pa.string()),
+            "revenue": pa.array(rev.astype(np.float64) / 10000.0,
+                                pa.float64())})
+
+    # single-group map_groups = the classic tiny-final-merge after
+    # per-batch combining (same shape as distinct_count_kmv's merge)
+    out = per_nation.map_batches(
+        lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                 pa.int8())),
+        batch_format="pyarrow") \
+        .groupby("_g").map_groups(lambda g: finish(g.drop(["_g"])),
+                                  batch_format="pyarrow")
+    return out.sort(["revenue", "n_name"], descending=[True, False])
+
+
+def read_revenue_inputs(sf_dir: str, date_lo: str = "1996-01-01",
+                        date_hi: str = "1998-01-01"):
+    """Pruned reads for :func:`revenue_by_nation`: only needed columns,
+    date window pushed into the orders scan as a pyarrow dataset filter."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"),
+                   pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"),
+                   pa.timestamp("us"))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= lo)
+               & (pc.field("o_orderdate") < hi))
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"])
+    return li, orders, customer, nation
