@@ -338,6 +338,43 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/valid/test assignment (stages/splits.py):
+    Weyl-hash thresholds, pure map, stable under corpus growth. The SQL
+    oracle is generated from the SAME thresholds (split_case_sql)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.splits import assign_split
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    return assign_split(docs, "doc_id", _SPLIT_FRACTIONS, seed=_SPLIT_SEED)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """5 docs per language by smallest id-hash (stages/splits.py):
+    deterministic stratified sample via the top-k per-group combiner.
+    Oracle: row_number() over the same integer hash expression."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.splits import stratified_sample
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    return stratified_sample(docs, key="lang", n=5, id_col="doc_id",
+                             seed=_SPLIT_SEED)
+
+
+_SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+_SPLIT_SEED = 42
+
+
+def _split_assign_sql() -> str:
+    from ics_search_engine_ray.stages.splits import split_case_sql
+
+    case = split_case_sql("doc_id", _SPLIT_FRACTIONS, seed=_SPLIT_SEED)
+    return (f"SELECT doc_id, {case} AS split FROM documents "
+            f"ORDER BY doc_id")
+
+
 def _q_top_events_per_type(sf_dir: str):
     """Top-3 events by value per type (per-batch combiner + tiny merge;
     row_number() window oracle)."""
@@ -686,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,                # temporal as-of join
         "interval_join": _q_interval_join,        # temporal range join
         "revenue_by_nation": _q_revenue_by_nation,  # multi-way join + agg
+        "split_assign": _q_split_assign,          # hash train/valid/test
+        "stratified_sample": _q_stratified_sample,  # n-per-group sample
         "top_events_per_type": _q_top_events_per_type,  # group-wise top-k
         "quantile_agg": _q_quantile_agg,          # per-key exact quantiles
         "distinct_users_exact": _q_distinct_users_exact,  # 2-stage groupby
@@ -801,6 +840,15 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "split_assign": _split_assign_sql(),
+        "stratified_sample": f"""
+SELECT lang, doc_id, rank FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY ((doc_id + {_SPLIT_SEED}) * 2654435761) % 4294967296,
+                       doc_id) AS BIGINT) AS rank
+  FROM documents)
+WHERE rank <= 5 ORDER BY lang, rank""",
         "top_events_per_type": """
 SELECT event_type, event_id, value, rank FROM (
   SELECT event_type, event_id, value,

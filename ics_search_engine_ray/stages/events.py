@@ -204,7 +204,7 @@ def quantile_agg(events, key: str = "event_type", value: str = "value",
 
 
 def top_k_per_group(ds, key: str, order_col: str, k: int = 3,
-                    tiebreak: str = None):
+                    tiebreak: str = None, payload_cols: list = None):
     """Top-k rows per key by `order_col` (descending; ties broken ascending
     on `tiebreak`), with a 1-based `rank` column — SQL's
     ``row_number() OVER (PARTITION BY key ORDER BY order_col DESC, tiebreak)
@@ -217,7 +217,9 @@ def top_k_per_group(ds, key: str, order_col: str, k: int = 3,
     import numpy as np
     import pyarrow as pa
 
-    cols = [key, order_col] + ([tiebreak] if tiebreak else [])
+    cols = list(dict.fromkeys(
+        [key, order_col] + ([tiebreak] if tiebreak else [])
+        + (payload_cols or [])))
 
     def local_top(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
