@@ -338,6 +338,26 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_connected_components(sf_dir: str):
+    """Distributed connected components (graph/concomp.py): large-star /
+    small-star over the per-user consecutive-event chain graph — O(log^2)
+    bucketed-shuffle rounds, never O(diameter). Oracle: recursive-CTE
+    min-label reachability over the same lead()-derived edges."""
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import (
+        connected_components, consecutive_edges)
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id"])
+    edges = consecutive_edges(ev, by="user_id", order_col="ts",
+                              id_col="event_id")
+    out = connected_components(edges)
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b.column("node"),
+                            "component": b.column("component")}),
+        batch_format="pyarrow")
+
+
 def _q_split_assign(sf_dir: str):
     """Deterministic train/valid/test assignment (stages/splits.py):
     Weyl-hash thresholds, pure map, stable under corpus growth. The SQL
@@ -723,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,                # temporal as-of join
         "interval_join": _q_interval_join,        # temporal range join
         "revenue_by_nation": _q_revenue_by_nation,  # multi-way join + agg
+        "connected_components": _q_connected_components,  # large/small-star
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
         "top_events_per_type": _q_top_events_per_type,  # group-wise top-k
@@ -840,6 +861,21 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "connected_components": """
+WITH RECURSIVE
+edges AS (
+  SELECT event_id AS s,
+         lead(event_id) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS d
+  FROM events QUALIFY d IS NOT NULL),
+sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+walk(node, label) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN sym e ON e.s = w.node
+   WHERE w.label < e.d)
+SELECT node AS event_id, CAST(min(label) AS BIGINT) AS component
+FROM walk GROUP BY node ORDER BY event_id""",
         "split_assign": _split_assign_sql(),
         "stratified_sample": f"""
 SELECT lang, doc_id, rank FROM (

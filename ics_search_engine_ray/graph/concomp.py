@@ -1,0 +1,235 @@
+"""Distributed connected components: the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC 2014 — public) over a Ray Data edge Dataset.
+
+Why this algorithm at 100 TB: naive min-label propagation needs
+O(graph diameter) rounds (a 10^6-long crawl chain = 10^6 shuffles);
+hash-to-min materializes whole components in one task. Large-star /
+small-star converges in O(log^2 n) rounds and its intermediate state
+never exceeds the (deduplicated) edge set, so every round is one
+bucketed groupby shuffle of O(|E|) rows.
+
+Each round is the repo's standard co-partitioned shape: orient edges,
+bucket the key node by hash, and process each bucket VECTORIZED (sort
+once, segment mins via first-element-of-sorted-run, masked emits — the
+only loop is over numpy kernels, never rows). Convergence is detected by
+an order-independent XOR signature of the globally-deduplicated edge
+set (two tiny per-batch reductions, no extra shuffle).
+
+Partitioning note: a component root's adjacency lands in one bucket; a
+bucket is a numpy problem (millions of rows OK). The documented upgrade
+for a single pathological super-node is the paper's own fix — split the
+root's bucket by salting dst and re-merging minima next round.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.common import adaptive_groups
+
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _empty_edges() -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64())],
+        schema=_EDGE_SCHEMA)
+
+
+def _star_pass(edges, large: bool, num_groups: int):
+    """One large- or small-star round: returns the new edge Dataset."""
+
+    def orient(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _star_tagged_empty()
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        if large:
+            # symmetrize: every endpoint sees its full neighborhood
+            key = np.concatenate([u, v])
+            nbr = np.concatenate([v, u])
+        else:
+            # key each edge at its LARGER endpoint
+            key = np.maximum(u, v)
+            nbr = np.minimum(u, v)
+        g = key % num_groups
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "nbr": pa.array(nbr, pa.int64()),
+                         "gkey": pa.array(g, pa.int64())})
+
+    def _star_tagged_empty() -> pa.Table:
+        return pa.table({"key": pa.array([], pa.int64()),
+                         "nbr": pa.array([], pa.int64()),
+                         "gkey": pa.array([], pa.int64())})
+
+    def process(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty_edges()
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        nbr = g.column("nbr").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, key))
+        key, nbr = key[order], nbr[order]
+        # in-bucket dedup (globally complete: same key -> same bucket)
+        uniq = np.concatenate(
+            ([True], (key[1:] != key[:-1]) | (nbr[1:] != nbr[:-1])))
+        key, nbr = key[uniq], nbr[uniq]
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        seg = np.repeat(np.arange(starts.size),
+                        np.diff(np.append(starts, key.size)))
+        # nbr sorted asc within segment -> segment min is its first element
+        m = nbr[starts]
+        if large:
+            m = np.minimum(m, key[starts])          # min(N(u) + {u})
+            mask = nbr > key                        # attach greater nbrs
+            out_u = nbr[mask]
+            out_v = m[seg[mask]]
+        else:
+            # small-star: all nbrs <= key; attach key and non-min nbrs to m
+            mask = nbr != m[seg]
+            out_u = np.concatenate([key[starts], nbr[mask]])
+            out_v = np.concatenate([m, m[seg[mask]]])
+            keep = out_u != out_v
+            out_u, out_v = out_u[keep], out_v[keep]
+        return pa.Table.from_arrays(
+            [pa.array(out_u, pa.int64()), pa.array(out_v, pa.int64())],
+            schema=_EDGE_SCHEMA)
+
+    return edges.map_batches(orient, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(
+            lambda t: process(t.drop(["gkey"])), batch_format="pyarrow")
+
+
+def _canon_signature(edges) -> tuple:
+    """(n_edges, xor-of-hashes) of the canonicalized (min,max) edge set.
+    Order-independent; valid as a set signature because a star pass
+    leaves edges globally deduplicated. Two tiny rows per batch ride back
+    to the driver — never the edges themselves."""
+
+    def sig(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        h = lo * np.uint64(0x9E3779B97F4A7C15) ^ (
+            hi * np.uint64(0xC2B2AE3D27D4EB4F))
+        h ^= h >> np.uint64(29)
+        x = np.bitwise_xor.reduce(h) if h.size else np.uint64(0)
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "x": pa.array([int(x)], pa.uint64())})
+
+    rows = edges.map_batches(sig, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    x = 0
+    for r in rows:
+        x ^= int(r["x"])
+    return n, x
+
+
+def consecutive_edges(ds, by: str, order_col: str, id_col: str,
+                      num_groups: Optional[int] = None):
+    """(id, next_id) edge list chaining each ``by`` group's rows in
+    (order_col, id_col) order — SQL's ``lead(id) OVER (PARTITION BY by
+    ORDER BY order_col, id)``. Co-partitioned on ``by`` (one bucketed
+    groupby), chains resolved vectorized per bucket."""
+    if num_groups is None:
+        num_groups = adaptive_groups(max(ds.count(), 1), 1_000_000, lo=16)
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = b.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (keys % num_groups + num_groups) % num_groups
+        return b.append_column("gkey", pa.array(g, pa.int64()))
+
+    def chain(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty_src_dst()
+        keys = g.column(by).to_numpy(zero_copy_only=False)
+        order = g.column(order_col).to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ids, order, keys))
+        keys, ids = keys[perm], ids[perm]
+        same = keys[1:] == keys[:-1]
+        return pa.table({"src": pa.array(ids[:-1][same], pa.int64()),
+                         "dst": pa.array(ids[1:][same], pa.int64())})
+
+    def _empty_src_dst() -> pa.Table:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())})
+
+    return ds.select_columns([by, order_col, id_col]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(
+            lambda t: chain(t.drop(["gkey"])), batch_format="pyarrow")
+
+
+def connected_components(edges_ds, src: str = "src", dst: str = "dst",
+                         num_groups: Optional[int] = None,
+                         max_iters: int = 50):
+    """Returns a Dataset (node, component) labelling every node that
+    appears in ``edges_ds`` with its component's minimum node id. Nodes
+    are the endpoints of non-degenerate edges (self-loops are dropped at
+    ingest and do not introduce nodes).
+
+    ``edges_ds`` columns ``src``/``dst`` must be integer ids. Runs
+    alternating large-star / small-star rounds, materializing the O(|E|)
+    edge state between rounds (bounded iterative state — the same
+    discipline as graph/linkrank.py's dataset-pass PageRank), until the
+    edge-set signature fixpoints.
+    """
+    def normalize(b: pa.Table) -> pa.Table:
+        u = b.column(src).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b.column(dst).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = u != v
+        return pa.Table.from_arrays(
+            [pa.array(u[keep], pa.int64()), pa.array(v[keep], pa.int64())],
+            schema=_EDGE_SCHEMA)
+
+    edges = edges_ds.map_batches(normalize,
+                                 batch_format="pyarrow").materialize()
+
+    if num_groups is None:
+        num_groups = adaptive_groups(max(edges.count(), 1), 500_000, lo=16)
+
+    prev = None
+    for _ in range(max_iters):
+        edges = _star_pass(edges, large=True, num_groups=num_groups)
+        edges = _star_pass(edges, large=False,
+                           num_groups=num_groups).materialize()
+        cur = _canon_signature(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # final state: star edges (node -> root); add the roots themselves
+    def with_roots(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        roots = np.unique(v)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, roots]), pa.int64()),
+            "component": pa.array(np.concatenate([v, roots]), pa.int64())})
+
+    out = edges.map_batches(with_roots, batch_format="pyarrow")
+
+    # roots may repeat across batches -> one dedup pass bucketed by node
+    def dedup(g: pa.Table) -> pa.Table:
+        n = g.column("node").to_numpy(zero_copy_only=False)
+        c = g.column("component").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, n))
+        n, c = n[order], c[order]
+        keep = np.concatenate(([True], n[1:] != n[:-1]))
+        return pa.table({"node": pa.array(n[keep], pa.int64()),
+                         "component": pa.array(c[keep], pa.int64())})
+
+    return out.map_batches(
+        lambda b: b.append_column(
+            "gkey", pa.array(b.column("node").to_numpy(
+                zero_copy_only=False) % num_groups, pa.int64())),
+        batch_format="pyarrow") \
+        .groupby("gkey").map_groups(
+            lambda t: dedup(t.drop(["gkey"])), batch_format="pyarrow")

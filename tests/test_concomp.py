@@ -1,0 +1,94 @@
+"""connected_components (graph/concomp.py) vs a union-find reference on
+adversarial shapes: long paths (worst case for plain label propagation),
+stars, disjoint cliques, random sparse graphs, empty input."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _uf(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min id per component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for mem in comp.values():
+        m = min(mem)
+        for n in mem:
+            out[n] = m
+    return out
+
+
+def _run(edges, ray_session, **kw):
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import connected_components
+
+    t = pa.table({
+        "src": pa.array([u for u, _ in edges], pa.int64()),
+        "dst": pa.array([v for _, v in edges], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    got = {r["node"]: r["component"]
+           for r in connected_components(ds, **kw).take_all()}
+    return got
+
+
+def _check(edges, ray_session, **kw):
+    nodes = sorted({n for e in edges for n in e})
+    want = _uf(edges, nodes)
+    got = _run(edges, ray_session, **kw)
+    assert got == want
+
+
+def test_cc_long_path(ray_session):
+    # 300-node path: O(diameter) algorithms need 300 rounds; this must
+    # converge well inside max_iters=50
+    _check([(i, i + 1) for i in range(300)], ray_session)
+
+
+def test_cc_star_and_cliques(ray_session):
+    edges = [(1000, i) for i in range(50)]                 # star, big root
+    edges += [(u, v) for u in range(2000, 2010)
+              for v in range(u + 1, 2010)]                  # clique
+    edges += [(5000, 5001)]                                 # pair
+    _check(edges, ray_session)
+
+
+def test_cc_random_sparse(ray_session):
+    rng = np.random.default_rng(17)
+    n = 800
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, n, size=(900, 2))
+             if a != b]
+    _check(edges, ray_session, num_groups=5)
+
+
+def test_cc_duplicate_reversed_and_self_edges(ray_session):
+    # self-loops are dropped at ingest; (7,7) introduces no node
+    edges = [(1, 2), (2, 1), (1, 2), (3, 2), (2, 3), (7, 7)]
+    want = _uf([(1, 2), (2, 3)], [1, 2, 3])
+    got = _run(edges, ray_session)
+    assert got == want
+
+
+def test_cc_empty(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import connected_components
+
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
+    assert connected_components(ds).take_all() == []
