@@ -338,6 +338,43 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: ngram-Jaccard pair graph (>=0.8) fed to
+    distributed connected components; every document gets its cluster's
+    min doc_id (singletons label themselves). The cluster map is a
+    hot-subset broadcast (only docs with duplicates), left-joined back
+    over the full corpus with broadcast_join — the scale path above the
+    gate is hash_join on the same keys."""
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import connected_components
+    from ics_search_engine_ray.stages.dedup_text import ngram_jaccard_pairs
+    from ics_search_engine_ray.stages.joins import broadcast_join
+
+    pairs = ngram_jaccard_pairs(_read_docs(sf_dir), n=3, threshold=0.8)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    if not pairs:
+        return docs.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "cluster": b.column("doc_id")}),
+            batch_format="pyarrow")
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64())}))
+    comp = connected_components(edges)
+    joined = broadcast_join(docs, comp, on="doc_id", right_on="node",
+                            join_type="left outer")
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        comp_col = pc.coalesce(b.column("component").cast(pa.int64()),
+                               b.column("doc_id"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cluster": comp_col})
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
 def _q_connected_components(sf_dir: str):
     """Distributed connected components (graph/concomp.py): large-star /
     small-star over the per-user consecutive-event chain graph — O(log^2)
@@ -744,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": _q_interval_join,        # temporal range join
         "revenue_by_nation": _q_revenue_by_nation,  # multi-way join + agg
         "connected_components": _q_connected_components,  # large/small-star
+        "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
         "top_events_per_type": _q_top_events_per_type,  # group-wise top-k
@@ -861,6 +899,36 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "dup_clusters": """
+WITH RECURSIVE
+w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
+  FROM w),
+edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+walk(node, label) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.d, wk.label FROM walk wk JOIN sym e ON e.s = wk.node
+   WHERE wk.label < e.d),
+comp AS (SELECT node, min(label) AS c FROM walk GROUP BY node)
+SELECT doc.doc_id, CAST(coalesce(comp.c, doc.doc_id) AS BIGINT) AS cluster
+FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.node
+ORDER BY doc.doc_id""",
         "connected_components": """
 WITH RECURSIVE
 edges AS (
