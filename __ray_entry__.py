@@ -338,6 +338,33 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_customers_inactive(sf_dir: str):
+    """Anti join (stages/joins.py broadcast_join, pyarrow 'left anti'):
+    customers with NO order in 1995 H1. The probe side is pre-shrunk
+    per batch with np.unique before broadcasting (dup keys don't change
+    anti semantics); above the gate the scale path is the native hash
+    join as left-outer + null filter."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.joins import broadcast_join
+
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1995-07-01", "us"), pa.timestamp("us"))
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+        filter=(pc.field("o_orderdate") >= lo)
+               & (pc.field("o_orderdate") < hi))
+    probe = orders.map_batches(
+        lambda b: pa.table({"o_custkey": pa.array(
+            np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False)),
+            pa.int64())}),
+        batch_format="pyarrow")
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    return broadcast_join(cust, probe, on="c_custkey",
+                          right_on="o_custkey", join_type="left anti")
+
+
 def _q_dup_clusters(sf_dir: str):
     """Near-duplicate CLUSTERS: ngram-Jaccard pair graph (>=0.8) fed to
     distributed connected components; every document gets its cluster's
@@ -781,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": _q_interval_join,        # temporal range join
         "revenue_by_nation": _q_revenue_by_nation,  # multi-way join + agg
         "connected_components": _q_connected_components,  # large/small-star
+        "customers_inactive": _q_customers_inactive,  # anti join
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -899,6 +927,14 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "customers_inactive": """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1995-07-01')
+ORDER BY c_custkey""",
         "dup_clusters": """
 WITH RECURSIVE
 w AS (

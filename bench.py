@@ -131,6 +131,24 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
         threshold=0.4, n_bits=4, n_tables=16)
     tops["embedding_dedup"] = round(time.time() - t, 2)
 
+    # relational + graph operators (round 3): the TPC-H-Q5-style
+    # join+aggregate and large/small-star connected components over the
+    # per-user event chain graph
+    from ics_search_engine_ray.graph.concomp import (
+        connected_components, consecutive_edges)
+    from ics_search_engine_ray.stages.relational import (
+        read_revenue_inputs, revenue_by_nation)
+    t = time.time()
+    revenue_by_nation(*read_revenue_inputs(sf_dir)).count()
+    tops["revenue_by_nation"] = round(time.time() - t, 2)
+    t = time.time()
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id"])
+    connected_components(
+        consecutive_edges(ev, by="user_id", order_col="ts",
+                          id_col="event_id")).count()
+    tops["connected_components"] = round(time.time() - t, 2)
+
     # concurrent query throughput through the partition-sharded actor pool
     from concurrent.futures import ThreadPoolExecutor
     from ics_search_engine_ray.query.actors import ShardedSearchIndex
