@@ -338,6 +338,19 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Two-pass exact heavy hitters (stages/heavy.py): terms with corpus
+    share >= 0.2%, pigeonhole per-batch candidate generation + broadcast
+    exact recount — the full term relation never shuffles. Integer ppm
+    arithmetic keeps the threshold bit-identical to the SQL oracle."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.heavy import heavy_hitters
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    return heavy_hitters(docs, ppm=2000)
+
+
 def _q_customers_inactive(sf_dir: str):
     """Anti join (stages/joins.py broadcast_join, pyarrow 'left anti'):
     customers with NO order in 1995 H1. The probe side is pre-shrunk
@@ -809,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,  # multi-way join + agg
         "connected_components": _q_connected_components,  # large/small-star
         "customers_inactive": _q_customers_inactive,  # anti join
+        "heavy_hitters": _q_heavy_hitters,        # 2-pass exact top terms
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -927,6 +941,16 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                x -> length(x) > 1)) AS t
+  FROM documents),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+FROM toks, tot GROUP BY t, tot.n
+HAVING count(*) * 1000000 >= 2000 * tot.n
+ORDER BY term""",
         "customers_inactive": """
 SELECT c_custkey FROM customer c
 WHERE NOT EXISTS (
