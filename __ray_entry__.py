@@ -338,6 +338,20 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """SymSpell deletion-neighborhood fuzzy self-join (stages/strings.py):
+    supplier-name pairs within edit distance 1 — variant emission is one
+    Arrow slice+concat kernel per delete position, candidates shuffle
+    once on the variant key, verification touches only candidates.
+    Oracle: brute-force DuckDB levenshtein join."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.strings import edit_distance_pairs
+
+    sup = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_name"])
+    return edit_distance_pairs(sup, "s_name")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Two-pass exact heavy hitters (stages/heavy.py): terms with corpus
     share >= 0.2%, pigeonhole per-batch candidate generation + broadcast
@@ -823,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_connected_components,  # large/small-star
         "customers_inactive": _q_customers_inactive,  # anti join
         "heavy_hitters": _q_heavy_hitters,        # 2-pass exact top terms
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,  # SymSpell edit<=1 join
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -941,6 +956,10 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "fuzzy_name_pairs": """
+WITH v AS (SELECT DISTINCT s_name AS t FROM supplier)
+SELECT a.t AS a, b.t AS b FROM v a JOIN v b ON a.t < b.t
+WHERE levenshtein(a.t, b.t) = 1 ORDER BY a, b""",
         "heavy_hitters": """
 WITH toks AS (
   SELECT unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
