@@ -338,6 +338,21 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered 3-step funnel signup->view->purchase (stages/events.py):
+    co-partitioned on user, per-bucket cascade fully vectorized via
+    masked minimum.reduceat (loop over steps, never rows/users).
+    Oracle: cascaded row_number()=1 subqueries with row-value
+    comparisons."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import funnel
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    return funnel(ev, ["signup", "view", "purchase"])
+
+
 def _q_fuzzy_name_pairs(sf_dir: str):
     """SymSpell deletion-neighborhood fuzzy self-join (stages/strings.py):
     supplier-name pairs within edit distance 1 — variant emission is one
@@ -838,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_inactive": _q_customers_inactive,  # anti join
         "heavy_hitters": _q_heavy_hitters,        # 2-pass exact top terms
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,  # SymSpell edit<=1 join
+        "funnel": _q_funnel,                      # ordered 3-step funnel
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -956,6 +972,32 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "funnel": """
+WITH s1 AS (
+  SELECT user_id, ts AS ts1, event_id AS signup_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+s2 AS (
+  SELECT user_id, ts2, view_id FROM (
+    SELECT e.user_id, e.ts AS ts2, e.event_id AS view_id,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'view'
+      AND (e.ts, e.event_id) > (s1.ts1, s1.signup_id)) WHERE rn = 1),
+s3 AS (
+  SELECT user_id, purchase_id FROM (
+    SELECT e.user_id, e.event_id AS purchase_id,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND (e.ts, e.event_id) > (s2.ts2, s2.view_id)) WHERE rn = 1)
+SELECT user_id, signup_id, view_id, purchase_id
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+ORDER BY user_id""",
         "fuzzy_name_pairs": """
 WITH v AS (SELECT DISTINCT s_name AS t FROM supplier)
 SELECT a.t AS a, b.t AS b FROM v a JOIN v b ON a.t < b.t

@@ -203,6 +203,82 @@ def quantile_agg(events, key: str = "event_type", value: str = "value",
         per_key, batch_format="pyarrow")
 
 
+def funnel(events, steps, by: str = "user_id", ts: str = "ts",
+           id_col: str = "event_id", type_col: str = "event_type",
+           num_groups: int = None):
+    """Ordered funnel: per ``by`` key, the earliest chain of events
+    matching ``steps`` in sequence — step k+1 must occur strictly after
+    the chosen step-k event in (ts, id) order. Returns one row per key
+    that completes ALL steps, with each step's event id.
+
+    Same co-partitioned shape as sessionize (bucket by key hash, one
+    shuffle). Inside a bucket the cascade is vectorized across all keys
+    at once: per step, a masked ``minimum.reduceat`` picks each key's
+    first qualifying event; keys that miss a step get +inf and drop out
+    of later steps automatically. The only loop is over the (few) steps.
+    """
+    import pyarrow.compute as pc
+    from .common import adaptive_groups
+
+    if num_groups is None:
+        num_groups = adaptive_groups(max(events.count(), 1),
+                                     1_000_000, lo=16)
+    step_list = list(steps)
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column(type_col),
+                              value_set=pa.array(step_list)))
+        keys = b.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (keys % num_groups + num_groups) % num_groups
+        return b.append_column("gkey", pa.array(g, pa.int64()))
+
+    out_fields = [(by, pa.int64())] + \
+        [(f"{s}_id", pa.int64()) for s in step_list]
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({n: pa.array([], t) for n, t in out_fields})
+        if g.num_rows == 0:
+            return empty
+        keys = g.column(by).to_numpy(zero_copy_only=False)
+        tss = g.column(ts).to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tss, keys))
+        keys, ids, types = keys[order], ids[order], types[order]
+        pos = np.arange(keys.size, dtype=np.float64)
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1])))
+        seg_of_row = np.repeat(np.arange(seg_starts.size),
+                               np.diff(np.append(seg_starts, keys.size)))
+        n_seg = seg_starts.size
+        cur = np.full(n_seg, -1.0)
+        picks = []
+        for s in step_list:
+            rows = np.flatnonzero(types == s)
+            sel = np.full(n_seg, np.inf)
+            if rows.size:
+                seg_t = seg_of_row[rows]
+                cand = np.where(pos[rows] > cur[seg_t], pos[rows], np.inf)
+                bnd = np.flatnonzero(
+                    np.concatenate(([True], seg_t[1:] != seg_t[:-1])))
+                mins = np.minimum.reduceat(cand, bnd)
+                sel[seg_t[bnd]] = mins
+            picks.append(sel)
+            cur = sel                      # inf propagates: key drops out
+        done = np.isfinite(picks[-1])
+        cols = {by: pa.array(keys[seg_starts][done].astype(np.int64),
+                             pa.int64())}
+        for s, sel in zip(step_list, picks):
+            cols[f"{s}_id"] = pa.array(
+                ids[sel[done].astype(np.int64)].astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return events.select_columns([by, ts, id_col, type_col]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(
+            lambda t: resolve(t.drop(["gkey"])), batch_format="pyarrow")
+
+
 def top_k_per_group(ds, key: str, order_col: str, k: int = 3,
                     tiebreak: str = None, payload_cols: list = None):
     """Top-k rows per key by `order_col` (descending; ties broken ascending

@@ -143,3 +143,45 @@ def test_top_k_per_group_matches_bruteforce(ray_session):
                       key=lambda t: (-t[0], t[1]))[:4]
         want += [(g, rk + 1, int(i)) for rk, (_, i) in enumerate(rows)]
     assert sorted(got) == sorted(want)
+
+
+def test_funnel_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import funnel
+
+    rng = np.random.default_rng(29)
+    n = 900
+    users = rng.integers(0, 40, n)
+    tss = rng.integers(0, 50, n)          # many ts ties -> id tiebreak
+    types = rng.choice(["view", "click", "purchase", "noise"], n)
+    ids = np.arange(n)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(tss, pa.int64()),
+        "event_id": pa.array(ids, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+    })).repartition(5)
+    steps = ["view", "click", "purchase"]
+    got = sorted((r["user_id"], r["view_id"], r["click_id"],
+                  r["purchase_id"])
+                 for r in funnel(ds, steps, num_groups=7).take_all())
+
+    want = []
+    for u in sorted(set(users)):
+        evs = sorted((tss[i], ids[i], types[i])
+                     for i in range(n) if users[i] == u)
+        cur, picked = (-1, -1), []
+        ok = True
+        for s in steps:
+            nxt = next(((t, i) for t, i, ty in evs
+                        if ty == s and (t, i) > cur), None)
+            if nxt is None:
+                ok = False
+                break
+            picked.append(nxt[1])
+            cur = nxt
+        if ok:
+            want.append((u, *picked))
+    assert got == sorted(want)
