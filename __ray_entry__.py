@@ -338,6 +338,19 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_global_rank(sf_dir: str):
+    """Exact global order statistics (stages/rank.py): rank of every
+    event by value without a global sort — equi-depth histogram edges
+    from bounded per-batch samples, prefix-sum bin offsets, ONE shuffle
+    keyed on the bin. Oracle: rank() OVER (ORDER BY value, event_id)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.rank import global_rank
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value", "event_id"])
+    return global_rank(ev, "value", "event_id")
+
+
 def _q_funnel(sf_dir: str):
     """Ordered 3-step funnel signup->view->purchase (stages/events.py):
     co-partitioned on user, per-bucket cascade fully vectorized via
@@ -854,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,        # 2-pass exact top terms
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,  # SymSpell edit<=1 join
         "funnel": _q_funnel,                      # ordered 3-step funnel
+        "global_rank": _q_global_rank,            # exact distributed rank
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -972,6 +986,10 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "global_rank": """
+SELECT event_id,
+       CAST(rank() OVER (ORDER BY value, event_id) AS BIGINT) AS rank
+FROM events ORDER BY event_id""",
         "funnel": """
 WITH s1 AS (
   SELECT user_id, ts AS ts1, event_id AS signup_id FROM (

@@ -1,0 +1,110 @@
+"""Exact global order statistics without a global sort: every row gets
+its exact rank in the total order (value, id) using range partitioning +
+prefix-sum offsets — the textbook distributed-rank plan.
+
+1. histogram pass: per-batch bin counts against broadcast bin edges
+   (one ``np.searchsorted`` per batch); the driver merges B tiny count
+   vectors (never rows) into an exclusive prefix sum = each bin's global
+   starting rank.
+2. rank pass: ONE shuffle keyed on the bin id; each bin's rows sort
+   locally and take ``offset[bin] + local_position``.
+
+Bin edges come from a per-batch deterministic subsample (every k-th
+element of the batch's sorted values) so bins approximate equi-depth
+even on skewed distributions — a hot uniform-width bin would otherwise
+concentrate the shuffle. Ids break ties, so ranks are unique and match
+SQL ``rank() OVER (ORDER BY value, id)`` exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .common import adaptive_groups
+
+_SAMPLE_STRIDE = 64        # keep every 64th sorted value per batch ...
+_BATCH_SAMPLE_CAP = 256    # ... but never more than this many per batch
+_MAX_EDGES = 4096
+
+
+def global_rank(ds, value_col: str, id_col: str,
+                num_bins: Optional[int] = None):
+    """Dataset (id, rank) with rank the exact 1-based position of
+    (value, id) in the global ascending order. ``id_col`` values must be
+    unique; ``value_col`` must be numeric and non-null."""
+    import ray
+
+    if num_bins is None:
+        num_bins = min(_MAX_EDGES,
+                       adaptive_groups(max(ds.count(), 1), 250_000, lo=32))
+
+    src = ds.select_columns([value_col, id_col])
+
+    # --- edge discovery: deterministic strided subsample per batch,
+    # capped at _BATCH_SAMPLE_CAP values/batch so the driver holds
+    # O(n_batches) sample points, never O(rows) ---
+    def sample(b: pa.Table) -> pa.Table:
+        v = np.sort(b.column(value_col).to_numpy(zero_copy_only=False))
+        stride = max(_SAMPLE_STRIDE,
+                     -(-v.size // _BATCH_SAMPLE_CAP))
+        return pa.table({"v": pa.array(v[::stride].astype(
+            np.float64), pa.float64())})
+
+    samp = np.sort(np.array(
+        [r["v"] for r in src.map_batches(sample,
+                                         batch_format="pyarrow").take_all()],
+        np.float64))
+    if samp.size == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.int64())}))
+    # interior edges at equi-depth positions of the sample
+    qpos = (np.arange(1, num_bins) * samp.size) // num_bins
+    edges = np.unique(samp[np.clip(qpos, 0, samp.size - 1)])
+    edges_ref = ray.put(edges)
+    nb = edges.size + 1                    # actual bin count
+
+    # --- pass 1: per-batch bin counts (B tiny ints to the driver) ---
+    def bincounts(b: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        c = np.bincount(np.searchsorted(e, v, side="right"),
+                        minlength=e.size + 1)
+        return pa.table({"bin": pa.array(np.arange(e.size + 1), pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = np.zeros(nb, np.int64)
+    for r in src.map_batches(bincounts, batch_format="pyarrow").take_all():
+        counts[r["bin"]] += r["cnt"]
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off_ref = ray.put(offsets)
+
+    # --- pass 2: one shuffle on bin id; local sort + offset ---
+    def tag(b: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        g = np.searchsorted(e, v, side="right")
+        return pa.table({
+            "v": b.column(value_col),
+            id_col: b.column(id_col).cast(pa.int64()),
+            "gkey": pa.array(g.astype(np.int64), pa.int64())})
+
+    def rank_bin(g: pa.Table, bin_id: np.int64) -> pa.Table:
+        off = ray.get(off_ref)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v))
+        start = int(off[int(bin_id)])
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "rank": pa.array(start + 1 + np.arange(ids.size, dtype=np.int64),
+                             pa.int64())})
+
+    return src.map_batches(tag, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(
+            lambda t: rank_bin(t.drop(["gkey"]),
+                               t.column("gkey")[0].as_py()),
+            batch_format="pyarrow")
