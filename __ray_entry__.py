@@ -514,6 +514,16 @@ def _split_assign_sql() -> str:
             f"ORDER BY doc_id")
 
 
+def _q_revenue_rollup(sf_dir: str):
+    """ROLLUP(n_name, o_year) revenue (stages/relational.py): subtotals
+    and grand total derived from the single base aggregate in the final
+    tiny merge — no re-scan per rollup level. Oracle: GROUP BY ROLLUP."""
+    from ics_search_engine_ray.stages.relational import (
+        read_rollup_inputs, revenue_rollup)
+
+    return revenue_rollup(*read_rollup_inputs(sf_dir))
+
+
 def _q_top_events_per_type(sf_dir: str):
     """Top-3 events by value per type (per-batch combiner + tiny merge;
     row_number() window oracle)."""
@@ -862,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,                # temporal as-of join
         "interval_join": _q_interval_join,        # temporal range join
         "revenue_by_nation": _q_revenue_by_nation,  # multi-way join + agg
+        "revenue_rollup": _q_revenue_rollup,      # ROLLUP from one base agg
         "connected_components": _q_connected_components,  # large/small-star
         "customers_inactive": _q_customers_inactive,  # anti join
         "heavy_hitters": _q_heavy_hitters,        # 2-pass exact top terms
@@ -986,6 +997,18 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "revenue_rollup": """
+SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) *
+                (100 - CAST(round(l_discount*100,0) AS BIGINT))) / 10000.0
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, year(o_orderdate))
+ORDER BY n_name NULLS LAST, o_year NULLS LAST""",
         "global_rank": """
 SELECT event_id,
        CAST(rank() OVER (ORDER BY value, event_id) AS BIGINT) AS rank

@@ -160,6 +160,131 @@ def revenue_by_nation(lineitem, orders, customer, nation,
     return out.sort(["revenue", "n_name"], descending=[True, False])
 
 
+def revenue_rollup(lineitem, orders, customer, nation,
+                   num_partitions: Optional[int] = None):
+    """``GROUP BY ROLLUP(n_name, o_year)`` revenue: per (nation, order
+    year), per-nation subtotal, grand total — the two upper levels are
+    derived from the base aggregate inside the final tiny merge, never by
+    re-scanning the inputs. Same join plan as :func:`revenue_by_nation`;
+    the per-batch partial agg keys on (nationkey, year), still <=
+    25 x |years| rows per batch. Orders rows carry ``o_year`` computed at
+    the scan. Output: (n_name, o_year, revenue) with SQL-ROLLUP nulls."""
+    import ray
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_units": pa.array([], pa.int64())})
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(keys, return_inverse=True)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "rev_units": pa.array(
+                             np.bincount(inv, weights=rev).astype(np.int64),
+                             pa.int64())})
+
+    li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(li_agg, orders, on="l_orderkey",
+                       right_on="o_orderkey", num_partitions=num_partitions)
+
+    ct = pa.concat_tables(ray.get(customer.to_arrow_refs()))
+    ck = ct.column("c_custkey").to_numpy(zero_copy_only=False)
+    nk = ct.column("c_nationkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(ck, kind="stable")
+    cust_ref = ray.put((np.ascontiguousarray(ck[order]),
+                        np.ascontiguousarray(nk[order].astype(np.int64))))
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"n_nationkey": pa.array([], pa.int64()),
+                          "o_year": pa.array([], pa.int64()),
+                          "rev_units": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        sck, snk = ray.get(cust_ref)
+        cust = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sck, cust), 0, sck.size - 1)
+        ok = sck[pos] == cust
+        if not ok.any():
+            return empty
+        nat = snk[pos[ok]]
+        yr = b.column("o_year").to_numpy(zero_copy_only=False)[ok]
+        rev = b.column("rev_units").to_numpy(zero_copy_only=False)[ok]
+        combo = nat * 10_000 + yr
+        uk, inv = np.unique(combo, return_inverse=True)
+        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        return pa.table({
+            "n_nationkey": pa.array(uk // 10_000, pa.int64()),
+            "o_year": pa.array(uk % 10_000, pa.int64()),
+            "rev_units": pa.array(sums, pa.int64())})
+
+    per_cell = joined.map_batches(partial, batch_format="pyarrow")
+
+    nt = pa.concat_tables(ray.get(nation.to_arrow_refs()))
+    names = dict(zip(nt.column("n_nationkey").to_pylist(),
+                     nt.column("n_name").to_pylist()))
+
+    def finish(g: pa.Table) -> pa.Table:
+        nat = g.column("n_nationkey").to_numpy(zero_copy_only=False)
+        yr = g.column("o_year").to_numpy(zero_copy_only=False)
+        rev = g.column("rev_units").to_numpy(zero_copy_only=False)
+        combo = nat * 10_000 + yr
+        uk, inv = np.unique(combo, return_inverse=True)
+        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        base_n = uk // 10_000
+        base_y = uk % 10_000
+        # rollup level 1: per-nation totals; level 2: grand total
+        un, ninv = np.unique(base_n, return_inverse=True)
+        nsums = np.bincount(ninv, weights=sums).astype(np.int64)
+        out_name = ([names[k] for k in base_n] + [names[k] for k in un]
+                    + [None])
+        out_year = (list(base_y) + [None] * un.size + [None])
+        out_rev = np.concatenate([sums, nsums, [sums.sum()]])
+        return pa.table({
+            "n_name": pa.array(out_name, pa.string()),
+            "o_year": pa.array(out_year, pa.int64()),
+            "revenue": pa.array(out_rev.astype(np.float64) / 10000.0,
+                                pa.float64())})
+
+    return per_cell.map_batches(
+        lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                 pa.int8())),
+        batch_format="pyarrow") \
+        .groupby("_g").map_groups(lambda g: finish(g.drop(["_g"])),
+                                  batch_format="pyarrow")
+
+
+def read_rollup_inputs(sf_dir: str):
+    """Pruned reads for :func:`revenue_rollup`; orders carry an
+    ``o_year`` column computed vectorized at the scan."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_year(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                              pa.int64())})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(add_year, batch_format="pyarrow")
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"])
+    return li, orders, customer, nation
+
+
 def read_revenue_inputs(sf_dir: str, date_lo: str = "1996-01-01",
                         date_hi: str = "1998-01-01"):
     """Pruned reads for :func:`revenue_by_nation`: only needed columns,

@@ -132,3 +132,22 @@ def test_revenue_by_nation_sf0001_matches_duckdb(ray_session):
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name""").df()
     assert out.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    import math
+    from ics_search_engine_ray.stages.relational import (
+        read_rollup_inputs, revenue_rollup)
+
+    out = revenue_rollup(*read_rollup_inputs("/root/testdata/sf0.001")) \
+        .to_pandas()
+    base = out[out.o_year.notna() & out.n_name.notna()]
+    nat = out[out.o_year.isna() & out.n_name.notna()]
+    grand = out[out.n_name.isna()]
+    assert len(grand) == 1
+    # each rollup level must sum to the one above (exact: integer cents)
+    per_nation = base.groupby("n_name")["revenue"].sum()
+    for name, rev in nat.set_index("n_name")["revenue"].items():
+        assert math.isclose(per_nation[name], rev, rel_tol=0, abs_tol=1e-6)
+    assert math.isclose(base.revenue.sum(), grand.revenue.iloc[0],
+                        rel_tol=0, abs_tol=1e-5)
