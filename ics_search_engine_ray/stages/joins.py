@@ -202,6 +202,88 @@ def hash_join(left_ds, right_ds, on: str, right_on: Optional[str] = None,
                         right_on=(right_on,) if right_on else (on,))
 
 
+def skew_join(left_ds, right_ds, on: str, right_on: Optional[str] = None,
+              num_partitions: Optional[int] = None, salt: int = 8,
+              hot_keys=None, hot_ppm: int = 10_000):
+    """Skew-resistant inner equi-join: hot keys are salted so one
+    pathological key spreads over ``salt`` partitions instead of sinking
+    a single join task — the standard fix for power-law join keys (one
+    crawl domain, one null-ish sentinel id) at 100 TB.
+
+    Plan: detect hot LEFT keys (>= ``hot_ppm``/1e6 of some batch — the
+    same pigeonhole guarantee as heavy_hitters, so detection is one
+    streaming pass and the driver holds only the hot-key set); cold rows
+    take the plain native hash join; hot left rows get a per-row salt and
+    the matching right rows replicate ``salt`` times, joining on
+    (key, salt). Results union — identical rows to an unsalted join,
+    tested in tests/test_relational.py.
+
+    ``hot_keys`` (iterable of ints) skips detection. Integer keys only.
+    """
+    import ray
+
+    r_on = right_on or on
+    if num_partitions is None:
+        est = left_ds.count() + right_ds.count()
+        num_partitions = adaptive_groups(est, 1_000_000, lo=16)
+
+    if hot_keys is None:
+        def local_hot(b: pa.Table) -> pa.Table:
+            k = b.column(on).to_numpy(zero_copy_only=False)
+            if k.size == 0:
+                return pa.table({"k": pa.array([], pa.int64())})
+            uk, cnt = np.unique(k, return_counts=True)
+            keep = cnt.astype(np.int64) * 1_000_000 >= hot_ppm * k.size
+            return pa.table({"k": pa.array(uk[keep].astype(np.int64),
+                                           pa.int64())})
+
+        hot_keys = sorted({r["k"] for r in left_ds.select_columns([on])
+                          .map_batches(local_hot, batch_format="pyarrow")
+                          .take_all()})
+    hot = np.asarray(sorted(hot_keys), np.int64)
+    if hot.size == 0:
+        return hash_join(left_ds, right_ds, on=on, right_on=r_on,
+                         num_partitions=num_partitions)
+    hot_ref = ray.put(hot)
+
+    def is_hot(b: pa.Table, col: str) -> np.ndarray:
+        h = ray.get(hot_ref)
+        k = b.column(col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(h, k), 0, h.size - 1)
+        return h[pos] == k
+
+    def split(col, want_hot, add_salt=None):
+        def fn(b: pa.Table) -> pa.Table:
+            m = is_hot(b, col)
+            t = b.filter(pa.array(m if want_hot else ~m))
+            if add_salt == "row":        # left: spread rows over salts
+                s = np.arange(t.num_rows, dtype=np.int64) % salt
+                t = t.append_column("_salt", pa.array(s, pa.int64()))
+            elif add_salt == "replicate":  # right: one copy per salt
+                idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), salt)
+                t = t.take(pa.array(idx, pa.int64()))
+                s = np.tile(np.arange(salt, dtype=np.int64), t.num_rows
+                            // salt if salt else 0)
+                t = t.append_column("_salt", pa.array(s, pa.int64()))
+            return t
+        return fn
+
+    cold = hash_join(
+        left_ds.map_batches(split(on, False), batch_format="pyarrow"),
+        right_ds.map_batches(split(r_on, False), batch_format="pyarrow"),
+        on=on, right_on=r_on, num_partitions=num_partitions)
+    hot_l = left_ds.map_batches(split(on, True, "row"),
+                                batch_format="pyarrow")
+    hot_r = right_ds.map_batches(split(r_on, True, "replicate"),
+                                 batch_format="pyarrow")
+    hot_j = hot_l.join(hot_r, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=(on, "_salt"), right_on=(r_on, "_salt"),
+                       left_suffix="", right_suffix="_r") \
+        .drop_columns(["_salt"])
+    return cold.union(hot_j)
+
+
 def interval_join(left_ds, right_ds, by: str, on: str, lo: str, hi: str,
                   left_cols: List[str], right_cols: List[str],
                   left_prefix: str = "l_", right_prefix: str = "r_",

@@ -151,3 +151,45 @@ def test_revenue_rollup_levels_consistent(ray_session):
         assert math.isclose(per_nation[name], rev, rel_tol=0, abs_tol=1e-6)
     assert math.isclose(base.revenue.sum(), grand.revenue.iloc[0],
                         rel_tol=0, abs_tol=1e-5)
+
+
+@pytest.mark.parametrize("explicit_hot", [False, True])
+def test_skew_join_equals_hash_join(ray_session, explicit_hot):
+    from ics_search_engine_ray.stages.joins import hash_join, skew_join
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    lk = np.where(rng.uniform(size=n) < 0.5, 7,
+                  rng.integers(0, 100, n))      # key 7 = half the rows
+    left = _mk({"a": pa.array(lk, pa.int64()),
+                "x": pa.array(np.arange(n), pa.int64())})
+    rk = rng.integers(0, 100, 300)
+    right = _mk({"b": pa.array(rk, pa.int64()),
+                 "y": pa.array(np.arange(300), pa.int64())})
+    plain = hash_join(left, right, on="a", right_on="b",
+                      num_partitions=4).to_pandas()
+    sk = skew_join(left, right, on="a", right_on="b", num_partitions=4,
+                   salt=4,
+                   hot_keys=[7] if explicit_hot else None).to_pandas()
+    assert sorted(sk.columns) == sorted(plain.columns)
+    cols = ["a", "x", "y"]
+    assert sorted(map(tuple, sk[cols].values.tolist())) == \
+        sorted(map(tuple, plain[cols].values.tolist()))
+
+
+def test_skew_join_no_hot_keys_fallback(ray_session):
+    from ics_search_engine_ray.stages.joins import hash_join, skew_join
+
+    rng = np.random.default_rng(9)
+    lk = rng.permutation(500)                    # uniform: nothing hot
+    left = _mk({"a": pa.array(lk, pa.int64()),
+                "x": pa.array(np.arange(500), pa.int64())})
+    right = _mk({"b": pa.array(np.arange(0, 500, 3), pa.int64()),
+                 "y": pa.array(np.arange(167), pa.int64())})
+    plain = hash_join(left, right, on="a", right_on="b",
+                      num_partitions=3).to_pandas()
+    sk = skew_join(left, right, on="a", right_on="b", num_partitions=3,
+                   hot_ppm=600_000).to_pandas()
+    cols = ["a", "x", "y"]
+    assert sorted(map(tuple, sk[cols].values.tolist())) == \
+        sorted(map(tuple, plain[cols].values.tolist()))
