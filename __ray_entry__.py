@@ -338,6 +338,17 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (stages/similarity.py): vector-column
+    combiner via np.add.reduceat per batch, raw vectors never shuffle.
+    Oracle: list_zip unnest + avg per (label, dim)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.similarity import label_centroids
+    emb = rd.read_parquet(_emb_path(sf_dir),
+                          columns=["label", "embedding"])
+    return label_centroids(emb)
+
+
 def _q_global_rank(sf_dir: str):
     """Exact global order statistics (stages/rank.py): rank of every
     event by value without a global sort — equi-depth histogram edges
@@ -879,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,  # SymSpell edit<=1 join
         "funnel": _q_funnel,                      # ordered 3-step funnel
         "global_rank": _q_global_rank,            # exact distributed rank
+        "label_centroids": _q_label_centroids,    # vector groupby mean
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -1009,6 +1021,14 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, year(o_orderdate))
 ORDER BY n_name NULLS LAST, o_year NULLS LAST""",
+        "label_centroids": """
+WITH x AS (
+  SELECT label,
+         unnest(list_zip(embedding, range(1, len(embedding)+1))) AS z
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(z[2] AS BIGINT) AS dim,
+       CAST(round(avg(CAST(z[1] AS DOUBLE)), 6) AS DOUBLE) AS v
+FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
         "global_rank": """
 SELECT event_id,
        CAST(rank() OVER (ORDER BY value, event_id) AS BIGINT) AS rank

@@ -454,3 +454,65 @@ def _cosine_pairs_tiled(embeds, threshold: float, n_total: int,
         out.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist(),
                        b.column("cos").to_pylist()))
     return sorted(out)
+
+
+def label_centroids(embeds, label_col: str = "label",
+                    vec_col: str = "embedding", round_dp: int = 6):
+    """Per-label mean vector (class prototypes for nearest-centroid
+    classification / IVF seeding), as the long relation (label, dim, v).
+
+    Classic pre-aggregated combiner over a VECTOR column: each batch
+    sorts by label once and emits one (label, count, sum-vector) row per
+    label via ``np.add.reduceat`` — the merge groupby sees
+    O(batches x labels) rows and the raw vectors never shuffle. Output
+    dims are 1-based to match SQL ``generate_subscripts``.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "label": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "vsum": pa.array([], pa.list_(pa.float64()))})
+        if b.num_rows == 0:
+            return empty
+        labels = b.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _list_col_np(b.column(vec_col))
+        order = np.argsort(labels, kind="stable")
+        labels, mat = labels[order], mat[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], labels[1:] != labels[:-1])))
+        sums = np.add.reduceat(mat, starts, axis=0)
+        cnts = np.diff(np.append(starts, labels.size))
+        return pa.table({
+            "label": pa.array(labels[starts], pa.int64()),
+            "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64()))})
+
+    def finish(g: pa.Table) -> pa.Table:
+        labels = g.column("label").to_numpy(zero_copy_only=False)
+        cnts = g.column("cnt").to_numpy(zero_copy_only=False)
+        mat = _list_col_np(g.column("vsum"))
+        order = np.argsort(labels, kind="stable")
+        labels, cnts, mat = labels[order], cnts[order], mat[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], labels[1:] != labels[:-1])))
+        sums = np.add.reduceat(mat, starts, axis=0)
+        total = np.add.reduceat(cnts, starts)
+        mean = np.round(sums / total[:, None], round_dp)
+        ul = labels[starts]
+        dim = mean.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(ul, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1), ul.size),
+                            pa.int64()),
+            "v": pa.array(mean.ravel(), pa.float64())})
+
+    return embeds.select_columns([label_col, vec_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                     pa.int8())),
+            batch_format="pyarrow") \
+        .groupby("_g").map_groups(lambda g: finish(g.drop(["_g"])),
+                                  batch_format="pyarrow")

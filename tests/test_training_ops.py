@@ -398,3 +398,27 @@ def test_ngram_hot_shingle_chunk_split(ray_session):
                                 sample_frac=1.0)
     assert len(base) > 0
     assert split == base
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.similarity import label_centroids
+
+    rng = np.random.default_rng(37)
+    n, d = 400, 16
+    labels = rng.integers(0, 6, n)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })).repartition(5)
+    got = {(r["label"], r["dim"]): r["v"]
+           for r in label_centroids(ds).take_all()}
+    for lb in np.unique(labels):
+        want = np.round(
+            mat[labels == lb].astype(np.float64).mean(axis=0), 6)
+        for j in range(d):
+            assert got[(lb, j + 1)] == pytest.approx(want[j], abs=1e-9)
