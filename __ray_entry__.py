@@ -338,6 +338,22 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_pivot_user_type(sf_dir: str):
+    """Wide per-user pivot of value sums over the 5 event types
+    (stages/events.py pivot_sum): composite-key per-batch combiner +
+    bucketed scatter-add widen. Oracle: manual CASE-WHEN pivot."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import pivot_sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+    return pivot_sum(ev, by="user_id", pivot_col="event_type",
+                     value_col="value", categories=_EVENT_TYPES)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label mean embedding (stages/similarity.py): vector-column
     combiner via np.add.reduceat per batch, raw vectors never shuffle.
@@ -891,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,                      # ordered 3-step funnel
         "global_rank": _q_global_rank,            # exact distributed rank
         "label_centroids": _q_label_centroids,    # vector groupby mean
+        "pivot_user_type": _q_pivot_user_type,    # wide CASE-WHEN pivot
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -1021,6 +1038,14 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, year(o_orderdate))
 ORDER BY n_name NULLS LAST, o_year NULLS LAST""",
+        "pivot_user_type": """
+SELECT user_id,
+  CAST(round(coalesce(sum(CASE WHEN event_type='click' THEN value END),0),6) AS DOUBLE) AS click,
+  CAST(round(coalesce(sum(CASE WHEN event_type='error' THEN value END),0),6) AS DOUBLE) AS error,
+  CAST(round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END),0),6) AS DOUBLE) AS purchase,
+  CAST(round(coalesce(sum(CASE WHEN event_type='signup' THEN value END),0),6) AS DOUBLE) AS signup,
+  CAST(round(coalesce(sum(CASE WHEN event_type='view' THEN value END),0),6) AS DOUBLE) AS view
+FROM events GROUP BY user_id ORDER BY user_id""",
         "label_centroids": """
 WITH x AS (
   SELECT label,

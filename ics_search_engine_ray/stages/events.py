@@ -203,6 +203,72 @@ def quantile_agg(events, key: str = "event_type", value: str = "value",
         per_key, batch_format="pyarrow")
 
 
+def pivot_sum(ds, by: str, pivot_col: str, value_col: str, categories,
+              round_dp: int = 6, num_groups: int = None):
+    """Wide aggregate (SQL manual PIVOT): one row per ``by`` key with one
+    column per category holding sum(value) — missing cells are 0.
+
+    Per-batch combiner on the composite (key, category-index) — the
+    category set is fixed and rides the closure, so each batch emits at
+    most |keys-in-batch| x |categories| partial rows; the final groupby
+    builds the wide rows with one scatter-add per bucket.
+    """
+    from .common import adaptive_groups
+
+    cats = sorted(categories)
+    ncat = len(cats)
+    cat_arr = np.asarray(cats, dtype=object)
+
+    if num_groups is None:
+        num_groups = adaptive_groups(max(ds.count(), 1), 1_000_000, lo=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({by: pa.array([], pa.int64()),
+                          "ci": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "gkey": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        keys = b.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        pv = b.column(pivot_col).to_numpy(zero_copy_only=False)
+        vals = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ci = np.searchsorted(cat_arr, pv)
+        ci = np.clip(ci, 0, ncat - 1)
+        ok = cat_arr[ci] == pv              # rows outside categories drop
+        if not ok.any():
+            return empty
+        keys, ci, vals = keys[ok], ci[ok], vals[ok]
+        combo = keys * ncat + ci
+        uk, inv = np.unique(combo, return_inverse=True)
+        sums = np.bincount(inv, weights=vals)
+        out_k = uk // ncat
+        return pa.table({
+            by: pa.array(out_k, pa.int64()),
+            "ci": pa.array(uk % ncat, pa.int64()),
+            "s": pa.array(sums, pa.float64()),
+            "gkey": pa.array((out_k % num_groups + num_groups) % num_groups,
+                             pa.int64())})
+
+    def widen(g: pa.Table) -> pa.Table:
+        keys = g.column(by).to_numpy(zero_copy_only=False)
+        ci = g.column("ci").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        wide = np.zeros((uk.size, ncat))
+        np.add.at(wide, (inv, ci), s)
+        wide = np.round(wide, round_dp)
+        cols = {by: pa.array(uk, pa.int64())}
+        for j, c in enumerate(cats):
+            cols[str(c)] = pa.array(wide[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.select_columns([by, pivot_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(
+            lambda t: widen(t.drop(["gkey"])), batch_format="pyarrow")
+
+
 def funnel(events, steps, by: str = "user_id", ts: str = "ts",
            id_col: str = "event_id", type_col: str = "event_type",
            num_groups: int = None):

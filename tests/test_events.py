@@ -185,3 +185,29 @@ def test_funnel_matches_bruteforce(ray_session):
         if ok:
             want.append((u, *picked))
     assert got == sorted(want)
+
+
+def test_pivot_sum_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import pivot_sum
+
+    rng = np.random.default_rng(43)
+    n = 700
+    users = rng.integers(0, 25, n)
+    types = rng.choice(["a", "b", "c", "zz"], n)   # zz not in categories
+    vals = np.round(rng.uniform(-5, 5, n), 3)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })).repartition(6)
+    out = {r["user_id"]: (r["a"], r["b"], r["c"])
+           for r in pivot_sum(ds, "user_id", "event_type", "value",
+                              ["a", "b", "c"], num_groups=4).take_all()}
+    for u in np.unique(users):
+        want = tuple(
+            round(float(vals[(users == u) & (types == t)].sum()), 6)
+            for t in ("a", "b", "c"))
+        assert out[int(u)] == pytest.approx(want, abs=1e-9)
