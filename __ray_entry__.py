@@ -611,6 +611,19 @@ def _q_curate(sf_dir: str):
     return curated
 
 
+def _q_curate_full(sf_dir: str):
+    """End-to-end training-corpus preparation: the oracle-verified curate
+    pipeline (quality rules + exact dedup) composed with the
+    deterministic Weyl-hash split assignment — the full
+    filter->dedup->split chain one composed SQL oracle verifies."""
+    from ics_search_engine_ray.pipelines.curate import curate_dataset
+    from ics_search_engine_ray.stages.splits import assign_split
+
+    curated, _ = curate_dataset(_read_docs(sf_dir))
+    return assign_split(curated, "doc_id", _SPLIT_FRACTIONS,
+                        seed=_SPLIT_SEED)
+
+
 def _q_simhash_fingerprint(sf_dir: str):
     """T1 fingerprint math over the documents table (stem OFF so the
     tokenizer is SQL-replicable): (doc_id, 128-char bitstring). The oracle
@@ -896,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "simhash_fingerprint": _q_simhash_fingerprint,  # T1 (SQL oracle)
         "curate": _q_curate,                      # composed curation pipeline
+        "curate_full": _q_curate_full,            # curate + split, one oracle
         "asof_join": _q_asof_join,                # temporal as-of join
         "interval_join": _q_interval_join,        # temporal range join
         "revenue_by_nation": _q_revenue_by_nation,  # multi-way join + agg
@@ -925,6 +939,9 @@ def _sql_tokens_cte() -> str:
 
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(STOP_WORDS))
+    from ics_search_engine_ray.stages.splits import split_case_sql
+    split_case = split_case_sql("f.doc_id", _SPLIT_FRACTIONS,
+                                seed=_SPLIT_SEED)
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     k1, b = DEFAULT_CONFIG.bm25_k1, DEFAULT_CONFIG.bm25_b
     bm25 = f"""
@@ -1220,6 +1237,38 @@ f AS (
 k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY h)
 SELECT f.doc_id, n_chars, n_words, n_tokens, mean_word_len,
        stopword_ratio, digit_ratio
+FROM f JOIN k USING (doc_id) ORDER BY f.doc_id""",
+        "curate_full": f"""
+WITH w AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS words
+  FROM documents),
+q AS (
+  SELECT doc_id, md5(text) AS h,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         x -> length(x) > 1)) AS BIGINT) AS n_tokens,
+    CAST(CASE WHEN len(words) = 0 THEN 0.0
+         ELSE round(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                    * 1.0 / len(words), 6) END AS DOUBLE) AS mean_word_len,
+    CAST(CASE WHEN len(words) = 0 THEN 0.0
+         ELSE round(len(list_filter(words, x -> lower(x) IN ({stop_list})))
+                    * 1.0 / len(words), 6) END AS DOUBLE) AS stopword_ratio,
+    CAST(CASE WHEN length(text) = 0 THEN 0.0
+         ELSE round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    * 1.0 / length(text), 6) END AS DOUBLE) AS digit_ratio
+  FROM w),
+f AS (
+  SELECT * FROM q
+  WHERE n_words >= 20 AND n_words <= 100000 AND n_tokens >= 15
+    AND digit_ratio <= 0.3 AND stopword_ratio <= 0.8
+    AND mean_word_len >= 2.0 AND mean_word_len <= 15.0),
+k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY h)
+SELECT f.doc_id, n_chars, n_words, n_tokens, mean_word_len,
+       stopword_ratio, digit_ratio,
+       {split_case} AS split
 FROM f JOIN k USING (doc_id) ORDER BY f.doc_id""",
         "window_agg": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
