@@ -338,6 +338,20 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_quantile_agg_sketch(sf_dir: str):
+    """Mergeable per-key quantile SKETCH (stages/sketch.py) — the scale
+    path for quantile_agg's exact whole-group form: <=64 weighted points
+    per key per batch, merge by concatenation, ~1/64 rank error (bound
+    pinned in tests/test_sketch.py). Approximate, so rows-only check;
+    the exact companion quantile_agg is the hash-verified oracle."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import quantile_sketch
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return quantile_sketch(ev, "event_type", "value", qs=(0.5, 0.95))
+
+
 def _q_pivot_user_type(sf_dir: str):
     """Wide per-user pivot of value sums over the 5 event types
     (stages/events.py pivot_sum): composite-key per-batch combiner +
@@ -922,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": _q_global_rank,            # exact distributed rank
         "label_centroids": _q_label_centroids,    # vector groupby mean
         "pivot_user_type": _q_pivot_user_type,    # wide CASE-WHEN pivot
+        "quantile_agg_sketch": _q_quantile_agg_sketch,  # mergeable sketch
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample

@@ -92,3 +92,75 @@ def distinct_count_exact(ds, key: str, value: str):
         lambda b: pa.table({key: b.column(key),
                             "n_distinct": b.column("count()").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def quantile_sketch(ds, key: str, value: str, qs=(0.5, 0.95),
+                    k_per_batch: int = 64):
+    """Mergeable per-key approximate quantiles — the scale path for
+    events.quantile_agg, whose exact form materializes one whole key
+    group per task (fine for bounded keys, impossible for a key with
+    10^10 values at 100 TB).
+
+    Sketch: each batch sorts its per-key values once and keeps every
+    s-th sorted value (s = ceil(seg/k_per_batch)) with weight = the gap
+    to the next kept point, so each key contributes <= k_per_batch
+    weighted points per batch and weights sum exactly to the segment
+    size. Weighted points are mergeable by concatenation; the final
+    per-key estimate is the value at cumulative weight >= q * total.
+
+    Rank-error bound (tested): |est_rank - true_rank| <= sum over
+    contributing batches of that batch's stride — with B batches,
+    error <= B * ceil(n_max_batch/k) ~= n/k total, i.e. ~1/k relative.
+    Returns (key, q DOUBLE, value DOUBLE) like quantile_agg.
+    """
+    import pyarrow as pa
+
+    def compress(b: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.string()),
+                          "v": pa.array([], pa.float64()),
+                          "w": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        keys = b.column(key).to_numpy(zero_copy_only=False)
+        vals = b.column(value).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.append(starts[1:], keys.size)
+        out_i, out_w = [], []
+        for s, e in zip(starts, ends):       # loop over keys, not rows
+            seg = e - s
+            stride = -(-seg // k_per_batch)
+            idx = np.arange(s, e, stride)
+            w = np.diff(np.append(idx, e))
+            out_i.append(idx)
+            out_w.append(w)
+        idx = np.concatenate(out_i)
+        return pa.table({key: pa.array(keys[idx]),
+                         "v": pa.array(vals[idx], pa.float64()),
+                         "w": pa.array(np.concatenate(out_w).astype(
+                             np.int64), pa.int64())})
+
+    def estimate(g: pa.Table) -> pa.Table:
+        k0 = g.column(key)[0].as_py()
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        out_q, out_v = [], []
+        for q in qs:
+            pos = int(np.searchsorted(cw, q * total, side="left"))
+            pos = min(pos, v.size - 1)
+            out_q.append(float(q))
+            out_v.append(float(v[pos]))
+        return pa.table({key: pa.array([k0] * len(qs)),
+                         "q": pa.array(out_q, pa.float64()),
+                         "value": pa.array(out_v, pa.float64())})
+
+    return ds.select_columns([key, value]) \
+        .map_batches(compress, batch_format="pyarrow") \
+        .groupby(key).map_groups(estimate, batch_format="pyarrow")

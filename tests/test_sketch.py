@@ -48,3 +48,36 @@ def test_kmv_estimate_and_partition_invariance(ray_session):
             for r in distinct_count_kmv(ds.repartition(13), "key", "val",
                                         k=256).take_all()}
     assert est == est2
+
+
+def test_quantile_sketch_rank_error_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import quantile_sketch
+
+    rng = np.random.default_rng(47)
+    n = 30_000
+    keys = rng.choice(["a", "b", "c"], n, p=[0.7, 0.2, 0.1])
+    vals = np.where(keys == "a", rng.lognormal(0, 2, n),
+                    rng.uniform(-100, 100, n))    # skewed + uniform mix
+    parts = 6
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })).repartition(parts)
+    k = 64
+    got = {(r["event_type"], r["q"]): r["value"]
+           for r in quantile_sketch(ds, "event_type", "value",
+                                    qs=(0.5, 0.95),
+                                    k_per_batch=k).take_all()}
+    for g in ("a", "b", "c"):
+        sub = np.sort(vals[keys == g])
+        # bound: parts batches, stride <= ceil(per-batch-seg/k); the
+        # estimate's true rank must be within that many ranks of q*n
+        bound = parts * (-(-sub.size // (parts * k) + 1)) + parts
+        for q in (0.5, 0.95):
+            est = got[(g, q)]
+            true_rank = np.searchsorted(sub, est, side="right")
+            assert abs(true_rank - q * sub.size) <= bound + 1, \
+                (g, q, true_rank, q * sub.size, bound)
