@@ -338,6 +338,15 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_unigram_surprisal(sf_dir: str):
+    """Per-doc mean NLL under the corpus unigram LM
+    (stages/text_analysis.py): two streaming passes — tiny vocabulary
+    groupby, broadcast LM, searchsorted + reduceat scoring. Oracle: the
+    same model in SQL (count/total probabilities, avg(-ln p) per doc)."""
+    from ics_search_engine_ray.stages.text_analysis import unigram_surprisal
+    return unigram_surprisal(_read_docs(sf_dir))
+
+
 def _q_quantile_agg_sketch(sf_dir: str):
     """Mergeable per-key quantile SKETCH (stages/sketch.py) — the scale
     path for quantile_agg's exact whole-group form: <=64 weighted points
@@ -937,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,    # vector groupby mean
         "pivot_user_type": _q_pivot_user_type,    # wide CASE-WHEN pivot
         "quantile_agg_sketch": _q_quantile_agg_sketch,  # mergeable sketch
+        "unigram_surprisal": _q_unigram_surprisal,  # LM quality signal
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -1070,6 +1080,21 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, year(o_orderdate))
 ORDER BY n_name NULLS LAST, o_year NULLS LAST""",
+        "unigram_surprisal": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     x -> length(x) > 1) AS toks
+  FROM documents),
+cnt AS (
+  SELECT t, count(*) AS c
+  FROM (SELECT unnest(toks) AS t FROM w) GROUP BY t),
+tot AS (SELECT sum(c) AS n FROM cnt),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM w)
+SELECT doc_id,
+       CAST(round(avg(-ln(c * 1.0 / n)), 6) AS DOUBLE) AS avg_nll
+FROM tok JOIN cnt USING (t), tot
+GROUP BY doc_id ORDER BY doc_id""",
         "pivot_user_type": """
 SELECT user_id,
   CAST(round(coalesce(sum(CASE WHEN event_type='click' THEN value END),0),6) AS DOUBLE) AS click,

@@ -181,3 +181,89 @@ class LangIdBatch:
 def langid_dataset(docs, concurrency=(1, 4)):
     return docs.map_batches(LangIdBatch, batch_format="pyarrow",
                             concurrency=concurrency)
+
+
+# ---------------- unigram LM surprisal ----------------
+
+
+def unigram_surprisal(docs, vocab_gate: int = 2_000_000):
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM — the classic cheap LM-quality signal (low = stereotyped
+    boilerplate, high = rare-token noise; both tails get filtered in
+    curation).
+
+    Two streaming passes like heavy_hitters: (1) global term counts via
+    per-batch combiners into a tiny vocabulary groupby; the (term, count)
+    relation broadcasts once below ``vocab_gate``; (2) each batch maps
+    tokens -> -ln(count/total) with one searchsorted and reduces per doc
+    with one reduceat. Docs with zero tokens are excluded (matching the
+    SQL oracle's inner join). Scale path above the gate: hash-join tokens
+    against the count relation instead of broadcasting (SCALE.md).
+
+    Returns (doc_id, avg_nll DOUBLE rounded 6).
+    """
+    import ray
+
+    src = docs.select_columns(["doc_id", "text"])
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        toks = [t for x in texts
+                for t in TOKEN_RE.findall((x or "").lower())
+                if len(t) > 1]
+        if not toks:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(toks, object), return_counts=True)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def merge_counts(g: pa.Table) -> pa.Table:
+        t = g.column("term").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(t, return_inverse=True)
+        sums = np.bincount(inv, weights=c).astype(np.int64)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "c": pa.array(sums, pa.int64())})
+
+    cnt_rows = src.map_batches(local_counts, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                     pa.int8())),
+            batch_format="pyarrow") \
+        .groupby("_g").map_groups(lambda g: merge_counts(g.drop(["_g"])),
+                                  batch_format="pyarrow").take_all()
+    if len(cnt_rows) > vocab_gate:
+        raise ValueError(
+            f"vocabulary {len(cnt_rows)} exceeds broadcast gate "
+            f"{vocab_gate}; use the hash-join path (SCALE.md)")
+    vocab = np.asarray([r["term"] for r in cnt_rows], object)
+    counts = np.asarray([r["c"] for r in cnt_rows], np.int64)
+    order = np.argsort(vocab)
+    vocab, counts = vocab[order], counts[order]
+    total = int(counts.sum())
+    nll = -np.log(counts.astype(np.float64) / total)
+    lm_ref = ray.put((vocab, nll))
+
+    def score(b: pa.Table) -> pa.Table:
+        v, logp = ray.get(lm_ref)
+        texts = b.column("text").to_pylist()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        per_doc = [[t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1] for x in texts]
+        lens = np.array([len(p) for p in per_doc], np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "avg_nll": pa.array([], pa.float64())})
+        flat = np.asarray([t for p in per_doc for t in p], object)
+        pos = np.searchsorted(v, flat)
+        vals = logp[np.clip(pos, 0, v.size - 1)]
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1][keep]
+        sums = np.add.reduceat(vals, offs)
+        means = np.round(sums / lens[keep], 6)
+        return pa.table({
+            "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+            "avg_nll": pa.array(means, pa.float64())})
+
+    return src.map_batches(score, batch_format="pyarrow")

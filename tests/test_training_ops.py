@@ -422,3 +422,32 @@ def test_label_centroids_matches_numpy(ray_session):
             mat[labels == lb].astype(np.float64).mean(axis=0), 6)
         for j in range(d):
             assert got[(lb, j + 1)] == pytest.approx(want[j], abs=1e-9)
+
+
+def test_unigram_surprisal_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+    from ics_search_engine_ray.functions.tokenizer import TOKEN_RE
+    from ics_search_engine_ray.stages.text_analysis import unigram_surprisal
+
+    texts = ["the cat sat on the mat", "cat cat dog", "", "a",  # 0-token docs
+             "unique words appear once here", "the the the dog sat"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    got = {r["doc_id"]: r["avg_nll"]
+           for r in unigram_surprisal(ds).take_all()}
+
+    toks = [[t for t in TOKEN_RE.findall(x.lower()) if len(t) > 1]
+            for x in texts]
+    c = Counter(t for p in toks for t in p)
+    total = sum(c.values())
+    for i, p in enumerate(toks):
+        if not p:
+            assert i not in got
+            continue
+        want = round(float(np.mean([-np.log(c[t] / total) for t in p])), 6)
+        assert got[i] == pytest.approx(want, abs=1e-9)
