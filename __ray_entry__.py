@@ -338,6 +338,15 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_doc_tfidf_topk(sf_dir: str):
+    """Top-5 tf-idf terms per document (stages/text_analysis.py):
+    distinct-pair df combiners + broadcast idf; the top-k pass is fully
+    batch-local (a doc lives in one batch). Oracle: row_number over
+    tf * ln(N/df) with term-asc tie-break."""
+    from ics_search_engine_ray.stages.text_analysis import doc_tfidf_topk
+    return doc_tfidf_topk(_read_docs(sf_dir), k=5)
+
+
 def _q_unigram_surprisal(sf_dir: str):
     """Per-doc mean NLL under the corpus unigram LM
     (stages/text_analysis.py): two streaming passes — tiny vocabulary
@@ -947,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_type": _q_pivot_user_type,    # wide CASE-WHEN pivot
         "quantile_agg_sketch": _q_quantile_agg_sketch,  # mergeable sketch
         "unigram_surprisal": _q_unigram_surprisal,  # LM quality signal
+        "doc_tfidf_topk": _q_doc_tfidf_topk,      # per-doc top tf-idf
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -1080,6 +1090,19 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, year(o_orderdate))
 ORDER BY n_name NULLS LAST, o_year NULLS LAST""",
+        "doc_tfidf_topk": f"""
+WITH toks AS ({_sql_tokens_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+nn AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+s AS (
+  SELECT doc_id, term,
+         CAST(round(tf * ln(nd * 1.0 / df), 6) AS DOUBLE) AS tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tf * ln(nd * 1.0 / df) DESC, term) AS BIGINT) AS rank
+  FROM tf JOIN df USING (term), nn)
+SELECT doc_id, term, tfidf, rank FROM s
+WHERE rank <= 5 ORDER BY doc_id, rank""",
         "unigram_surprisal": """
 WITH w AS (
   SELECT doc_id,

@@ -267,3 +267,121 @@ def unigram_surprisal(docs, vocab_gate: int = 2_000_000):
             "avg_nll": pa.array(means, pa.float64())})
 
     return src.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------- per-doc top-k tf-idf terms ----------------
+
+
+def doc_tfidf_topk(docs, k: int = 5, vocab_gate: int = 2_000_000):
+    """Top-k tf-idf terms per document (plain-token semantics: the same
+    [a-z0-9]+ len>1 tokens the SQL oracles use; tfidf = tf * ln(N/df),
+    N = docs with >=1 token).
+
+    Pass 1 builds (df, N) with per-batch distinct-pair combiners — a doc
+    lives wholly in one batch, so per-batch distinct (doc, term) pairs
+    are globally distinct and df partials just sum. The idf table
+    broadcasts below ``vocab_gate`` (scale path: hash-join term->idf).
+    Pass 2 is fully batch-local: tf via one lexsort + segment counts,
+    then the per-doc top-k with the same sorted-run rank trick as
+    top_k_per_group. Ties break on term ascending, matching the oracle's
+    row_number ORDER BY.
+    """
+    import ray
+
+    src = docs.select_columns(["doc_id", "text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        terms, ndocs = [], 0
+        for x in texts:
+            s = {t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1}
+            if s:
+                ndocs += 1
+                terms.extend(s)
+        if not terms:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(terms, object),
+                              return_counts=True)
+        nd = np.zeros(uniq.size, np.int64)
+        nd[0] = ndocs                 # batch doc count rides row 0
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "df": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "nd": pa.array(nd, pa.int64())})
+
+    rows = src.map_batches(df_partial, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                     pa.int8())),
+            batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: _merge_df(g.drop(["_g"])),
+            batch_format="pyarrow").take_all()
+    if len(rows) > vocab_gate:
+        raise ValueError(f"vocabulary {len(rows)} exceeds broadcast gate")
+    vocab = np.asarray([r["term"] for r in rows], object)
+    dfs = np.asarray([r["df"] for r in rows], np.float64)
+    n_docs = int(rows[0]["nd"]) if rows else 0
+    order = np.argsort(vocab)
+    vocab, dfs = vocab[order], dfs[order]
+    idf = np.log(n_docs / dfs) if n_docs else dfs
+    lm_ref = ray.put((vocab, idf))
+
+    def topk(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tfidf": pa.array([], pa.float64()),
+                          "rank": pa.array([], pa.int64())})
+        v, w = ray.get(lm_ref)
+        texts = b.column("text").to_pylist()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        per_doc = [[t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1] for x in texts]
+        lens = np.array([len(p) for p in per_doc], np.int64)
+        if not lens.sum():
+            return empty
+        flat = np.asarray([t for p in per_doc for t in p], object)
+        tidx = np.searchsorted(v, flat)
+        di = np.repeat(np.arange(len(per_doc)), lens)
+        # tf: one sort over (doc, term) then segment counts
+        order = np.lexsort((tidx, di))
+        di, tidx = di[order], tidx[order]
+        newseg = np.concatenate(
+            ([True], (di[1:] != di[:-1]) | (tidx[1:] != tidx[:-1])))
+        starts = np.flatnonzero(newseg)
+        tf = np.diff(np.append(starts, di.size)).astype(np.float64)
+        gd, gt = di[starts], tidx[starts]
+        score = tf * w[gt]
+        # per-doc top-k by (score desc, term asc): terms are sorted asc
+        # within a doc already, so a stable sort on -score keeps term order
+        order2 = np.argsort(-score, kind="stable")
+        order2 = order2[np.argsort(gd[order2], kind="stable")]
+        gd2 = gd[order2]
+        dstarts = np.flatnonzero(
+            np.concatenate(([True], gd2[1:] != gd2[:-1])))
+        rank = np.arange(gd2.size) - np.repeat(
+            dstarts, np.diff(np.append(dstarts, gd2.size)))
+        keep = rank < k
+        sel = order2[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[gd[sel]].astype(np.int64), pa.int64()),
+            "term": pa.array(v[gt[sel]], pa.string()),
+            "tfidf": pa.array(np.round(score[sel], 6), pa.float64()),
+            "rank": pa.array((rank[keep] + 1).astype(np.int64),
+                             pa.int64())})
+
+    return src.map_batches(topk, batch_format="pyarrow")
+
+
+def _merge_df(g: pa.Table) -> pa.Table:
+    t = g.column("term").to_numpy(zero_copy_only=False)
+    d = g.column("df").to_numpy(zero_copy_only=False)
+    nd_total = int(g.column("nd").to_numpy(zero_copy_only=False).sum())
+    uniq, inv = np.unique(t, return_inverse=True)
+    sums = np.bincount(inv, weights=d).astype(np.int64)
+    nd = np.full(uniq.size, nd_total, np.int64)
+    return pa.table({"term": pa.array(uniq, pa.string()),
+                     "df": pa.array(sums, pa.int64()),
+                     "nd": pa.array(nd, pa.int64())})

@@ -451,3 +451,37 @@ def test_unigram_surprisal_matches_numpy(ray_session):
             continue
         want = round(float(np.mean([-np.log(c[t] / total) for t in p])), 6)
         assert got[i] == pytest.approx(want, abs=1e-9)
+
+
+def test_doc_tfidf_topk_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+    from ics_search_engine_ray.functions.tokenizer import TOKEN_RE
+    from ics_search_engine_ray.stages.text_analysis import doc_tfidf_topk
+
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+             for _ in range(60)] + ["", "zz"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    got = sorted((r["doc_id"], r["rank"], r["term"], r["tfidf"])
+                 for r in doc_tfidf_topk(ds, k=3).take_all())
+
+    toks = [[t for t in TOKEN_RE.findall(x.lower()) if len(t) > 1]
+            for x in texts]
+    df = Counter(t for p in toks for t in set(p))
+    nd = sum(1 for p in toks if p)
+    want = []
+    for i, p in enumerate(toks):
+        if not p:
+            continue
+        tf = Counter(p)
+        scored = sorted(((-tf[t] * np.log(nd / df[t]), t) for t in tf))
+        for rk, (neg, t) in enumerate(scored[:3]):
+            want.append((i, rk + 1, t, round(-neg, 6)))
+    assert got == sorted(want)
