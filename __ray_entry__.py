@@ -338,6 +338,17 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(li, orders, customer, nation)
 
 
+def _q_association_pairs(sf_dir: str):
+    """Market-basket association pairs over per-doc distinct token sets
+    (stages/text_analysis.py): Apriori-pruned frequent vocabulary
+    broadcast, vectorized within-doc pair expansion (one multi-arange
+    per batch), pair-code combiners. Integer min-count filter keeps the
+    threshold exact; lift is an integer ratio. Oracle: distinct-token
+    self-join."""
+    from ics_search_engine_ray.stages.text_analysis import association_pairs
+    return association_pairs(_read_docs(sf_dir), min_count=50)
+
+
 def _q_doc_tfidf_topk(sf_dir: str):
     """Top-5 tf-idf terms per document (stages/text_analysis.py):
     distinct-pair df combiners + broadcast idf; the top-k pass is fully
@@ -957,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_agg_sketch": _q_quantile_agg_sketch,  # mergeable sketch
         "unigram_surprisal": _q_unigram_surprisal,  # LM quality signal
         "doc_tfidf_topk": _q_doc_tfidf_topk,      # per-doc top tf-idf
+        "association_pairs": _q_association_pairs,  # co-occurrence mining
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
@@ -1090,6 +1102,19 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, year(o_orderdate))
 ORDER BY n_name NULLS LAST, o_year NULLS LAST""",
+        "association_pairs": f"""
+WITH t AS (SELECT DISTINCT doc_id, term FROM ({_sql_tokens_cte()})),
+nn AS (SELECT count(DISTINCT doc_id) AS nd FROM t),
+c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+p AS (
+  SELECT x.term AS a, y.term AS b, count(*) AS n_ab
+  FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.term < y.term
+  GROUP BY 1, 2)
+SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(round(n_ab * 1.0 * nd / (ca.cnt * cb.cnt), 6) AS DOUBLE)
+         AS lift
+FROM p JOIN c ca ON ca.term = p.a JOIN c cb ON cb.term = p.b, nn
+WHERE n_ab >= 50 ORDER BY a, b""",
         "doc_tfidf_topk": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

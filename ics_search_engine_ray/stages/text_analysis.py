@@ -385,3 +385,140 @@ def _merge_df(g: pa.Table) -> pa.Table:
     return pa.table({"term": pa.array(uniq, pa.string()),
                      "df": pa.array(sums, pa.int64()),
                      "nd": pa.array(nd, pa.int64())})
+
+
+# ---------------- term co-occurrence association pairs ----------------
+
+
+def _multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated arange(starts[i], starts[i]+lens[i]) — one cumsum."""
+    keep = lens > 0
+    starts, lens = starts[keep], lens[keep]
+    if not starts.size:
+        return np.empty(0, np.int64)
+    cl = np.cumsum(lens)
+    out = np.ones(cl[-1], np.int64)
+    out[0] = starts[0]
+    out[cl[:-1]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(out)
+
+
+def association_pairs(docs, min_count: int = 5,
+                      vocab_gate: int = 2_000_000):
+    """Frequent co-occurring term pairs over per-doc DISTINCT token sets:
+    (a, b, n_ab, lift) for pairs appearing together in >= ``min_count``
+    docs, lift = n_ab * N / (n_a * n_b) — market-basket association
+    mining with Apriori pruning.
+
+    Stage 1 reuses the df combiner: only terms with df >= min_count can
+    appear in a qualifying pair (Apriori monotonicity), so the frequent
+    vocabulary broadcasts and per-doc pair expansion touches only
+    frequent terms. Pair generation is one _multi_arange per batch (no
+    per-doc Python); per-batch pair-code counts combine before the final
+    tiny merge. The integer threshold makes the filter exact — lift is
+    a ratio of integers, FP only at the final rounding.
+    """
+    import ray
+
+    src = docs.select_columns(["doc_id", "text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        terms, ndocs = [], 0
+        for x in texts:
+            s = {t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1}
+            if s:
+                ndocs += 1
+                terms.extend(s)
+        if not terms:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(terms, object),
+                              return_counts=True)
+        nd = np.zeros(uniq.size, np.int64)
+        nd[0] = ndocs
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "df": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "nd": pa.array(nd, pa.int64())})
+
+    rows = src.map_batches(df_partial, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                     pa.int8())),
+            batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: _merge_df(g.drop(["_g"])),
+            batch_format="pyarrow").take_all()
+    n_docs = int(rows[0]["nd"]) if rows else 0
+    freq = sorted((r["term"], r["df"]) for r in rows
+                  if r["df"] >= min_count)
+    if len(freq) > vocab_gate:
+        raise ValueError(f"frequent vocab {len(freq)} exceeds gate")
+    import ray.data as rd
+    empty_out = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "n_ab": pa.array([], pa.int64()),
+                          "lift": pa.array([], pa.float64())})
+    if not freq:
+        return rd.from_arrow(empty_out)
+    fvocab = np.asarray([t for t, _ in freq], object)
+    fdf = np.asarray([d for _, d in freq], np.int64)
+    ref = ray.put((fvocab, fdf))
+    nv = fvocab.size
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        v, _ = ray.get(ref)
+        texts = b.column("text").to_pylist()
+        per_doc = []
+        for x in texts:
+            s = sorted({t for t in TOKEN_RE.findall((x or "").lower())
+                        if len(t) > 1})
+            arr = np.asarray(s, object)
+            pos = np.clip(np.searchsorted(v, arr), 0, v.size - 1) \
+                if arr.size else np.empty(0, np.int64)
+            per_doc.append(pos[v[pos] == arr] if arr.size else pos)
+        lens = np.array([p.size for p in per_doc], np.int64)
+        if not (lens > 1).any():
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        flat = np.concatenate(per_doc)
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # all within-doc ordered pairs, one multi_arange for the right
+        # side: position p in doc segment [s,e) pairs with (e-1-p) others
+        seg_end = np.repeat(offs + lens, lens)
+        p_idx = _multi_arange(offs, lens)
+        counts = seg_end - p_idx - 1
+        left = np.repeat(flat[p_idx], counts)
+        right = flat[_multi_arange(p_idx + 1, counts)]
+        code = left * nv + right
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pa.table({"code": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def finish(g: pa.Table) -> pa.Table:
+        v, d = ray.get(ref)
+        code = g.column("code").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(code, return_inverse=True)
+        sums = np.bincount(inv, weights=c).astype(np.int64)
+        keep = sums >= min_count
+        uniq, sums = uniq[keep], sums[keep]
+        ai = uniq // nv
+        bi = uniq % nv
+        lift = np.round(sums * float(n_docs) /
+                        (d[ai].astype(np.float64) * d[bi]), 6)
+        return pa.table({"a": pa.array(v[ai], pa.string()),
+                         "b": pa.array(v[bi], pa.string()),
+                         "n_ab": pa.array(sums, pa.int64()),
+                         "lift": pa.array(lift, pa.float64())})
+
+    out = src.map_batches(pair_partial, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                     pa.int8())),
+            batch_format="pyarrow") \
+        .groupby("_g").map_groups(lambda g: finish(g.drop(["_g"])),
+                                  batch_format="pyarrow")
+    return out

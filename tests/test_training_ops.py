@@ -485,3 +485,38 @@ def test_doc_tfidf_topk_matches_bruteforce(ray_session):
         for rk, (neg, t) in enumerate(scored[:3]):
             want.append((i, rk + 1, t, round(-neg, 6)))
     assert got == sorted(want)
+
+
+def test_association_pairs_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+    from ics_search_engine_ray.functions.tokenizer import TOKEN_RE
+    from ics_search_engine_ray.stages.text_analysis import association_pairs
+
+    rng = np.random.default_rng(59)
+    vocab = [f"w{i}" for i in range(8)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 7)))
+             for _ in range(120)] + ["", "q"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+    mc = 8
+    got = sorted((r["a"], r["b"], r["n_ab"], r["lift"])
+                 for r in association_pairs(ds, min_count=mc).take_all())
+
+    sets = [{t for t in TOKEN_RE.findall(x.lower()) if len(t) > 1}
+            for x in texts]
+    nd = sum(1 for s in sets if s)
+    dfc = Counter(t for s in sets for t in s)
+    pc = Counter()
+    for s in sets:
+        ss = sorted(s)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                pc[(a, b)] += 1
+    want = sorted((a, b, n, round(n * nd / (dfc[a] * dfc[b]), 6))
+                  for (a, b), n in pc.items() if n >= mc)
+    assert got == want
