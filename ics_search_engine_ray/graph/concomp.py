@@ -196,14 +196,22 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst",
         num_groups = adaptive_groups(max(edges.count(), 1), 500_000, lo=16)
 
     prev = None
+    converged = False
     for _ in range(max_iters):
         edges = _star_pass(edges, large=True, num_groups=num_groups)
         edges = _star_pass(edges, large=False,
                            num_groups=num_groups).materialize()
         cur = _canon_signature(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # never return silently-wrong labels: non-star edges would yield
+        # non-minimal "components" downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"large/small-star rounds; raise max_iters")
 
     # final state: star edges (node -> root); add the roots themselves
     def with_roots(b: pa.Table) -> pa.Table:

@@ -155,8 +155,18 @@ def broadcast_join(left_ds, right, on: str, right_on: Optional[str] = None,
     when the small side exceeds ``max_rows`` — the scale path is
     :func:`hash_join` (a real two-sided shuffle), never an unbounded
     driver materialization.
+
+    Only join types that are correct PER LEFT BATCH are accepted
+    (inner / left outer / left semi / left anti). Right/full variants
+    would emit an unmatched right row once per batch — use
+    :func:`hash_join` for those.
     """
     import ray
+
+    if join_type not in ("inner", "left outer", "left semi", "left anti"):
+        raise ValueError(
+            f"join_type {join_type!r} is not per-batch-safe for a "
+            f"broadcast join; use hash_join")
 
     if isinstance(right, pa.Table):
         r_tbl = right
@@ -190,12 +200,19 @@ def hash_join(left_ds, right_ds, on: str, right_on: Optional[str] = None,
     :func:`broadcast_join`'s gate.
 
     ``num_partitions`` defaults adaptively from the two input sizes
-    (~1M rows per partition) so partition count grows with data instead of
-    being a fixed constant that under-splits at 100 TB.
+    (~1M rows per partition), clamped below by the cluster's CPU count
+    capped at 16 — each partition is a hash-aggregator ACTOR, and a
+    pipeline chaining two joins with more aggregators than CPUs
+    deadlocks on actor scheduling (reproduced at 4 CPUs x 2x16
+    aggregators). Partition count still grows with data size.
     """
     if num_partitions is None:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 16)) \
+            if ray.is_initialized() else 16
         est = left_ds.count() + right_ds.count()
-        num_partitions = adaptive_groups(est, 1_000_000, lo=16)
+        num_partitions = adaptive_groups(
+            est, 1_000_000, lo=max(2, min(16, cpus // 2)))
     return left_ds.join(right_ds, join_type=join_type,
                         num_partitions=num_partitions,
                         on=(on,),

@@ -67,13 +67,14 @@ def global_rank(ds, value_col: str, id_col: str,
     edges_ref = ray.put(edges)
     nb = edges.size + 1                    # actual bin count
 
-    # --- pass 1: per-batch bin counts (B tiny ints to the driver) ---
+    # --- pass 1: per-batch counts of TOUCHED bins only (O(batches x
+    # occupied-bins) driver rows, never the dense bin vector) ---
     def bincounts(b: pa.Table) -> pa.Table:
         e = ray.get(edges_ref)
         v = b.column(value_col).to_numpy(zero_copy_only=False)
-        c = np.bincount(np.searchsorted(e, v, side="right"),
-                        minlength=e.size + 1)
-        return pa.table({"bin": pa.array(np.arange(e.size + 1), pa.int64()),
+        bins = np.searchsorted(e, v, side="right")
+        ub, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(ub.astype(np.int64), pa.int64()),
                          "cnt": pa.array(c.astype(np.int64), pa.int64())})
 
     counts = np.zeros(nb, np.int64)

@@ -42,6 +42,17 @@ def _rev_units(ep: np.ndarray, disc: np.ndarray) -> np.ndarray:
     return cents * (100 - dpct)
 
 
+def _int_group_sums(keys: np.ndarray, vals: np.ndarray):
+    """(unique_keys, exact int64 per-key sums). np.bincount(weights=...)
+    accumulates in float64 and silently rounds past 2^53 — this stays
+    int64 all the way (scatter-add into an int64 accumulator), preserving
+    the module's bit-exact-vs-SQL guarantee at any scale."""
+    uk, inv = np.unique(keys, return_inverse=True)
+    acc = np.zeros(uk.size, np.int64)
+    np.add.at(acc, inv, vals.astype(np.int64))
+    return uk, acc
+
+
 def revenue_by_nation(lineitem, orders, customer, nation,
                       num_partitions: Optional[int] = None,
                       bcast_max_rows: int = _BCAST_JOIN_ROWS):
@@ -64,8 +75,7 @@ def revenue_by_nation(lineitem, orders, customer, nation,
         rev = _rev_units(
             b.column("l_extendedprice").to_numpy(zero_copy_only=False),
             b.column("l_discount").to_numpy(zero_copy_only=False))
-        uk, inv = np.unique(keys, return_inverse=True)
-        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        uk, sums = _int_group_sums(keys, rev)
         return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
                          "rev_units": pa.array(sums, pa.int64())})
 
@@ -99,8 +109,7 @@ def revenue_by_nation(lineitem, orders, customer, nation,
             nat = snk[pos[ok]]
             rev = b.column("rev_units").to_numpy(zero_copy_only=False)[ok]
             # 4. partial agg by nationkey inside the same batch (<=25 keys)
-            uk, inv = np.unique(nat, return_inverse=True)
-            sums = np.bincount(inv, weights=rev).astype(np.int64)
+            uk, sums = _int_group_sums(nat, rev)
             return pa.table({"n_nationkey": pa.array(uk, pa.int64()),
                              "rev_units": pa.array(sums, pa.int64())})
 
@@ -120,8 +129,7 @@ def revenue_by_nation(lineitem, orders, customer, nation,
                                  "rev_units": pa.array([], pa.int64())})
             nat = b.column("n_nationkey").to_numpy(zero_copy_only=False)
             rev = b.column("rev_units").to_numpy(zero_copy_only=False)
-            uk, inv = np.unique(nat, return_inverse=True)
-            sums = np.bincount(inv, weights=rev).astype(np.int64)
+            uk, sums = _int_group_sums(nat, rev)
             return pa.table({"n_nationkey": pa.array(uk, pa.int64()),
                              "rev_units": pa.array(sums, pa.int64())})
 
@@ -131,8 +139,7 @@ def revenue_by_nation(lineitem, orders, customer, nation,
     def merge_all(g: pa.Table) -> pa.Table:
         keys = g.column("n_nationkey").to_numpy(zero_copy_only=False)
         rev = g.column("rev_units").to_numpy(zero_copy_only=False)
-        uk, inv = np.unique(keys, return_inverse=True)
-        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        uk, sums = _int_group_sums(keys, rev)
         return pa.table({"n_nationkey": pa.array(uk, pa.int64()),
                          "rev_units": pa.array(sums, pa.int64())})
 
@@ -161,7 +168,8 @@ def revenue_by_nation(lineitem, orders, customer, nation,
 
 
 def revenue_rollup(lineitem, orders, customer, nation,
-                   num_partitions: Optional[int] = None):
+                   num_partitions: Optional[int] = None,
+                   bcast_max_rows: int = _BCAST_JOIN_ROWS):
     """``GROUP BY ROLLUP(n_name, o_year)`` revenue: per (nation, order
     year), per-nation subtotal, grand total — the two upper levels are
     derived from the base aggregate inside the final tiny merge, never by
@@ -179,47 +187,71 @@ def revenue_rollup(lineitem, orders, customer, nation,
         rev = _rev_units(
             b.column("l_extendedprice").to_numpy(zero_copy_only=False),
             b.column("l_discount").to_numpy(zero_copy_only=False))
-        uk, inv = np.unique(keys, return_inverse=True)
+        uk, sums = _int_group_sums(keys, rev)
         return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
-                         "rev_units": pa.array(
-                             np.bincount(inv, weights=rev).astype(np.int64),
-                             pa.int64())})
+                         "rev_units": pa.array(sums, pa.int64())})
 
     li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
     joined = hash_join(li_agg, orders, on="l_orderkey",
                        right_on="o_orderkey", num_partitions=num_partitions)
 
-    ct = pa.concat_tables(ray.get(customer.to_arrow_refs()))
-    ck = ct.column("c_custkey").to_numpy(zero_copy_only=False)
-    nk = ct.column("c_nationkey").to_numpy(zero_copy_only=False)
-    order = np.argsort(ck, kind="stable")
-    cust_ref = ray.put((np.ascontiguousarray(ck[order]),
-                        np.ascontiguousarray(nk[order].astype(np.int64))))
+    # custkey -> nationkey: size-gated broadcast with the same hash-join
+    # fallback as revenue_by_nation (hard rule: no un-gated O(corpus)
+    # driver broadcast).
+    empty_cell = pa.table({"n_nationkey": pa.array([], pa.int64()),
+                           "o_year": pa.array([], pa.int64()),
+                           "rev_units": pa.array([], pa.int64())})
 
-    def partial(b: pa.Table) -> pa.Table:
-        empty = pa.table({"n_nationkey": pa.array([], pa.int64()),
-                          "o_year": pa.array([], pa.int64()),
-                          "rev_units": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        sck, snk = ray.get(cust_ref)
-        cust = b.column("o_custkey").to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(sck, cust), 0, sck.size - 1)
-        ok = sck[pos] == cust
-        if not ok.any():
-            return empty
-        nat = snk[pos[ok]]
-        yr = b.column("o_year").to_numpy(zero_copy_only=False)[ok]
-        rev = b.column("rev_units").to_numpy(zero_copy_only=False)[ok]
+    def cell_partial(nat, yr, rev) -> pa.Table:
         combo = nat * 10_000 + yr
-        uk, inv = np.unique(combo, return_inverse=True)
-        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        uk, sums = _int_group_sums(combo, rev)
         return pa.table({
             "n_nationkey": pa.array(uk // 10_000, pa.int64()),
             "o_year": pa.array(uk % 10_000, pa.int64()),
             "rev_units": pa.array(sums, pa.int64())})
 
-    per_cell = joined.map_batches(partial, batch_format="pyarrow")
+    n_cust = customer.count()
+    if n_cust <= bcast_max_rows:
+        ct = pa.concat_tables(ray.get(customer.to_arrow_refs()))
+        ck = ct.column("c_custkey").to_numpy(zero_copy_only=False)
+        nk = ct.column("c_nationkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        cust_ref = ray.put((np.ascontiguousarray(ck[order]),
+                            np.ascontiguousarray(nk[order].astype(np.int64))))
+
+        def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return empty_cell
+            sck, snk = ray.get(cust_ref)
+            cust = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(sck, cust), 0, sck.size - 1)
+            ok = sck[pos] == cust
+            if not ok.any():
+                return empty_cell
+            return cell_partial(
+                snk[pos[ok]],
+                b.column("o_year").to_numpy(zero_copy_only=False)[ok],
+                b.column("rev_units").to_numpy(zero_copy_only=False)[ok])
+
+        per_cell = joined.map_batches(partial, batch_format="pyarrow")
+    else:
+        cust_i64 = customer.map_batches(
+            lambda b: pa.table({
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "n_nationkey": b.column("c_nationkey").cast(pa.int64())}),
+            batch_format="pyarrow")
+        j2 = hash_join(joined, cust_i64, on="o_custkey",
+                       right_on="c_custkey", num_partitions=num_partitions)
+
+        def partial_joined(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return empty_cell
+            return cell_partial(
+                b.column("n_nationkey").to_numpy(zero_copy_only=False),
+                b.column("o_year").to_numpy(zero_copy_only=False),
+                b.column("rev_units").to_numpy(zero_copy_only=False))
+
+        per_cell = j2.map_batches(partial_joined, batch_format="pyarrow")
 
     nt = pa.concat_tables(ray.get(nation.to_arrow_refs()))
     names = dict(zip(nt.column("n_nationkey").to_pylist(),
@@ -230,13 +262,11 @@ def revenue_rollup(lineitem, orders, customer, nation,
         yr = g.column("o_year").to_numpy(zero_copy_only=False)
         rev = g.column("rev_units").to_numpy(zero_copy_only=False)
         combo = nat * 10_000 + yr
-        uk, inv = np.unique(combo, return_inverse=True)
-        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        uk, sums = _int_group_sums(combo, rev)
         base_n = uk // 10_000
         base_y = uk % 10_000
         # rollup level 1: per-nation totals; level 2: grand total
-        un, ninv = np.unique(base_n, return_inverse=True)
-        nsums = np.bincount(ninv, weights=sums).astype(np.int64)
+        un, nsums = _int_group_sums(base_n, sums)
         out_name = ([names[k] for k in base_n] + [names[k] for k in un]
                     + [None])
         out_year = (list(base_y) + [None] * un.size + [None])

@@ -116,11 +116,11 @@ def quantile_sketch(ds, key: str, value: str, qs=(0.5, 0.95),
     import pyarrow as pa
 
     def compress(b: pa.Table) -> pa.Table:
-        empty = pa.table({key: pa.array([], pa.string()),
-                          "v": pa.array([], pa.float64()),
-                          "w": pa.array([], pa.int64())})
+        kt = b.schema.field(key).type      # typed empty (hard rule)
         if b.num_rows == 0:
-            return empty
+            return pa.table({key: pa.array([], kt),
+                             "v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.int64())})
         keys = b.column(key).to_numpy(zero_copy_only=False)
         vals = b.column(value).to_numpy(zero_copy_only=False) \
             .astype(np.float64)

@@ -48,7 +48,7 @@ def edit_distance_pairs(ds, col: str, num_groups: int = 64):
     edit distance exactly 1. See module docstring for the plan."""
 
     def variants(b: pa.Table) -> pa.Table:
-        arr = pc.unique(pc.cast(b.column(col), pa.string()))
+        arr = pc.unique(pc.cast(b.column(col), pa.string()).drop_null())
         if len(arr) == 0:
             return pa.table({"variant": pa.array([], pa.string()),
                              "name": pa.array([], pa.string())})
@@ -109,13 +109,21 @@ def edit_distance_pairs(ds, col: str, num_groups: int = 64):
 
     def bucket(colname):
         # vectorized polynomial string hash (functions/wordhash.py; keys
-        # must not contain newlines — true for the delete-variant domain)
+        # must not contain newlines — true for the delete-variant
+        # domain). Empty-string variants (deleting a 1-char string) are
+        # outside flat_word_hashes' domain: pin them to bucket 0 so the
+        # "" key is batch-independent and its pairs still co-locate.
         from ..functions.wordhash import flat_word_hashes
 
         def fn(t: pa.Table) -> pa.Table:
             s = t.column(colname).to_pylist()
-            g = (flat_word_hashes(s) % np.uint64(num_groups)) \
-                .astype(np.int64)
+            g = np.zeros(len(s), np.int64)
+            nonempty = [x for x in s if x]
+            if nonempty:
+                idx = np.fromiter((bool(x) for x in s), bool,
+                                  count=len(s))
+                g[idx] = (flat_word_hashes(nonempty)
+                          % np.uint64(num_groups)).astype(np.int64)
             return t.append_column("gkey", pa.array(g, pa.int64()))
         return fn
 

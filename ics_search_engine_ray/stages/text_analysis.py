@@ -290,28 +290,7 @@ def doc_tfidf_topk(docs, k: int = 5, vocab_gate: int = 2_000_000):
 
     src = docs.select_columns(["doc_id", "text"])
 
-    def df_partial(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        terms, ndocs = [], 0
-        for x in texts:
-            s = {t for t in TOKEN_RE.findall((x or "").lower())
-                 if len(t) > 1}
-            if s:
-                ndocs += 1
-                terms.extend(s)
-        if not terms:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "df": pa.array([], pa.int64()),
-                             "nd": pa.array([], pa.int64())})
-        uniq, cnt = np.unique(np.asarray(terms, object),
-                              return_counts=True)
-        nd = np.zeros(uniq.size, np.int64)
-        nd[0] = ndocs                 # batch doc count rides row 0
-        return pa.table({"term": pa.array(uniq, pa.string()),
-                         "df": pa.array(cnt.astype(np.int64), pa.int64()),
-                         "nd": pa.array(nd, pa.int64())})
-
-    rows = src.map_batches(df_partial, batch_format="pyarrow") \
+    rows = src.map_batches(_df_partial, batch_format="pyarrow") \
         .map_batches(
             lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
                                                      pa.int8())),
@@ -375,6 +354,30 @@ def doc_tfidf_topk(docs, k: int = 5, vocab_gate: int = 2_000_000):
     return src.map_batches(topk, batch_format="pyarrow")
 
 
+def _df_partial(b: pa.Table) -> pa.Table:
+    """Per-batch distinct-(doc, term) df combiner shared by
+    doc_tfidf_topk and association_pairs; the batch's doc count rides
+    row 0 of ``nd`` (summed by :func:`_merge_df`)."""
+    texts = b.column("text").to_pylist()
+    terms, ndocs = [], 0
+    for x in texts:
+        s = {t for t in TOKEN_RE.findall((x or "").lower())
+             if len(t) > 1}
+        if s:
+            ndocs += 1
+            terms.extend(s)
+    if not terms:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64()),
+                         "nd": pa.array([], pa.int64())})
+    uniq, cnt = np.unique(np.asarray(terms, object), return_counts=True)
+    nd = np.zeros(uniq.size, np.int64)
+    nd[0] = ndocs
+    return pa.table({"term": pa.array(uniq, pa.string()),
+                     "df": pa.array(cnt.astype(np.int64), pa.int64()),
+                     "nd": pa.array(nd, pa.int64())})
+
+
 def _merge_df(g: pa.Table) -> pa.Table:
     t = g.column("term").to_numpy(zero_copy_only=False)
     d = g.column("df").to_numpy(zero_copy_only=False)
@@ -422,28 +425,7 @@ def association_pairs(docs, min_count: int = 5,
 
     src = docs.select_columns(["doc_id", "text"])
 
-    def df_partial(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        terms, ndocs = [], 0
-        for x in texts:
-            s = {t for t in TOKEN_RE.findall((x or "").lower())
-                 if len(t) > 1}
-            if s:
-                ndocs += 1
-                terms.extend(s)
-        if not terms:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "df": pa.array([], pa.int64()),
-                             "nd": pa.array([], pa.int64())})
-        uniq, cnt = np.unique(np.asarray(terms, object),
-                              return_counts=True)
-        nd = np.zeros(uniq.size, np.int64)
-        nd[0] = ndocs
-        return pa.table({"term": pa.array(uniq, pa.string()),
-                         "df": pa.array(cnt.astype(np.int64), pa.int64()),
-                         "nd": pa.array(nd, pa.int64())})
-
-    rows = src.map_batches(df_partial, batch_format="pyarrow") \
+    rows = src.map_batches(_df_partial, batch_format="pyarrow") \
         .map_batches(
             lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
                                                      pa.int8())),

@@ -92,3 +92,15 @@ def test_cc_empty(ray_session):
     ds = rd.from_arrow(pa.table({
         "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
     assert connected_components(ds).take_all() == []
+
+
+def test_cc_raises_on_nonconvergence(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import connected_components
+
+    edges = [(i, i + 1) for i in range(64)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([u for u, _ in edges], pa.int64()),
+        "dst": pa.array([v for _, v in edges], pa.int64())}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ds, max_iters=1).take_all()

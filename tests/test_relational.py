@@ -193,3 +193,37 @@ def test_skew_join_no_hot_keys_fallback(ray_session):
     cols = ["a", "x", "y"]
     assert sorted(map(tuple, sk[cols].values.tolist())) == \
         sorted(map(tuple, plain[cols].values.tolist()))
+
+
+def test_int_group_sums_exact_past_2_53():
+    from ics_search_engine_ray.stages.relational import _int_group_sums
+
+    big = (1 << 53) + 1          # representable in int64, not in float64
+    keys = np.array([1, 1, 2], np.int64)
+    vals = np.array([big, 2, 5], np.int64)
+    uk, sums = _int_group_sums(keys, vals)
+    assert list(uk) == [1, 2]
+    assert list(sums) == [big + 2, 5]       # bincount would round this
+
+
+def test_revenue_rollup_forced_hash_path(ray_session):
+    from ics_search_engine_ray.stages.relational import (
+        read_rollup_inputs, revenue_rollup)
+
+    sf = "/root/testdata/sf0.001"
+    a = revenue_rollup(*read_rollup_inputs(sf)).to_pandas()
+    b = revenue_rollup(*read_rollup_inputs(sf),
+                       bcast_max_rows=0).to_pandas()
+    key = ["n_name", "o_year"]
+    a = a.sort_values(key, na_position="last").reset_index(drop=True)
+    b = b.sort_values(key, na_position="last").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_broadcast_join_rejects_unsafe_types(ray_session):
+    from ics_search_engine_ray.stages.joins import broadcast_join
+
+    small = pa.table({"k": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="per-batch-safe"):
+        broadcast_join(_mk({"k": pa.array([1], pa.int64())}), small,
+                       on="k", join_type="full outer")

@@ -81,3 +81,19 @@ def test_quantile_sketch_rank_error_bound(ray_session):
             true_rank = np.searchsorted(sub, est, side="right")
             assert abs(true_rank - q * sub.size) <= bound + 1, \
                 (g, q, true_rank, q * sub.size, bound)
+
+
+def test_quantile_sketch_int_key_with_empty_batches(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import quantile_sketch
+
+    rng = np.random.default_rng(61)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 3, 500), pa.int64()),
+        "value": pa.array(rng.uniform(0, 1, 500), pa.float64()),
+    })).repartition(40)            # some empty blocks
+    out = quantile_sketch(ds, "k", "value", qs=(0.5,)).take_all()
+    assert sorted({r["k"] for r in out}) == [0, 1, 2]
+    assert all(0.3 < r["value"] < 0.7 for r in out)

@@ -65,3 +65,12 @@ def test_pairs_random_fuzz(ray_session):
 
 def test_pairs_empty(ray_session):
     assert _run(["solo"], ray_session, parts=1) == []
+
+
+def test_pairs_one_char_strings_and_nulls(ray_session):
+    # 1-char strings produce the "" delete variant (pinned bucket);
+    # (a, b) is a substitution pair found via that variant
+    names = ["a", "b", "ab", "a", None, "c"]
+    valid = [n for n in names if n]
+    got = _run(names, ray_session, parts=3)
+    assert got == _brute(valid)
