@@ -132,6 +132,43 @@ def _q_token_count(sf_dir: str):
     return token_count_dataset(_read_docs(sf_dir))
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.py): flag every non-eval
+    doc sharing an 8-token n-gram with the eval slice (doc_id % 97 == 1);
+    vectorized window-hash prefilter + exact string verify vs broadcast
+    eval gram set."""
+    from ics_search_engine_ray.stages.decontam import decontaminate
+    return decontaminate(_read_docs(sf_dir), n=8)
+
+
+def _q_chunk_tokens(sf_dir: str):
+    """Context-window chunking (stages/chunking.py): 64-token chunks with
+    stride 48 per doc, chunk text via Arrow binary_join over one flat
+    gather (no per-chunk Python)."""
+    from ics_search_engine_ray.stages.chunking import chunk_tokens
+    return chunk_tokens(_read_docs(sf_dir), chunk=64, stride=48)
+
+
+def _q_pack_assign(sf_dir: str):
+    """Concat-and-chunk LLM batch packing (stages/chunking.py): exact
+    global token prefix sum by doc_id (distributed-rank plan) -> each doc's
+    (pack_id, pack_offset) in the budget-2048 token stream."""
+    from ics_search_engine_ray.stages.chunking import pack_assign
+    return pack_assign(_read_docs(sf_dir), budget=2048)
+
+
+def _q_user_running(sf_dir: str):
+    """SQL window-function trio (stages/events.py user_running): per-event
+    running integer-cents total, row_number, LAG gap — user-co-located
+    coarse groups, vectorized per-user resets."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import user_running
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"])
+    return user_running(ev)
+
+
 def _q_term_df(sf_dir: str):
     """A1/A2 path, SQL-replicable tokenizer (no stem): df per term through
     the real explode + groupby shuffle."""
@@ -976,6 +1013,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_agg": _q_quantile_agg,          # per-key exact quantiles
         "distinct_users_exact": _q_distinct_users_exact,  # 2-stage groupby
         "distinct_users_kmv": _q_distinct_users_kmv,      # KMV sketch
+        "decontaminate": _q_decontaminate,        # eval n-gram overlap
+        "chunk_tokens": _q_chunk_tokens,          # context-window chunking
+        "pack_assign": _q_pack_assign,            # concat-and-chunk packing
+        "user_running": _q_user_running,          # SUM OVER/row_number/LAG
     }
 
 
@@ -1464,4 +1505,50 @@ FROM read_parquet('{os.path.join(_REPO_DIR, "tests", "fixtures",
 WHERE n_docs = (SELECT count(*) FROM documents)
   AND len_sum = (SELECT sum(length(text)) FROM documents)
 ORDER BY url""",
+        "decontaminate": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+ev AS (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+       WHERE doc_id % 97 = 1 AND len(tk) >= 8),
+bg AS (SELECT DISTINCT array_to_string(tk[s+1:s+8], ' ') AS gram FROM ev),
+tg AS (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+       WHERE doc_id % 97 != 1 AND len(tk) >= 8),
+hits AS (SELECT DISTINCT t.doc_id
+         FROM (SELECT doc_id, array_to_string(tk[s+1:s+8], ' ') AS gram
+               FROM tg) t
+         JOIN bg USING (gram))
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 != 1""",
+        "chunk_tokens": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS s FROM toks
+      WHERE len(tk) > 0)
+SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
+       CAST(least(64, len(tk) - s) AS BIGINT) AS n_tokens,
+       array_to_string(tk[s+1:s+64], ' ') AS chunk
+FROM s""",
+        "pack_assign": """
+WITH tc AS (SELECT doc_id,
+            CAST(len(list_filter(regexp_extract_all(lower(text),
+                 '[a-z0-9]+'), x -> length(x) > 1)) AS BIGINT) AS n_tokens
+            FROM documents),
+c AS (SELECT doc_id, n_tokens,
+      COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM tc)
+SELECT doc_id, n_tokens, CAST(cb // 2048 AS BIGINT) AS pack_id,
+       CAST(cb % 2048 AS BIGINT) AS pack_offset FROM c""",
+        "user_running": """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(round(value*100,0) AS BIGINT)) OVER
+       (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) / 100.0 AS DOUBLE) AS cum_value,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       AS BIGINT) AS seq,
+  CAST(COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER
+       (PARTITION BY user_id ORDER BY ts, event_id)), -1) AS BIGINT) AS gap_us
+FROM events""",
     }

@@ -390,3 +390,76 @@ def top_k_per_group(ds, key: str, order_col: str, k: int = 3,
 
     return ds.select_columns(cols).map_batches(local_top, batch_format="pyarrow") \
              .groupby(key).map_groups(final_top, batch_format="pyarrow")
+
+
+def user_running(events, num_groups: int = None):
+    """Per-event window analytics: running total, sequence number, and gap
+    to the user's previous event — the SQL window-function trio
+    (SUM OVER / row_number / LAG) Ray Data has no primitive for.
+
+    -> (event_id, user_id, cum_value, seq, gap_us); order within a user is
+    (ts, event_id). cum_value accumulates EXACT integer cents
+    (round(value*100)) so the distributed result is bit-identical to the
+    SQL window oracle regardless of summation order; gap_us = -1 for a
+    user's first event.
+
+    Same partitioning contract as ``sessionize``: a user's events must
+    co-locate; coarse ``user_id % G`` groups scale with the event count;
+    within a group everything is one vectorized pass (per-user resets via
+    exclusive-prefix subtraction on INTEGER cumsums — exact, unlike float).
+    """
+    from .common import adaptive_groups
+
+    if num_groups is None:
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=64)
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("_g", pa.array(u % num_groups, pa.int64()))
+
+    def running(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "cum_value": pa.array([], pa.float64()),
+            "seq": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.round(g.column("value").to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        cum = np.cumsum(cents)
+        # per-user reset: subtract the cumsum value just before each user's
+        # first row, broadcast down the segment (exact on integers)
+        base = np.repeat(np.where(starts > 0, cum[starts - 1], 0), np.diff(
+            np.append(starts, n)))
+        run = cum - base
+        seq = np.arange(n, dtype=np.int64) - np.repeat(starts, np.diff(
+            np.append(starts, n))) + 1
+        gap = np.empty(n, np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(new_user[1:], -1, ts[1:] - ts[:-1])
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "cum_value": pa.array(run / 100.0, pa.float64()),
+            "seq": pa.array(seq, pa.int64()),
+            "gap_us": pa.array(gap, pa.int64()),
+        })
+
+    return (events.select_columns(["event_id", "ts", "user_id", "value"])
+            .map_batches(add_gkey, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: running(g.drop(["_g"])),
+                        batch_format="pyarrow"))

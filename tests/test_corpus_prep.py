@@ -1,0 +1,190 @@
+"""Tests for the round-3 corpus-preparation operators: benchmark
+decontamination, context-window chunking, concat-and-chunk packing, and
+per-user running window analytics — each vs a DuckDB or hand oracle."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+TOK = ("list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+       "x -> length(x) > 1)")
+
+
+# ---------------- decontaminate ----------------
+
+
+def test_decontaminate_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.decontam import decontaminate
+    got = sorted((r["doc_id"], r["contaminated"])
+                 for r in decontaminate(docs_ds, n=8).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tk
+              FROM '{sf_dir}/documents.parquet'),
+ev AS (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+       WHERE doc_id % 97 = 1 AND len(tk) >= 8),
+bg AS (SELECT DISTINCT array_to_string(tk[s+1:s+8], ' ') AS gram FROM ev),
+tg AS (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+       WHERE doc_id % 97 != 1 AND len(tk) >= 8),
+hits AS (SELECT DISTINCT t.doc_id
+         FROM (SELECT doc_id, array_to_string(tk[s+1:s+8], ' ') AS gram
+               FROM tg) t JOIN bg USING (gram))
+SELECT d.doc_id, CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+FROM '{sf_dir}/documents.parquet' d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 != 1""").fetchall()))
+    assert got == want
+
+
+def test_decontaminate_synthetic_hit_and_miss(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.decontam import decontaminate
+    gram = " ".join(f"ev{i}" for i in range(8))          # the eval 8-gram
+    rows = [
+        {"doc_id": 1, "text": "prefix words " + gram + " suffix words"},  # eval
+        {"doc_id": 2, "text": "clean doc " + " ".join(f"cc{i}" for i in range(20))},
+        {"doc_id": 3, "text": "leaked here " + gram + " indeed"},          # hit
+        {"doc_id": 4, "text": " ".join(gram.split()[:7])},  # 7 tokens: no 8-gram
+        {"doc_id": 5, "text": ""},                           # empty
+    ]
+    got = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(rd.from_items(rows), n=8,
+                                  select_mod=97, select_rem=1).take_all()}
+    assert got == {2: 0, 3: 1, 4: 0, 5: 0}      # doc 1 is the eval slice
+
+
+def test_eval_grams_gate():
+    from ics_search_engine_ray.stages import decontam
+    assert decontam._BCAST_GRAM_ROWS >= 1_000_000   # documented gate exists
+
+
+# ---------------- chunk_tokens ----------------
+
+
+def test_chunk_tokens_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.chunking import chunk_tokens
+    got = sorted((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk"])
+                 for r in chunk_tokens(docs_ds, chunk=64, stride=48).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tk FROM '{sf_dir}/documents.parquet'),
+s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS s FROM toks
+      WHERE len(tk) > 0)
+SELECT doc_id, s // 48, least(64, len(tk) - s),
+       array_to_string(tk[s+1:s+64], ' ')
+FROM s""").fetchall()))
+    assert got == want
+
+
+def test_chunk_tokens_overlap_invariants(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.chunking import chunk_tokens
+    text = " ".join(f"tk{i:03d}" for i in range(130))
+    rows = chunk_tokens(rd.from_items([{"doc_id": 7, "text": text}]),
+                        chunk=64, stride=48).take_all()
+    rows.sort(key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert [r["n_tokens"] for r in rows] == [64, 64, 34]
+    # consecutive chunks overlap by chunk - stride = 16 tokens
+    a, b = rows[0]["chunk"].split(), rows[1]["chunk"].split()
+    assert a[48:] == b[:16]
+    # every token is covered
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk"].split())
+    assert len(covered) == 130
+
+
+# ---------------- pack_assign ----------------
+
+
+def test_pack_assign_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.chunking import pack_assign
+    got = sorted((r["doc_id"], r["n_tokens"], r["pack_id"], r["pack_offset"])
+                 for r in pack_assign(docs_ds, budget=2048).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+WITH tc AS (SELECT doc_id, len({TOK}) AS n FROM '{sf_dir}/documents.parquet'),
+c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM tc)
+SELECT doc_id, n, cb // 2048, cb % 2048 FROM c""").fetchall()))
+    assert got == want
+
+
+def test_pack_assign_layout_invariants(ray_session):
+    """Packing is a valid concat-and-chunk layout: offsets advance by
+    exactly n_tokens across doc_id order, modulo the budget."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.chunking import pack_assign
+    rng = np.random.default_rng(5)
+    rows = [{"doc_id": i, "text": " ".join(f"w{j}" for j in range(
+        int(rng.integers(0, 50))))} for i in range(200)]
+    out = sorted(pack_assign(rd.from_items(rows), budget=64,
+                             num_bins=7).take_all(),
+                 key=lambda r: r["doc_id"])
+    pos = 0
+    for r in out:
+        assert r["pack_id"] * 64 + r["pack_offset"] == pos
+        pos += r["n_tokens"]
+
+
+def test_pack_assign_bins_do_not_change_result(ray_session, docs_ds):
+    from ics_search_engine_ray.stages.chunking import pack_assign
+    a = sorted((r["doc_id"], r["pack_id"], r["pack_offset"])
+               for r in pack_assign(docs_ds, budget=512, num_bins=3).take_all())
+    b = sorted((r["doc_id"], r["pack_id"], r["pack_offset"])
+               for r in pack_assign(docs_ds, budget=512, num_bins=64).take_all())
+    assert a == b
+
+
+# ---------------- user_running ----------------
+
+
+def test_user_running_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import user_running
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    got = sorted((r["event_id"], r["user_id"], round(r["cum_value"], 6),
+                  r["seq"], r["gap_us"]) for r in user_running(ev).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+SELECT event_id, user_id,
+  round(SUM(CAST(round(value*100,0) AS BIGINT)) OVER
+       (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) / 100.0, 6),
+  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id),
+  COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER
+       (PARTITION BY user_id ORDER BY ts, event_id)), -1)
+FROM '{sf_dir}/events.parquet'""").fetchall()))
+    assert got == want
+
+
+def test_user_running_resets_between_users(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import user_running
+    us = 1_000_000
+    rows = [
+        {"event_id": 1, "ts": 0 * us, "user_id": 1, "value": 1.5},
+        {"event_id": 2, "ts": 60 * us, "user_id": 1, "value": 2.25},
+        {"event_id": 3, "ts": 0 * us, "user_id": 2, "value": 10.0},
+    ]
+    import pyarrow as pa
+    t = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "value": pa.array([r["value"] for r in rows], pa.float64()),
+    })
+    got = {r["event_id"]: r for r in user_running(
+        rd.from_arrow(t)).take_all()}
+    assert got[1]["cum_value"] == 1.5 and got[1]["gap_us"] == -1
+    assert got[2]["cum_value"] == 3.75 and got[2]["gap_us"] == 60 * us
+    assert got[3]["cum_value"] == 10.0 and got[3]["gap_us"] == -1
+    assert [got[i]["seq"] for i in (1, 2, 3)] == [1, 2, 1]
