@@ -132,6 +132,14 @@ def _q_token_count(sf_dir: str):
     return token_count_dataset(_read_docs(sf_dir))
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style intra-doc repetition signals (text_analysis.py
+    repetition_stats): type-token ratio, duplicate-trigram fraction,
+    top-token share — one lexsort-run-length pass per batch, no shuffle."""
+    from ics_search_engine_ray.stages.text_analysis import repetition_stats
+    return repetition_stats(_read_docs(sf_dir))
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/decontam.py): flag every non-eval
     doc sharing an 8-token n-gram with the eval slice (doc_id % 97 == 1);
@@ -1017,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_tokens": _q_chunk_tokens,          # context-window chunking
         "pack_assign": _q_pack_assign,            # concat-and-chunk packing
         "user_running": _q_user_running,          # SUM OVER/row_number/LAG
+        "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
     }
 
 
@@ -1541,6 +1550,23 @@ c AS (SELECT doc_id, n_tokens,
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM tc)
 SELECT doc_id, n_tokens, CAST(cb // 2048 AS BIGINT) AS pack_id,
        CAST(cb % 2048 AS BIGINT) AS pack_offset FROM c""",
+        "repetition_stats": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+base AS (SELECT doc_id, tk, len(tk) AS n FROM toks)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN n > 0
+       THEN round(len(list_distinct(tk)) * 1.0 / n, 6) ELSE 0.0 END
+       AS DOUBLE) AS distinct_ratio,
+  CAST(CASE WHEN n >= 3
+       THEN round(1.0 - len(list_distinct(list_transform(range(1, n-1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) * 1.0 / (n-2), 6)
+       ELSE 0.0 END AS DOUBLE) AS dup_trigram_frac,
+  CAST(CASE WHEN n > 0
+       THEN round(list_max(list_transform(list_distinct(tk),
+            x -> len(list_filter(tk, y -> y = x)))) * 1.0 / n, 6)
+       ELSE 0.0 END AS DOUBLE) AS top_token_frac
+FROM base""",
         "user_running": """
 SELECT event_id, user_id,
   CAST(SUM(CAST(round(value*100,0) AS BIGINT)) OVER

@@ -504,3 +504,91 @@ def association_pairs(docs, min_count: int = 5,
         .groupby("_g").map_groups(lambda g: finish(g.drop(["_g"])),
                                   batch_format="pyarrow")
     return out
+
+
+# ---------------- repetition / diversity signals ----------------
+
+
+def repetition_stats(docs):
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    §A1.1 quality heuristics), fully vectorized:
+
+    -> (doc_id, n_tokens, distinct_ratio, dup_trigram_frac, top_token_frac)
+    - distinct_ratio: type-token ratio (distinct / total tokens)
+    - dup_trigram_frac: 1 - distinct trigrams / trigrams (0 if < 3 tokens)
+    - top_token_frac: frequency share of the most common token
+
+    One pass, no shuffle: per-batch the token stream hashes once
+    (functions/wordhash, 64-bit identity — collision odds ~n^2/2^64), then
+    ONE lexsort per signal gives per-(doc, token) run lengths; per-doc
+    reductions are bincount / maximum.at. Tokenization is the
+    SQL-replicable variant so the DuckDB oracle verifies exact equality.
+    """
+    from ..functions.wordhash import batch_shingle_hashes, flat_word_hashes
+
+    def stats(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "distinct_ratio": pa.array([], pa.float64()),
+            "dup_trigram_frac": pa.array([], pa.float64()),
+            "top_token_frac": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1] for x in b.column("text").to_pylist()]
+        nd = ids.size
+        counts = np.array([len(t) for t in toks], np.int64)
+        wh = flat_word_hashes([t for ts in toks for t in ts])
+        did = np.repeat(np.arange(nd), counts)
+        # distinct tokens + max run per (doc, token)
+        distinct = np.zeros(nd, np.int64)
+        topc = np.zeros(nd, np.int64)
+        if wh.size:
+            order = np.lexsort((wh, did))
+            ds, hs = did[order], wh[order]
+            new = np.empty(ds.size, bool)
+            new[0] = True
+            new[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+            run_id = np.cumsum(new) - 1
+            run_len = np.bincount(run_id)
+            run_doc = ds[new]
+            distinct = np.bincount(run_doc, minlength=nd).astype(np.int64)
+            np.maximum.at(topc, run_doc, run_len)
+        # distinct trigrams per doc (mask the whole-doc fallback shingles
+        # batch_shingle_hashes emits for 0 < n < 3 tokens)
+        tri_total = np.maximum(counts - 2, 0)
+        tri_distinct = np.zeros(nd, np.int64)
+        th, toffs = batch_shingle_hashes([" ".join(t) for t in toks], 3)
+        if th.size:
+            t_did = np.repeat(np.arange(nd), np.diff(toffs))
+            keep = counts[t_did] >= 3
+            th, t_did = th[keep], t_did[keep]
+            if th.size:
+                order = np.lexsort((th, t_did))
+                dsr, hsr = t_did[order], th[order]
+                new = np.empty(dsr.size, bool)
+                new[0] = True
+                new[1:] = (dsr[1:] != dsr[:-1]) | (hsr[1:] != hsr[:-1])
+                tri_distinct = np.bincount(dsr[new], minlength=nd).astype(
+                    np.int64)
+        safe_n = np.maximum(counts, 1).astype(np.float64)
+        safe_tri = np.maximum(tri_total, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "distinct_ratio": pa.array(
+                np.round(np.where(counts > 0, distinct / safe_n, 0.0), 6),
+                pa.float64()),
+            "dup_trigram_frac": pa.array(
+                np.round(np.where(tri_total > 0,
+                                  1.0 - tri_distinct / safe_tri, 0.0), 6),
+                pa.float64()),
+            "top_token_frac": pa.array(
+                np.round(np.where(counts > 0, topc / safe_n, 0.0), 6),
+                pa.float64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(stats, batch_format="pyarrow")

@@ -188,3 +188,49 @@ def test_user_running_resets_between_users(ray_session):
     assert got[2]["cum_value"] == 3.75 and got[2]["gap_us"] == 60 * us
     assert got[3]["cum_value"] == 10.0 and got[3]["gap_us"] == -1
     assert [got[i]["seq"] for i in (1, 2, 3)] == [1, 2, 1]
+
+
+# ---------------- repetition_stats ----------------
+
+
+def test_repetition_stats_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.text_analysis import repetition_stats
+    got = sorted((r["doc_id"], r["n_tokens"], r["distinct_ratio"],
+                  r["dup_trigram_frac"], r["top_token_frac"])
+                 for r in repetition_stats(docs_ds).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tk FROM '{sf_dir}/documents.parquet'),
+base AS (SELECT doc_id, tk, len(tk) AS n FROM toks)
+SELECT doc_id, CAST(n AS BIGINT),
+  CASE WHEN n > 0 THEN round(len(list_distinct(tk)) * 1.0 / n, 6) ELSE 0.0 END,
+  CASE WHEN n >= 3 THEN round(1.0 - len(list_distinct(list_transform(
+       range(1, n-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+       * 1.0 / (n-2), 6) ELSE 0.0 END,
+  CASE WHEN n > 0 THEN round(list_max(list_transform(list_distinct(tk),
+       x -> len(list_filter(tk, y -> y = x)))) * 1.0 / n, 6) ELSE 0.0 END
+FROM base""").fetchall()))
+    assert got == want
+
+
+def test_repetition_stats_hand_cases(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import repetition_stats
+    rows = [
+        {"doc_id": 1, "text": "aa aa aa aa"},              # all same token
+        {"doc_id": 2, "text": "aa bb cc dd"},              # all distinct
+        {"doc_id": 3, "text": "aa bb aa bb aa bb"},        # period-2 repeat
+        {"doc_id": 4, "text": "aa bb"},                    # < 3 tokens
+        {"doc_id": 5, "text": ""},
+    ]
+    got = {r["doc_id"]: r for r in repetition_stats(
+        rd.from_items(rows)).take_all()}
+    assert got[1]["distinct_ratio"] == 0.25
+    assert got[1]["dup_trigram_frac"] == 0.5      # 2 windows, 1 distinct
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[2]["distinct_ratio"] == 1.0
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[2]["top_token_frac"] == 0.25
+    # doc 3: trigrams = (a b a),(b a b),(a b a),(b a b) -> 2 distinct of 4
+    assert got[3]["dup_trigram_frac"] == 0.5
+    assert got[4]["dup_trigram_frac"] == 0.0 and got[4]["n_tokens"] == 2
+    assert got[5]["n_tokens"] == 0 and got[5]["distinct_ratio"] == 0.0
