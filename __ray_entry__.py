@@ -132,6 +132,17 @@ def _q_token_count(sf_dir: str):
     return token_count_dataset(_read_docs(sf_dir))
 
 
+def _q_prepare_corpus(sf_dir: str):
+    """The FULL composed training-data chain (pipelines/curate.py
+    prepare_dataset): quality rules -> exact dedup -> benchmark
+    decontamination -> eval-slice removal -> Weyl split -> exact
+    concat-and-chunk packing of the train split. One composed SQL oracle
+    verifies the whole DAG end-to-end."""
+    from ics_search_engine_ray.pipelines.curate import prepare_dataset
+    return prepare_dataset(_read_docs(sf_dir), fractions=_SPLIT_FRACTIONS,
+                           seed=_SPLIT_SEED)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style intra-doc repetition signals (text_analysis.py
     repetition_stats): type-token ratio, duplicate-trigram fraction,
@@ -1026,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assign": _q_pack_assign,            # concat-and-chunk packing
         "user_running": _q_user_running,          # SUM OVER/row_number/LAG
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
+        "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
     }
 
 
@@ -1039,6 +1051,8 @@ def oracle_sql() -> dict[str, str]:
     from ics_search_engine_ray.stages.splits import split_case_sql
     split_case = split_case_sql("f.doc_id", _SPLIT_FRACTIONS,
                                 seed=_SPLIT_SEED)
+    split_case_prep = split_case_sql("s.doc_id", _SPLIT_FRACTIONS,
+                                     seed=_SPLIT_SEED)
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     k1, b = DEFAULT_CONFIG.bm25_k1, DEFAULT_CONFIG.bm25_b
     bm25 = f"""
@@ -1550,6 +1564,58 @@ c AS (SELECT doc_id, n_tokens,
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM tc)
 SELECT doc_id, n_tokens, CAST(cb // 2048 AS BIGINT) AS pack_id,
        CAST(cb % 2048 AS BIGINT) AS pack_offset FROM c""",
+        # the composed prep chain: curate_full's quality+dedup CTEs, then
+        # decontaminate's gram semi-join, eval-slice removal, the split
+        # CASE, and the train-split packing window — one end-to-end oracle
+        "prepare_corpus": f"""
+WITH w AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS words
+  FROM documents),
+q AS (
+  SELECT doc_id, md5(text) AS h,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         x -> length(x) > 1)) AS BIGINT) AS n_tokens,
+    CAST(CASE WHEN len(words) = 0 THEN 0.0
+         ELSE round(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                    * 1.0 / len(words), 6) END AS DOUBLE) AS mean_word_len,
+    CAST(CASE WHEN len(words) = 0 THEN 0.0
+         ELSE round(len(list_filter(words, x -> lower(x) IN ({stop_list})))
+                    * 1.0 / len(words), 6) END AS DOUBLE) AS stopword_ratio,
+    CAST(CASE WHEN length(text) = 0 THEN 0.0
+         ELSE round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    * 1.0 / length(text), 6) END AS DOUBLE) AS digit_ratio
+  FROM w),
+f AS (
+  SELECT * FROM q
+  WHERE n_words >= 20 AND n_words <= 100000 AND n_tokens >= 15
+    AND digit_ratio <= 0.3 AND stopword_ratio <= 0.8
+    AND mean_word_len >= 2.0 AND mean_word_len <= 15.0),
+k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY h),
+surv0 AS (SELECT f.doc_id, f.n_tokens FROM f JOIN k USING (doc_id)),
+toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+         '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+ev AS (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+       WHERE doc_id % 97 = 1 AND len(tk) >= 8),
+bg AS (SELECT DISTINCT array_to_string(tk[s+1:s+8], ' ') AS gram FROM ev),
+tg AS (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+       WHERE doc_id % 97 != 1 AND len(tk) >= 8),
+hits AS (SELECT DISTINCT t.doc_id
+         FROM (SELECT doc_id, array_to_string(tk[s+1:s+8], ' ') AS gram
+               FROM tg) t JOIN bg USING (gram)),
+s AS (SELECT s0.doc_id, s0.n_tokens FROM surv0 s0
+      LEFT JOIN hits h ON s0.doc_id = h.doc_id
+      WHERE s0.doc_id % 97 != 1 AND h.doc_id IS NULL),
+sp AS (SELECT s.doc_id, s.n_tokens, {split_case_prep} AS split FROM s),
+tr AS (SELECT doc_id, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       FROM sp WHERE split = 'train')
+SELECT sp.doc_id, sp.n_tokens, sp.split,
+  CAST(COALESCE(tr.cb // 2048, -1) AS BIGINT) AS pack_id,
+  CAST(COALESCE(tr.cb % 2048, -1) AS BIGINT) AS pack_offset
+FROM sp LEFT JOIN tr ON sp.doc_id = tr.doc_id""",
         "repetition_stats": """
 WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
               '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),

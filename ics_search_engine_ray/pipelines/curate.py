@@ -168,3 +168,94 @@ def curate_corpus(docs_path: str, out_dir: str,
     out.write_parquet(out_dir)
     kept_n = rd.read_parquet(out_dir, columns=["doc_id"]).count()
     return {"kept": int(kept_n), "dropped_dups": len(dropped)}
+
+
+def prepare_dataset(docs, rules: CurateRules = CurateRules(),
+                    ngram: int = 8, select_mod: int = 97,
+                    select_rem: int = 1, fractions=None, seed: int = 0,
+                    budget: int = 2048):
+    """The FULL training-data preparation chain, composed from the
+    oracle-verified pieces:
+
+        quality rules -> exact dedup -> benchmark decontamination
+        -> eval-slice removal -> Weyl-hash split -> concat-and-chunk
+        packing of the train split
+
+    -> Dataset (doc_id, n_tokens, split, pack_id, pack_offset); non-train
+    rows carry pack_id = pack_offset = -1.
+
+    Driver state (all size-gated / small by construction): the exact-dup
+    id set (O(duplicates)), the eval gram broadcast
+    (stages/decontam._BCAST_GRAM_ROWS), and the contaminated-id set
+    (O(contaminated docs) — benchmark overlap is rare by nature; above a
+    broadcast-sized set the same anti-join runs as a hash join on a
+    (doc_id, contaminated) Dataset instead).
+
+    Decontamination is defined over the ORIGINAL corpus (the eval slice
+    and its grams do not depend on which training docs survive curation),
+    matching the standalone ``decontaminate`` query's oracle.
+    """
+    import ray
+
+    from ..stages.chunking import pack_counts
+    from ..stages.decontam import decontaminate
+    from ..stages.splits import assign_split
+
+    if fractions is None:
+        fractions = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+    curated, _dropped = curate_dataset(docs, rules)
+
+    # contaminated ids (exact, from the oracle-verified operator)
+    contam = decontaminate(docs, n=ngram, select_mod=select_mod,
+                           select_rem=select_rem)
+    bad = []
+    for b in contam.iter_batches(batch_format="pyarrow"):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        flag = b.column("contaminated").to_numpy(zero_copy_only=False)
+        bad.extend(ids[flag == 1].tolist())
+    bad_ref = ray.put(np.array(sorted(bad), np.int64))
+
+    def drop_eval_contam(b: pa.Table) -> pa.Table:
+        nd = ray.get(bad_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hit = np.zeros(ids.size, bool)
+        if nd.size:
+            pos = np.searchsorted(nd, ids)
+            ok = pos < nd.size
+            hit[ok] = nd[pos[ok]] == ids[ok]
+        keep = ~hit & ((ids % select_mod) != select_rem)
+        return b.filter(pa.array(keep))
+
+    surv = curated.map_batches(drop_eval_contam, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"])
+    sp = assign_split(surv, "doc_id", fractions, seed=seed)
+
+    import pyarrow.compute as pc
+
+    train = sp.filter(lambda r: r["split"] == "train") \
+        .select_columns(["doc_id", "n_tokens"])
+    packed = pack_counts(train, budget=budget)
+
+    def tag_rest(b: pa.Table) -> pa.Table:
+        neg = pa.array(np.full(b.num_rows, -1, np.int64), pa.int64())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": b.column("n_tokens"),
+            "split": b.column("split"),
+            "pack_id": neg,
+            "pack_offset": neg})
+
+    rest = sp.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b.column("split"), "train"))),
+        batch_format="pyarrow").map_batches(tag_rest, batch_format="pyarrow")
+
+    def tag_train(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": b.column("n_tokens"),
+            "split": pa.array(["train"] * b.num_rows, pa.string()),
+            "pack_id": b.column("pack_id"),
+            "pack_offset": b.column("pack_offset")})
+
+    return packed.map_batches(tag_train, batch_format="pyarrow").union(rest)

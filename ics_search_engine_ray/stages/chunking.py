@@ -96,7 +96,6 @@ def pack_assign(docs, budget: int = 2048, num_bins: Optional[int] = None):
     % budget, where cum_tokens_before is the exact global token count of
     all docs with smaller doc_id (concat-and-chunk layout).
     """
-    import ray
 
     def tc(b: pa.Table) -> pa.Table:
         counts = [sum(1 for t in TOKEN_RE.findall((x or "").lower())
@@ -104,9 +103,21 @@ def pack_assign(docs, budget: int = 2048, num_bins: Optional[int] = None):
         return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
                          "n_tokens": pa.array(counts, pa.int64())})
 
-    # small relation (doc_id, n_tokens); materialize once, reuse in 3 passes
-    tokc = docs.select_columns(["doc_id", "text"]) \
-        .map_batches(tc, batch_format="pyarrow").materialize()
+    return pack_counts(docs.select_columns(["doc_id", "text"])
+                       .map_batches(tc, batch_format="pyarrow"),
+                       budget=budget, num_bins=num_bins)
+
+
+def pack_counts(tokc_ds, budget: int = 2048,
+                num_bins: Optional[int] = None):
+    """Core packing over a precomputed (doc_id, n_tokens) relation — the
+    exact global prefix sum by doc_id (distributed-rank plan; see module
+    docstring). Composable: ``prepare_corpus`` feeds it the survivor
+    token counts already carried by the curation signals."""
+    import ray
+
+    # small fixed-width relation; materialize once, reuse in 3 passes
+    tokc = tokc_ds.materialize()
     n_docs = tokc.count()
     if n_docs == 0:
         import ray.data as rd

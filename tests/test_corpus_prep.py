@@ -234,3 +234,36 @@ def test_repetition_stats_hand_cases(ray_session):
     assert got[3]["dup_trigram_frac"] == 0.5
     assert got[4]["dup_trigram_frac"] == 0.0 and got[4]["n_tokens"] == 2
     assert got[5]["n_tokens"] == 0 and got[5]["distinct_ratio"] == 0.0
+
+
+# ---------------- prepare_corpus (composed chain) ----------------
+
+
+def test_prepare_corpus_matches_composed_oracle(ray_session, sf_dir):
+    """The full quality->dedup->decontam->split->pack chain vs the one
+    composed SQL oracle registered in __ray_entry__ (same code path the
+    driver's CORRECTNESS gate runs)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "__ray_entry__.py"))
+    E = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(E)
+    got = sorted((r["doc_id"], r["n_tokens"], r["split"], r["pack_id"],
+                  r["pack_offset"])
+                 for r in E.queries()["prepare_corpus"](sf_dir).take_all())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = sorted(map(tuple,
+                      con.execute(E.oracle_sql()["prepare_corpus"]).fetchall()))
+    assert got == want
+    # structural invariants: train rows pack contiguously, others are -1
+    pos = 0
+    for did, nt, split, pid, poff in got:      # got sorted by doc_id
+        if split == "train":
+            assert pid * 2048 + poff == pos
+            pos += nt
+        else:
+            assert pid == -1 and poff == -1
