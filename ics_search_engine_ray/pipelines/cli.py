@@ -8,6 +8,7 @@ multithread_indexer.py:228-238, search.py:205-227) as subcommands:
     python -m ics_search_engine_ray serve --index DIR [--port 8080] [--actors N]
     python -m ics_search_engine_ray gen-pages --sf-dir DIR [--replication N]
     python -m ics_search_engine_ray curate --docs PARQUET --out DIR
+    python -m ics_search_engine_ray prep --docs PARQUET --out DIR [--budget N]
 
 ``build`` is what a cluster job submits (``ray job submit -- python -m
 ics_search_engine_ray build ...``); in this sandbox it starts a local Ray.
@@ -169,6 +170,21 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray
+    from .curate import CurateRules, prepare_manifest
+
+    rules = CurateRules(min_words=args.min_words, min_tokens=args.min_tokens,
+                        max_digit_ratio=args.max_digit_ratio,
+                        max_stopword_ratio=args.max_stopword_ratio)
+    res = prepare_manifest(args.docs, args.out, rules, seed=args.seed,
+                           budget=args.budget)
+    print(json.dumps(res))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ics_search_engine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -237,6 +253,20 @@ def main(argv=None) -> int:
     c.add_argument("--max-stopword-ratio", type=float, default=0.8)
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("prep", help="full training-data prep: quality + "
+                       "dedup + decontaminate + split + pack -> manifest "
+                       "parquet partitioned by split")
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-words", type=int, default=20)
+    p.add_argument("--min-tokens", type=int, default=15)
+    p.add_argument("--max-digit-ratio", type=float, default=0.3)
+    p.add_argument("--max-stopword-ratio", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--budget", type=int, default=2048)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_prep)
 
     args = ap.parse_args(argv)
     return args.fn(args)

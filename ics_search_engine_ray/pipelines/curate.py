@@ -259,3 +259,26 @@ def prepare_dataset(docs, rules: CurateRules = CurateRules(),
             "pack_offset": b.column("pack_offset")})
 
     return packed.map_batches(tag_train, batch_format="pyarrow").union(rest)
+
+
+def prepare_manifest(docs_path: str, out_dir: str,
+                     rules: CurateRules = CurateRules(),
+                     fractions=None, seed: int = 0,
+                     budget: int = 2048) -> dict:
+    """Run :func:`prepare_dataset` over a documents parquet and write the
+    layout manifest (doc_id, n_tokens, split, pack_id, pack_offset) as
+    parquet partitioned by ``split`` — the artifact a training job consumes
+    to stream pack_id ranges. Resumable-output conventions: fresh dir per
+    run (Ray write_parquet APPENDS), one directory per split."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    ds = prepare_dataset(docs, rules, fractions=fractions, seed=seed,
+                         budget=budget)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(out_dir, partition_cols=["split"])
+    out = rd.read_parquet(out_dir)
+    n = out.count()
+    n_train = out.filter(lambda r: r["split"] == "train").count()
+    return {"rows": int(n), "train_rows": int(n_train),
+            "n_packs": int(out.max("pack_id") + 1)}

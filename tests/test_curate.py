@@ -64,3 +64,25 @@ def test_curate_corpus_writer(ray_session, tmp_path):
     res2 = curate_corpus(src, out)
     assert res2["kept"] == 3
     assert pq.read_table(out).num_rows == 3
+
+
+def test_prepare_manifest_writer(ray_session, tmp_path, sf_dir):
+    """prep CLI surface: manifest written partitioned by split, packs
+    contiguous within the train split, rewrite replaces (no append)."""
+    import os
+    from ics_search_engine_ray.pipelines.curate import prepare_manifest
+
+    out = os.path.join(tmp_path, "prep")
+    res = prepare_manifest(f"{sf_dir}/documents.parquet", out, budget=512)
+    assert res["rows"] > 0 and res["train_rows"] > 0
+    assert sorted(d for d in os.listdir(out) if d.startswith("split=")) == [
+        "split=test", "split=train", "split=valid"]
+    res2 = prepare_manifest(f"{sf_dir}/documents.parquet", out, budget=512)
+    assert res2 == res                       # rewrite, not append
+    import ray.data as rd
+    rows = sorted((r["doc_id"], r["n_tokens"], r["pack_id"], r["pack_offset"])
+                  for r in rd.read_parquet(out + "/split=train").take_all())
+    pos = 0
+    for _, nt, pid, poff in rows:
+        assert pid * 512 + poff == pos
+        pos += nt
