@@ -132,6 +132,28 @@ def _q_token_count(sf_dir: str):
     return token_count_dataset(_read_docs(sf_dir))
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Exact substring-level dedup (Lee et al. 2022; stages/dedup_text.py
+    duplicate_spans): maximal token spans covered by corpus-duplicated
+    8-grams — count-pass groupby of per-batch-distinct window hashes, then
+    a size-gated broadcast scan with vectorized span merge."""
+    from ics_search_engine_ray.stages.dedup_text import duplicate_spans
+    return duplicate_spans(_read_docs(sf_dir), k=8)
+
+
+def _q_latest_event(sf_dir: str):
+    """Latest-record-per-key compaction (stages/events.py latest_per_key):
+    CDC upsert collapse / recrawl collapse — per-batch argmax combiner (at
+    most one row per key per batch shuffles), groupby applies the same
+    reduction. Oracle: row_number() OVER (... ORDER BY ts DESC, id DESC)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import latest_per_key
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    return latest_per_key(ev, key="user_id", ts_col="ts",
+                          tie_col="event_id", value_cols=("value",))
+
+
 def _q_prepare_corpus(sf_dir: str):
     """The FULL composed training-data chain (pipelines/curate.py
     prepare_dataset): quality rules -> exact dedup -> benchmark
@@ -1038,6 +1060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running": _q_user_running,          # SUM OVER/row_number/LAG
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
+        "latest_event": _q_latest_event,          # latest-per-key compaction
+        "duplicate_spans": _q_duplicate_spans,    # substring-level dedup
     }
 
 
@@ -1616,6 +1640,32 @@ SELECT sp.doc_id, sp.n_tokens, sp.split,
   CAST(COALESCE(tr.cb // 2048, -1) AS BIGINT) AS pack_id,
   CAST(COALESCE(tr.cb % 2048, -1) AS BIGINT) AS pack_offset
 FROM sp LEFT JOIN tr ON sp.doc_id = tr.doc_id""",
+        # count-duplicated 8-grams, then gaps-and-islands span merge
+        # (windows [s, s+8) merge when the next start is <= prev start + 8)
+        "duplicate_spans": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+g AS (SELECT doc_id, s, array_to_string(tk[s+1:s+8], ' ') AS gram
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+            WHERE len(tk) >= 8)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+w AS (SELECT doc_id, s FROM g JOIN dup USING (gram)),
+i AS (SELECT doc_id, s,
+        CASE WHEN LAG(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+             OR s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s) > 8
+             THEN 1 ELSE 0 END AS brk FROM w),
+isl AS (SELECT doc_id, s, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+        ROWS UNBOUNDED PRECEDING) AS isl_id FROM i)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(s) + 8 AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, isl_id""",
+        "latest_event": """
+SELECT user_id, ts, event_id, value
+FROM (SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1""",
         "repetition_stats": """
 WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
               '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),

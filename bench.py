@@ -131,6 +131,14 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
         threshold=0.4, n_bits=4, n_tables=16)
     tops["embedding_dedup"] = round(time.time() - t, 2)
 
+    # composed corpus-prep chain (round 3): quality -> dedup ->
+    # decontaminate -> split -> pack, one DAG
+    from ics_search_engine_ray.pipelines.curate import prepare_dataset
+    t = time.time()
+    prepare_dataset(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
+    tops["prepare_corpus"] = round(time.time() - t, 2)
+
     # relational + graph operators (round 3): the TPC-H-Q5-style
     # join+aggregate and large/small-star connected components over the
     # per-user event chain graph

@@ -233,8 +233,9 @@ def prepare_dataset(docs, rules: CurateRules = CurateRules(),
 
     import pyarrow.compute as pc
 
-    train = sp.filter(lambda r: r["split"] == "train") \
-        .select_columns(["doc_id", "n_tokens"])
+    train = sp.map_batches(
+        lambda b: b.filter(pc.equal(b.column("split"), "train")),
+        batch_format="pyarrow").select_columns(["doc_id", "n_tokens"])
     packed = pack_counts(train, budget=budget)
 
     def tag_rest(b: pa.Table) -> pa.Table:
@@ -279,6 +280,12 @@ def prepare_manifest(docs_path: str, out_dir: str,
     ds.write_parquet(out_dir, partition_cols=["split"])
     out = rd.read_parquet(out_dir)
     n = out.count()
-    n_train = out.filter(lambda r: r["split"] == "train").count()
+    if n == 0:
+        return {"rows": 0, "train_rows": 0, "n_packs": 0}
+    import pyarrow.compute as pc
+    n_train = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("split"), "train")),
+        batch_format="pyarrow").count()
+    max_pack = out.max("pack_id")
     return {"rows": int(n), "train_rows": int(n_train),
-            "n_packs": int(out.max("pack_id") + 1)}
+            "n_packs": int(max_pack + 1) if max_pack is not None else 0}

@@ -76,7 +76,7 @@ def eval_grams(docs, n: int = 8, select_mod: int = 97,
         if not sel.any():
             return pa.table({"h": pa.array([], pa.uint64()),
                              "gram": pa.array([], pa.string())})
-        texts = [b.column("text")[int(i)].as_py() for i in np.flatnonzero(sel)]
+        texts = b.filter(pa.array(sel)).column("text").to_pylist()
         h, offs, toks = _doc_grams(texts, n)
         strs: List[str] = []
         for ti, t in enumerate(toks):
@@ -129,7 +129,7 @@ def decontaminate(docs, n: int = 8, select_mod: int = 97,
         if not out_ids.size:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "contaminated": pa.array([], pa.int64())})
-        texts = [b.column("text")[int(i)].as_py() for i in np.flatnonzero(sel)]
+        texts = b.filter(pa.array(sel)).column("text").to_pylist()
         h, offs, toks = _doc_grams(texts, n)
         hit = np.zeros(out_ids.size, bool)
         if h.size and harr.size:

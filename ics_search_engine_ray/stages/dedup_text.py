@@ -657,3 +657,124 @@ def embedding_dedup(embeds, threshold: float = 0.99, n_bits: int = 12,
     uniq[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
     return [(int(a), int(b), float(c))
             for a, b, c in zip(aa[uniq], bb[uniq], cc[uniq])]
+
+
+# ---------------- exact duplicate-span detection ----------------
+
+# broadcast gate for the duplicated-gram hash set (Lee et al. substring
+# dedup): above this, switch to the documented hash-join path instead of
+# ray.put-ing the set (repo hard rule: size-gated broadcasts)
+_BCAST_DUP_GRAMS = 10_000_000
+
+
+def duplicate_spans(docs, k: int = 8):
+    """EXACT cross-corpus duplicate-span detection (the substring-level
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — token-window variant): every maximal
+    token span covered by k-grams that occur MORE THAN ONCE in the corpus
+    (any doc, any position).
+
+    -> Dataset (doc_id, span_start, span_end): token-index half-open spans,
+    overlapping/touching duplicated windows merged per doc.
+
+    Plan (two streaming passes + one narrow aggregate):
+    1. count pass: per-batch k-gram window hashes (vectorized polynomial
+       kernel, functions/wordhash) pre-aggregated to (hash, count) partials
+       -> native ``groupby(h).sum`` -> hashes with count >= 2. The exchange
+       carries only per-batch-distinct (16 B) hash rows, never text.
+    2. the duplicated-hash set broadcasts (size-gated at
+       ``_BCAST_DUP_GRAMS``; above the gate shuffle windows by hash and
+       semi-join instead); a second scan recomputes window hashes, marks
+       hits via sorted-array ``searchsorted``, and merges hit windows into
+       maximal spans with one vectorized pass (sorted starts; a new span
+       opens where start - prev_start > k).
+
+    Identity is the 64-bit window hash (collision odds ~windows^2 / 2^64 —
+    the same documented assumption as repetition_stats / minhash banding).
+    Tokenization is the SQL-replicable variant; the DuckDB oracle re-derives
+    count-dup grams + gaps-and-islands span merge exactly.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.tokenizer import TOKEN_RE
+    from ..functions.wordhash import batch_shingle_hashes
+
+    def _windows(texts):
+        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1] for x in texts]
+        counts = np.array([len(t) for t in toks], np.int64)
+        h, offs = batch_shingle_hashes([" ".join(t) for t in toks], k)
+        # mask the whole-doc fallback shingles of docs shorter than k
+        n_win = np.where(counts >= k, counts - k + 1, 0)
+        keep = np.repeat(counts >= k, np.diff(offs))
+        return h[keep], np.concatenate(([0], np.cumsum(n_win))), counts
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        # int64 bit-view: Ray's aggregate shuffle cannot carry uint64 keys
+        # above 2^63 (Arrow conversion falls back to pickled objects); the
+        # bit pattern is what identifies a gram, so a consistent int64
+        # ordering on both sides is all searchsorted needs
+        h, _, _ = _windows(b.column("text").to_pylist())
+        if not h.size:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uh, c = np.unique(h.view(np.int64), return_counts=True)
+        return pa.table({"h": pa.array(uh, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("cnt"))
+
+    dup_hashes: List[int] = []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        hv = b.column("h").to_numpy(zero_copy_only=False)
+        cv = b.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        dup_hashes.extend(hv[cv >= 2].tolist())
+        if len(dup_hashes) > _BCAST_DUP_GRAMS:
+            raise ValueError(
+                f"duplicated-gram set exceeds broadcast gate "
+                f"({_BCAST_DUP_GRAMS}); use the hash-join scale path "
+                "(shuffle (doc_id, s, h) windows by h range and semi-join "
+                "per partition)")
+    dup_arr = np.sort(np.array(dup_hashes, np.int64))
+    dup_ref = ray.put(dup_arr)
+
+    def spans(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "span_start": pa.array([], pa.int64()),
+                          "span_end": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        dup = ray.get(dup_ref)
+        if not dup.size:
+            return empty
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h, offs, _ = _windows(b.column("text").to_pylist())
+        if not h.size:
+            return empty
+        h = h.view(np.int64)
+        pos = np.searchsorted(dup, h)
+        pos[pos >= dup.size] = dup.size - 1
+        hit = dup[pos] == h
+        if not hit.any():
+            return empty
+        win_doc = np.repeat(np.arange(ids.size), np.diff(offs))
+        # start index of each window within its doc
+        win_s = np.arange(h.size) - np.repeat(offs[:-1], np.diff(offs))
+        d, s = win_doc[hit], win_s[hit]          # already sorted (d, s)
+        new_span = np.empty(d.size, bool)
+        new_span[0] = True
+        new_span[1:] = (d[1:] != d[:-1]) | ((s[1:] - s[:-1]) > k)
+        span_id = np.cumsum(new_span) - 1
+        starts = s[new_span]
+        ends = np.maximum.reduceat(s, np.flatnonzero(new_span)) + k
+        return pa.table({
+            "doc_id": pa.array(ids[d[new_span]], pa.int64()),
+            "span_start": pa.array(starts, pa.int64()),
+            "span_end": pa.array(ends, pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(spans, batch_format="pyarrow")

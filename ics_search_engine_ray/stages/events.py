@@ -463,3 +463,35 @@ def user_running(events, num_groups: int = None):
             .groupby("_g")
             .map_groups(lambda g: running(g.drop(["_g"])),
                         batch_format="pyarrow"))
+
+
+def latest_per_key(ds, key: str = "user_id", ts_col: str = "ts",
+                   tie_col: str = "event_id", value_cols=("value",)):
+    """Latest-record-per-key compaction (CDC upsert collapse / web-corpus
+    recrawl collapse): one surviving row per key — the row with the
+    lexicographically greatest (ts, tie).
+
+    Classic pre-aggregated combiner: each batch reduces to AT MOST one row
+    per key it contains (one vectorized lexsort + segment-tail gather), so
+    the groupby merge shuffles O(batches x keys-per-batch) rows, never the
+    relation. The merge applies the same reduction per key.
+    """
+
+    cols = [key, ts_col, tie_col, *value_cols]
+
+    def reduce_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        ts = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = b.column(tie_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, k))
+        ks = k[order]
+        last = np.flatnonzero(
+            np.concatenate((ks[1:] != ks[:-1], [True])))
+        return b.take(pa.array(order[last]))
+
+    return ds.select_columns(cols) \
+        .map_batches(reduce_batch, batch_format="pyarrow") \
+        .groupby(key) \
+        .map_groups(reduce_batch, batch_format="pyarrow")

@@ -267,3 +267,59 @@ def test_prepare_corpus_matches_composed_oracle(ray_session, sf_dir):
             pos += nt
         else:
             assert pid == -1 and poff == -1
+
+
+# ---------------- duplicate_spans ----------------
+
+
+def test_duplicate_spans_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.dedup_text import duplicate_spans
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                 for r in duplicate_spans(docs_ds, k=8).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tk FROM '{sf_dir}/documents.parquet'),
+g AS (SELECT doc_id, s, array_to_string(tk[s+1:s+8], ' ') AS gram
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+            WHERE len(tk) >= 8)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+w AS (SELECT doc_id, s FROM g JOIN dup USING (gram)),
+i AS (SELECT doc_id, s,
+        CASE WHEN LAG(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+             OR s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s) > 8
+             THEN 1 ELSE 0 END AS brk FROM w),
+isl AS (SELECT doc_id, s, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+        ROWS UNBOUNDED PRECEDING) AS isl_id FROM i)
+SELECT doc_id, min(s), max(s) + 8
+FROM isl GROUP BY doc_id, isl_id""").fetchall()))
+    assert got == want
+    assert len(got) > 0          # the replicated corpus has real dup spans
+
+
+def test_duplicate_spans_synthetic(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import duplicate_spans
+    shared = " ".join(f"dd{i}" for i in range(10))     # 10-token shared run
+    rows = [
+        {"doc_id": 1, "text": "aa1 aa2 aa3 " + shared + " zz1 zz2"},
+        {"doc_id": 2, "text": "bb1 bb2 " + shared + " yy1"},
+        {"doc_id": 3, "text": " ".join(f"uu{i}" for i in range(20))},  # unique
+        {"doc_id": 4, "text": "cc1 cc2 cc3"},           # < 8 tokens
+    ]
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                 for r in duplicate_spans(rd.from_items(rows), k=8).take_all())
+    # doc 1: shared tokens at positions 3..12 -> windows 3,4,5 -> span [3,13)
+    # doc 2: shared at 2..11 -> windows 2,3,4 -> span [2,12)
+    assert got == [(1, 3, 13), (2, 2, 12)]
+
+
+def test_duplicate_spans_within_doc_repeat(ray_session):
+    """A k-gram repeated WITHIN one doc also counts (count > 1 overall)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import duplicate_spans
+    run = " ".join(f"rr{i}" for i in range(8))
+    rows = [{"doc_id": 1,
+             "text": run + " mid1 mid2 " + run},
+            {"doc_id": 2, "text": " ".join(f"qq{i}" for i in range(12))}]
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                 for r in duplicate_spans(rd.from_items(rows), k=8).take_all())
+    assert got == [(1, 0, 8), (1, 10, 18)]

@@ -211,3 +211,39 @@ def test_pivot_sum_matches_bruteforce(ray_session):
             round(float(vals[(users == u) & (types == t)].sum()), 6)
             for t in ("a", "b", "c"))
         assert out[int(u)] == pytest.approx(want, abs=1e-9)
+
+
+def test_latest_per_key_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import latest_per_key
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    got = sorted((r["user_id"], r["ts"], r["event_id"], r["value"])
+                 for r in latest_per_key(ev).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+SELECT user_id, ts, event_id, value
+FROM (SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM '{sf_dir}/events.parquet')
+WHERE rn = 1""").fetchall()))
+    assert got == want
+
+
+def test_latest_per_key_combiner_tie_break(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import latest_per_key
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([100, 100, 50, 200], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    })
+    # split across 2 blocks so the merge path runs
+    got = sorted((r["user_id"], r["event_id"])
+                 for r in latest_per_key(
+                     rd.from_arrow(t).repartition(2)).take_all())
+    assert got == [(7, 2), (9, 4)]     # ts tie at 100 -> higher event_id

@@ -76,3 +76,59 @@ def test_wand_matches_brute_on_fuzzed_postings(seed):
             acc[d] = acc.get(d, 0.0) + s * qw
     want = sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
     assert [(d, round(s, 9)) for d, s in got] == [(d, round(s, 9)) for d, s in want]
+
+
+# ---------------- corpus-prep kernels (round 3) ----------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                         min_size=0, max_size=30), min_size=1, max_size=12),
+       st.integers(min_value=2, max_value=6))
+def test_doc_grams_match_pure_python(docs_tokens, n):
+    """decontam._doc_grams window hashes == hash-equality of the pure
+    string n-grams: equal windows hash equal, distinct windows distinct
+    (over this 5-token alphabet the 64-bit space makes collisions
+    impossible in practice)."""
+    import numpy as np
+    from ics_search_engine_ray.stages.decontam import _doc_grams
+    texts = [" ".join(t) for t in docs_tokens]
+    h, offs, toks = _doc_grams(texts, n)
+    # offsets shape: one window per n-window of docs with >= n tokens
+    want_counts = [max(len(t) - n + 1, 0) if len(t) >= n else 0
+                   for t in docs_tokens]
+    assert list(np.diff(offs)) == want_counts
+    # build the string windows in the same order
+    strs = []
+    for t in docs_tokens:
+        if len(t) >= n:
+            strs.extend(" ".join(t[i:i + n]) for i in range(len(t) - n + 1))
+    assert len(strs) == h.size
+    by_hash = {}
+    for hv, sv in zip(h.tolist(), strs):
+        by_hash.setdefault(hv, set()).add(sv)
+    assert all(len(v) == 1 for v in by_hash.values())   # no collisions
+    by_str = {}
+    for hv, sv in zip(h.tolist(), strs):
+        by_str.setdefault(sv, set()).add(hv)
+    assert all(len(v) == 1 for v in by_str.values())    # equal -> equal
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=50),
+       st.integers(min_value=1, max_value=64),
+       st.integers(min_value=1, max_value=64))
+def test_chunk_starts_cover_exactly(token_counts, chunk, stride):
+    """The chunk start/length arithmetic used by chunk_tokens covers every
+    token index exactly once per window membership (pure-python model)."""
+    if stride > chunk:
+        stride = chunk
+    for n in token_counts:
+        starts = list(range(0, n, stride))
+        lens = [min(chunk, n - s) for s in starts]
+        assert all(l > 0 for l in lens)
+        covered = set()
+        for s, l in zip(starts, lens):
+            covered.update(range(s, s + l))
+        assert covered == set(range(n))
