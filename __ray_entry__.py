@@ -141,6 +141,15 @@ def _q_duplicate_spans(sf_dir: str):
     return duplicate_spans(_read_docs(sf_dir), k=8)
 
 
+def _q_scrub_duplicate_spans(sf_dir: str):
+    """Conservative substring-dedup scrub (stages/dedup_text.py
+    scrub_duplicate_spans): rewrite each doc with every corpus-duplicated
+    8-gram region removed; same count-pass + gated broadcast as
+    duplicate_spans plus one mask + binary_join per batch."""
+    from ics_search_engine_ray.stages.dedup_text import scrub_duplicate_spans
+    return scrub_duplicate_spans(_read_docs(sf_dir), k=8)
+
+
 def _q_latest_event(sf_dir: str):
     """Latest-record-per-key compaction (stages/events.py latest_per_key):
     CDC upsert collapse / recrawl collapse — per-batch argmax combiner (at
@@ -1062,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
         "duplicate_spans": _q_duplicate_spans,    # substring-level dedup
+        "scrub_duplicate_spans": _q_scrub_duplicate_spans,  # span scrub
     }
 
 
@@ -1659,6 +1669,26 @@ isl AS (SELECT doc_id, s, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
 SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
        CAST(max(s) + 8 AS BIGINT) AS span_end
 FROM isl GROUP BY doc_id, isl_id""",
+        "scrub_duplicate_spans": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+g AS (SELECT doc_id, s, array_to_string(tk[s+1:s+8], ' ') AS gram
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+            WHERE len(tk) >= 8)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+w AS (SELECT doc_id, s FROM g JOIN dup USING (gram)),
+cover AS (SELECT DISTINCT doc_id, s + j AS p FROM w, range(0, 8) t(j)),
+pos AS (SELECT doc_id, p, tk[CAST(p AS INT) + 1] AS tok
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM toks)),
+kept AS (SELECT pos.doc_id,
+                string_agg(pos.tok, ' ' ORDER BY pos.p) AS text_clean,
+                count(*) AS n_kept
+         FROM pos LEFT JOIN cover c
+           ON pos.doc_id = c.doc_id AND pos.p = c.p
+         WHERE c.doc_id IS NULL GROUP BY pos.doc_id)
+SELECT t.doc_id, COALESCE(k.text_clean, '') AS text_clean,
+       CAST(len(t.tk) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id""",
         "latest_event": """
 SELECT user_id, ts, event_id, value
 FROM (SELECT user_id, ts, event_id, value,

@@ -778,3 +778,104 @@ def duplicate_spans(docs, k: int = 8):
 
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(spans, batch_format="pyarrow")
+
+
+def scrub_duplicate_spans(docs, k: int = 8):
+    """Rewrite each doc with its duplicated spans REMOVED (the scrub policy
+    that drops every corpus-duplicated k-gram region; Lee et al.'s
+    keep-one-occurrence variant needs a canonical-occurrence choice and is
+    deliberately out of scope — this is the conservative filter used when
+    any duplication is treated as boilerplate).
+
+    -> (doc_id, text_clean, n_removed): tokens inside any duplicated span
+    dropped, survivors re-joined with single spaces; n_removed = dropped
+    token count. Same two-pass plan and broadcast gate as
+    ``duplicate_spans``; the scrub adds one boolean mask + one Arrow
+    ``binary_join`` per batch.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.tokenizer import TOKEN_RE
+    from ..functions.wordhash import batch_shingle_hashes
+
+    def _windows(texts):
+        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1] for x in texts]
+        counts = np.array([len(t) for t in toks], np.int64)
+        h, offs = batch_shingle_hashes([" ".join(t) for t in toks], k)
+        n_win = np.where(counts >= k, counts - k + 1, 0)
+        keep = np.repeat(counts >= k, np.diff(offs))
+        return (h[keep].view(np.int64),
+                np.concatenate(([0], np.cumsum(n_win))), toks, counts)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        h, _, _, _ = _windows(b.column("text").to_pylist())
+        if not h.size:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uh, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uh, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts_ds = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("cnt"))
+    dup_hashes: List[int] = []
+    for b in counts_ds.iter_batches(batch_format="pyarrow"):
+        hv = b.column("h").to_numpy(zero_copy_only=False)
+        cv = b.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        dup_hashes.extend(hv[cv >= 2].tolist())
+        if len(dup_hashes) > _BCAST_DUP_GRAMS:
+            raise ValueError(
+                f"duplicated-gram set exceeds broadcast gate "
+                f"({_BCAST_DUP_GRAMS}); use the hash-join scale path")
+    dup_ref = ray.put(np.sort(np.array(dup_hashes, np.int64)))
+
+    def scrub(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text_clean": pa.array([], pa.string()),
+                          "n_removed": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        dup = ray.get(dup_ref)
+        ids = b.column("doc_id")
+        h, offs, toks, counts = _windows(b.column("text").to_pylist())
+        flat_n = int(counts.sum())
+        drop = np.zeros(flat_n, bool)            # per flat-token drop mask
+        tok_starts = np.concatenate(([0], np.cumsum(counts)))
+        if h.size and dup.size:
+            pos = np.searchsorted(dup, h)
+            pos[pos >= dup.size] = dup.size - 1
+            hit = np.flatnonzero(dup[pos] == h)
+            if hit.size:
+                win_doc = np.repeat(np.arange(counts.size),
+                                    np.diff(offs))[hit]
+                win_s = (hit - offs[win_doc]) + tok_starts[win_doc]
+                # mark k tokens per hit window (overlaps OR together)
+                for d in range(k):
+                    drop[win_s + d] = True
+        keep = ~drop
+        flat = pa.array([t for ts in toks for t in ts], pa.string())
+        if flat_n:
+            # clip trailing empty-doc starts (== flat_n) into range; their
+            # bogus reduceat value is overwritten by the counts==0 reset
+            seg = np.minimum(tok_starts[:-1], flat_n - 1)
+            kept_per_doc = np.add.reduceat(keep.astype(np.int64), seg)
+        else:
+            kept_per_doc = np.zeros(counts.size, np.int64)
+        kept_per_doc[counts == 0] = 0
+        offs_out = pa.array(np.concatenate(([0], np.cumsum(kept_per_doc))),
+                            pa.int32())
+        lists = pa.ListArray.from_arrays(
+            offs_out, flat.filter(pa.array(keep)))
+        return pa.table({
+            "doc_id": ids,
+            "text_clean": pc.binary_join(lists, " "),
+            "n_removed": pa.array((counts - kept_per_doc).astype(np.int64),
+                                  pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(scrub, batch_format="pyarrow")

@@ -323,3 +323,47 @@ def test_duplicate_spans_within_doc_repeat(ray_session):
     got = sorted((r["doc_id"], r["span_start"], r["span_end"])
                  for r in duplicate_spans(rd.from_items(rows), k=8).take_all())
     assert got == [(1, 0, 8), (1, 10, 18)]
+
+
+def test_scrub_duplicate_spans_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.dedup_text import scrub_duplicate_spans
+    got = sorted((r["doc_id"], r["text_clean"], r["n_removed"])
+                 for r in scrub_duplicate_spans(docs_ds, k=8).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, {TOK} AS tk FROM '{sf_dir}/documents.parquet'),
+g AS (SELECT doc_id, s, array_to_string(tk[s+1:s+8], ' ') AS gram
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS s FROM toks
+            WHERE len(tk) >= 8)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+w AS (SELECT doc_id, s FROM g JOIN dup USING (gram)),
+cover AS (SELECT DISTINCT doc_id, s + j AS p FROM w, range(0, 8) t(j)),
+pos AS (SELECT doc_id, p, tk[CAST(p AS INT) + 1] AS tok
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM toks)),
+kept AS (SELECT pos.doc_id,
+                string_agg(pos.tok, ' ' ORDER BY pos.p) AS text_clean,
+                count(*) AS n_kept
+         FROM pos LEFT JOIN cover c
+           ON pos.doc_id = c.doc_id AND pos.p = c.p
+         WHERE c.doc_id IS NULL GROUP BY pos.doc_id)
+SELECT t.doc_id, COALESCE(k.text_clean, ''), len(t.tk) - COALESCE(k.n_kept, 0)
+FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id""").fetchall()))
+    assert got == want
+    assert any(r[2] > 0 for r in got)   # replicated corpus has real scrubs
+
+
+def test_scrub_duplicate_spans_synthetic(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import scrub_duplicate_spans
+    shared = " ".join(f"dd{i}" for i in range(9))
+    rows = [
+        {"doc_id": 1, "text": "aa1 aa2 " + shared + " zz1"},
+        {"doc_id": 2, "text": shared},
+        {"doc_id": 3, "text": "keep1 keep2 keep3"},
+        {"doc_id": 4, "text": ""},
+    ]
+    got = {r["doc_id"]: r for r in scrub_duplicate_spans(
+        rd.from_items(rows), k=8).take_all()}
+    assert got[1]["text_clean"] == "aa1 aa2 zz1" and got[1]["n_removed"] == 9
+    assert got[2]["text_clean"] == "" and got[2]["n_removed"] == 9
+    assert got[3]["text_clean"] == "keep1 keep2 keep3"
+    assert got[4]["text_clean"] == "" and got[4]["n_removed"] == 0
