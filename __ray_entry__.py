@@ -182,6 +182,44 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_read_docs(sf_dir))
 
 
+def _q_bigram_counts(sf_dir: str):
+    """Corpus bigram counts (text_analysis.py bigram_counts): per-batch
+    hash-combined partial counts (flat_word_hashes + np.unique, no
+    per-pair Python) -> native two-key groupby Sum -> min_count filter."""
+    from ics_search_engine_ray.stages.text_analysis import bigram_counts
+    return bigram_counts(_read_docs(sf_dir), min_count=5)
+
+
+def _q_normalize_text(sf_dir: str):
+    """Canonical text normalization (text_analysis.py normalize_text):
+    lowercase, len>1 [a-z0-9]+ tokens, stopwords dropped, single-space
+    re-join — embarrassingly parallel, exact SQL oracle."""
+    from ics_search_engine_ray.stages.text_analysis import normalize_text
+    return normalize_text(_read_docs(sf_dir))
+
+
+def _q_balance_sources(sf_dir: str):
+    """Deterministic inverse-frequency source balancing (text_analysis.py
+    balance_sources): tiny groupby count broadcast + integer-exact Weyl
+    hash-threshold filter, bit-identical to the SQL oracle."""
+    from ics_search_engine_ray.stages.text_analysis import balance_sources
+    return balance_sources(_read_docs(sf_dir, columns=("doc_id", "source")),
+                           seed=7)
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table
+    (similarity.py kmeans_fit / kmeans_assign): per-iteration streaming
+    assignment pass with per-batch (count, sum-vector) combiners — raw
+    vectors never shuffle. Iterative, so no SQL oracle; pytest pins
+    equality against a local numpy Lloyd's on the same init."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.similarity import kmeans_assign
+    embeds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+    return kmeans_assign(embeds, k=8, iters=10)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/decontam.py): flag every non-eval
     doc sharing an 8-token n-gram with the eval slice (doc_id % 97 == 1);
@@ -1068,6 +1106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assign": _q_pack_assign,            # concat-and-chunk packing
         "user_running": _q_user_running,          # SUM OVER/row_number/LAG
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
+        "bigram_counts": _q_bigram_counts,        # n-gram LM counts
+        "normalize_text": _q_normalize_text,      # canonical normalization
+        "balance_sources": _q_balance_sources,    # inverse-freq resampling
+        "kmeans_clusters": _q_kmeans_clusters,    # distributed Lloyd's
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
         "duplicate_spans": _q_duplicate_spans,    # substring-level dedup
@@ -1696,6 +1738,25 @@ FROM (SELECT user_id, ts, event_id, value,
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1""",
+        "bigram_counts": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),
+big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        FROM toks WHERE len(l) >= 2)
+SELECT z[1] AS a, z[2] AS b, count(*) AS n
+FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "normalize_text": f"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1
+              AND x NOT IN ({stop_list})) AS tk FROM documents)
+SELECT doc_id, array_to_string(tk, ' ') AS norm_text,
+       CAST(len(tk) AS BIGINT) AS n_kept FROM toks""",
+        "balance_sources": """
+WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+mn AS (SELECT min(c) AS m FROM cnt),
+thr AS (SELECT source, (m * 4294967296) // c AS t FROM cnt CROSS JOIN mn)
+SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+WHERE ((d.doc_id + 7) * 2654435761) % 4294967296 < thr.t""",
         "repetition_stats": """
 WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
               '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),

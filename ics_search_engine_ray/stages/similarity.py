@@ -456,6 +456,83 @@ def _cosine_pairs_tiled(embeds, threshold: float, n_total: int,
     return sorted(out)
 
 
+def kmeans_fit(embeds, k: int = 8, iters: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Fully DISTRIBUTED spherical k-means (Lloyd's) over the whole
+    corpus — unlike :func:`_kmeans` (driver-side, sample-trained for IVF),
+    every iteration here is one streaming Dataset pass:
+
+    - centroids (k x dim, tiny) broadcast via the closure each round;
+    - each batch does ONE cosine-assignment matmul, then a sort+reduceat
+      (count, sum-vector) combiner per centroid — only O(batches x k)
+      partial rows reach the driver merge, raw vectors never shuffle and
+      the dataset never materializes (at scale each pass re-reads from
+      storage, the standard scale path for iterative refinement);
+    - empty clusters retain their previous centroid; centroids
+      renormalize each round (spherical variant).
+
+    Deterministic: init = first k rows in dataset order, fixed iteration
+    count. Returns the (k x dim) centroid matrix.
+    """
+    init_rows = embeds.limit(k).take_all()
+    if not init_rows:
+        return np.empty((0, 0), np.float64)
+    cent = _normalize(np.array([r[vec_col] for r in init_rows],
+                               dtype=np.float64).reshape(len(init_rows), -1))
+    src = embeds.select_columns([vec_col])
+
+    for _ in range(iters):
+        cm = cent  # captured by value in the closure; k x dim, tiny
+
+        def partial(b: pa.Table, cm=cm) -> pa.Table:
+            kk, dim = cm.shape
+            if b.num_rows == 0:
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64()))})
+            vecs = _list_col_np(b.column(vec_col))
+            vn = _normalize(vecs)
+            assign = np.argmax(vn @ cm.T, axis=1).astype(np.int64)
+            order = np.argsort(assign, kind="stable")
+            a, m = assign[order], vecs[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], a[1:] != a[:-1])))
+            sums = np.add.reduceat(m, starts, axis=0)
+            cnts = np.diff(np.append(starts, a.size))
+            return pa.table({
+                "cluster": pa.array(a[starts], pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64()))})
+
+        rows = src.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(cent.shape[0], np.int64)
+        for r in rows:
+            c = int(r["cluster"])
+            sums[c] += np.asarray(r["vsum"], np.float64)
+            cnts[c] += int(r["cnt"])
+        new = cent.copy()
+        nonempty = cnts > 0
+        new[nonempty] = sums[nonempty] / cnts[nonempty, None]
+        cent = _normalize(new)
+    return cent
+
+
+def kmeans_assign(embeds, k: int = 8, iters: int = 10,
+                  vec_col: str = "embedding", id_col: str = "vec_id"):
+    """-> (vec_id, cluster): :func:`kmeans_fit` then one assignment pass
+    (``ivf_assign``), renamed for the training-data clustering surface."""
+    cent = kmeans_fit(embeds, k=k, iters=iters, vec_col=vec_col,
+                      id_col=id_col)
+
+    out = ivf_assign(embeds.select_columns([id_col, vec_col]), cent)
+    return out.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col).cast(pa.int64()),
+                            "cluster": b.column("list_id").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def label_centroids(embeds, label_col: str = "label",
                     vec_col: str = "embedding", round_dp: int = 6):
     """Per-label mean vector (class prototypes for nearest-centroid

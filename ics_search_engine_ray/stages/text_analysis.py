@@ -592,3 +592,141 @@ def repetition_stats(docs):
 
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------- corpus n-gram (bigram) counts ----------------
+
+
+def bigram_counts(docs, min_count: int = 5):
+    """Corpus-wide adjacent-bigram counts over the SQL-replicable token
+    stream -> (a, b, n) for bigrams occurring >= ``min_count`` times —
+    the n-gram-LM estimation / collocation-mining staple.
+
+    Partial-aggregate shuffle: each batch pre-counts its own bigrams
+    (one ``flat_word_hashes`` pass + one ``np.unique`` over combined
+    64-bit pair hashes — no per-pair Python, same collision argument as
+    :func:`repetition_stats`), so only (distinct-bigram, partial-count)
+    rows enter the native two-key groupby Sum. At corpus scale the
+    shuffled relation is bounded by per-batch distinct bigrams, not
+    token volume; ``min_count`` filters AFTER the global sum (exact).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.wordhash import flat_word_hashes
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1] for x in b.column("text").to_pylist()]
+        counts = np.array([len(t) for t in toks], np.int64)
+        flat = np.asarray([w for ts in toks for w in ts], object)
+        if flat.size < 2:
+            return empty
+        did = np.repeat(np.arange(counts.size), counts)
+        li = np.flatnonzero(did[:-1] == did[1:])
+        if not li.size:
+            return empty
+        wh = flat_word_hashes(list(flat))
+        with np.errstate(over="ignore"):
+            h = wh[li] * np.uint64(0x100000001B3) + wh[li + 1]
+        uniq, idx, cnt = np.unique(h, return_index=True,
+                                   return_counts=True)
+        return pa.table({
+            "a": pa.array(flat[li[idx]], pa.string()),
+            "b": pa.array(flat[li[idx] + 1], pa.string()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    summed = docs.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("c", alias_name="n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = b.filter(pc.greater_equal(b.column("n"), min_count))
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "n": t.column("n").cast(pa.int64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------- text normalization ----------------
+
+
+def normalize_text(docs, drop_stopwords: bool = True):
+    """Training-corpus text normalization -> (doc_id, norm_text,
+    n_kept): lowercase, keep [a-z0-9]+ runs of length > 1, optionally
+    drop stopwords, re-join with single spaces. The canonical form fed
+    to tokenizer-training / hashing stages; embarrassingly parallel
+    (one regex pass per row, no shuffle), SQL-replicable exactly
+    (regexp_extract_all + list_filter + array_to_string).
+    """
+    stop = frozenset(STOP_WORDS) if drop_stopwords else frozenset()
+
+    def norm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "norm_text": pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64())})
+        texts = b.column("text").to_pylist()
+        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1 and t not in stop] for x in texts]
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "norm_text": pa.array([" ".join(t) for t in toks],
+                                  pa.string()),
+            "n_kept": pa.array([len(t) for t in toks], pa.int64())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(norm, batch_format="pyarrow")
+
+
+# ---------------- source-balanced resampling ----------------
+
+
+def balance_sources(docs, seed: int = 7, id_col: str = "doc_id",
+                    group_col: str = "source"):
+    """Deterministic inverse-frequency downsampling so every ``source``
+    contributes ~equally (the multilingual/temperature-resampling
+    primitive, alpha -> 0 limit): keep a row iff
+
+        weyl_hash(id, seed) < (2^32 * min_group_count) // group_count
+
+    Pass 1 is a tiny native groupby count (one row per source) whose
+    result broadcasts as a dict — never O(corpus) driver state. Pass 2
+    is a vectorized hash-threshold filter, so the sample is stable
+    under corpus growth per (id, seed) and EXACT in integer arithmetic:
+    the threshold is computed with int64 // (no float rounding), making
+    the DuckDB oracle bit-identical. -> (doc_id, source).
+    """
+    from ..stages.splits import weyl_hash
+
+    counts = {r[group_col]: r["count()"]
+              for r in docs.groupby(group_col).count().take_all()}
+    if not counts:
+        return docs.select_columns([id_col, group_col])
+    mn = min(counts.values())
+    thr = {g: (mn << 32) // c for g, c in counts.items()}
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             group_col: pa.array([], pa.string())})
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        grp = b.column(group_col).to_pylist()
+        h = weyl_hash(ids, seed)
+        lim = np.fromiter((thr[g] for g in grp), np.int64, len(grp))
+        mask = h < lim
+        return pa.table({
+            id_col: pa.array(ids[mask].astype(np.int64), pa.int64()),
+            group_col: pa.array(np.asarray(grp, object)[mask],
+                                pa.string())})
+
+    return docs.select_columns([id_col, group_col]) \
+        .map_batches(keep, batch_format="pyarrow")

@@ -520,3 +520,110 @@ def test_association_pairs_matches_bruteforce(ray_session):
     want = sorted((a, b, n, round(n * nd / (dfc[a] * dfc[b]), 6))
                   for (a, b), n in pc.items() if n >= mc)
     assert got == want
+
+
+def test_bigram_counts_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.text_analysis import bigram_counts
+    got = sorted((r["a"], r["b"], r["n"])
+                 for r in bigram_counts(docs_ds, min_count=5).take_all())
+    want = sorted(duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l
+              FROM '{sf_dir}/documents.parquet'),
+big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        FROM toks WHERE len(l) >= 2)
+SELECT z[1], z[2], count(*) FROM big GROUP BY 1, 2
+HAVING count(*) >= 5""").fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_bigram_counts_boundaries(ray_session):
+    """Bigrams never cross document boundaries; single-token and empty
+    docs emit none; min_count filter is exact."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import bigram_counts
+    rows = (["aa bb"] * 3) + ["bb", "", "aa", "x aa bb"]  # x dropped (len 1)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array(rows, pa.string())})).repartition(3)
+    got = sorted((r["a"], r["b"], r["n"])
+                 for r in bigram_counts(ds, min_count=2).take_all())
+    assert got == [("aa", "bb", 4)]
+
+
+def test_normalize_text_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.config import STOP_WORDS
+    from ics_search_engine_ray.stages.text_analysis import normalize_text
+    got = sorted((r["doc_id"], r["norm_text"], r["n_kept"])
+                 for r in normalize_text(docs_ds).take_all())
+    stop = ", ".join("'" + w.replace("'", "''") + "'"
+                     for w in sorted(STOP_WORDS))
+    want = sorted(duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1 AND x NOT IN ({stop})) AS tk
+              FROM '{sf_dir}/documents.parquet')
+SELECT doc_id, array_to_string(tk, ' '), CAST(len(tk) AS BIGINT)
+FROM toks""").fetchall())
+    assert got == want
+
+
+def test_balance_sources_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import balance_sources
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    got = sorted((r["doc_id"], r["source"])
+                 for r in balance_sources(ds, seed=7).take_all())
+    want = sorted(duckdb.sql(f"""
+WITH cnt AS (SELECT source, count(*) AS c
+             FROM '{sf_dir}/documents.parquet' GROUP BY source),
+mn AS (SELECT min(c) AS m FROM cnt),
+thr AS (SELECT source, (m * 4294967296) // c AS t FROM cnt CROSS JOIN mn)
+SELECT d.doc_id, d.source FROM '{sf_dir}/documents.parquet' d
+JOIN thr USING (source)
+WHERE ((d.doc_id + 7) * 2654435761) % 4294967296 < thr.t""").fetchall())
+    assert got == want and 0 < len(got)
+
+
+def test_balance_sources_equalizes(ray_session):
+    """A 10x-overrepresented source downsamples to ~ the smallest."""
+    import ray.data as rd
+    from collections import Counter
+    from ics_search_engine_ray.stages.text_analysis import balance_sources
+    n_small, n_big = 200, 2000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n_small + n_big), pa.int64()),
+        "source": pa.array(["s"] * n_small + ["b"] * n_big, pa.string()),
+    })).repartition(4)
+    kept = Counter(r["source"] for r in balance_sources(ds).take_all())
+    assert kept["s"] == n_small                       # smallest: keep all... almost
+    assert abs(kept["b"] - n_small) < 4 * np.sqrt(n_small)
+
+
+def test_kmeans_matches_local_lloyds(emb_ds):
+    from ics_search_engine_ray.stages.similarity import (
+        kmeans_assign, kmeans_fit, _normalize)
+    k, iters = 4, 6
+    rows = emb_ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    mat = np.array([r["embedding"] for r in rows], np.float64)
+
+    cent = _normalize(mat[:k].copy())
+    for _ in range(iters):
+        assign = np.argmax(_normalize(mat) @ cent.T, axis=1)
+        new = cent.copy()
+        for c in range(k):
+            m = mat[assign == c]
+            if m.shape[0]:
+                new[c] = m.mean(axis=0)
+        cent = _normalize(new)
+
+    got_cent = kmeans_fit(emb_ds, k=k, iters=iters)
+    assert np.allclose(got_cent, cent, atol=1e-9)
+
+    want_assign = dict(zip(ids.tolist(),
+                           np.argmax(_normalize(mat) @ cent.T,
+                                     axis=1).tolist()))
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(emb_ds, k=k, iters=iters).take_all()}
+    assert got == want_assign
