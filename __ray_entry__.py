@@ -207,6 +207,14 @@ def _q_balance_sources(sf_dir: str):
                            seed=7)
 
 
+def _q_trigram_counts(sf_dir: str):
+    """Corpus trigram counts (text_analysis.py ngram_counts, n=3): the
+    vectorized shingle-hash kernel pre-counts per batch; gram strings
+    materialize once per distinct gram, then a native groupby Sum."""
+    from ics_search_engine_ray.stages.text_analysis import ngram_counts
+    return ngram_counts(_read_docs(sf_dir), n=3, min_count=5)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table
     (similarity.py kmeans_fit / kmeans_assign): per-iteration streaming
@@ -217,7 +225,7 @@ def _q_kmeans_clusters(sf_dir: str):
     from ics_search_engine_ray.stages.similarity import kmeans_assign
     embeds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                              columns=["vec_id", "embedding"])
-    return kmeans_assign(embeds, k=8, iters=10)
+    return kmeans_assign(embeds, k=8, iters=6)
 
 
 def _q_decontaminate(sf_dir: str):
@@ -1107,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running": _q_user_running,          # SUM OVER/row_number/LAG
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "bigram_counts": _q_bigram_counts,        # n-gram LM counts
+        "trigram_counts": _q_trigram_counts,      # shingle-kernel n-grams
         "normalize_text": _q_normalize_text,      # canonical normalization
         "balance_sources": _q_balance_sources,    # inverse-freq resampling
         "kmeans_clusters": _q_kmeans_clusters,    # distributed Lloyd's
@@ -1745,6 +1754,13 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "trigram_counts": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),
+g AS (SELECT unnest(list_transform(range(1, len(l) - 1),
+      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+      FROM toks WHERE len(l) >= 3)
+SELECT gram, count(*) AS n FROM g GROUP BY gram HAVING count(*) >= 5""",
         "normalize_text": f"""
 WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
               '[a-z0-9]+'), x -> length(x) > 1

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -112,6 +113,76 @@ def cmd_merge(args) -> int:
                       "postings": sum(r["num_postings"] for r in man["partitions"]),
                       "build_secs": round(man["build_secs"], 2)}))
     ray.shutdown()
+    return 0
+
+
+def cmd_update(args) -> int:
+    """Incremental update: index ONLY the new pages (full extract/tokenize/
+    dedup on the delta alone), then k-way merge with the existing index —
+    global BM25 stats recompute exactly for the union, so the result is
+    rank-identical to a scratch rebuild (test_merge_equals_scratch_build)
+    at the cost of reindexing just the delta's segments."""
+    _ray_up(args.num_cpus)
+    import ray
+    import shutil
+    import tempfile
+    from ..config import DEFAULT_CONFIG
+    from .build import build_index
+    from .merge import merge_indexes
+
+    delta_dir = tempfile.mkdtemp(prefix="icser_delta_")
+    try:
+        res = build_index(args.pages, delta_dir, DEFAULT_CONFIG,
+                          resume=False)
+        man = merge_indexes([args.index, delta_dir], args.out,
+                            near_dedup=not args.no_dedup)
+    finally:
+        shutil.rmtree(delta_dir, ignore_errors=True)
+    print(json.dumps({
+        "delta_docs": res.num_docs,
+        "num_docs": man["num_docs"],
+        "dropped": man["num_dropped"],
+        "postings": sum(r["num_postings"] for r in man["partitions"]),
+        "build_secs": round(res.build_secs + man["build_secs"], 2)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_vbuild(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray
+    import ray.data as rd
+    from .vector import build_vector_index
+
+    embeds = rd.read_parquet(args.embeddings,
+                             columns=["vec_id", "embedding"])
+    man = build_vector_index(embeds, args.out, n_lists=args.lists,
+                             iters=args.iters)
+    print(json.dumps(man))
+    ray.shutdown()
+    return 0
+
+
+def cmd_vquery(args) -> int:
+    # serving path: no Ray session needed (like `query` without --actors)
+    from .vector import VectorIndex
+
+    vi = VectorIndex(args.index)
+    if args.vec_id is not None:
+        import pyarrow.dataset as pds
+        t = pds.dataset(os.path.join(args.index, "vectors"),
+                        partitioning="hive").to_table(
+            columns=["vec_id", "embedding"])
+        idx = t.column("vec_id").to_pylist().index(args.vec_id)
+        q = t.column("embedding")[idx].as_py()
+    else:
+        q = json.loads(args.vector)
+    t0 = time.time()
+    res = vi.search(q, k=args.k, n_probe=args.probe)
+    secs = time.time() - t0
+    print(json.dumps({"results": [{"vec_id": v, "cos": round(c, 6)}
+                                  for v, c in res],
+                      "secs": round(secs, 5)}))
     return 0
 
 
@@ -219,6 +290,35 @@ def main(argv=None) -> int:
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.add_argument("indexes", nargs="+", help="source index dirs")
     mg.set_defaults(fn=cmd_merge)
+
+    up = sub.add_parser("update", help="incremental update: index new pages "
+                                       "and merge into an existing index")
+    up.add_argument("--index", required=True, help="existing index dir")
+    up.add_argument("--pages", required=True, help="NEW pages parquet dir")
+    up.add_argument("--out", required=True)
+    up.add_argument("--no-dedup", action="store_true",
+                    help="skip cross-corpus near-duplicate removal")
+    up.add_argument("--num-cpus", type=int, default=None)
+    up.set_defaults(fn=cmd_update)
+
+    vb = sub.add_parser("vbuild", help="build a persistable IVF vector "
+                                       "index from an embeddings parquet")
+    vb.add_argument("--embeddings", required=True)
+    vb.add_argument("--out", required=True)
+    vb.add_argument("--lists", type=int, default=32)
+    vb.add_argument("--iters", type=int, default=8)
+    vb.add_argument("--num-cpus", type=int, default=None)
+    vb.set_defaults(fn=cmd_vbuild)
+
+    vq = sub.add_parser("vquery", help="cosine top-k from a built vector "
+                                       "index (no Ray session)")
+    vq.add_argument("--index", required=True)
+    vq.add_argument("--vector", help="JSON float list query vector")
+    vq.add_argument("--vec-id", type=int, default=None,
+                    help="use this corpus vector as the query")
+    vq.add_argument("-k", type=int, default=10)
+    vq.add_argument("--probe", type=int, default=8)
+    vq.set_defaults(fn=cmd_vquery)
 
     m = sub.add_parser("migrate", help="convert a reference full_analytics/ "
                                        "JSON index into this engine's format")

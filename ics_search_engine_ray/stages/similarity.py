@@ -480,6 +480,11 @@ def kmeans_fit(embeds, k: int = 8, iters: int = 10,
     cent = _normalize(np.array([r[vec_col] for r in init_rows],
                                dtype=np.float64).reshape(len(init_rows), -1))
     src = embeds.select_columns([vec_col])
+    # pin small corpora in the object store once instead of re-reading
+    # parquet every iteration; above the gate, streaming re-read per pass
+    # is the scale path (object-store memory stays O(1) in iterations)
+    if src.count() <= _BCAST_VEC_ROWS:
+        src = src.materialize()
 
     for _ in range(iters):
         cm = cent  # captured by value in the closure; k x dim, tiny

@@ -656,6 +656,65 @@ def bigram_counts(docs, min_count: int = 5):
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+def ngram_counts(docs, n: int = 3, min_count: int = 5):
+    """Corpus-wide n-token-gram counts -> (gram, n) for grams occurring
+    >= ``min_count`` times; generalizes :func:`bigram_counts` to any n
+    via the shared vectorized shingle-hash kernel
+    (``functions/wordhash.batch_shingle_hashes`` — the MinHash kernel),
+    so the per-batch cost is one token pass + k shifted multiply-adds.
+    Same shape at scale: only (distinct-gram, partial-count) rows enter
+    the native groupby Sum; gram strings materialize once per DISTINCT
+    gram per batch, never per occurrence.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.wordhash import batch_shingle_hashes
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1] for x in b.column("text").to_pylist()]
+        counts = np.array([len(t) for t in toks], np.int64)
+        th, offs = batch_shingle_hashes([" ".join(t) for t in toks], n)
+        if not th.size:
+            return empty
+        n_sh = np.diff(offs)
+        t_did = np.repeat(np.arange(counts.size), n_sh)
+        # drop the whole-doc fallback shingles docs with 0 < w < n emit
+        keep = counts[t_did] >= n
+        if not keep.any():
+            return empty
+        within = (np.arange(t_did.size)
+                  - np.repeat(offs[:-1], n_sh))[keep]
+        word_starts = np.concatenate(([0], np.cumsum(counts)))
+        starts_flat = word_starts[t_did[keep]] + within
+        th = th[keep]
+        uniq, idx, cnt = np.unique(th, return_index=True,
+                                   return_counts=True)
+        flat = [w for ts in toks for w in ts]
+        grams = [" ".join(flat[s:s + n])
+                 for s in starts_flat[idx].tolist()]
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    summed = docs.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("c", alias_name="n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = b.filter(pc.greater_equal(b.column("n"), min_count))
+        return pa.table({"gram": t.column("gram"),
+                         "n": t.column("n").cast(pa.int64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------- text normalization ----------------
 
 

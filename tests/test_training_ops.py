@@ -627,3 +627,39 @@ def test_kmeans_matches_local_lloyds(emb_ds):
     got = {r["vec_id"]: r["cluster"]
            for r in kmeans_assign(emb_ds, k=k, iters=iters).take_all()}
     assert got == want_assign
+
+
+def test_ngram_counts_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.text_analysis import ngram_counts
+    got = sorted((r["gram"], r["n"])
+                 for r in ngram_counts(docs_ds, n=3, min_count=5).take_all())
+    want = sorted(duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l
+              FROM '{sf_dir}/documents.parquet'),
+g AS (SELECT unnest(list_transform(range(1, len(l) - 1),
+      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+      FROM toks WHERE len(l) >= 3)
+SELECT gram, count(*) FROM g GROUP BY gram
+HAVING count(*) >= 5""").fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_ngram_counts_short_docs_and_bigram_parity(ray_session):
+    """Docs shorter than n emit nothing (no whole-doc fallback leaks);
+    n=2 agrees with bigram_counts exactly."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import (
+        bigram_counts, ngram_counts)
+    rows = (["aa bb cc"] * 3) + ["aa bb", "cc", "", "dd aa bb cc dd"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array(rows, pa.string())})).repartition(3)
+    got3 = sorted((r["gram"], r["n"])
+                  for r in ngram_counts(ds, n=3, min_count=2).take_all())
+    assert got3 == [("aa bb cc", 4)]
+    got2 = sorted((r["gram"], r["n"])
+                  for r in ngram_counts(ds, n=2, min_count=1).take_all())
+    want2 = sorted((f'{r["a"]} {r["b"]}', r["n"])
+                   for r in bigram_counts(ds, min_count=1).take_all())
+    assert got2 == want2

@@ -1,0 +1,84 @@
+"""Persistable IVF vector index (pipelines/vector.py): exact parity with
+brute force at n_probe = n_lists, recall at partial probe, partition
+pruning in the layout, rebuild-over-existing safety."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session, sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def built(emb_ds, tmp_path_factory):
+    from ics_search_engine_ray.pipelines.vector import build_vector_index
+    out = str(tmp_path_factory.mktemp("vidx") / "idx")
+    man = build_vector_index(emb_ds, out, n_lists=8, iters=4)
+    return out, man
+
+
+def test_build_layout_and_manifest(built, emb_ds):
+    out, man = built
+    assert man["n_lists"] == 8
+    assert man["num_vectors"] == emb_ds.count()
+    parts = sorted(glob.glob(os.path.join(out, "vectors", "list_id=*")))
+    assert 1 <= len(parts) <= 8
+    # every vector is in exactly one list
+    import pyarrow.dataset as pds
+    t = pds.dataset(os.path.join(out, "vectors"),
+                    partitioning="hive").to_table(columns=["vec_id"])
+    assert sorted(t.column("vec_id").to_pylist()) == sorted(
+        r["vec_id"] for r in emb_ds.take_all())
+
+
+def test_full_probe_equals_brute(built, emb_ds):
+    from ics_search_engine_ray.pipelines.vector import VectorIndex
+    from ics_search_engine_ray.stages.similarity import knn_brute
+    out, man = built
+    vi = VectorIndex(out)
+    rows = emb_ds.take_all()
+    for r in rows[:5]:
+        q = np.asarray(r["embedding"], np.float64)
+        got = vi.search(q, k=10, n_probe=man["n_lists"])
+        want = knn_brute(emb_ds, q[None, :], k=10)[0]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_partial_probe_recall_and_pruning(built, emb_ds):
+    from ics_search_engine_ray.pipelines.vector import VectorIndex
+    from ics_search_engine_ray.stages.similarity import knn_brute
+    out, man = built
+    vi = VectorIndex(out)
+    rows = emb_ds.take_all()
+    hits = total = 0
+    for r in rows[:10]:
+        q = np.asarray(r["embedding"], np.float64)
+        got = {v for v, _ in vi.search(q, k=10, n_probe=4)}
+        want = {v for v, _ in knn_brute(emb_ds, q[None, :], k=10)[0]}
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.5          # half the lists probed
+    # the query vector itself always comes back first at its own list
+    q0 = np.asarray(rows[0]["embedding"], np.float64)
+    top = vi.search(q0, k=1, n_probe=1)
+    assert top and top[0][0] == rows[0]["vec_id"]
+
+
+def test_rebuild_does_not_append(built, emb_ds):
+    from ics_search_engine_ray.pipelines.vector import (
+        VectorIndex, build_vector_index)
+    out, _ = built
+    build_vector_index(emb_ds, out, n_lists=8, iters=4)   # second build
+    import pyarrow.dataset as pds
+    t = pds.dataset(os.path.join(out, "vectors"),
+                    partitioning="hive").to_table(columns=["vec_id"])
+    assert t.num_rows == emb_ds.count()                   # not doubled
