@@ -207,6 +207,23 @@ def _q_balance_sources(sf_dir: str):
                            seed=7)
 
 
+def _q_similar_docs(sf_dir: str):
+    """More-like-this (text_analysis.py similar_docs): sparse tf-idf
+    cosine of every doc against broadcast query doc 42 — df combiners,
+    gated idf broadcast, one batch-local dot/norm pass, per-batch top-k
+    partials; only batches x k rows reach the driver."""
+    from ics_search_engine_ray.stages.text_analysis import similar_docs
+    return similar_docs(_read_docs(sf_dir), query_doc_id=42, k=10)
+
+
+def _q_prefix_terms(sf_dir: str):
+    """Autocomplete (text_analysis.py prefix_terms): top-10 df terms with
+    prefix 's' — partial df relation filters to the prefix before the
+    merge groupby, so only the prefix slice of the vocabulary shuffles."""
+    from ics_search_engine_ray.stages.text_analysis import prefix_terms
+    return prefix_terms(_read_docs(sf_dir), prefix="s", k=10)
+
+
 def _q_trigram_counts(sf_dir: str):
     """Corpus trigram counts (text_analysis.py ngram_counts, n=3): the
     vectorized shingle-hash kernel pre-counts per batch; gram strings
@@ -1116,6 +1133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "bigram_counts": _q_bigram_counts,        # n-gram LM counts
         "trigram_counts": _q_trigram_counts,      # shingle-kernel n-grams
+        "similar_docs": _q_similar_docs,          # more-like-this cosine
+        "prefix_terms": _q_prefix_terms,          # autocomplete top-df
         "normalize_text": _q_normalize_text,      # canonical normalization
         "balance_sources": _q_balance_sources,    # inverse-freq resampling
         "kmeans_clusters": _q_kmeans_clusters,    # distributed Lloyd's
@@ -1754,6 +1773,29 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "similar_docs": f"""
+WITH toks AS ({_sql_tokens_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ln((SELECT n FROM nd) * 1.0 / df.df) AS w
+      FROM tf JOIN df USING (term)),
+qv AS (SELECT term, w FROM w WHERE doc_id = 42),
+qn AS (SELECT sqrt(sum(w * w)) AS qnorm FROM qv),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (SELECT w.doc_id, sum(w.w * qv.w) AS d FROM w JOIN qv USING (term)
+         WHERE w.doc_id != 42 GROUP BY w.doc_id)
+SELECT dots.doc_id,
+       CAST(round(dots.d / (norms.nrm * (SELECT qnorm FROM qn)), 6)
+            AS DOUBLE) AS cos
+FROM dots JOIN norms ON dots.doc_id = norms.doc_id
+WHERE dots.d > 0
+ORDER BY cos DESC, dots.doc_id LIMIT 10""",
+        "prefix_terms": (
+            f"SELECT term, count(DISTINCT doc_id) AS df FROM "
+            f"({_sql_tokens_cte()}) WHERE term LIKE 's%' GROUP BY term "
+            "ORDER BY df DESC, term LIMIT 10"),
         "trigram_counts": """
 WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
               '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),

@@ -390,6 +390,141 @@ def _merge_df(g: pa.Table) -> pa.Table:
                      "nd": pa.array(nd, pa.int64())})
 
 
+# ---------------- more-like-this: sparse tf-idf cosine ----------------
+
+
+def similar_docs(docs, query_doc_id: int, k: int = 10,
+                 vocab_gate: int = 2_000_000):
+    """More-like-this: top-k documents by sparse tf-idf cosine to ONE
+    query document (the related-documents feature of a search engine),
+    -> (doc_id, cos), cos = <w_q, w_d> / (|w_q||w_d|), w = tf * ln(N/df)
+    over the SQL-replicable token stream, query doc excluded, only docs
+    sharing >= 1 term emitted, ties (rounded cos) break on doc_id.
+
+    Pass 1 reuses the distinct-pair df combiners; the idf table
+    broadcasts below ``vocab_gate`` (scale path: hash-join term->idf).
+    The query doc's weight vector is a dense-over-vocab float array
+    riding the same broadcast (8 B x vocab). Pass 2 is ONE batch-local
+    pass: tf via lexsort segments, per-doc dot and norm via two
+    bincounts, then a per-batch top-k partial — only batches x k rows
+    reach the driver merge (knn_brute pattern), never the corpus.
+    """
+    import ray
+
+    src = docs.select_columns(["doc_id", "text"])
+
+    rows = src.map_batches(_df_partial, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                     pa.int8())),
+            batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: _merge_df(g.drop(["_g"])),
+            batch_format="pyarrow").take_all()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    import ray.data as rd
+    if not rows:
+        return rd.from_arrow(empty)
+    if len(rows) > vocab_gate:
+        raise ValueError(f"vocabulary {len(rows)} exceeds broadcast gate")
+    vocab = np.asarray([r["term"] for r in rows], object)
+    dfs = np.asarray([r["df"] for r in rows], np.float64)
+    n_docs = int(rows[0]["nd"])
+    order = np.argsort(vocab)
+    vocab, dfs = vocab[order], dfs[order]
+    idf = np.log(n_docs / dfs)
+
+    qrows = src.map_batches(
+        lambda b: b.filter(pc.equal(b.column("doc_id"), query_doc_id)),
+        batch_format="pyarrow").take_all()
+    qtoks = [t for t in TOKEN_RE.findall(
+        (qrows[0]["text"] or "").lower()) if len(t) > 1] if qrows else []
+    if not qtoks:
+        return rd.from_arrow(empty)
+    qterms, qtf = np.unique(np.asarray(qtoks, object), return_counts=True)
+    qpos = np.searchsorted(vocab, qterms)            # query terms ARE in vocab
+    qw = np.zeros(vocab.size, np.float64)
+    qw[qpos] = qtf * idf[qpos]
+    qnorm = float(np.sqrt((qw ** 2).sum()))
+    ref = ray.put((vocab, idf, qw))
+
+    def partial(b: pa.Table) -> pa.Table:
+        v, w_idf, qvec = ray.get(ref)
+        texts = b.column("text").to_pylist()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        per_doc = [[t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1] for x in texts]
+        lens = np.array([len(p) for p in per_doc], np.int64)
+        if not lens.sum():
+            return empty
+        flat = np.asarray([t for p in per_doc for t in p], object)
+        tidx = np.searchsorted(v, flat)
+        di = np.repeat(np.arange(len(per_doc)), lens)
+        o = np.lexsort((tidx, di))
+        di, tidx = di[o], tidx[o]
+        newseg = np.concatenate(
+            ([True], (di[1:] != di[:-1]) | (tidx[1:] != tidx[:-1])))
+        starts = np.flatnonzero(newseg)
+        tf = np.diff(np.append(starts, di.size)).astype(np.float64)
+        gd, gt = di[starts], tidx[starts]
+        w = tf * w_idf[gt]
+        nb = len(per_doc)
+        dots = np.bincount(gd, w * qvec[gt], minlength=nb)
+        norms = np.sqrt(np.bincount(gd, w * w, minlength=nb))
+        keep = (dots > 0) & (ids != query_doc_id)
+        if not keep.any():
+            return empty
+        cos = np.round(dots[keep] / (norms[keep] * qnorm), 6)
+        kid = ids[keep]
+        sel = np.lexsort((kid, -cos))[:k]
+        return pa.table({
+            "doc_id": pa.array(kid[sel].astype(np.int64), pa.int64()),
+            "cos": pa.array(cos[sel], pa.float64())})
+
+    parts = src.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return rd.from_arrow(empty)
+    allid = np.array([r["doc_id"] for r in parts], np.int64)
+    allcos = np.array([r["cos"] for r in parts], np.float64)
+    sel = np.lexsort((allid, -allcos))[:k]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(allid[sel], pa.int64()),
+        "cos": pa.array(allcos[sel], pa.float64())}))
+
+
+# ---------------- prefix autocomplete ----------------
+
+
+def prefix_terms(docs, prefix: str, k: int = 10):
+    """Autocomplete: the k highest-df vocabulary terms with a given
+    prefix -> (term, df), ties on term ascending. The partial df
+    relation filters to the prefix BEFORE the merge groupby, so only
+    prefix-matching (term, partial-df) rows ever shuffle — the merge
+    sees the prefix slice of the vocabulary, not the corpus."""
+
+    def pfilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.starts_with(b.column("term"), prefix))
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = _merge_df(g.drop(["_g"]))
+        t = m.column("term").to_numpy(zero_copy_only=False)
+        d = m.column("df").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((t, -d))[:k]
+        return pa.table({"term": pa.array(t[sel], pa.string()),
+                         "df": pa.array(d[sel].astype(np.int64),
+                                        pa.int64())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(_df_partial, batch_format="pyarrow") \
+        .map_batches(pfilter, batch_format="pyarrow") \
+        .map_batches(
+            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                     pa.int8())),
+            batch_format="pyarrow") \
+        .groupby("_g").map_groups(finish, batch_format="pyarrow")
+
+
 # ---------------- term co-occurrence association pairs ----------------
 
 

@@ -663,3 +663,58 @@ def test_ngram_counts_short_docs_and_bigram_parity(ray_session):
     want2 = sorted((f'{r["a"]} {r["b"]}', r["n"])
                    for r in bigram_counts(ds, min_count=1).take_all())
     assert got2 == want2
+
+
+def test_similar_docs_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.text_analysis import similar_docs
+    got = [(r["doc_id"], r["cos"])
+           for r in similar_docs(docs_ds, query_doc_id=7, k=10).take_all()]
+    want = duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(
+              lower(text), '[a-z0-9]+'), x -> length(x) > 1)) AS term
+              FROM '{sf_dir}/documents.parquet'),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ln((SELECT n FROM nd) * 1.0 / df.df) AS w
+      FROM tf JOIN df USING (term)),
+qv AS (SELECT term, w FROM w WHERE doc_id = 7),
+qn AS (SELECT sqrt(sum(w * w)) AS qnorm FROM qv),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (SELECT w.doc_id, sum(w.w * qv.w) AS d FROM w JOIN qv USING (term)
+         WHERE w.doc_id != 7 GROUP BY w.doc_id)
+SELECT dots.doc_id, round(dots.d / (norms.nrm * (SELECT qnorm FROM qn)), 6)
+FROM dots JOIN norms ON dots.doc_id = norms.doc_id
+WHERE dots.d > 0 ORDER BY 2 DESC, dots.doc_id LIMIT 10""").fetchall()
+    assert got == [(d, c) for d, c in want] and len(got) == 10
+
+
+def test_similar_docs_empty_query(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import similar_docs
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["aa bb cc", "", "aa bb dd", "ee ff"],
+                         pa.string())}))
+    # empty-text query doc and absent query doc both yield empty results
+    assert similar_docs(ds, query_doc_id=2).take_all() == []
+    assert similar_docs(ds, query_doc_id=99).take_all() == []
+    got = similar_docs(ds, query_doc_id=1, k=5).take_all()
+    # doc 3 shares aa/bb (idf > 0 since doc 4 lacks them); 2 and 4 don't
+    assert [r["doc_id"] for r in got] == [3]
+
+
+def test_prefix_terms_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.text_analysis import prefix_terms
+    got = [(r["term"], r["df"])
+           for r in prefix_terms(docs_ds, prefix="s", k=10).take_all()]
+    want = duckdb.sql(f"""
+SELECT term, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text),
+      '[a-z0-9]+'), x -> length(x) > 1)) AS term
+      FROM '{sf_dir}/documents.parquet')
+WHERE term LIKE 's%' GROUP BY term ORDER BY df DESC, term
+LIMIT 10""").fetchall()
+    assert sorted(got) == sorted((t, int(d)) for t, d in want)
+    assert got == sorted(got, key=lambda x: (-x[1], x[0]))  # rank order
