@@ -150,6 +150,29 @@ def _q_scrub_duplicate_spans(sf_dir: str):
     return scrub_duplicate_spans(_read_docs(sf_dir), k=8)
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event sequences
+    (stages/events.py event_transitions): user-co-located coarse groupby,
+    one sort + shifted compare per group, tiny two-key Sum groupby."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import event_transitions
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return event_transitions(ev)
+
+
+def _q_value_histogram(sf_dir: str):
+    """Per-type equal-width value histogram (stages/events.py
+    value_histogram): native min/max fix global edges, per-batch
+    bincount combiners, tiny (key, bin) Sum groupby."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import value_histogram
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return value_histogram(ev, bins=20)
+
+
 def _q_latest_event(sf_dir: str):
     """Latest-record-per-key compaction (stages/events.py latest_per_key):
     CDC upsert collapse / recrawl collapse — per-batch argmax combiner (at
@@ -1140,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,    # distributed Lloyd's
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
+        "value_histogram": _q_value_histogram,    # equal-width histogram
+        "event_transitions": _q_event_transitions,  # Markov transition table
         "duplicate_spans": _q_duplicate_spans,    # substring-level dedup
         "scrub_duplicate_spans": _q_scrub_duplicate_spans,  # span scrub
     }
@@ -1759,6 +1784,20 @@ kept AS (SELECT pos.doc_id,
 SELECT t.doc_id, COALESCE(k.text_clean, '') AS text_clean,
        CAST(len(t.tk) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
 FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id""",
+        "event_transitions": """
+WITH s AS (SELECT event_type AS src,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS dst
+           FROM events)
+SELECT src, dst, count(*) AS n FROM s WHERE dst IS NOT NULL
+GROUP BY src, dst""",
+        "value_histogram": """
+WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+       CAST(LEAST(FLOOR((value - st.lo) * 20 / (st.hi - st.lo)), 19)
+            AS BIGINT) AS bin,
+       count(*) AS n
+FROM events CROSS JOIN st GROUP BY event_type, bin""",
         "latest_event": """
 SELECT user_id, ts, event_id, value
 FROM (SELECT user_id, ts, event_id, value,

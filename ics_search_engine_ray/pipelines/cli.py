@@ -77,6 +77,11 @@ def cmd_query(args) -> int:
         secs = time.time() - t0
         if not results:
             print("No results found.")
+            if args.actors == 0:      # suggestion cache lives in-process
+                sugg = [t for w in q.split()
+                        for t, _ in si.suggest(w, n=2)][:5]
+                if sugg:
+                    print(f"Did you mean: {' / '.join(sugg)}?")
             return
         print(f"Found {len(results)} results:")
         for i, r in enumerate(results, 1):
@@ -158,6 +163,20 @@ def cmd_vbuild(args) -> int:
                              columns=["vec_id", "embedding"])
     man = build_vector_index(embeds, args.out, n_lists=args.lists,
                              iters=args.iters)
+    print(json.dumps(man))
+    ray.shutdown()
+    return 0
+
+
+def cmd_vupdate(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray
+    import ray.data as rd
+    from .vector import update_vector_index
+
+    embeds = rd.read_parquet(args.embeddings,
+                             columns=["vec_id", "embedding"])
+    man = update_vector_index(embeds, args.index)
     print(json.dumps(man))
     ray.shutdown()
     return 0
@@ -309,6 +328,13 @@ def main(argv=None) -> int:
     vb.add_argument("--iters", type=int, default=8)
     vb.add_argument("--num-cpus", type=int, default=None)
     vb.set_defaults(fn=cmd_vbuild)
+
+    vu = sub.add_parser("vupdate", help="append new embeddings to a built "
+                                        "vector index (existing centroids)")
+    vu.add_argument("--embeddings", required=True)
+    vu.add_argument("--index", required=True)
+    vu.add_argument("--num-cpus", type=int, default=None)
+    vu.set_defaults(fn=cmd_vupdate)
 
     vq = sub.add_parser("vquery", help="cosine top-k from a built vector "
                                        "index (no Ray session)")

@@ -69,6 +69,35 @@ def build_vector_index(embeds, out_dir: str, n_lists: int = 32,
     return manifest
 
 
+def update_vector_index(embeds_new, index_dir: str) -> dict:
+    """Incremental append: assign NEW vectors with the EXISTING centroids
+    (the IVF contract — centroids stay fixed between retrains, recall
+    degrades gracefully as the corpus drifts) and append their hive
+    partitions; ``num_vectors`` updates atomically in the manifest.
+    Ray's append-on-write is the DESIRED semantics here (each update adds
+    new files inside the per-list dirs; nothing is rewritten). The caller
+    guarantees new ids are disjoint from the existing corpus (url-hash
+    style ids satisfy this by construction)."""
+    from ..stages.similarity import ivf_assign
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        cent = np.asarray(json.load(f), np.float64)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    n_new = embeds_new.count()
+    assigned = ivf_assign(embeds_new.select_columns([id_col, vec_col]),
+                          cent)
+    assigned.write_parquet(os.path.join(index_dir, "vectors"),
+                           partition_cols=["list_id"])
+    manifest["num_vectors"] = int(manifest["num_vectors"]) + int(n_new)
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return manifest
+
+
 class VectorIndex:
     """Point-query reader over a built index dir. No Ray needed: loads the
     tiny centroid matrix, prunes to the probed hive partitions with a

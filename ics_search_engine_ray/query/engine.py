@@ -279,6 +279,47 @@ class SearchIndex:
     def tokenize_query(self, query: str) -> List[str]:
         return self.tokenizer.tokens(query, for_query=True)
 
+    def suggest(self, word: str, n: int = 5) -> List[Tuple[str, int]]:
+        """Edit-distance-<=1 spelling suggestions from the index
+        vocabulary, highest document frequency first -> [(term, df)].
+        SymSpell deletion neighborhoods (Garbe 2012) verified with an
+        exact ed<=1 check; the deletion map builds lazily ONCE per index
+        (O(vocab x term_len) driver memory — a serving-node cache like
+        the url map; shard it by partition dictionary at web-scale
+        vocabularies). The reference has no query correction
+        (search.py:205-227); completeness add-on for the query surface.
+        Input is tokenized+stemmed like any query term, so suggestions
+        land in the same (stemmed) vocabulary the engine searches."""
+        from ..stages.strings import _ed_le1
+
+        toks = self.tokenize_query(word)
+        if not toks:
+            return []
+        q = toks[0]
+        if getattr(self, "_del_map", None) is None:
+            dfs: Dict[str, int] = {}
+            for part in range(self.P + self.S):
+                r = self._reader(part)
+                for t in r.terms():
+                    if t in dfs:
+                        continue     # salted head terms span S partitions
+                    dfs[t] = (int(self.head_df[t])
+                              if self.S > 0 and t in self.head_df
+                              else r.df(t))    # _df_quick semantics
+            dm: Dict[str, List[str]] = {}
+            for t in dfs:
+                dm.setdefault(t, []).append(t)
+                for i in range(len(t)):
+                    dm.setdefault(t[:i] + t[i + 1:], []).append(t)
+            self._del_map, self._vocab_df = dm, dfs
+        cands = set()
+        for v in {q, *(q[:i] + q[i + 1:] for i in range(len(q)))}:
+            cands.update(self._del_map.get(v, ()))
+        good = [(t, self._vocab_df[t]) for t in cands
+                if t == q or _ed_le1(q, t)]
+        good.sort(key=lambda x: (-x[1], x[0]))
+        return good[:n]
+
     def search(self, query: str, k: int = 10, scorer: str = "bm25",
                algo: str = "auto") -> List[SearchResult]:
         terms = self.tokenize_query(query)

@@ -495,3 +495,115 @@ def latest_per_key(ds, key: str = "user_id", ts_col: str = "ts",
         .map_batches(reduce_batch, batch_format="pyarrow") \
         .groupby(key) \
         .map_groups(reduce_batch, batch_format="pyarrow")
+
+
+def value_histogram(events, key: str = "event_type", value: str = "value",
+                    bins: int = 20):
+    """Equal-width histogram of ``value`` per ``key`` over GLOBAL bin
+    edges -> (key, bin, n); bin = floor((v - min) * bins / (max - min)),
+    top edge clamped into the last bin. The distribution profiler every
+    data-quality pass runs.
+
+    Two passes, zero wide shuffle: native Dataset min/max fix the edges
+    (tiny all-reduce), then each batch bincounts its own (key, bin)
+    pairs — only O(batches x keys x bins) partial rows reach the final
+    native Sum groupby. Both sides of the oracle evaluate the identical
+    IEEE expression, so binning is bit-stable.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = events.aggregate(Min(value), Max(value))
+    lo, hi = float(stats[f"min({value})"]), float(stats[f"max({value})"])
+    if not np.isfinite(lo) or hi <= lo:
+        hi = lo + 1.0                      # degenerate: single-valued column
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.string()),
+                          "bin": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        v = b.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        bi = np.minimum(np.floor((v - lo) * bins / (hi - lo)),
+                        bins - 1).astype(np.int64)
+        uk, ki = np.unique(k, return_inverse=True)
+        code = ki * bins + bi
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            key: pa.array(uk[uc // bins], pa.string()),
+            "bin": pa.array((uc % bins).astype(np.int64), pa.int64()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return events.select_columns([key, value]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, "bin"]).aggregate(Sum("c", alias_name="n")) \
+        .map_batches(
+            lambda b: pa.table({key: b.column(key),
+                                "bin": b.column("bin").cast(pa.int64()),
+                                "n": b.column("n").cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+def event_transitions(events, num_groups: int = None):
+    """Per-user consecutive event-type transition counts -> (src, dst, n):
+    the first-order Markov transition table of the event stream (sequence
+    mining / next-event modeling). Order within a user is (ts, event_id);
+    only same-user adjacent pairs count.
+
+    Same partitioning contract as ``sessionize``/``user_running`` (a user
+    co-locates in one coarse ``user_id % G`` group); within a group one
+    sort + shifted compare emits per-group (src, dst, partial-count) rows,
+    so the final native two-key Sum groupby sees O(groups x types^2)
+    rows, never the event volume.
+    """
+    from ray.data.aggregate import Sum
+    from .common import adaptive_groups
+
+    if num_groups is None:
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=64)
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("_g", pa.array(u % num_groups, pa.int64()))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "dst": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        n = g.num_rows
+        if n < 2:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        same = uid[:-1] == uid[1:]
+        if not same.any():
+            return empty
+        li = np.flatnonzero(same)
+        src, dst = et[li], et[li + 1]
+        # count distinct (src, dst) pairs via one lexsort run-length pass
+        order = np.lexsort((dst, src))
+        s2, d2 = src[order], dst[order]
+        new = np.concatenate(([True], (s2[1:] != s2[:-1])
+                              | (d2[1:] != d2[:-1])))
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, s2.size))
+        return pa.table({
+            "src": pa.array(s2[starts], pa.string()),
+            "dst": pa.array(d2[starts], pa.string()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (events.select_columns(["event_id", "ts", "user_id",
+                                   "event_type"])
+            .map_batches(add_gkey, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: pairs(g.drop(["_g"])),
+                        batch_format="pyarrow")
+            .groupby(["src", "dst"]).aggregate(Sum("c", alias_name="n"))
+            .map_batches(
+                lambda b: pa.table({"src": b.column("src"),
+                                    "dst": b.column("dst"),
+                                    "n": b.column("n").cast(pa.int64())}),
+                batch_format="pyarrow"))

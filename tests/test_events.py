@@ -247,3 +247,60 @@ def test_latest_per_key_combiner_tie_break(ray_session):
                  for r in latest_per_key(
                      rd.from_arrow(t).repartition(2)).take_all())
     assert got == [(7, 2), (9, 4)]     # ts tie at 100 -> higher event_id
+
+
+def test_value_histogram_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import value_histogram
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    got = sorted((r["event_type"], r["bin"], r["n"])
+                 for r in value_histogram(ev, bins=20).take_all())
+    want = sorted(duckdb.sql(f"""
+WITH st AS (SELECT min(value) AS lo, max(value) AS hi
+            FROM '{sf_dir}/events.parquet')
+SELECT event_type,
+       CAST(LEAST(FLOOR((value - st.lo) * 20 / (st.hi - st.lo)), 19)
+            AS BIGINT),
+       count(*)
+FROM '{sf_dir}/events.parquet' CROSS JOIN st
+GROUP BY 1, 2""").fetchall())
+    assert got == want and len(got) > 0
+    # every count accounted for
+    assert sum(n for _, _, n in got) == ev.count()
+
+
+def test_value_histogram_degenerate_single_value(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import value_histogram
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a", "b"], pa.string()),
+        "value": pa.array([5.0, 5.0, 5.0], pa.float64())}))
+    got = sorted((r["event_type"], r["bin"], r["n"])
+                 for r in value_histogram(ds, bins=4).take_all())
+    assert got == [("a", 0, 2), ("b", 0, 1)]
+
+
+def test_event_transitions_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import event_transitions
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    got = sorted((r["src"], r["dst"], r["n"])
+                 for r in event_transitions(ev).take_all())
+    want = sorted(duckdb.sql(f"""
+WITH s AS (SELECT event_type AS src,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS dst
+           FROM '{sf_dir}/events.parquet')
+SELECT src, dst, count(*) FROM s WHERE dst IS NOT NULL
+GROUP BY src, dst""").fetchall())
+    assert got == want and len(got) > 0
+    # pair totals = events - distinct users (each user drops one)
+    n_users = duckdb.sql(f"SELECT count(DISTINCT user_id) FROM "
+                         f"'{sf_dir}/events.parquet'").fetchone()[0]
+    assert sum(n for _, _, n in got) == ev.count() - n_users

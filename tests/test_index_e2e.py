@@ -446,3 +446,30 @@ def test_wand_lazy_falls_back_on_bm25_param_override(built_index):
     si2 = SearchIndex(out)
     r1 = si2.search("spark batch merge", k=10, algo="wand_lazy")
     assert r1
+
+
+def test_suggest_edit_distance_one(built_index, oracle):
+    """SymSpell suggestions: typo'd vocab terms come back with exact dfs,
+    ranked df-desc; exact in-vocab terms rank themselves; unknown-shaped
+    words with no ed<=1 neighbor return nothing."""
+    from ics_search_engine_ray.query.engine import SearchIndex
+    from ics_search_engine_ray.stages.strings import _ed_le1
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    docs, df, _, _ = oracle
+
+    # pick a reasonably frequent stemmed vocab term of length >= 5
+    term = max((t for t in df if len(t) >= 5 and t.isalpha()),
+               key=lambda t: df[t])
+    typo = term[:2] + term[3:]                  # one deletion
+    got = si.suggest(typo, n=5)
+    assert got, f"no suggestion for {typo!r} (from {term!r})"
+    assert all(c == typo or _ed_le1(typo, c) for c, _ in got)
+    assert (term, df[term]) in got
+    # ranked by (-df, term)
+    assert got == sorted(got, key=lambda x: (-x[1], x[0]))
+    # an exact vocabulary word suggests itself first when it's the top df
+    got_exact = si.suggest(term, n=5)
+    assert got_exact[0][0] == term or df[got_exact[0][0]] >= df[term]
+    assert si.suggest("zzqqxxv") == []
+    si.close()

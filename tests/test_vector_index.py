@@ -82,3 +82,33 @@ def test_rebuild_does_not_append(built, emb_ds):
     t = pds.dataset(os.path.join(out, "vectors"),
                     partitioning="hive").to_table(columns=["vec_id"])
     assert t.num_rows == emb_ds.count()                   # not doubled
+
+
+def test_incremental_update_exact_at_full_probe(emb_ds, tmp_path):
+    """Build on half the corpus, append the other half with the EXISTING
+    centroids: at n_probe = n_lists the result is exact brute force over
+    the union regardless of centroid quality."""
+    import pyarrow as pa
+    from ics_search_engine_ray.pipelines.vector import (
+        VectorIndex, build_vector_index, update_vector_index)
+    from ics_search_engine_ray.stages.similarity import knn_brute
+
+    half_a = emb_ds.map_batches(
+        lambda b: b.filter(pa.compute.less(b.column("vec_id"), 250)),
+        batch_format="pyarrow")
+    half_b = emb_ds.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b.column("vec_id"),
+                                                    250)),
+        batch_format="pyarrow")
+    out = str(tmp_path / "idx")
+    man0 = build_vector_index(half_a, out, n_lists=8, iters=4)
+    man1 = update_vector_index(half_b, out)
+    assert man1["num_vectors"] == man0["num_vectors"] + half_b.count() \
+        == emb_ds.count()
+
+    vi = VectorIndex(out)
+    for r in emb_ds.take_all()[:5]:
+        q = np.asarray(r["embedding"], np.float64)
+        got = vi.search(q, k=10, n_probe=8)
+        want = knn_brute(emb_ds, q[None, :], k=10)[0]
+        assert [g[0] for g in got] == [w[0] for w in want]
