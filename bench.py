@@ -157,6 +157,26 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
                           id_col="event_id")).count()
     tops["connected_components"] = round(time.time() - t, 2)
 
+    # late-r3 corpus-stats + clustering operators
+    from ics_search_engine_ray.stages.similarity import kmeans_assign
+    from ics_search_engine_ray.stages.text_analysis import (
+        bigram_counts, similar_docs)
+    t = time.time()
+    bigram_counts(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+        min_count=5).count()
+    tops["bigram_counts"] = round(time.time() - t, 2)
+    t = time.time()
+    similar_docs(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+        query_doc_id=42, k=10).count()
+    tops["similar_docs"] = round(time.time() - t, 2)
+    t = time.time()
+    kmeans_assign(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+        k=8, iters=6).count()
+    tops["kmeans_assign"] = round(time.time() - t, 2)
+
     # concurrent query throughput through the partition-sharded actor pool
     from concurrent.futures import ThreadPoolExecutor
     from ics_search_engine_ray.query.actors import ShardedSearchIndex

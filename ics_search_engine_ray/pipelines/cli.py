@@ -153,6 +153,69 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_verify_index(args) -> int:
+    """Index integrity check (fsck): fully decode every segment, recount
+    terms/postings against each partition's manifest row, check posting
+    doc_ids are strictly ascending, and reconcile docmeta row count with
+    the manifest. The operational counterpart of per-partition resume —
+    validate a checkpointed/merged/migrated index before serving it.
+    No Ray session needed. Exits 1 on any mismatch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ..index.segments import SegmentReader
+
+    with open(os.path.join(args.index, "manifest.json")) as f:
+        manifest = json.load(f)
+    # salted head terms store the GLOBAL df in every salt partition (the
+    # scorer needs it without a cross-partition sum); their per-partition
+    # posting count is a shard, so the df==postings invariant applies
+    # only to unsalted terms.
+    head_df = manifest.get("head_df", {})
+    problems = []
+    tot_terms = tot_postings = 0
+    for row in manifest["partitions"]:
+        part = int(row["part"])
+        base = os.path.join(args.index, "segments", f"part-{part:05d}")
+        r = SegmentReader(base)
+        nt = npost = 0
+        for t in r.terms():
+            tp = r.postings(t, with_positions=True)
+            if tp is None:
+                problems.append(f"part {part}: term {t!r} undecodable")
+                continue
+            nt += 1
+            npost += int(tp.doc_ids.size)
+            if tp.doc_ids.size > 1 and not (np.diff(tp.doc_ids) > 0).all():
+                problems.append(
+                    f"part {part}: term {t!r} doc_ids not ascending")
+            if t in head_df:
+                if int(tp.df) != int(head_df[t]):
+                    problems.append(
+                        f"part {part}: head term {t!r} df {tp.df} != "
+                        f"manifest head_df {head_df[t]}")
+            elif int(tp.df) != int(tp.doc_ids.size):
+                problems.append(
+                    f"part {part}: term {t!r} df {tp.df} != "
+                    f"{tp.doc_ids.size} postings")
+        r.close()
+        if nt != int(row["num_terms"]) or npost != int(row["num_postings"]):
+            problems.append(
+                f"part {part}: decoded {nt} terms/{npost} postings, "
+                f"manifest says {row['num_terms']}/{row['num_postings']}")
+        tot_terms += nt
+        tot_postings += npost
+    meta_rows = pq.read_table(os.path.join(args.index, "docmeta"),
+                              columns=["doc_id"]).num_rows
+    if meta_rows != int(manifest["num_docs"]):
+        problems.append(f"docmeta rows {meta_rows} != manifest num_docs "
+                        f"{manifest['num_docs']}")
+    print(json.dumps({"ok": not problems, "parts": len(manifest["partitions"]),
+                      "terms": tot_terms, "postings": tot_postings,
+                      "num_docs": meta_rows,
+                      "problems": problems[:20]}))
+    return 1 if problems else 0
+
+
 def cmd_vbuild(args) -> int:
     _ray_up(args.num_cpus)
     import ray
@@ -319,6 +382,11 @@ def main(argv=None) -> int:
                     help="skip cross-corpus near-duplicate removal")
     up.add_argument("--num-cpus", type=int, default=None)
     up.set_defaults(fn=cmd_update)
+
+    vf = sub.add_parser("verify", help="index integrity check (fsck): "
+                                       "decode all segments vs manifest")
+    vf.add_argument("--index", required=True)
+    vf.set_defaults(fn=cmd_verify_index)
 
     vb = sub.add_parser("vbuild", help="build a persistable IVF vector "
                                        "index from an embeddings parquet")

@@ -473,3 +473,22 @@ def test_suggest_edit_distance_one(built_index, oracle):
     assert got_exact[0][0] == term or df[got_exact[0][0]] >= df[term]
     assert si.suggest("zzqqxxv") == []
     si.close()
+
+
+def test_verify_index_fsck(built_index, tmp_path):
+    """`verify` CLI: a healthy index passes; a tampered manifest fails."""
+    import shutil
+    from ics_search_engine_ray.pipelines.cli import main as cli_main
+    _, out, _ = built_index
+    assert cli_main(["verify", "--index", out]) == 0
+
+    bad = str(tmp_path / "bad_idx")
+    shutil.copytree(out, bad)
+    mpath = os.path.join(bad, "manifest.json")
+    with open(mpath) as f:
+        man = json.load(f)
+    man["num_docs"] = int(man["num_docs"]) + 1
+    man["partitions"][0]["num_postings"] += 7
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+    assert cli_main(["verify", "--index", bad]) == 1
