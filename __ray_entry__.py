@@ -150,6 +150,17 @@ def _q_scrub_duplicate_spans(sf_dir: str):
     return scrub_duplicate_spans(_read_docs(sf_dir), k=8)
 
 
+def _q_window_distinct_users(sf_dir: str):
+    """Exact distinct users per (hour window, event_type) (events.py
+    window_distinct_users): per-batch distinct triples collapse repeats
+    before the triple-dedupe shuffle; only distinct triples move."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import window_distinct_users
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "user_id"])
+    return window_distinct_users(ev, window_secs=3600)
+
+
 def _q_event_transitions(sf_dir: str):
     """First-order Markov transition counts over per-user event sequences
     (stages/events.py event_transitions): user-co-located coarse groupby,
@@ -1165,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event": _q_latest_event,          # latest-per-key compaction
         "value_histogram": _q_value_histogram,    # equal-width histogram
         "event_transitions": _q_event_transitions,  # Markov transition table
+        "window_distinct_users": _q_window_distinct_users,  # windowed DAU
         "duplicate_spans": _q_duplicate_spans,    # substring-level dedup
         "scrub_duplicate_spans": _q_scrub_duplicate_spans,  # span scrub
     }
@@ -1784,6 +1796,10 @@ kept AS (SELECT pos.doc_id,
 SELECT t.doc_id, COALESCE(k.text_clean, '') AS text_clean,
        CAST(len(t.tk) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
 FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id""",
+        "window_distinct_users": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2""",
         "event_transitions": """
 WITH s AS (SELECT event_type AS src,
                   LEAD(event_type) OVER (PARTITION BY user_id

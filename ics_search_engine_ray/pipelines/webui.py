@@ -76,6 +76,14 @@ def serve(index_dir: str, port: int = 8080, actors: int = 0, max_k: int = 20):
                 t0 = time.time()
                 results = si.search(q, max_k, scorer=scorer)
                 body = _render_results(results, time.time() - t0)
+                if not results and hasattr(si, "suggest"):
+                    sugg = [t for w in q.split()
+                            for t, _ in si.suggest(w, n=2)][:5]
+                    if sugg:
+                        links = ", ".join(
+                            f'<a href="/?q={html.escape(s, quote=True)}">'
+                            f'{html.escape(s)}</a>' for s in sugg)
+                        body += f"<p>Did you mean: {links}?</p>"
             page = _PAGE.format(q=html.escape(q, quote=True), body=body,
                                 s_bm25="selected" if scorer == "bm25" else "",
                                 s_ref="selected" if scorer == "tfidf-ref" else "")

@@ -607,3 +607,53 @@ def event_transitions(events, num_groups: int = None):
                                     "dst": b.column("dst"),
                                     "n": b.column("n").cast(pa.int64())}),
                 batch_format="pyarrow"))
+
+
+def window_distinct_users(events, window_secs: int = 3600):
+    """Exact distinct users per (window_start, event_type) -> the
+    windowed-audience metric (DAU/HAU class). Tumbling epoch-aligned
+    windows like :func:`tumbling_window_agg`.
+
+    Exact distinct is a two-stage shuffle: per-batch DISTINCT
+    (window, type, user) triples first (one lexsort run-length — repeat
+    events collapse before anything moves), then a native triple groupby
+    dedupes globally and a (window, type) count over the one-row-per-
+    triple relation yields the answer. Only distinct triples ever
+    shuffle; for heavier cardinalities swap the KMV sketch
+    (stages/sketch.py) in as the approximate scale path.
+    """
+    us = int(window_secs) * 1_000_000
+
+    def triples(b: pa.Table) -> pa.Table:
+        empty = pa.table({"window_us": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "user_id": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // us) * us
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, et, w))
+        w, et, uid = w[order], et[order], uid[order]
+        new = np.concatenate(([True], (w[1:] != w[:-1])
+                              | (et[1:] != et[:-1])
+                              | (uid[1:] != uid[:-1])))
+        return pa.table({
+            "window_us": pa.array(w[new], pa.int64()),
+            "event_type": pa.array(et[new], pa.string()),
+            "user_id": pa.array(uid[new].astype(np.int64), pa.int64())})
+
+    distinct = (events.select_columns(["ts", "event_type", "user_id"])
+                .map_batches(triples, batch_format="pyarrow")
+                .groupby(["window_us", "event_type", "user_id"]).count())
+
+    counted = distinct.groupby(["window_us", "event_type"]).count()
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": b.column("window_us").cast(pa.timestamp("us")),
+            "event_type": b.column("event_type"),
+            "n_users": b.column("count()").cast(pa.int64())})
+
+    return counted.map_batches(finish, batch_format="pyarrow")

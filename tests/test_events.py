@@ -304,3 +304,17 @@ GROUP BY src, dst""").fetchall())
     n_users = duckdb.sql(f"SELECT count(DISTINCT user_id) FROM "
                          f"'{sf_dir}/events.parquet'").fetchone()[0]
     assert sum(n for _, _, n in got) == ev.count() - n_users
+
+
+def test_window_distinct_users_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import window_distinct_users
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "user_id"])
+    got = sorted((str(r["window_start"]), r["event_type"], r["n_users"])
+                 for r in window_distinct_users(ev).take_all())
+    want = sorted((str(w), t, int(n)) for w, t, n in duckdb.sql(f"""
+SELECT date_trunc('hour', ts), event_type, count(DISTINCT user_id)
+FROM '{sf_dir}/events.parquet' GROUP BY 1, 2""").fetchall())
+    assert got == want and len(got) > 0
