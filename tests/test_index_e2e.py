@@ -324,6 +324,11 @@ def test_web_ui_serves_results(built_index):
         assert len(api) == 5
         assert all(r["url"] and "score" in r for r in api)
         assert any(r["title"] for r in api)
+        # typo'd query -> no results + a "Did you mean" suggestion
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/?q=sprk").read().decode()
+        assert "No results found" in page
+        assert "Did you mean" in page and "spark" in page
     finally:
         srv.shutdown()
 
