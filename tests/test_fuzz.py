@@ -132,3 +132,32 @@ def test_chunk_starts_cover_exactly(token_counts, chunk, stride):
         for s, l in zip(starts, lens):
             covered.update(range(s, s + l))
         assert covered == set(range(n))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(
+    [f"w{i:02d}" for i in range(12)] + ["x"]),        # "x" dropped (len 1)
+    max_size=12), min_size=1, max_size=40),
+    st.sampled_from([2, 3]))
+def test_ngram_counts_fuzz_vs_counter(ray_session, doclists, n):
+    """Hash-combined distributed n-gram counting == a naive Counter over
+    adjacent same-doc token windows, across random corpora and batch
+    boundaries (pins the wordhash combine + groupby-sum plan)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ics_search_engine_ray.stages.text_analysis import ngram_counts
+
+    texts = [" ".join(ws) for ws in doclists]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    got = sorted((r["gram"], r["n"])
+                 for r in ngram_counts(ds, n=n, min_count=1).take_all())
+    want = Counter()
+    for ws in doclists:
+        toks = [w for w in ws if len(w) > 1]
+        for i in range(len(toks) - n + 1):
+            want[" ".join(toks[i:i + n])] += 1
+    assert got == sorted(want.items())
