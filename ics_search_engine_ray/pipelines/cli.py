@@ -135,11 +135,18 @@ def cmd_update(args) -> int:
     from .build import build_index
     from .merge import merge_indexes
 
+    # the delta MUST be built with the base index's semantics (stem,
+    # BM25 params) or merge_indexes rejects the pair after the delta
+    # build has already been paid for
+    with open(os.path.join(args.index, "manifest.json")) as f:
+        base_man = json.load(f)
+    cfg = DEFAULT_CONFIG.with_(stem=base_man["stem"],
+                               bm25_k1=base_man["bm25_k1"],
+                               bm25_b=base_man["bm25_b"])
     delta_dir = tempfile.mkdtemp(prefix="icser_delta_")
     try:
-        res = build_index(args.pages, delta_dir, DEFAULT_CONFIG,
-                          resume=False)
-        man = merge_indexes([args.index, delta_dir], args.out,
+        res = build_index(args.pages, delta_dir, cfg, resume=False)
+        man = merge_indexes([args.index, delta_dir], args.out, cfg,
                             near_dedup=not args.no_dedup)
     finally:
         shutil.rmtree(delta_dir, ignore_errors=True)
@@ -251,12 +258,18 @@ def cmd_vquery(args) -> int:
 
     vi = VectorIndex(args.index)
     if args.vec_id is not None:
+        # predicate-pushdown scan of the id column only — never the
+        # embedding corpus (repo rule: no driver-side O(corpus) state)
+        import pyarrow.compute as pc
         import pyarrow.dataset as pds
-        t = pds.dataset(os.path.join(args.index, "vectors"),
-                        partitioning="hive").to_table(
-            columns=["vec_id", "embedding"])
-        idx = t.column("vec_id").to_pylist().index(args.vec_id)
-        q = t.column("embedding")[idx].as_py()
+        dset = pds.dataset([pds.dataset(d, partitioning="hive")
+                            for d in vi.gen_dirs])
+        t = dset.to_table(filter=pc.field("vec_id") == args.vec_id,
+                          columns=["embedding"])
+        if t.num_rows == 0:
+            print(json.dumps({"error": f"vec_id {args.vec_id} not found"}))
+            return 1
+        q = t.column("embedding")[0].as_py()
     else:
         q = json.loads(args.vector)
     t0 = time.time()

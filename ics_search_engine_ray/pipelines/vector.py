@@ -53,12 +53,14 @@ def build_vector_index(embeds, out_dir: str, n_lists: int = 32,
     vec_dir = os.path.join(out_dir, "vectors")
     shutil.rmtree(vec_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    assigned = ivf_assign(embeds.select_columns([id_col, vec_col]), cent)
+    assigned = ivf_assign(embeds.select_columns([id_col, vec_col]), cent,
+                          vec_col=vec_col)
     assigned.write_parquet(vec_dir, partition_cols=["list_id"])
 
     manifest = {"version": _VERSION, "n_lists": int(cent.shape[0]),
                 "dim": int(cent.shape[1]), "num_vectors": int(n_total),
-                "iters": int(iters), "id_col": id_col, "vec_col": vec_col}
+                "iters": int(iters), "id_col": id_col, "vec_col": vec_col,
+                "generations": ["vectors"]}
     # atomic writes so a killed build never leaves a half manifest
     for name, obj in (("centroids.json", cent.tolist()),
                       ("manifest.json", manifest)):
@@ -72,12 +74,16 @@ def build_vector_index(embeds, out_dir: str, n_lists: int = 32,
 def update_vector_index(embeds_new, index_dir: str) -> dict:
     """Incremental append: assign NEW vectors with the EXISTING centroids
     (the IVF contract — centroids stay fixed between retrains, recall
-    degrades gracefully as the corpus drifts) and append their hive
-    partitions; ``num_vectors`` updates atomically in the manifest.
-    Ray's append-on-write is the DESIRED semantics here (each update adds
-    new files inside the per-list dirs; nothing is rewritten). The caller
-    guarantees new ids are disjoint from the existing corpus (url-hash
-    style ids satisfy this by construction)."""
+    degrades gracefully as the corpus drifts).
+
+    TRANSACTIONAL: each update writes a fresh hive-partitioned
+    GENERATION dir (staged under a temp name, os.rename'd into place)
+    and only then atomically rewrites the manifest to reference it. A
+    crashed or retried update therefore never double-counts — an
+    unreferenced staging dir is the only debris (safe to delete; it is
+    invisible to readers). The caller guarantees new ids are disjoint
+    from the existing corpus (url-hash ids satisfy this by
+    construction)."""
     from ..stages.similarity import ivf_assign
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -85,11 +91,23 @@ def update_vector_index(embeds_new, index_dir: str) -> dict:
     with open(os.path.join(index_dir, "centroids.json")) as f:
         cent = np.asarray(json.load(f), np.float64)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    gens = manifest.get("generations", ["vectors"])
+    gen_name = f"vectors-g{len(gens):04d}"
+    stage_name = gen_name + ".staging"
+    stage_dir = os.path.join(index_dir, stage_name)
+    shutil.rmtree(stage_dir, ignore_errors=True)   # debris from a retry
+
     n_new = embeds_new.count()
     assigned = ivf_assign(embeds_new.select_columns([id_col, vec_col]),
-                          cent)
-    assigned.write_parquet(os.path.join(index_dir, "vectors"),
-                           partition_cols=["list_id"])
+                          cent, vec_col=vec_col)
+    assigned.write_parquet(stage_dir, partition_cols=["list_id"])
+    final_dir = os.path.join(index_dir, gen_name)
+    # a crash between rename and manifest write leaves final_dir as
+    # unreferenced (hence invisible) debris; a retry replaces it
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(stage_dir, final_dir)
+
+    manifest["generations"] = gens + [gen_name]
     manifest["num_vectors"] = int(manifest["num_vectors"]) + int(n_new)
     tmp = os.path.join(index_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
@@ -109,7 +127,11 @@ class VectorIndex:
             self.manifest = json.load(f)
         with open(os.path.join(index_dir, "centroids.json")) as f:
             self.centroids = np.asarray(json.load(f), np.float64)
-        self.vec_dir = os.path.join(index_dir, "vectors")
+        # one dir per update generation (see update_vector_index); only
+        # manifest-referenced generations are visible
+        self.gen_dirs = [os.path.join(index_dir, g)
+                         for g in self.manifest.get("generations",
+                                                    ["vectors"])]
         self.id_col = self.manifest["id_col"]
         self.vec_col = self.manifest["vec_col"]
 
@@ -123,7 +145,8 @@ class VectorIndex:
             q = q / qn
         n_probe = max(1, min(n_probe, self.centroids.shape[0]))
         probes = np.argsort(-(self.centroids @ q))[:n_probe]
-        dset = pds.dataset(self.vec_dir, partitioning="hive")
+        dset = pds.dataset([pds.dataset(d, partitioning="hive")
+                            for d in self.gen_dirs])
         t = dset.to_table(
             filter=pc.field("list_id").isin([int(p) for p in probes]),
             columns=[self.id_col, self.vec_col])

@@ -80,9 +80,11 @@ def serve(index_dir: str, port: int = 8080, actors: int = 0, max_k: int = 20):
                     sugg = [t for w in q.split()
                             for t, _ in si.suggest(w, n=2)][:5]
                     if sugg:
+                        sc = html.escape(scorer, quote=True)
                         links = ", ".join(
-                            f'<a href="/?q={html.escape(s, quote=True)}">'
-                            f'{html.escape(s)}</a>' for s in sugg)
+                            f'<a href="/?q={html.escape(s, quote=True)}'
+                            f'&scorer={sc}">{html.escape(s)}</a>'
+                            for s in sugg)
                         body += f"<p>Did you mean: {links}?</p>"
             page = _PAGE.format(q=html.escape(q, quote=True), body=body,
                                 s_bm25="selected" if scorer == "bm25" else "",

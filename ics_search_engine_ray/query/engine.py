@@ -292,26 +292,36 @@ class SearchIndex:
         land in the same (stemmed) vocabulary the engine searches."""
         from ..stages.strings import _ed_le1
 
+        import threading
+
         toks = self.tokenize_query(word)
         if not toks:
             return []
         q = toks[0]
         if getattr(self, "_del_map", None) is None:
-            dfs: Dict[str, int] = {}
-            for part in range(self.P + self.S):
-                r = self._reader(part)
-                for t in r.terms():
-                    if t in dfs:
-                        continue     # salted head terms span S partitions
-                    dfs[t] = (int(self.head_df[t])
-                              if self.S > 0 and t in self.head_df
-                              else r.df(t))    # _df_quick semantics
-            dm: Dict[str, List[str]] = {}
-            for t in dfs:
-                dm.setdefault(t, []).append(t)
-                for i in range(len(t)):
-                    dm.setdefault(t[:i] + t[i + 1:], []).append(t)
-            self._del_map, self._vocab_df = dm, dfs
+            # webui serves from ThreadingHTTPServer handler threads: one
+            # thread builds, others wait; _del_map is assigned LAST so a
+            # reader never sees it without _vocab_df
+            lock = self.__dict__.setdefault("_suggest_lock",
+                                            threading.Lock())
+            with lock:
+                if getattr(self, "_del_map", None) is None:
+                    dfs: Dict[str, int] = {}
+                    for part in range(self.P + self.S):
+                        r = self._reader(part)
+                        for t in r.terms():
+                            if t in dfs:
+                                continue  # salted terms span S partitions
+                            dfs[t] = (int(self.head_df[t])
+                                      if self.S > 0 and t in self.head_df
+                                      else r.df(t))  # _df_quick semantics
+                    dm: Dict[str, List[str]] = {}
+                    for t in dfs:
+                        dm.setdefault(t, []).append(t)
+                        for i in range(len(t)):
+                            dm.setdefault(t[:i] + t[i + 1:], []).append(t)
+                    self._vocab_df = dfs
+                    self._del_map = dm
         cands = set()
         for v in {q, *(q[:i] + q[i + 1:] for i in range(len(q)))}:
             cands.update(self._del_map.get(v, ()))

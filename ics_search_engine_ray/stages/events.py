@@ -513,9 +513,20 @@ def value_histogram(events, key: str = "event_type", value: str = "value",
     from ray.data.aggregate import Max, Min, Sum
 
     stats = events.aggregate(Min(value), Max(value))
+    if not stats or stats.get(f"min({value})") is None:   # empty input
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            key: pa.array([], pa.string()),
+            "bin": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64())}))
     lo, hi = float(stats[f"min({value})"]), float(stats[f"max({value})"])
-    if not np.isfinite(lo) or hi <= lo:
-        hi = lo + 1.0                      # degenerate: single-valued column
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        raise ValueError(f"{value!r} must be finite for histogram binning")
+    if hi <= lo:
+        # degenerate single-valued column: everything lands in bin 0 (the
+        # SQL expression divides by zero here — the oracle only covers
+        # non-degenerate inputs)
+        hi = lo + 1.0
 
     def partial(b: pa.Table) -> pa.Table:
         empty = pa.table({key: pa.array([], pa.string()),

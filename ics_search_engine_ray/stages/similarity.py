@@ -288,7 +288,7 @@ def knn_ivf(embeds, query_vecs: np.ndarray, k: int = 10, n_lists: int = 32,
     return out
 
 
-def ivf_assign(embeds, centroids: np.ndarray):
+def ivf_assign(embeds, centroids: np.ndarray, vec_col: str = "embedding"):
     """Persistable IVF assignment: adds a ``list_id`` column (write the
     result partitioned by list_id for a reusable on-disk IVF index)."""
     import ray
@@ -297,8 +297,7 @@ def ivf_assign(embeds, centroids: np.ndarray):
 
     def assign(batch: pa.Table) -> pa.Table:
         cm = ray.get(cent_ref)
-        _, vecs = _batch_vecs(batch)
-        vn = _normalize(vecs)
+        vn = _normalize(_list_col_np(batch.column(vec_col)))
         lid = np.argmax(vn @ cm.T, axis=1).astype(np.int32)
         return batch.append_column("list_id", pa.array(lid, pa.int32()))
 
@@ -531,7 +530,8 @@ def kmeans_assign(embeds, k: int = 8, iters: int = 10,
     cent = kmeans_fit(embeds, k=k, iters=iters, vec_col=vec_col,
                       id_col=id_col)
 
-    out = ivf_assign(embeds.select_columns([id_col, vec_col]), cent)
+    out = ivf_assign(embeds.select_columns([id_col, vec_col]), cent,
+                     vec_col=vec_col)
     return out.map_batches(
         lambda b: pa.table({id_col: b.column(id_col).cast(pa.int64()),
                             "cluster": b.column("list_id").cast(pa.int64())}),

@@ -733,62 +733,25 @@ def repetition_stats(docs):
 
 
 def bigram_counts(docs, min_count: int = 5):
-    """Corpus-wide adjacent-bigram counts over the SQL-replicable token
-    stream -> (a, b, n) for bigrams occurring >= ``min_count`` times —
-    the n-gram-LM estimation / collocation-mining staple.
-
-    Partial-aggregate shuffle: each batch pre-counts its own bigrams
-    (one ``flat_word_hashes`` pass + one ``np.unique`` over combined
-    64-bit pair hashes — no per-pair Python, same collision argument as
-    :func:`repetition_stats`), so only (distinct-bigram, partial-count)
-    rows enter the native two-key groupby Sum. At corpus scale the
-    shuffled relation is bounded by per-batch distinct bigrams, not
-    token volume; ``min_count`` filters AFTER the global sum (exact).
+    """Corpus-wide adjacent-bigram counts -> (a, b, n) for bigrams
+    occurring >= ``min_count`` times — the two-column face of
+    :func:`ngram_counts` (ONE shared hash-combine kernel + groupby-sum
+    plan, no duplicate implementation): each gram splits on its single
+    space, valid because tokens contain no whitespace by construction.
     """
-    from ray.data.aggregate import Sum
+    grams = ngram_counts(docs, n=2, min_count=min_count)
 
-    from ..functions.wordhash import flat_word_hashes
-
-    def partial(b: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.string()),
-                          "b": pa.array([], pa.string()),
-                          "c": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
-                 if len(t) > 1] for x in b.column("text").to_pylist()]
-        counts = np.array([len(t) for t in toks], np.int64)
-        flat = np.asarray([w for ts in toks for w in ts], object)
-        if flat.size < 2:
-            return empty
-        did = np.repeat(np.arange(counts.size), counts)
-        li = np.flatnonzero(did[:-1] == did[1:])
-        if not li.size:
-            return empty
-        wh = flat_word_hashes(list(flat))
-        with np.errstate(over="ignore"):
-            h = wh[li] * np.uint64(0x100000001B3) + wh[li + 1]
-        uniq, idx, cnt = np.unique(h, return_index=True,
-                                   return_counts=True)
-        return pa.table({
-            "a": pa.array(flat[li[idx]], pa.string()),
-            "b": pa.array(flat[li[idx] + 1], pa.string()),
-            "c": pa.array(cnt.astype(np.int64), pa.int64())})
-
-    summed = docs.select_columns(["text"]) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Sum("c", alias_name="n"))
-
-    def finish(b: pa.Table) -> pa.Table:
+    def split(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"a": pa.array([], pa.string()),
                              "b": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        t = b.filter(pc.greater_equal(b.column("n"), min_count))
-        return pa.table({"a": t.column("a"), "b": t.column("b"),
-                         "n": t.column("n").cast(pa.int64())})
+        parts = pc.split_pattern(b.column("gram"), " ")
+        return pa.table({"a": pc.list_element(parts, 0),
+                         "b": pc.list_element(parts, 1),
+                         "n": b.column("n").cast(pa.int64())})
 
-    return summed.map_batches(finish, batch_format="pyarrow")
+    return grams.map_batches(split, batch_format="pyarrow")
 
 
 def ngram_counts(docs, n: int = 3, min_count: int = 5):

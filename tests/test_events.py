@@ -318,3 +318,13 @@ def test_window_distinct_users_matches_duckdb(ray_session, sf_dir):
 SELECT date_trunc('hour', ts), event_type, count(DISTINCT user_id)
 FROM '{sf_dir}/events.parquet' GROUP BY 1, 2""").fetchall())
     assert got == want and len(got) > 0
+
+
+def test_value_histogram_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import value_histogram
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64())}))
+    assert value_histogram(ds, bins=4).take_all() == []

@@ -329,6 +329,7 @@ def test_web_ui_serves_results(built_index):
             f"http://127.0.0.1:{port}/?q=sprk").read().decode()
         assert "No results found" in page
         assert "Did you mean" in page and "spark" in page
+        assert "scorer=bm25" in page   # suggestion links keep the scorer
     finally:
         srv.shutdown()
 

@@ -112,3 +112,76 @@ def test_incremental_update_exact_at_full_probe(emb_ds, tmp_path):
         got = vi.search(q, k=10, n_probe=8)
         want = knn_brute(emb_ds, q[None, :], k=10)[0]
         assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_update_retry_after_simulated_crash(emb_ds, tmp_path):
+    """A crashed update (generation dir renamed into place but manifest
+    never rewritten) leaves only unreferenced debris: the retry replaces
+    it and the index serves exactly one copy of every vector."""
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ics_search_engine_ray.pipelines.vector import (
+        VectorIndex, build_vector_index, update_vector_index)
+
+    half_a = emb_ds.map_batches(
+        lambda b: b.filter(pa.compute.less(b.column("vec_id"), 250)),
+        batch_format="pyarrow")
+    half_b = emb_ds.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b.column("vec_id"),
+                                                    250)),
+        batch_format="pyarrow")
+    out = str(tmp_path / "idx")
+    build_vector_index(half_a, out, n_lists=8, iters=4)
+
+    # simulate the crash: the next generation dir exists with stale rows
+    # but the manifest was never updated to reference it
+    debris = os.path.join(out, "vectors-g0001", "list_id=0")
+    os.makedirs(debris)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([999_999], pa.int64()),
+        "embedding": pa.array([[0.0] * 64],
+                              pa.list_(pa.float32()))}),
+        os.path.join(debris, "stale.parquet"))
+
+    man = update_vector_index(half_b, out)
+    assert man["generations"] == ["vectors", "vectors-g0001"]
+    assert man["num_vectors"] == emb_ds.count()
+
+    vi = VectorIndex(out)
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f)["num_vectors"] == emb_ds.count()
+    # full probe over everything: every id exactly once, no stale row
+    import pyarrow.dataset as pds
+    t = pds.dataset([pds.dataset(d, partitioning="hive")
+                     for d in vi.gen_dirs]).to_table(columns=["vec_id"])
+    ids = sorted(t.column("vec_id").to_pylist())
+    assert ids == sorted(r["vec_id"] for r in emb_ds.take_all())
+
+
+def test_kmeans_and_vindex_custom_columns(ray_session, emb_ds, tmp_path):
+    """Non-default id/vector column names flow through kmeans_assign and
+    the vector-index build + search (regression: ivf_assign hardcoded
+    'embedding')."""
+    import pyarrow as pa
+    from ics_search_engine_ray.pipelines.vector import (
+        VectorIndex, build_vector_index)
+    from ics_search_engine_ray.stages.similarity import kmeans_assign
+
+    renamed = emb_ds.map_batches(
+        lambda b: pa.table({"id": b.column("vec_id"),
+                            "emb": b.column("embedding")}),
+        batch_format="pyarrow")
+    got = kmeans_assign(renamed, k=4, iters=2, vec_col="emb", id_col="id")
+    rows = got.take_all()
+    assert len(rows) == emb_ds.count()
+    assert set(rows[0]) == {"id", "cluster"}
+
+    out = str(tmp_path / "idx_custom")
+    man = build_vector_index(renamed, out, n_lists=4, iters=2,
+                             vec_col="emb", id_col="id")
+    assert man["id_col"] == "id"
+    vi = VectorIndex(out)
+    q = emb_ds.take_all()[0]["embedding"]
+    top = vi.search(q, k=1, n_probe=4)
+    assert top and top[0][1] == pytest.approx(1.0, abs=1e-9)
