@@ -73,7 +73,11 @@ def cmd_query(args) -> int:
 
     def run_one(q: str):
         t0 = time.time()
-        results = si.search(q, args.k, scorer=args.scorer, algo=args.algo)
+        if getattr(args, "proximity", False) and args.actors == 0:
+            results = si.proximity_rerank(q, args.k)
+        else:
+            results = si.search(q, args.k, scorer=args.scorer,
+                                algo=args.algo)
         secs = time.time() - t0
         if not results:
             print("No results found.")
@@ -373,6 +377,9 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--actors", type=int, default=0,
                    help="serve through a sharded actor pool of this size")
+    q.add_argument("--proximity", action="store_true",
+                   help="rerank BM25 finalists by minimal-window "
+                        "term proximity (local path only)")
     q.add_argument("--num-cpus", type=int, default=None)
     q.add_argument("query", nargs="*")
     q.set_defaults(fn=cmd_query)

@@ -471,6 +471,73 @@ class SearchIndex:
                 return []
         return sorted(int(common[i]) for i in np.unique(cur >> np.int64(32)))
 
+    def min_window(self, doc_id: int, terms) -> Optional[int]:
+        """Length (inclusive, in token positions) of the SMALLEST window
+        of the document containing every distinct term at least once —
+        the classic minimal-interval proximity signal (Clarke, Cormack &
+        Tudhope 2000). None if the doc lacks any of the terms. One
+        two-pointer sweep over the doc's merged tagged positions,
+        O(total positions in this doc) — used on top-k candidates only,
+        never corpus-wide."""
+        distinct = sorted(set(terms))
+        if not distinct:
+            return None
+        plists = []
+        for t in distinct:
+            tp = self.term_postings(t, with_positions=True)
+            if tp is None:
+                return None
+            i = int(np.searchsorted(tp.doc_ids, doc_id))
+            if i >= tp.doc_ids.size or tp.doc_ids[i] != doc_id:
+                return None
+            plists.append(np.asarray(tp.positions[i], np.int64))
+        if len(plists) == 1:
+            return 1
+        pos = np.concatenate(plists)
+        tag = np.repeat(np.arange(len(plists)), [p.size for p in plists])
+        order = np.argsort(pos, kind="stable")
+        pos, tag = pos[order], tag[order]
+        need = len(plists)
+        count = np.zeros(need, np.int64)
+        covered = 0
+        best = None
+        left = 0
+        for right in range(pos.size):
+            if count[tag[right]] == 0:
+                covered += 1
+            count[tag[right]] += 1
+            while covered == need:
+                w = int(pos[right] - pos[left] + 1)
+                if best is None or w < best:
+                    best = w
+                count[tag[left]] -= 1
+                if count[tag[left]] == 0:
+                    covered -= 1
+                left += 1
+        return best
+
+    def proximity_rerank(self, query: str, k: int = 10,
+                         k_candidates: int = 50,
+                         beta: float = 0.5) -> List[SearchResult]:
+        """BM25 retrieve-then-rerank with a proximity bonus:
+        final = bm25 + beta * n_matched / min_window(matched terms) —
+        docs whose matched terms sit close together rise (a phrase-tight
+        doc gets the full beta * n/n = beta bonus; scattered terms decay
+        toward 0). Only the ``k_candidates`` BM25 finalists pay the
+        position decode, so the extra cost is O(k_candidates) seeks.
+        Ties break (score desc, doc_id) like every other ranking."""
+        cands = self.search(query, k_candidates, scorer="bm25")
+        rescored = []
+        for r in cands:
+            w = (self.min_window(r.doc_id, r.matched_terms)
+                 if r.matched_terms else None)
+            bonus = beta * len(set(r.matched_terms)) / w if w else 0.0
+            rescored.append(SearchResult(
+                url=r.url, doc_id=r.doc_id, score=r.score + bonus,
+                matched_terms=r.matched_terms, title=r.title))
+        rescored.sort(key=lambda r: (-r.score, r.doc_id))
+        return rescored[:k]
+
     def _search_tfidf_ref(self, terms: List[str], k: int) -> List[SearchResult]:
         """Reference Q3-Q5 semantics (search.py:141-198)."""
         qtf: Dict[str, int] = {}

@@ -498,3 +498,55 @@ def test_verify_index_fsck(built_index, tmp_path):
     with open(mpath, "w") as f:
         json.dump(man, f)
     assert cli_main(["verify", "--index", bad]) == 1
+
+
+def test_min_window_and_proximity_rerank(ray_session, tmp_path):
+    """Minimal-interval proximity: min_window matches an O(n^2) brute
+    force over the raw token stream, and proximity_rerank prefers the
+    phrase-tight doc over an equal-BM25 scattered one."""
+    import itertools
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ics_search_engine_ray.pipelines.build import build_index_from_texts
+
+    filler = " ".join(f"f{i:02d}" for i in range(10))
+    rows = [
+        (1, f"alpha beta {filler}"),              # tight pair
+        (2, f"alpha {filler} beta"),              # scattered pair
+        (3, f"beta gamma alpha {filler}"),        # 3 terms within 3
+        (4, f"alpha {filler}"),                   # missing beta
+        (5, f"alpha alpha beta beta {filler}"),   # repeats
+    ]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows])}), src)
+    out = str(tmp_path / "idx")
+    build_index_from_texts(src, out, DEFAULT_CONFIG.with_(stem=False),
+                           skip_dedup=True)
+    si = SearchIndex(out)
+
+    def brute(text, terms):
+        toks = [t for t in text.split() if len(t) > 1]
+        best = None
+        for i, j in itertools.combinations(range(len(toks) + 1), 2):
+            if set(terms) <= set(toks[i:j]):
+                w = j - i
+                best = w if best is None or w < best else best
+        return best
+
+    for did, text in rows:
+        for terms in (["alpha", "beta"], ["alpha", "beta", "gamma"],
+                      ["alpha"]):
+            want = brute(text, terms)
+            got = si.min_window(did, terms)
+            assert got == want, (did, terms)
+    assert si.min_window(99, ["alpha"]) is None
+
+    ranked = si.proximity_rerank("alpha beta", k=5, beta=0.5)
+    ids = [r.doc_id for r in ranked]
+    assert ids.index(1) < ids.index(2)      # tight pair beats scattered
+    plain = {r.doc_id: r.score for r in si.search("alpha beta", k=10)}
+    for r in ranked:                         # bonus is additive and bounded
+        assert plain[r.doc_id] <= r.score <= plain[r.doc_id] + 0.5
+    si.close()
