@@ -1055,6 +1055,56 @@ def _q_search_bm25(sf_dir: str):
     })
 
 
+_SEARCH_ORACLE_QUERIES = ("spark join merge", "batch value stream",
+                          "fast table hash sort")
+
+
+def _q_search_bm25_oracle(sf_dir: str):
+    """Full serving path (Q1-Q6 over the text index: segment reads,
+    block-skip, WAND top-k) for THREE multi-term queries, hash-checked
+    against a per-query BM25 SQL oracle (r3 verdict item 3 — the math
+    bm25_topk proves, exercised per bench query through the engine)."""
+    si = _text_index(sf_dir)
+    rows = []
+    for q in _SEARCH_ORACLE_QUERIES:
+        for rank, r in enumerate(si.search(q, k=10, scorer="bm25",
+                                           algo="wand"), 1):
+            rows.append((q, rank, r.doc_id, round(r.score, 6)))
+    return pa.table({
+        "query": pa.array([r[0] for r in rows], pa.string()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """The full <=max_hamming SimHash pair set over plain-token
+    fingerprints (the same SQL-replicable fingerprints the green
+    simhash_fingerprint oracle proves), produced by the banded +
+    verified near-dup machinery — r3 verdict item 2: the flagship dedup
+    stage's pair rule gets a driver-checkable DuckDB oracle
+    (bit_count(xor) over the recomputed 128-bit strings)."""
+    from ics_search_engine_ray.functions.simhash import SimHasher
+    from ics_search_engine_ray.functions.tokenizer import Tokenizer
+    from ics_search_engine_ray.stages.dedup import simhash_pairs
+
+    class Fp:
+        def __init__(self):
+            self.tk = Tokenizer(stem=False)
+            self.sh = SimHasher()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            fps = [self.sh.fingerprint(self.tk.tokens(t or ""))
+                   for t in b.column("text").to_pylist()]
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "simhash": pa.array(fps, pa.binary(16))})
+
+    sigs = _read_docs(sf_dir).map_batches(Fp, batch_format="pyarrow",
+                                          concurrency=(1, 4))
+    return simhash_pairs(sigs, DEFAULT_CONFIG)
+
+
 def _q_search_tfidf_ref(sf_dir: str):
     si = _pages_index(sf_dir)
     rows = []
@@ -1113,10 +1163,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": _q_phrase_match,          # positional index query
         "extract_text": _q_extract_text,          # M1-M3 (frozen-fixture oracle)
         "search_bm25": _q_search_bm25,            # full pipeline (rows-only)
+        "search_bm25_oracle": _q_search_bm25_oracle,  # serving path (SQL oracle)
         "search_tfidf_ref": _q_search_tfidf_ref,  # Q3-Q5 parity scorer
         "pagerank_hits": _q_pagerank,             # G1/G2 (rows-only)
         "index_stats": _q_index_stats,            # S4/S5 manifest (rows-only)
-        "simhash_dedup": _q_simhash_dedup,        # T2/D2 (rows-only)
+        "simhash_dedup": _q_simhash_dedup,        # T2/D2 (rows-only greedy)
+        "simhash_pairs": _q_simhash_pairs,        # T2 pair rule (SQL oracle)
         # training-data operators (task brief)
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -1185,6 +1237,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _sql_tokens_cte() -> str:
     return ("SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), "
             "'[a-z0-9]+'), x -> length(x) > 1)) AS term FROM documents")
+
+
+def _bm25_multi_sql(queries, k1: float, b: float) -> str:
+    """One UNION ALL block per bench query, each ranked top-10 by the
+    same BM25 expression the green bm25_topk oracle uses (identical
+    rounding and tie-break), sharing the toks/dl/stats CTEs."""
+    parts = [
+        f"toks AS ({_sql_tokens_cte()})",
+        "dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id)",
+        "stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(queries):
+        terms_in = ", ".join(f"'{t}'" for t in sorted(set(q.split())))
+        parts.append(
+            f"tf{qi} AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            f"WHERE term IN ({terms_in}) GROUP BY doc_id, term)")
+        parts.append(
+            f"df{qi} AS (SELECT term, count(*) AS df FROM tf{qi} GROUP BY term)")
+        parts.append(f"""sc{qi} AS (
+  SELECT tf{qi}.doc_id,
+         sum( ln((stats.n_docs - df{qi}.df + 0.5) / (df{qi}.df + 0.5) + 1.0)
+              * tf{qi}.tf * ({k1} + 1.0)
+              / (tf{qi}.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / stats.avgdl)) ) AS s
+  FROM tf{qi} JOIN df{qi} USING (term) JOIN dl ON tf{qi}.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf{qi}.doc_id)""")
+        selects.append(f"""SELECT '{q}' AS query, CAST(rn AS BIGINT) AS rank, doc_id,
+       CAST(round(s, 6) AS DOUBLE) AS score
+FROM (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+      FROM sc{qi}) WHERE rn <= 10""")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY query, rank")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1659,6 +1743,31 @@ fp AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
 SELECT d.doc_id, coalesce(fp.simhash, repeat('0', 128)) AS simhash
 FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 ORDER BY d.doc_id""",
+        # the near-dup PAIR rule over the same SQL-replicable fingerprints:
+        # hamming = bit_count(xor) over the recomputed 128-bit strings,
+        # threshold = reference >=0.85 similarity (constants.py:28) ->
+        # max_hamming = floor(128 * 0.15) = {max_hamming}
+        "simhash_pairs": f"""
+WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1)) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+votes AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(tf * (2 * ((strpos('0123456789abcdef',
+                    substr(md5(term), CAST(j // 4 AS INT) + 1, 1)) - 1
+                    >> (3 - CAST(j % 4 AS INT))) & 1) - 1)) > 0
+              THEN '1' ELSE '0' END AS b
+  FROM tf, range(128) t(j) GROUP BY doc_id, j
+),
+fps AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS fp
+        FROM votes GROUP BY doc_id),
+allfp AS (SELECT d.doc_id, coalesce(fps.fp, repeat('0', 128)) AS fp
+          FROM documents d LEFT JOIN fps ON d.doc_id = fps.doc_id)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM allfp x JOIN allfp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.fp::BIT, y.fp::BIT)) <= {DEFAULT_CONFIG.max_hamming}
+ORDER BY a, b""",
+        "search_bm25_oracle": _bm25_multi_sql(_SEARCH_ORACLE_QUERIES, k1, b),
         # frozen-fixture oracle (tools/freeze_extract_fixture.py): the
         # (n_docs, len_sum) pair identifies the sf dir from the registered
         # documents view, so one committed fixture serves every scale factor

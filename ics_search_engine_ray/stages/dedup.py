@@ -412,24 +412,18 @@ class DedupResult:
     stage_secs: Dict[str, float] = None
 
 
-def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
-                  num_verify_groups: int = None,
-                  broadcast_fp: bool = None,
-                  n_docs_hint: int = None) -> DedupResult:
-    """docs: Dataset with (doc_id, simhash). Returns deterministic drop set.
-
-    Stage 0 collapses *identical* fingerprints first (groupby(simhash), min
-    doc_id representative): exact duplicates are decided without any pairwise
-    work, and — crucially — the quadratic band-bucket verification then runs
-    over distinct fingerprints only. A representative's verdict transfers to
-    its followers (distance(follower, x) == distance(rep, x)), so greedy
-    semantics are preserved exactly.
-
-    Driver memory is O(duplicates + candidate pairs), never O(N): the
-    collapsed representatives stay distributed (materialized dataset); only
-    exact-dup follower lists, verified pairs, and the fingerprints of
-    *clustered* doc_ids are pulled to the driver.
-    """
+def _verified_rep_pairs(docs, cfg: EngineConfig = DEFAULT_CONFIG,
+                        num_verify_groups: int = None,
+                        broadcast_fp: bool = None,
+                        n_docs_hint: int = None):
+    """Stages 0-2 of the SimHash near-dup machinery, shared by
+    :func:`simhash_dedup` and :func:`simhash_pairs`: identical-fingerprint
+    collapse, banding + pigeonhole-complete bucket verification over
+    DISTINCT representatives. Returns ``(pair_a, pair_b, followers_of,
+    stage_secs)`` — the EXACT <= cfg.max_hamming pair set over
+    representatives plus the exact-dup follower map (a representative's
+    verdict transfers to its followers: distance(follower, x) ==
+    distance(rep, x))."""
     import time as _time
     import pyarrow.compute as pc
     import ray.data as rd
@@ -653,8 +647,33 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
         pair_a, pair_b = pa_all[keep], pb_all[keep]
     else:
         pair_a = pair_b = np.empty(0, dtype=np.int64)
-    num_pairs = int(pair_a.size)
     stage_secs["band_verify"] = _time.time() - t0
+    return pair_a, pair_b, followers_of, stage_secs
+
+
+def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
+                  num_verify_groups: int = None,
+                  broadcast_fp: bool = None,
+                  n_docs_hint: int = None) -> DedupResult:
+    """docs: Dataset with (doc_id, simhash). Returns deterministic drop set.
+
+    Stage 0 collapses *identical* fingerprints first (groupby(simhash), min
+    doc_id representative): exact duplicates are decided without any pairwise
+    work, and — crucially — the quadratic band-bucket verification then runs
+    over distinct fingerprints only. A representative's verdict transfers to
+    its followers (distance(follower, x) == distance(rep, x)), so greedy
+    semantics are preserved exactly.
+
+    Driver memory is O(duplicates + candidate pairs), never O(N): the
+    collapsed representatives stay distributed (materialized dataset); only
+    exact-dup follower lists, verified pairs, and the fingerprints of
+    *clustered* doc_ids are pulled to the driver.
+    """
+    import time as _time
+
+    pair_a, pair_b, followers_of, stage_secs = _verified_rep_pairs(
+        docs, cfg, num_verify_groups, broadcast_fp, n_docs_hint)
+    num_pairs = int(pair_a.size)
 
     # ---- stage 3: clusters + greedy accept (driver; |pairs| << N) ----
     t0 = _time.time()
@@ -712,6 +731,52 @@ def simhash_dedup(docs, cfg: EngineConfig = DEFAULT_CONFIG,
     stage_secs["cluster_greedy"] = _time.time() - t0
 
     return DedupResult(dropped, full_clusters, num_pairs, stage_secs)
+
+
+def simhash_pairs(docs, cfg: EngineConfig = DEFAULT_CONFIG,
+                  num_verify_groups: int = None,
+                  broadcast_fp: bool = None,
+                  n_docs_hint: int = None) -> pa.Table:
+    """The full (a < b) pair set with hamming <= cfg.max_hamming — the
+    reference's >=0.85-similarity near-dup rule
+    (/root/reference/components/document_processor.py:72-79, threshold
+    /root/reference/utils/constants.py:28) as a relation, EXACT by the
+    banding pigeonhole. Shares stages 0-2 with :func:`simhash_dedup`;
+    the only additional work expands representative pairs to their
+    identical-fingerprint followers (within-cluster pairs have hamming
+    0; cross pairs inherit the verified rep distance). Driver memory is
+    O(pairs) — the operator's own output size."""
+    pair_a, pair_b, followers_of, _ = _verified_rep_pairs(
+        docs, cfg, num_verify_groups, broadcast_fp, n_docs_hint)
+
+    def members(rep: int) -> List[int]:
+        return [rep] + followers_of.get(rep, [])
+
+    rows_a: List[int] = []
+    rows_b: List[int] = []
+    for rep, fol in followers_of.items():
+        mem = sorted([rep] + fol)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                rows_a.append(mem[i])
+                rows_b.append(mem[j])
+    for a, b in zip(pair_a.tolist(), pair_b.tolist()):
+        for x in members(a):
+            for y in members(b):
+                rows_a.append(x if x < y else y)
+                rows_b.append(y if x < y else x)
+    if not rows_a:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    aa = np.asarray(rows_a, np.int64)
+    bb = np.asarray(rows_b, np.int64)
+    order = np.lexsort((bb, aa))
+    aa, bb = aa[order], bb[order]
+    keep = np.empty(aa.size, bool)
+    keep[0] = True
+    keep[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+    return pa.table({"a": pa.array(aa[keep], pa.int64()),
+                     "b": pa.array(bb[keep], pa.int64())})
 
 
 def exact_dedup_min_doc_id(docs):

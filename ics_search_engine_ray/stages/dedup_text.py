@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 # module-level (NOT inside batch fns): batch callables run on workers where
 # the package may not be importable — by-value cloudpickle captures these as
 # serialized globals, a runtime relative import would raise ModuleNotFoundError
+from ..functions.tokenizer import TOKEN_RE
 from ..functions.wordhash import _apow, _splitmix, batch_shingle_hashes
 
 _MERSENNE = (1 << 61) - 1
@@ -667,6 +668,151 @@ def embedding_dedup(embeds, threshold: float = 0.99, n_bits: int = 12,
 _BCAST_DUP_GRAMS = 10_000_000
 
 
+def _win_tokens(texts, k: int):
+    """Shared window scaffolding for the substring-dedup family: token
+    lists, per-doc token counts, and the k-gram window hashes (int64
+    bit-view — Ray's aggregate shuffle cannot carry uint64 keys above
+    2^63) with whole-doc fallback shingles of short docs masked out.
+
+    NOTE: runs WORKER-side (called from map_batches UDFs) — all imports
+    must be module-level so by-value-pickled closures never trigger a
+    package import on a worker whose driver started from a foreign cwd."""
+    toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+             if len(t) > 1] for x in texts]
+    counts = np.array([len(t) for t in toks], np.int64)
+    h, offs = batch_shingle_hashes([" ".join(t) for t in toks], k)
+    n_win = np.where(counts >= k, counts - k + 1, 0)
+    keep = np.repeat(counts >= k, np.diff(offs))
+    return (h[keep].view(np.int64),
+            np.concatenate(([0], np.cumsum(n_win))), toks, counts)
+
+
+def _exact_dup_grams(docs, k: int):
+    """The STRING-EXACT duplicated-gram set shared by
+    :func:`duplicate_spans` / :func:`scrub_duplicate_spans`, in three
+    narrow passes (decontaminate's rule: a raw 64-bit hash hit is never
+    trusted alone, so a collision cannot silently scrub non-duplicated
+    text — r3 advice item):
+
+    1. count pass: per-batch-distinct (hash, count) partials -> native
+       ``groupby(h).sum`` -> CANDIDATE hashes with count >= 2 (16 B
+       rows, never text).
+    2. verify pass: per batch, only windows hitting the candidate set
+       materialize their gram STRING; distinct (gram, count) partials
+       -> native ``groupby(gram).sum`` -> grams whose exact string
+       count >= 2. A candidate hash whose count was inflated by a
+       collision of two distinct single-occurrence strings dies here.
+    3. the verified grams re-hash with the same kernel, sort by hash,
+       and return as (dup_h sorted int64, dup_strs aligned) — the mark
+       pass confirms every hit by string equality over the equal-hash
+       run.
+
+    Both driver collections are size-gated at ``_BCAST_DUP_GRAMS``
+    (scale path above the gate: shuffle (doc_id, s, h) windows by h
+    range and semi-join per partition).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.wordhash import batch_shingle_hashes
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        h, _, _, _ = _win_tokens(b.column("text").to_pylist(), k)
+        if not h.size:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uh, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uh, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("cnt"))
+
+    cand: List[int] = []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        hv = b.column("h").to_numpy(zero_copy_only=False)
+        cv = b.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        cand.extend(hv[cv >= 2].tolist())
+        if len(cand) > _BCAST_DUP_GRAMS:
+            raise ValueError(
+                f"duplicated-gram set exceeds broadcast gate "
+                f"({_BCAST_DUP_GRAMS}); use the hash-join scale path "
+                "(shuffle (doc_id, s, h) windows by h range and semi-join "
+                "per partition)")
+    cand_arr = np.sort(np.array(cand, np.int64))
+    if not cand_arr.size:
+        return cand_arr, np.empty(0, object)
+    cand_ref = ray.put(cand_arr)
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        h, offs, toks, _ = _win_tokens(b.column("text").to_pylist(), k)
+        if not h.size:
+            return empty
+        c = ray.get(cand_ref)
+        pos = np.clip(np.searchsorted(c, h), 0, c.size - 1)
+        hit = np.flatnonzero(c[pos] == h)
+        if not hit.size:
+            return empty
+        n_win = np.diff(offs)
+        win_doc = np.repeat(np.arange(n_win.size), n_win)[hit]
+        win_s = hit - offs[win_doc]
+        grams = [" ".join(toks[d][s:s + k])
+                 for d, s in zip(win_doc.tolist(), win_s.tolist())]
+        ug, uc = np.unique(np.asarray(grams, object), return_counts=True)
+        return pa.table({"gram": pa.array(ug, pa.string()),
+                         "cnt": pa.array(uc.astype(np.int64), pa.int64())})
+
+    gsum = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(gram_partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("cnt"))
+    dup_strs: List[str] = []
+    for b in gsum.iter_batches(batch_format="pyarrow"):
+        gv = b.column("gram").to_pylist()
+        cv = b.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        dup_strs.extend(g for g, c in zip(gv, cv) if c >= 2)
+        if len(dup_strs) > _BCAST_DUP_GRAMS:
+            raise ValueError(
+                f"duplicated-gram set exceeds broadcast gate "
+                f"({_BCAST_DUP_GRAMS}); use the hash-join scale path")
+    if not dup_strs:
+        return np.empty(0, np.int64), np.empty(0, object)
+    dh, _ = batch_shingle_hashes(dup_strs, k)   # one window per k-token gram
+    dh = dh.view(np.int64)
+    order = np.argsort(dh, kind="stable")
+    return dh[order], np.asarray(dup_strs, object)[order]
+
+
+def _verified_hits(h, offs, toks, dup_h, dup_strs, k: int):
+    """Windows whose hash hits ``dup_h`` AND whose gram string equals a
+    verified dup gram (walking the equal-hash run) -> (win_doc, win_s)
+    of confirmed windows, sorted by (doc, start). The string loop runs
+    only over hash hits, i.e. O(true duplicated windows)."""
+    n_win = np.diff(offs)
+    win_doc_all = np.repeat(np.arange(n_win.size), n_win)
+    win_s_all = np.arange(h.size) - np.repeat(offs[:-1], n_win)
+    pos = np.searchsorted(dup_h, h, side="left")
+    inb = pos < dup_h.size
+    hit = np.flatnonzero(inb & (dup_h[np.minimum(pos, dup_h.size - 1)] == h))
+    if not hit.size:
+        return (np.empty(0, np.int64),) * 2
+    ok = np.zeros(hit.size, bool)
+    for i, wi in enumerate(hit.tolist()):
+        d = int(win_doc_all[wi])
+        s = int(win_s_all[wi])
+        w = " ".join(toks[d][s:s + k])
+        p = int(pos[wi])
+        while p < dup_h.size and dup_h[p] == h[wi]:
+            if dup_strs[p] == w:
+                ok[i] = True
+                break
+            p += 1
+    conf = hit[ok]
+    return win_doc_all[conf], win_s_all[conf]
+
+
 def duplicate_spans(docs, k: int = 8):
     """EXACT cross-corpus duplicate-span detection (the substring-level
     dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -677,69 +823,20 @@ def duplicate_spans(docs, k: int = 8):
     -> Dataset (doc_id, span_start, span_end): token-index half-open spans,
     overlapping/touching duplicated windows merged per doc.
 
-    Plan (two streaming passes + one narrow aggregate):
-    1. count pass: per-batch k-gram window hashes (vectorized polynomial
-       kernel, functions/wordhash) pre-aggregated to (hash, count) partials
-       -> native ``groupby(h).sum`` -> hashes with count >= 2. The exchange
-       carries only per-batch-distinct (16 B) hash rows, never text.
-    2. the duplicated-hash set broadcasts (size-gated at
-       ``_BCAST_DUP_GRAMS``; above the gate shuffle windows by hash and
-       semi-join instead); a second scan recomputes window hashes, marks
-       hits via sorted-array ``searchsorted``, and merges hit windows into
-       maximal spans with one vectorized pass (sorted starts; a new span
-       opens where start - prev_start > k).
-
-    Identity is the 64-bit window hash (collision odds ~windows^2 / 2^64 —
-    the same documented assumption as repetition_stats / minhash banding).
-    Tokenization is the SQL-replicable variant; the DuckDB oracle re-derives
-    count-dup grams + gaps-and-islands span merge exactly.
+    Plan: the string-exact dup-gram set from :func:`_exact_dup_grams`
+    (hash count pass + exact-string verify pass, both native groupby
+    sums) broadcasts once; the mark scan recomputes window hashes,
+    confirms every hit by string equality (:func:`_verified_hits` — a
+    64-bit collision can no longer scrub non-duplicated text), and
+    merges confirmed windows into maximal spans with one vectorized
+    pass (sorted starts; a new span opens where start - prev > k).
+    Tokenization is the SQL-replicable variant; the DuckDB oracle
+    re-derives count-dup grams + gaps-and-islands span merge exactly.
     """
     import ray
-    from ray.data.aggregate import Sum
 
-    from ..functions.tokenizer import TOKEN_RE
-    from ..functions.wordhash import batch_shingle_hashes
-
-    def _windows(texts):
-        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
-                 if len(t) > 1] for x in texts]
-        counts = np.array([len(t) for t in toks], np.int64)
-        h, offs = batch_shingle_hashes([" ".join(t) for t in toks], k)
-        # mask the whole-doc fallback shingles of docs shorter than k
-        n_win = np.where(counts >= k, counts - k + 1, 0)
-        keep = np.repeat(counts >= k, np.diff(offs))
-        return h[keep], np.concatenate(([0], np.cumsum(n_win))), counts
-
-    def count_partial(b: pa.Table) -> pa.Table:
-        # int64 bit-view: Ray's aggregate shuffle cannot carry uint64 keys
-        # above 2^63 (Arrow conversion falls back to pickled objects); the
-        # bit pattern is what identifies a gram, so a consistent int64
-        # ordering on both sides is all searchsorted needs
-        h, _, _ = _windows(b.column("text").to_pylist())
-        if not h.size:
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
-        uh, c = np.unique(h.view(np.int64), return_counts=True)
-        return pa.table({"h": pa.array(uh, pa.int64()),
-                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
-
-    counts = docs.select_columns(["doc_id", "text"]) \
-        .map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("h").aggregate(Sum("cnt"))
-
-    dup_hashes: List[int] = []
-    for b in counts.iter_batches(batch_format="pyarrow"):
-        hv = b.column("h").to_numpy(zero_copy_only=False)
-        cv = b.column("sum(cnt)").to_numpy(zero_copy_only=False)
-        dup_hashes.extend(hv[cv >= 2].tolist())
-        if len(dup_hashes) > _BCAST_DUP_GRAMS:
-            raise ValueError(
-                f"duplicated-gram set exceeds broadcast gate "
-                f"({_BCAST_DUP_GRAMS}); use the hash-join scale path "
-                "(shuffle (doc_id, s, h) windows by h range and semi-join "
-                "per partition)")
-    dup_arr = np.sort(np.array(dup_hashes, np.int64))
-    dup_ref = ray.put(dup_arr)
+    dup_h, dup_strs = _exact_dup_grams(docs, k)
+    dup_ref = ray.put((dup_h, dup_strs))
 
     def spans(b: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -747,27 +844,19 @@ def duplicate_spans(docs, k: int = 8):
                           "span_end": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        dup = ray.get(dup_ref)
-        if not dup.size:
+        dh, dstrs = ray.get(dup_ref)
+        if not dh.size:
             return empty
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        h, offs, _ = _windows(b.column("text").to_pylist())
+        h, offs, toks, _ = _win_tokens(b.column("text").to_pylist(), k)
         if not h.size:
             return empty
-        h = h.view(np.int64)
-        pos = np.searchsorted(dup, h)
-        pos[pos >= dup.size] = dup.size - 1
-        hit = dup[pos] == h
-        if not hit.any():
+        d, s = _verified_hits(h, offs, toks, dh, dstrs, k)
+        if not d.size:
             return empty
-        win_doc = np.repeat(np.arange(ids.size), np.diff(offs))
-        # start index of each window within its doc
-        win_s = np.arange(h.size) - np.repeat(offs[:-1], np.diff(offs))
-        d, s = win_doc[hit], win_s[hit]          # already sorted (d, s)
         new_span = np.empty(d.size, bool)
         new_span[0] = True
         new_span[1:] = (d[1:] != d[:-1]) | ((s[1:] - s[:-1]) > k)
-        span_id = np.cumsum(new_span) - 1
         starts = s[new_span]
         ends = np.maximum.reduceat(s, np.flatnonzero(new_span)) + k
         return pa.table({
@@ -789,48 +878,16 @@ def scrub_duplicate_spans(docs, k: int = 8):
 
     -> (doc_id, text_clean, n_removed): tokens inside any duplicated span
     dropped, survivors re-joined with single spaces; n_removed = dropped
-    token count. Same two-pass plan and broadcast gate as
-    ``duplicate_spans``; the scrub adds one boolean mask + one Arrow
-    ``binary_join`` per batch.
+    token count. Same three-pass plan, string-exact dup-gram set and
+    broadcast gate as ``duplicate_spans`` (shared
+    :func:`_exact_dup_grams` / :func:`_verified_hits` — hash hits are
+    confirmed by string equality before any token is dropped); the
+    scrub adds one boolean mask + one Arrow ``binary_join`` per batch.
     """
     import ray
-    from ray.data.aggregate import Sum
 
-    from ..functions.tokenizer import TOKEN_RE
-    from ..functions.wordhash import batch_shingle_hashes
-
-    def _windows(texts):
-        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
-                 if len(t) > 1] for x in texts]
-        counts = np.array([len(t) for t in toks], np.int64)
-        h, offs = batch_shingle_hashes([" ".join(t) for t in toks], k)
-        n_win = np.where(counts >= k, counts - k + 1, 0)
-        keep = np.repeat(counts >= k, np.diff(offs))
-        return (h[keep].view(np.int64),
-                np.concatenate(([0], np.cumsum(n_win))), toks, counts)
-
-    def count_partial(b: pa.Table) -> pa.Table:
-        h, _, _, _ = _windows(b.column("text").to_pylist())
-        if not h.size:
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
-        uh, c = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(uh, pa.int64()),
-                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
-
-    counts_ds = docs.select_columns(["doc_id", "text"]) \
-        .map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("h").aggregate(Sum("cnt"))
-    dup_hashes: List[int] = []
-    for b in counts_ds.iter_batches(batch_format="pyarrow"):
-        hv = b.column("h").to_numpy(zero_copy_only=False)
-        cv = b.column("sum(cnt)").to_numpy(zero_copy_only=False)
-        dup_hashes.extend(hv[cv >= 2].tolist())
-        if len(dup_hashes) > _BCAST_DUP_GRAMS:
-            raise ValueError(
-                f"duplicated-gram set exceeds broadcast gate "
-                f"({_BCAST_DUP_GRAMS}); use the hash-join scale path")
-    dup_ref = ray.put(np.sort(np.array(dup_hashes, np.int64)))
+    dup_h, dup_strs = _exact_dup_grams(docs, k)
+    dup_ref = ray.put((dup_h, dup_strs))
 
     def scrub(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -839,21 +896,17 @@ def scrub_duplicate_spans(docs, k: int = 8):
                           "n_removed": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        dup = ray.get(dup_ref)
+        dh, dstrs = ray.get(dup_ref)
         ids = b.column("doc_id")
-        h, offs, toks, counts = _windows(b.column("text").to_pylist())
+        h, offs, toks, counts = _win_tokens(b.column("text").to_pylist(), k)
         flat_n = int(counts.sum())
         drop = np.zeros(flat_n, bool)            # per flat-token drop mask
         tok_starts = np.concatenate(([0], np.cumsum(counts)))
-        if h.size and dup.size:
-            pos = np.searchsorted(dup, h)
-            pos[pos >= dup.size] = dup.size - 1
-            hit = np.flatnonzero(dup[pos] == h)
-            if hit.size:
-                win_doc = np.repeat(np.arange(counts.size),
-                                    np.diff(offs))[hit]
-                win_s = (hit - offs[win_doc]) + tok_starts[win_doc]
-                # mark k tokens per hit window (overlaps OR together)
+        if h.size and dh.size:
+            wd, ws = _verified_hits(h, offs, toks, dh, dstrs, k)
+            if wd.size:
+                win_s = ws + tok_starts[wd]
+                # mark k tokens per confirmed window (overlaps OR together)
                 for d in range(k):
                     drop[win_s + d] = True
         keep = ~drop

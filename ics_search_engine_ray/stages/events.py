@@ -22,6 +22,79 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# ---------------- hot-key (skew) salting machinery ----------------
+#
+# The single-key operators below (sessionize / user_running / funnel /
+# event_transitions) co-locate each user's events in one task. One
+# pathological user (a bot, a null-ish sentinel id) would sink a single
+# worker at 100x scale — the documented escape hatch (r3 verdict item 5):
+# detect hot users with the skew_join pigeonhole pattern, salt their
+# events by time (day) so per-task rows stay bounded, and re-merge the
+# per-salt partials exactly.
+
+_HOT_BATCH_FRAC = 0.10           # a user holding >= this fraction of the
+                                 # DATASET holds >= it in some batch
+_SALT_US = 86_400 * 1_000_000    # day salt
+
+
+def _hot_users(events, frac: float = _HOT_BATCH_FRAC,
+               key: str = "user_id"):
+    """Candidate hot user ids (pigeonhole, the stages/joins.py skew_join
+    pattern): per batch, users holding >= ``frac`` of the batch's rows.
+    The driver union is O(batches / frac) ids, never the user universe;
+    a false positive only routes a user through the (equally correct)
+    salted path."""
+
+    def cand(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64())})
+        u = b.column(key).to_numpy(zero_copy_only=False)
+        uu, c = np.unique(u, return_counts=True)
+        hot = uu[c >= max(2, int(b.num_rows * frac))]
+        return pa.table({"u": pa.array(hot.astype(np.int64), pa.int64())})
+
+    hot = set()
+    for b in events.select_columns([key]) \
+            .map_batches(cand, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        hot.update(b.column("u").to_pylist())
+    return hot
+
+
+def _split_hot(events, hot, key: str = "user_id"):
+    """(rest, hot_only) datasets via one broadcast sorted-array
+    membership filter (the hot set is tiny by construction)."""
+    import ray
+
+    ref = ray.put(np.array(sorted(hot), np.int64))
+
+    def mk(keep_hot: bool):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            harr = ray.get(ref)
+            u = b.column(key).to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(harr, u), 0, harr.size - 1)
+            ishot = harr[pos] == u
+            return b.filter(pa.array(ishot if keep_hot else ~ishot))
+        return f
+
+    return (events.map_batches(mk(False), batch_format="pyarrow"),
+            events.map_batches(mk(True), batch_format="pyarrow"))
+
+
+def _salt_gkey(b: pa.Table, num_groups: int, salt_us: int,
+               key: str = "user_id", ts_col: str = "ts") -> pa.Table:
+    """(user, day-salt) co-location key + the salt itself."""
+    u = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    salt = ts // salt_us
+    g = ((u * np.int64(1_000_003) + salt) % num_groups
+         + num_groups) % num_groups
+    out = b.append_column("_salt", pa.array(salt, pa.int64()))
+    return out.append_column("_g", pa.array(g, pa.int64()))
+
+
 def tumbling_window_agg(events, window_secs: int = 3600):
     """events(ts, event_type, value) -> per (window_start, event_type):
     n_events + sum_value (rounded 1e-6). Tumbling (non-overlapping) windows
@@ -56,7 +129,9 @@ def tumbling_window_agg(events, window_secs: int = 3600):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def sessionize(events, gap_secs: int = 1800, num_groups: int = None):
+def sessionize(events, gap_secs: int = 1800, num_groups: int = None,
+               hot_frac: float = _HOT_BATCH_FRAC,
+               salt_secs: int = 86_400):
     """events(event_id, ts, user_id, value) -> one row per session:
     (user_id, session_start, n_events, sum_value).
 
@@ -65,6 +140,12 @@ def sessionize(events, gap_secs: int = 1800, num_groups: int = None):
     groupby co-locates each user's events, then run detection is one
     vectorized pass per coarse group. The coarse-group count scales with the
     event count (one group materializes per task) unless pinned.
+
+    Skew: users detected hot by the pigeonhole pass (>= ``hot_frac`` of
+    some batch) route through :func:`_sessionize_salted` — their events
+    salt by (user, day) so per-task rows stay bounded; per-salt partial
+    sessions (with raw sums and end timestamps) re-merge exactly across
+    salt boundaries in a second, sessions-sized groupby.
     """
     from .common import adaptive_groups
 
@@ -106,11 +187,116 @@ def sessionize(events, gap_secs: int = 1800, num_groups: int = None):
             "sum_value": pa.array(np.round(sums, 6), pa.float64()),
         })
 
-    return (events.select_columns(["event_id", "ts", "user_id", "value"])
-            .map_batches(add_gkey, batch_format="pyarrow")
+    src = events.select_columns(["event_id", "ts", "user_id", "value"])
+    hot = _hot_users(src, hot_frac)
+    if not hot:
+        return (src.map_batches(add_gkey, batch_format="pyarrow")
+                .groupby("_g")
+                .map_groups(lambda g: sessions(g.drop(["_g"])),
+                            batch_format="pyarrow"))
+    rest, hotds = _split_hot(src, hot)
+    base = (rest.map_batches(add_gkey, batch_format="pyarrow")
             .groupby("_g")
             .map_groups(lambda g: sessions(g.drop(["_g"])),
                         batch_format="pyarrow"))
+    salted = _sessionize_salted(hotds, gap_us,
+                                int(salt_secs) * 1_000_000, num_groups)
+    return base.union(salted)
+
+
+def _sessionize_salted(hotds, gap_us: int, salt_us: int, num_groups: int):
+    """Salted sessionize for hot users: stage 1 groups by (user, day)
+    and emits PARTIAL sessions (start, end, n, raw sum) with runs broken
+    at user / salt / gap boundaries; stage 2 groups the partial-session
+    relation (O(sessions), a gap-fold smaller than the event volume) by
+    user and chain-merges consecutive partials whose boundary gap is
+    <= gap_us — exact, because partials within a salt are maximal and a
+    merged chain's end is always the last partial's end."""
+    from .common import adaptive_groups
+
+    def parts(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "vsum": pa.array([], pa.float64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        salt = g.column("_salt").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = ((uid[1:] != uid[:-1]) | (salt[1:] != salt[:-1])
+                   | ((ts[1:] - ts[:-1]) > gap_us))
+        sid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "start_us": pa.array(ts[starts], pa.int64()),
+            "end_us": pa.array(ts[ends], pa.int64()),
+            "n": pa.array(np.bincount(sid), pa.int64()),
+            "vsum": pa.array(np.bincount(sid, weights=val), pa.float64()),
+        })
+
+    partial = hotds.map_batches(
+        lambda b: _salt_gkey(b, num_groups, salt_us),
+        batch_format="pyarrow") \
+        .groupby("_g") \
+        .map_groups(lambda g: parts(g.drop(["_g"])),
+                    batch_format="pyarrow")
+
+    merge_groups = adaptive_groups(max(partial.count(), 1), 1_000_000,
+                                   lo=16)
+
+    def add_ukey(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_g", pa.array((u % merge_groups + merge_groups) % merge_groups,
+                           pa.int64()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("start_us", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        s = g.column("start_us").to_numpy(zero_copy_only=False)
+        e = g.column("end_us").to_numpy(zero_copy_only=False)
+        cnt = g.column("n").to_numpy(zero_copy_only=False)
+        vs = g.column("vsum").to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | ((s[1:] - e[:-1]) > gap_us)
+        sid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_start": pa.array(s[starts], pa.int64())
+            .cast(pa.timestamp("us")),
+            "n_events": pa.array(np.bincount(sid, weights=cnt)
+                                 .astype(np.int64), pa.int64()),
+            "sum_value": pa.array(
+                np.round(np.bincount(sid, weights=vs), 6), pa.float64()),
+        })
+
+    return partial.map_batches(add_ukey, batch_format="pyarrow") \
+        .groupby("_g") \
+        .map_groups(lambda g: merge(g.drop(["_g"])),
+                    batch_format="pyarrow")
 
 
 def sliding_window_agg(events, window_secs: int = 3600, slide_secs: int = 900):
@@ -271,7 +457,8 @@ def pivot_sum(ds, by: str, pivot_col: str, value_col: str, categories,
 
 def funnel(events, steps, by: str = "user_id", ts: str = "ts",
            id_col: str = "event_id", type_col: str = "event_type",
-           num_groups: int = None):
+           num_groups: int = None, hot_frac: float = _HOT_BATCH_FRAC,
+           salt_secs: int = 86_400):
     """Ordered funnel: per ``by`` key, the earliest chain of events
     matching ``steps`` in sequence — step k+1 must occur strictly after
     the chosen step-k event in (ts, id) order. Returns one row per key
@@ -282,6 +469,13 @@ def funnel(events, steps, by: str = "user_id", ts: str = "ts",
     at once: per step, a masked ``minimum.reduceat`` picks each key's
     first qualifying event; keys that miss a step get +inf and drop out
     of later steps automatically. The only loop is over the (few) steps.
+
+    Skew: hot keys route through :func:`_funnel_salted` — per (key, day)
+    the greedy cascade runs once per possible ENTRY state (the funnel
+    automaton: greedy-from-state-s depends only on s and the day's
+    events), and the O(hot keys x days x steps) state-transition rows
+    compose in order on the driver. Exact, because the earliest-chain
+    greedy is left-to-right and day boundaries preserve (ts, id) order.
     """
     import pyarrow.compute as pc
     from .common import adaptive_groups
@@ -339,10 +533,131 @@ def funnel(events, steps, by: str = "user_id", ts: str = "ts",
                 ids[sel[done].astype(np.int64)].astype(np.int64), pa.int64())
         return pa.table(cols)
 
-    return events.select_columns([by, ts, id_col, type_col]) \
-        .map_batches(tag, batch_format="pyarrow") \
+    src = events.select_columns([by, ts, id_col, type_col]) \
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b.column(type_col),
+                                        value_set=pa.array(step_list))),
+            batch_format="pyarrow")
+    hot = _hot_users(src, hot_frac, key=by)
+    if not hot:
+        return src.map_batches(tag, batch_format="pyarrow") \
+            .groupby("gkey").map_groups(
+                lambda t: resolve(t.drop(["gkey"])),
+                batch_format="pyarrow")
+    rest, hotds = _split_hot(src, hot, key=by)
+    base = rest.map_batches(tag, batch_format="pyarrow") \
         .groupby("gkey").map_groups(
             lambda t: resolve(t.drop(["gkey"])), batch_format="pyarrow")
+    salted = _funnel_salted(hotds, step_list, by, ts, id_col, type_col,
+                            num_groups, int(salt_secs) * 1_000_000)
+    return base.union(salted)
+
+
+def _funnel_salted(hotds, step_list, by, ts, id_col, type_col,
+                   num_groups, salt_us):
+    """Salted funnel for hot keys. Stage 1 groups by (key, day) and, for
+    every possible ENTRY state s (steps already completed when the day
+    begins), runs the same vectorized greedy cascade restricted to steps
+    s.. — emitting one state-transition row per (key, day, entry) with
+    the picked event id per step (-1 = not reached). The driver then
+    composes each key's day functions in time order (O(hot keys x days x
+    steps) rows — bounded, never the event volume) and emits keys whose
+    final state completes all steps."""
+    import ray.data as rd
+
+    K = len(step_list)
+    pick_cols = [f"_p{i}" for i in range(K)]
+
+    def autom(g: pa.Table) -> pa.Table:
+        cols = {by: pa.array([], pa.int64()),
+                "_salt": pa.array([], pa.int64()),
+                "_entry": pa.array([], pa.int64())}
+        for c in pick_cols:
+            cols[c] = pa.array([], pa.int64())
+        empty = pa.table(cols)
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([(by, "ascending"), ("_salt", "ascending"),
+                       (ts, "ascending"), (id_col, "ascending")])
+        keys = g.column(by).to_numpy(zero_copy_only=False)
+        salts = g.column("_salt").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        n = keys.size
+        pos = np.arange(n, dtype=np.float64)
+        new_seg = np.concatenate(
+            ([True], (keys[1:] != keys[:-1]) | (salts[1:] != salts[:-1])))
+        seg_starts = np.flatnonzero(new_seg)
+        seg_of_row = np.repeat(np.arange(seg_starts.size),
+                               np.diff(np.append(seg_starts, n)))
+        n_seg = seg_starts.size
+        out = {by: [], "_salt": [], "_entry": []}
+        out_picks = [[] for _ in range(K)]
+        type_rows = {s: np.flatnonzero(types == s) for s in step_list}
+        for entry in range(K):
+            cur = np.full(n_seg, -1.0)
+            picks = np.full((K, n_seg), -1, np.int64)
+            for si in range(entry, K):
+                rows = type_rows[step_list[si]]
+                sel = np.full(n_seg, np.inf)
+                if rows.size:
+                    seg_t = seg_of_row[rows]
+                    cand = np.where(pos[rows] > cur[seg_t],
+                                    pos[rows], np.inf)
+                    bnd = np.flatnonzero(np.concatenate(
+                        ([True], seg_t[1:] != seg_t[:-1])))
+                    mins = np.minimum.reduceat(cand, bnd)
+                    sel[seg_t[bnd]] = mins
+                fin = np.isfinite(sel)
+                picks[si, fin] = ids[sel[fin].astype(np.int64)]
+                cur = sel                 # inf propagates: seg drops out
+            out[by].extend(keys[seg_starts].astype(np.int64).tolist())
+            out["_salt"].extend(salts[seg_starts].astype(np.int64).tolist())
+            out["_entry"].extend([entry] * n_seg)
+            for i in range(K):
+                out_picks[i].extend(picks[i].tolist())
+        cols = {by: pa.array(out[by], pa.int64()),
+                "_salt": pa.array(out["_salt"], pa.int64()),
+                "_entry": pa.array(out["_entry"], pa.int64())}
+        for c, p in zip(pick_cols, out_picks):
+            cols[c] = pa.array(p, pa.int64())
+        return pa.table(cols)
+
+    trans = hotds.map_batches(
+        lambda b: _salt_gkey(b, num_groups, salt_us, key=by, ts_col=ts),
+        batch_format="pyarrow") \
+        .groupby("_g") \
+        .map_groups(lambda g: autom(g.drop(["_g"])),
+                    batch_format="pyarrow")
+
+    rows = sorted(
+        (r for b in trans.iter_batches(batch_format="pyarrow")
+         for r in b.to_pylist()),
+        key=lambda r: (r[by], r["_salt"], r["_entry"]))
+    results = {}
+    state = {}
+    picked = {}
+    for r in rows:
+        k = r[by]
+        st = state.get(k, 0)
+        if r["_entry"] != st or st >= K:
+            continue
+        pk = picked.setdefault(k, [-1] * K)
+        for si in range(st, K):
+            pid = r[f"_p{si}"]
+            if pid < 0:
+                break
+            pk[si] = pid
+            st = si + 1
+        state[k] = st
+        if st == K:
+            results[k] = list(pk)
+    done_keys = sorted(results)
+    cols = {by: pa.array(done_keys, pa.int64())}
+    for i, s in enumerate(step_list):
+        cols[f"{s}_id"] = pa.array([results[k][i] for k in done_keys],
+                                   pa.int64())
+    return rd.from_arrow(pa.table(cols))
 
 
 def top_k_per_group(ds, key: str, order_col: str, k: int = 3,
@@ -392,10 +707,15 @@ def top_k_per_group(ds, key: str, order_col: str, k: int = 3,
              .groupby(key).map_groups(final_top, batch_format="pyarrow")
 
 
-def user_running(events, num_groups: int = None):
+def user_running(events, num_groups: int = None,
+                 hot_frac: float = _HOT_BATCH_FRAC,
+                 salt_secs: int = 86_400):
     """Per-event window analytics: running total, sequence number, and gap
     to the user's previous event — the SQL window-function trio
     (SUM OVER / row_number / LAG) Ray Data has no primitive for.
+    Hot users (pigeonhole-detected) route through
+    :func:`_user_running_salted` — day-salted locals + exact integer
+    prefix offsets, bit-identical to the unsalted path.
 
     -> (event_id, user_id, cum_value, seq, gap_us); order within a user is
     (ts, event_id). cum_value accumulates EXACT integer cents
@@ -433,8 +753,11 @@ def user_running(events, num_groups: int = None):
         uid = g.column("user_id").to_numpy(zero_copy_only=False)
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        cents = np.round(g.column("value").to_numpy(zero_copy_only=False)
-                         * 100.0).astype(np.int64)
+        # half-away-from-zero like DuckDB round(value*100,0) — np.round is
+        # banker's and diverges on exact .5 scaled values (e.g. 0.125)
+        v100 = g.column("value").to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.floor(np.abs(v100) + 0.5)
+                 * np.sign(v100)).astype(np.int64)
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
@@ -458,11 +781,152 @@ def user_running(events, num_groups: int = None):
             "gap_us": pa.array(gap, pa.int64()),
         })
 
-    return (events.select_columns(["event_id", "ts", "user_id", "value"])
-            .map_batches(add_gkey, batch_format="pyarrow")
+    src = events.select_columns(["event_id", "ts", "user_id", "value"])
+    hot = _hot_users(src, hot_frac)
+    if not hot:
+        return (src.map_batches(add_gkey, batch_format="pyarrow")
+                .groupby("_g")
+                .map_groups(lambda g: running(g.drop(["_g"])),
+                            batch_format="pyarrow"))
+    rest, hotds = _split_hot(src, hot)
+    base = (rest.map_batches(add_gkey, batch_format="pyarrow")
             .groupby("_g")
             .map_groups(lambda g: running(g.drop(["_g"])),
                         batch_format="pyarrow"))
+    salted = _user_running_salted(hotds, int(salt_secs) * 1_000_000,
+                                  num_groups)
+    return base.union(salted)
+
+
+def _user_running_salted(hotds, salt_us: int, num_groups: int):
+    """Salted running-window trio for hot users: stage 1 groups by
+    (user, day) and computes LOCAL integer-cents cumsums / seq / gaps
+    per salt (bounded per-task rows); the per-(user, day) summary
+    relation — O(hot users x days), native groupby Sum/Max/Count — comes
+    to the driver, where exclusive prefix offsets (seq, cents,
+    previous-salt last ts) are derived per salt; stage 2 is one
+    broadcast-dict map over the local rows. Integer cents make the
+    salted result BIT-identical to the unsalted path."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    def locals_(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "_salt": pa.array([], pa.int64()),
+            "ts_us": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "cum_local": pa.array([], pa.int64()),
+            "seq_local": pa.array([], pa.int64()),
+            "gap_local": pa.array([], pa.int64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("_salt", "ascending"),
+                       ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        salt = g.column("_salt").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        v100 = g.column("value").to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.floor(np.abs(v100) + 0.5)
+                 * np.sign(v100)).astype(np.int64)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (salt[1:] != salt[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        cum = np.cumsum(cents)
+        base = np.repeat(np.where(starts > 0, cum[starts - 1], 0), lens)
+        seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+        gap = np.empty(n, np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(new[1:], -1, ts[1:] - ts[:-1])
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "_salt": pa.array(salt, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "cum_local": pa.array(cum - base, pa.int64()),
+            "seq_local": pa.array(seq, pa.int64()),
+            "gap_local": pa.array(gap, pa.int64()),
+        })
+
+    loc = hotds.map_batches(
+        lambda b: _salt_gkey(b, num_groups, salt_us),
+        batch_format="pyarrow") \
+        .groupby("_g") \
+        .map_groups(lambda g: locals_(g.drop(["_g"])),
+                    batch_format="pyarrow") \
+        .materialize()          # consumed twice: summary agg + fix-up map
+
+    summ = loc.groupby(["user_id", "_salt"]).aggregate(
+        Count(), Sum("cents", alias_name="tot"),
+        Max("ts_us", alias_name="last_ts"))
+    offsets = {}
+    rows = sorted(summ.take_all(),
+                  key=lambda r: (r["user_id"], r["_salt"]))
+    seq_off = cents_off = 0
+    prev_user = prev_last = None
+    for r in rows:
+        u = r["user_id"]
+        if u != prev_user:
+            seq_off = cents_off = 0
+            prev_last = None
+            prev_user = u
+        offsets[(u, r["_salt"])] = (seq_off, cents_off, prev_last)
+        seq_off += int(r["count()"])
+        cents_off += int(r["tot"])
+        prev_last = int(r["last_ts"])
+    off_ref = ray.put(offsets)
+
+    def fix(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "cum_value": pa.array([], pa.float64()),
+            "seq": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        n = b.num_rows
+        if n == 0:
+            return empty
+        off = ray.get(off_ref)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        salt = b.column("_salt").to_numpy(zero_copy_only=False)
+        # offsets dict is tiny (hot users x days); one lookup per
+        # DISTINCT (user, salt) in the batch, vectorized application
+        code = uid.astype(np.int64) * np.int64(1 << 20) + salt
+        uc, inv = np.unique(code, return_inverse=True)
+        so = np.empty(uc.size, np.int64)
+        co = np.empty(uc.size, np.int64)
+        pl = np.empty(uc.size, np.int64)
+        for i, c in enumerate(uc.tolist()):
+            u, s = c >> 20, c & ((1 << 20) - 1)
+            seq_o, cents_o, prev_last = off[(u, s)]
+            so[i], co[i] = seq_o, cents_o
+            pl[i] = -1 if prev_last is None else prev_last
+        gap = b.column("gap_local").to_numpy(zero_copy_only=False).copy()
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        first = gap == -1
+        has_prev = pl[inv] >= 0
+        gap[first & has_prev] = (ts - pl[inv])[first & has_prev]
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "cum_value": pa.array(
+                (b.column("cum_local").to_numpy(zero_copy_only=False)
+                 + co[inv]) / 100.0, pa.float64()),
+            "seq": pa.array(
+                b.column("seq_local").to_numpy(zero_copy_only=False)
+                + so[inv], pa.int64()),
+            "gap_us": pa.array(gap, pa.int64()),
+        })
+
+    return loc.map_batches(fix, batch_format="pyarrow")
 
 
 def latest_per_key(ds, key: str = "user_id", ts_col: str = "ts",
@@ -529,7 +993,10 @@ def value_histogram(events, key: str = "event_type", value: str = "value",
         hi = lo + 1.0
 
     def partial(b: pa.Table) -> pa.Table:
-        empty = pa.table({key: pa.array([], pa.string()),
+        # key type follows the input schema (int categories work too),
+        # as quantile_agg does — not a hardcoded pa.string()
+        ktype = b.schema.field(key).type
+        empty = pa.table({key: pa.array([], ktype),
                           "bin": pa.array([], pa.int64()),
                           "c": pa.array([], pa.int64())})
         if b.num_rows == 0:
@@ -542,7 +1009,7 @@ def value_histogram(events, key: str = "event_type", value: str = "value",
         code = ki * bins + bi
         uc, cnt = np.unique(code, return_counts=True)
         return pa.table({
-            key: pa.array(uk[uc // bins], pa.string()),
+            key: pa.array(uk[uc // bins], ktype),
             "bin": pa.array((uc % bins).astype(np.int64), pa.int64()),
             "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
@@ -556,7 +1023,9 @@ def value_histogram(events, key: str = "event_type", value: str = "value",
             batch_format="pyarrow")
 
 
-def event_transitions(events, num_groups: int = None):
+def event_transitions(events, num_groups: int = None,
+                      hot_frac: float = _HOT_BATCH_FRAC,
+                      salt_secs: int = 86_400):
     """Per-user consecutive event-type transition counts -> (src, dst, n):
     the first-order Markov transition table of the event stream (sequence
     mining / next-event modeling). Order within a user is (ts, event_id);
@@ -606,18 +1075,115 @@ def event_transitions(events, num_groups: int = None):
             "dst": pa.array(d2[starts], pa.string()),
             "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    return (events.select_columns(["event_id", "ts", "user_id",
-                                   "event_type"])
-            .map_batches(add_gkey, batch_format="pyarrow")
-            .groupby("_g")
-            .map_groups(lambda g: pairs(g.drop(["_g"])),
-                        batch_format="pyarrow")
+    src_ds = events.select_columns(["event_id", "ts", "user_id",
+                                    "event_type"])
+    hot = _hot_users(src_ds, hot_frac)
+    if not hot:
+        partials = (src_ds.map_batches(add_gkey, batch_format="pyarrow")
+                    .groupby("_g")
+                    .map_groups(lambda g: pairs(g.drop(["_g"])),
+                                batch_format="pyarrow"))
+    else:
+        rest, hotds = _split_hot(src_ds, hot)
+        base = (rest.map_batches(add_gkey, batch_format="pyarrow")
+                .groupby("_g")
+                .map_groups(lambda g: pairs(g.drop(["_g"])),
+                            batch_format="pyarrow"))
+        partials = base.union(_event_transitions_salted(
+            hotds, int(salt_secs) * 1_000_000, num_groups))
+    return (partials
             .groupby(["src", "dst"]).aggregate(Sum("c", alias_name="n"))
             .map_batches(
                 lambda b: pa.table({"src": b.column("src"),
                                     "dst": b.column("dst"),
                                     "n": b.column("n").cast(pa.int64())}),
                 batch_format="pyarrow"))
+
+
+def _event_transitions_salted(hotds, salt_us: int, num_groups: int):
+    """Salted transition partials for hot users: one (user, day) groupby
+    emits within-salt (src, dst, c) counts PLUS one boundary row per
+    (user, salt) carrying the salt's first/last event types; boundary
+    rows (O(hot users x days)) come to the driver where the cross-salt
+    transition last(salt_i) -> first(next salt with events) is added —
+    exact, because events are time-ordered across salts."""
+    import ray.data as rd
+
+    def kern(g: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "dst": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "salt": pa.array([], pa.int64())})
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        salt = g.column("_salt").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        out_s, out_d, out_c, out_u, out_sl = [], [], [], [], []
+        if n >= 2:
+            same = (uid[:-1] == uid[1:]) & (salt[:-1] == salt[1:])
+            li = np.flatnonzero(same)
+            if li.size:
+                s0, d0 = et[li], et[li + 1]
+                order = np.lexsort((d0, s0))
+                s2, d2 = s0[order], d0[order]
+                new = np.concatenate(([True], (s2[1:] != s2[:-1])
+                                      | (d2[1:] != d2[:-1])))
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.append(starts, s2.size))
+                out_s.extend(s2[starts].tolist())
+                out_d.extend(d2[starts].tolist())
+                out_c.extend(cnt.astype(np.int64).tolist())
+                out_u.extend([-1] * starts.size)
+                out_sl.extend([-1] * starts.size)
+        # boundary rows: first/last type per (user, salt); c = -1 marks them
+        new_seg = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (salt[1:] != salt[:-1])))
+        seg = np.flatnonzero(new_seg)
+        ends = np.append(seg[1:], n) - 1
+        out_s.extend(et[seg].tolist())        # src = salt's FIRST type
+        out_d.extend(et[ends].tolist())       # dst = salt's LAST type
+        out_c.extend([-1] * seg.size)
+        out_u.extend(uid[seg].astype(np.int64).tolist())
+        out_sl.extend(salt[seg].astype(np.int64).tolist())
+        return pa.table({"src": pa.array(out_s, pa.string()),
+                         "dst": pa.array(out_d, pa.string()),
+                         "c": pa.array(out_c, pa.int64()),
+                         "user_id": pa.array(out_u, pa.int64()),
+                         "salt": pa.array(out_sl, pa.int64())})
+
+    tagged = hotds.map_batches(
+        lambda b: _salt_gkey(b, num_groups, salt_us),
+        batch_format="pyarrow") \
+        .groupby("_g") \
+        .map_groups(lambda g: kern(g.drop(["_g"])),
+                    batch_format="pyarrow").materialize()
+
+    within = tagged.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("c"), 0))
+        .select(["src", "dst", "c"]),
+        batch_format="pyarrow")
+
+    brows = sorted(
+        ((r["user_id"], r["salt"], r["src"], r["dst"])
+         for b in tagged.iter_batches(batch_format="pyarrow")
+         for r in b.filter(pc.equal(b.column("c"), -1)).to_pylist()),
+        key=lambda r: (r[0], r[1]))
+    cross: dict = {}
+    for i in range(1, len(brows)):
+        pu, _, _, plast = brows[i - 1]
+        cu, _, cfirst, _ = brows[i]
+        if pu == cu:
+            cross[(plast, cfirst)] = cross.get((plast, cfirst), 0) + 1
+    cross_tbl = pa.table({
+        "src": pa.array([k[0] for k in cross], pa.string()),
+        "dst": pa.array([k[1] for k in cross], pa.string()),
+        "c": pa.array(list(cross.values()), pa.int64())})
+    return within.union(rd.from_arrow(cross_tbl)) if cross else within
 
 
 def window_distinct_users(events, window_secs: int = 3600):

@@ -45,6 +45,13 @@ def token_count_dataset(docs):
 # ---------------- quality scoring ----------------
 
 
+def _round6(x: float) -> float:
+    """Half-away-from-zero at 6 dp, matching DuckDB round(x, 6) —
+    Python round() is banker's and diverges on exact scaled .5 ties."""
+    import math
+    return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals (all SQL-replicable): char count, word count
     (whitespace split), mean word length, stopword ratio, digit ratio."""
@@ -55,11 +62,11 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         nw = len(words)
         n_chars.append(len(x))
         n_words.append(nw)
-        mean_wl.append(round(sum(len(w) for w in words) / nw, 6) if nw else 0.0)
-        stop_ratio.append(round(sum(1 for w in words if w.lower() in STOP_WORDS) / nw, 6) if nw else 0.0)
+        mean_wl.append(_round6(sum(len(w) for w in words) / nw) if nw else 0.0)
+        stop_ratio.append(_round6(sum(1 for w in words if w.lower() in STOP_WORDS) / nw) if nw else 0.0)
         # ASCII [0-9] only: str.isdigit() is true for Unicode digits ('²','٣'),
         # which the SQL oracle's regexp [^0-9] does not count
-        digit_ratio.append(round(sum(1 for ch in x if "0" <= ch <= "9") / len(x), 6) if x else 0.0)
+        digit_ratio.append(_round6(sum(1 for ch in x if "0" <= ch <= "9") / len(x)) if x else 0.0)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_chars": pa.array(n_chars, pa.int64()),
@@ -183,6 +190,69 @@ def langid_dataset(docs, concurrency=(1, 4)):
                             concurrency=concurrency)
 
 
+# ---------------- shared vocabulary-relation machinery ----------------
+
+
+def _merged_counts(src, partial_fn, cols: List[str]):
+    """Distributed merge of per-batch ``(term, <count cols…>)`` partials
+    via a NATIVE ``groupby("term")`` Sum (the ``ngram_counts`` shape) —
+    every partial row shuffles by term hash and merges in parallel
+    aggregator actors. Replaces the old constant-key ``_g=0`` single
+    ``map_groups`` reducer (r3 verdict item 1): that task saw
+    O(n_batches x per-batch distinct terms) rows; this sees only its
+    hash partition. Returns the merged relation MATERIALIZED so callers
+    can cheaply count it (gate check), scalar-sum it, and either
+    broadcast it (small) or hash-join against it (large)."""
+    from ray.data.aggregate import Sum
+
+    merged = src.map_batches(partial_fn, batch_format="pyarrow") \
+        .groupby("term").aggregate(*[Sum(c, alias_name=c) for c in cols])
+
+    def fix(b: pa.Table) -> pa.Table:
+        arrs = {"term": b.column("term")}
+        for c in cols:
+            arrs[c] = b.column(c).cast(pa.int64())
+        return pa.table(arrs)
+
+    return merged.map_batches(fix, batch_format="pyarrow").materialize()
+
+
+def _doc_term_tf(src):
+    """Exploded ``(doc_id, term, tf)`` relation — distinct terms per doc
+    with in-doc counts, built per batch with one lexsort + segment
+    counts (no Python loop over tokens). This is the big side of the
+    above-gate hash-join scale paths: at 100 TB it shuffles
+    O(doc x distinct-term) rows by term hash instead of broadcasting an
+    unbounded vocabulary."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        texts = b.column("text").to_pylist()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        per_doc = [[t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1] for x in texts]
+        lens = np.array([len(p) for p in per_doc], np.int64)
+        if not lens.sum():
+            return empty
+        flat = np.asarray([t for p in per_doc for t in p], object)
+        di = np.repeat(np.arange(len(per_doc)), lens)
+        o = np.lexsort((flat, di))
+        di, flat = di[o], flat[o]
+        newseg = np.concatenate(
+            ([True], (di[1:] != di[:-1]) | (flat[1:] != flat[:-1])))
+        starts = np.flatnonzero(newseg)
+        tf = np.diff(np.append(starts, di.size)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[di[starts]].astype(np.int64),
+                               pa.int64()),
+            "term": pa.array(flat[starts], pa.string()),
+            "tf": pa.array(tf, pa.int64())})
+
+    return src.map_batches(explode, batch_format="pyarrow")
+
+
 # ---------------- unigram LM surprisal ----------------
 
 
@@ -192,17 +262,23 @@ def unigram_surprisal(docs, vocab_gate: int = 2_000_000):
     boilerplate, high = rare-token noise; both tails get filtered in
     curation).
 
-    Two streaming passes like heavy_hitters: (1) global term counts via
-    per-batch combiners into a tiny vocabulary groupby; the (term, count)
-    relation broadcasts once below ``vocab_gate``; (2) each batch maps
-    tokens -> -ln(count/total) with one searchsorted and reduces per doc
-    with one reduceat. Docs with zero tokens are excluded (matching the
-    SQL oracle's inner join). Scale path above the gate: hash-join tokens
-    against the count relation instead of broadcasting (SCALE.md).
+    Pass 1 merges per-batch term-count partials with a NATIVE
+    ``groupby("term")`` Sum — every partial row shuffles by term hash,
+    no single-reducer merge (r3 verdict item 1). Below ``vocab_gate``
+    the merged (term, count) relation broadcasts once and pass 2 maps
+    tokens -> -ln(count/total) with one searchsorted + reduceat per
+    batch. ABOVE the gate the broadcast is skipped entirely: the
+    exploded (doc_id, term, tf) relation hash-joins against the count
+    relation (both sides shuffle on term) and per-doc means come from a
+    native groupby("doc_id") Sum — no driver-side vocabulary at any
+    size. Docs with zero tokens are excluded (matching the SQL oracle's
+    inner join).
 
     Returns (doc_id, avg_nll DOUBLE rounded 6).
     """
     import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
 
     src = docs.select_columns(["doc_id", "text"])
 
@@ -218,30 +294,54 @@ def unigram_surprisal(docs, vocab_gate: int = 2_000_000):
         return pa.table({"term": pa.array(uniq, pa.string()),
                          "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    def merge_counts(g: pa.Table) -> pa.Table:
-        t = g.column("term").to_numpy(zero_copy_only=False)
-        c = g.column("c").to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(t, return_inverse=True)
-        sums = np.bincount(inv, weights=c).astype(np.int64)
-        return pa.table({"term": pa.array(uniq, pa.string()),
-                         "c": pa.array(sums, pa.int64())})
+    merged = _merged_counts(src, local_counts, ["c"])
+    total = int(merged.sum("c") or 0)
+    if total == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "avg_nll": pa.array([], pa.float64())}))
 
-    cnt_rows = src.map_batches(local_counts, batch_format="pyarrow") \
-        .map_batches(
-            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
-                                                     pa.int8())),
-            batch_format="pyarrow") \
-        .groupby("_g").map_groups(lambda g: merge_counts(g.drop(["_g"])),
-                                  batch_format="pyarrow").take_all()
-    if len(cnt_rows) > vocab_gate:
-        raise ValueError(
-            f"vocabulary {len(cnt_rows)} exceeds broadcast gate "
-            f"{vocab_gate}; use the hash-join path (SCALE.md)")
+    if merged.count() > vocab_gate:
+        # ---- hash-join scale path: vocabulary never leaves the cluster
+        from .joins import hash_join
+
+        def to_nll(b: pa.Table) -> pa.Table:
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "term": b.column("term"),
+                "nll": pa.array(-np.log(c.astype(np.float64) / total),
+                                pa.float64())})
+
+        nll_rel = merged.map_batches(to_nll, batch_format="pyarrow")
+        joined = hash_join(_doc_term_tf(src), nll_rel, on="term")
+
+        def weight(b: pa.Table) -> pa.Table:
+            tf = b.column("tf").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "s": pa.array(tf * b.column("nll").to_numpy(
+                    zero_copy_only=False), pa.float64()),
+                "n": pa.array(tf, pa.float64())})
+
+        agg = joined.map_batches(weight, batch_format="pyarrow") \
+            .groupby("doc_id").aggregate(Sum("s", alias_name="s"),
+                                         Sum("n", alias_name="n"))
+
+        def fin(b: pa.Table) -> pa.Table:
+            s = b.column("s").to_numpy(zero_copy_only=False)
+            n = b.column("n").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "avg_nll": pa.array(np.round(s / n, 6), pa.float64())})
+
+        return agg.map_batches(fin, batch_format="pyarrow")
+
+    cnt_rows = merged.take_all()
     vocab = np.asarray([r["term"] for r in cnt_rows], object)
     counts = np.asarray([r["c"] for r in cnt_rows], np.int64)
     order = np.argsort(vocab)
     vocab, counts = vocab[order], counts[order]
-    total = int(counts.sum())
     nll = -np.log(counts.astype(np.float64) / total)
     lm_ref = ray.put((vocab, nll))
 
@@ -279,33 +379,39 @@ def doc_tfidf_topk(docs, k: int = 5, vocab_gate: int = 2_000_000):
 
     Pass 1 builds (df, N) with per-batch distinct-pair combiners — a doc
     lives wholly in one batch, so per-batch distinct (doc, term) pairs
-    are globally distinct and df partials just sum. The idf table
-    broadcasts below ``vocab_gate`` (scale path: hash-join term->idf).
-    Pass 2 is fully batch-local: tf via one lexsort + segment counts,
-    then the per-doc top-k with the same sorted-run rank trick as
-    top_k_per_group. Ties break on term ascending, matching the oracle's
-    row_number ORDER BY.
+    are globally distinct and df partials merge with a native
+    ``groupby("term")`` Sum (distributed; no single-reducer merge). The
+    idf table broadcasts below ``vocab_gate``; ABOVE the gate the
+    (doc_id, term, tf) relation hash-joins term->idf and the per-doc
+    top-k runs as ``groupby("doc_id").map_groups`` (each group is one
+    doc's distinct terms — tiny). Pass 2 (broadcast path) is fully
+    batch-local: tf via one lexsort + segment counts, then the per-doc
+    top-k with the same sorted-run rank trick as top_k_per_group. Ties
+    break on term ascending, matching the oracle's row_number ORDER BY.
     """
     import ray
 
     src = docs.select_columns(["doc_id", "text"])
 
-    rows = src.map_batches(_df_partial, batch_format="pyarrow") \
-        .map_batches(
-            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
-                                                     pa.int8())),
-            batch_format="pyarrow") \
-        .groupby("_g").map_groups(
-            lambda g: _merge_df(g.drop(["_g"])),
-            batch_format="pyarrow").take_all()
-    if len(rows) > vocab_gate:
-        raise ValueError(f"vocabulary {len(rows)} exceeds broadcast gate")
+    merged = _merged_counts(src, _df_partial, ["df", "nd"])
+    n_docs = int(merged.sum("nd") or 0)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tfidf": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int64())})
+    if n_docs == 0:
+        import ray.data as rd
+        return rd.from_arrow(empty)
+
+    if merged.count() > vocab_gate:
+        return _tfidf_topk_joined(src, merged, n_docs, k, empty)
+
+    rows = merged.take_all()
     vocab = np.asarray([r["term"] for r in rows], object)
     dfs = np.asarray([r["df"] for r in rows], np.float64)
-    n_docs = int(rows[0]["nd"]) if rows else 0
     order = np.argsort(vocab)
     vocab, dfs = vocab[order], dfs[order]
-    idf = np.log(n_docs / dfs) if n_docs else dfs
+    idf = np.log(n_docs / dfs)
     lm_ref = ray.put((vocab, idf))
 
     def topk(b: pa.Table) -> pa.Table:
@@ -354,10 +460,50 @@ def doc_tfidf_topk(docs, k: int = 5, vocab_gate: int = 2_000_000):
     return src.map_batches(topk, batch_format="pyarrow")
 
 
+def _tfidf_topk_joined(src, merged, n_docs: int, k: int, empty: pa.Table):
+    """Above-gate scale path for :func:`doc_tfidf_topk`: hash-join the
+    exploded (doc_id, term, tf) relation against the merged df relation
+    (both sides shuffle on term; no vocabulary broadcast), then a native
+    ``groupby("doc_id").map_groups`` per-doc top-k — each group is one
+    document's distinct terms. Ordering matches the broadcast path
+    exactly: unrounded tfidf desc, term asc."""
+    from .joins import hash_join
+
+    def to_idf(b: pa.Table) -> pa.Table:
+        d = b.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"term": b.column("term"),
+                         "idf": pa.array(np.log(n_docs / d),
+                                         pa.float64())})
+
+    idf_rel = merged.map_batches(to_idf, batch_format="pyarrow")
+    joined = hash_join(_doc_term_tf(src), idf_rel, on="term")
+
+    def topk_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        terms = g.column("term").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        score = tf * g.column("idf").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((terms, -score))[:k]
+        return pa.table({
+            "doc_id": g.column("doc_id").take(
+                pa.array(sel, pa.int64())).cast(pa.int64()),
+            "term": pa.array(terms[sel], pa.string()),
+            "tfidf": pa.array(np.round(score[sel], 6), pa.float64()),
+            "rank": pa.array(np.arange(1, sel.size + 1, dtype=np.int64),
+                             pa.int64())})
+
+    return joined.groupby("doc_id").map_groups(topk_group,
+                                               batch_format="pyarrow")
+
+
 def _df_partial(b: pa.Table) -> pa.Table:
     """Per-batch distinct-(doc, term) df combiner shared by
     doc_tfidf_topk and association_pairs; the batch's doc count rides
-    row 0 of ``nd`` (summed by :func:`_merge_df`)."""
+    row 0 of ``nd`` (the global doc count is the SUM of the merged
+    relation's nd column — each batch contributes its count once)."""
     texts = b.column("text").to_pylist()
     terms, ndocs = [], 0
     for x in texts:
@@ -378,18 +524,6 @@ def _df_partial(b: pa.Table) -> pa.Table:
                      "nd": pa.array(nd, pa.int64())})
 
 
-def _merge_df(g: pa.Table) -> pa.Table:
-    t = g.column("term").to_numpy(zero_copy_only=False)
-    d = g.column("df").to_numpy(zero_copy_only=False)
-    nd_total = int(g.column("nd").to_numpy(zero_copy_only=False).sum())
-    uniq, inv = np.unique(t, return_inverse=True)
-    sums = np.bincount(inv, weights=d).astype(np.int64)
-    nd = np.full(uniq.size, nd_total, np.int64)
-    return pa.table({"term": pa.array(uniq, pa.string()),
-                     "df": pa.array(sums, pa.int64()),
-                     "nd": pa.array(nd, pa.int64())})
-
-
 # ---------------- more-like-this: sparse tf-idf cosine ----------------
 
 
@@ -401,39 +535,30 @@ def similar_docs(docs, query_doc_id: int, k: int = 10,
     over the SQL-replicable token stream, query doc excluded, only docs
     sharing >= 1 term emitted, ties (rounded cos) break on doc_id.
 
-    Pass 1 reuses the distinct-pair df combiners; the idf table
-    broadcasts below ``vocab_gate`` (scale path: hash-join term->idf).
-    The query doc's weight vector is a dense-over-vocab float array
-    riding the same broadcast (8 B x vocab). Pass 2 is ONE batch-local
-    pass: tf via lexsort segments, per-doc dot and norm via two
-    bincounts, then a per-batch top-k partial — only batches x k rows
-    reach the driver merge (knn_brute pattern), never the corpus.
+    Pass 1 reuses the distinct-pair df combiners merged with a native
+    ``groupby("term")`` Sum (distributed). The idf table broadcasts
+    below ``vocab_gate`` with the query doc's dense weight vector
+    riding along (8 B x vocab); ABOVE the gate no vocabulary ever
+    reaches the driver — the (doc_id, term, tf) relation hash-joins
+    term->idf, the query's weight map (ONE doc's distinct terms) comes
+    from an is_in filter over the merged relation, and per-doc
+    dot/norm come from a native groupby("doc_id") Sum. Pass 2
+    (broadcast path) is ONE batch-local pass: tf via lexsort segments,
+    per-doc dot and norm via two bincounts, then a per-batch top-k
+    partial — only batches x k rows reach the driver merge (knn_brute
+    pattern), never the corpus.
     """
     import ray
 
     src = docs.select_columns(["doc_id", "text"])
 
-    rows = src.map_batches(_df_partial, batch_format="pyarrow") \
-        .map_batches(
-            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
-                                                     pa.int8())),
-            batch_format="pyarrow") \
-        .groupby("_g").map_groups(
-            lambda g: _merge_df(g.drop(["_g"])),
-            batch_format="pyarrow").take_all()
+    merged = _merged_counts(src, _df_partial, ["df", "nd"])
+    n_docs = int(merged.sum("nd") or 0)
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "cos": pa.array([], pa.float64())})
     import ray.data as rd
-    if not rows:
+    if n_docs == 0:
         return rd.from_arrow(empty)
-    if len(rows) > vocab_gate:
-        raise ValueError(f"vocabulary {len(rows)} exceeds broadcast gate")
-    vocab = np.asarray([r["term"] for r in rows], object)
-    dfs = np.asarray([r["df"] for r in rows], np.float64)
-    n_docs = int(rows[0]["nd"])
-    order = np.argsort(vocab)
-    vocab, dfs = vocab[order], dfs[order]
-    idf = np.log(n_docs / dfs)
 
     qrows = src.map_batches(
         lambda b: b.filter(pc.equal(b.column("doc_id"), query_doc_id)),
@@ -443,6 +568,17 @@ def similar_docs(docs, query_doc_id: int, k: int = 10,
     if not qtoks:
         return rd.from_arrow(empty)
     qterms, qtf = np.unique(np.asarray(qtoks, object), return_counts=True)
+
+    if merged.count() > vocab_gate:
+        return _similar_docs_joined(src, merged, n_docs, qterms, qtf,
+                                    query_doc_id, k, empty)
+
+    rows = merged.take_all()
+    vocab = np.asarray([r["term"] for r in rows], object)
+    dfs = np.asarray([r["df"] for r in rows], np.float64)
+    order = np.argsort(vocab)
+    vocab, dfs = vocab[order], dfs[order]
+    idf = np.log(n_docs / dfs)
     qpos = np.searchsorted(vocab, qterms)            # query terms ARE in vocab
     qw = np.zeros(vocab.size, np.float64)
     qw[qpos] = qtf * idf[qpos]
@@ -493,36 +629,118 @@ def similar_docs(docs, query_doc_id: int, k: int = 10,
         "cos": pa.array(allcos[sel], pa.float64())}))
 
 
+def _similar_docs_joined(src, merged, n_docs: int, qterms, qtf,
+                         query_doc_id: int, k: int, empty: pa.Table):
+    """Above-gate scale path for :func:`similar_docs`: the only
+    driver-side state is the QUERY doc's weight map (one doc's distinct
+    terms, pulled via an is_in filter over the merged df relation); the
+    corpus side hash-joins term->idf and reduces per doc with a native
+    groupby Sum. Only batches x k candidate rows reach the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    qset = pa.array(qterms.tolist(), pa.string())
+    qdf_rows = merged.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("term"), value_set=qset)),
+        batch_format="pyarrow").take_all()
+    qidf = {r["term"]: np.log(n_docs / r["df"]) for r in qdf_rows}
+    # qterms is np.unique output — already sorted, searchsorted-ready
+    qwv = qtf.astype(np.float64) * np.array(
+        [qidf[t] for t in qterms], np.float64)
+    qnorm = float(np.sqrt((qwv ** 2).sum()))
+
+    def to_idf(b: pa.Table) -> pa.Table:
+        d = b.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"term": b.column("term"),
+                         "idf": pa.array(np.log(n_docs / d),
+                                         pa.float64())})
+
+    idf_rel = merged.map_batches(to_idf, batch_format="pyarrow")
+    joined = hash_join(_doc_term_tf(src), idf_rel, on="term")
+
+    def contrib(b: pa.Table) -> pa.Table:
+        e = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dot": pa.array([], pa.float64()),
+                      "w2": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return e
+        terms = b.column("term").to_numpy(zero_copy_only=False)
+        tf = b.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        w = tf * b.column("idf").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(qterms, terms), 0, qterms.size - 1)
+        match = qterms[pos] == terms
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "dot": pa.array(np.where(match, w * qwv[pos], 0.0),
+                            pa.float64()),
+            "w2": pa.array(w * w, pa.float64())})
+
+    agg = joined.map_batches(contrib, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("dot", alias_name="dot"),
+                                     Sum("w2", alias_name="w2"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dot = b.column("dot").to_numpy(zero_copy_only=False)
+        w2 = b.column("w2").to_numpy(zero_copy_only=False)
+        keep = (dot > 0) & (ids != query_doc_id)
+        if not keep.any():
+            return empty
+        cos = np.round(dot[keep] / (np.sqrt(w2[keep]) * qnorm), 6)
+        kid = ids[keep]
+        sel = np.lexsort((kid, -cos))[:k]
+        return pa.table({"doc_id": pa.array(kid[sel], pa.int64()),
+                         "cos": pa.array(cos[sel], pa.float64())})
+
+    parts = agg.map_batches(local_topk, batch_format="pyarrow").take_all()
+    if not parts:
+        return rd.from_arrow(empty)
+    allid = np.array([r["doc_id"] for r in parts], np.int64)
+    allcos = np.array([r["cos"] for r in parts], np.float64)
+    sel = np.lexsort((allid, -allcos))[:k]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(allid[sel], pa.int64()),
+        "cos": pa.array(allcos[sel], pa.float64())}))
+
+
 # ---------------- prefix autocomplete ----------------
 
 
 def prefix_terms(docs, prefix: str, k: int = 10):
     """Autocomplete: the k highest-df vocabulary terms with a given
     prefix -> (term, df), ties on term ascending. The partial df
-    relation filters to the prefix BEFORE the merge groupby, so only
-    prefix-matching (term, partial-df) rows ever shuffle — the merge
-    sees the prefix slice of the vocabulary, not the corpus."""
+    relation filters to the prefix BEFORE the merge, so only
+    prefix-matching (term, partial-df) rows ever shuffle; the merge is
+    a native ``groupby("term")`` Sum (distributed — no constant-key
+    reducer), then a per-batch top-k partial cuts each output block to
+    k rows before a tiny distributed sort + limit picks the global k."""
+    from ray.data.aggregate import Sum
 
     def pfilter(b: pa.Table) -> pa.Table:
         return b.filter(pc.starts_with(b.column("term"), prefix))
 
-    def finish(g: pa.Table) -> pa.Table:
-        m = _merge_df(g.drop(["_g"]))
-        t = m.column("term").to_numpy(zero_copy_only=False)
-        d = m.column("df").to_numpy(zero_copy_only=False)
-        sel = np.lexsort((t, -d))[:k]
-        return pa.table({"term": pa.array(t[sel], pa.string()),
-                         "df": pa.array(d[sel].astype(np.int64),
-                                        pa.int64())})
-
-    return docs.select_columns(["doc_id", "text"]) \
+    merged = docs.select_columns(["doc_id", "text"]) \
         .map_batches(_df_partial, batch_format="pyarrow") \
         .map_batches(pfilter, batch_format="pyarrow") \
-        .map_batches(
-            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
-                                                     pa.int8())),
-            batch_format="pyarrow") \
-        .groupby("_g").map_groups(finish, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        t = b.column("term").to_numpy(zero_copy_only=False)
+        d = b.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = np.lexsort((t, -d))[:k]
+        return pa.table({"term": pa.array(t[sel], pa.string()),
+                         "df": pa.array(d[sel], pa.int64())})
+
+    return merged.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["df", "term"], descending=[True, False]).limit(k)
 
 
 # ---------------- term co-occurrence association pairs ----------------
@@ -548,38 +766,46 @@ def association_pairs(docs, min_count: int = 5,
     docs, lift = n_ab * N / (n_a * n_b) — market-basket association
     mining with Apriori pruning.
 
-    Stage 1 reuses the df combiner: only terms with df >= min_count can
-    appear in a qualifying pair (Apriori monotonicity), so the frequent
-    vocabulary broadcasts and per-doc pair expansion touches only
-    frequent terms. Pair generation is one _multi_arange per batch (no
-    per-doc Python); per-batch pair-code counts combine before the final
-    tiny merge. The integer threshold makes the filter exact — lift is
-    a ratio of integers, FP only at the final rounding.
+    Stage 1 reuses the df combiner merged with a native
+    ``groupby("term")`` Sum (distributed): only terms with
+    df >= min_count can appear in a qualifying pair (Apriori
+    monotonicity), so the FREQUENT slice broadcasts below
+    ``vocab_gate`` and per-doc pair expansion touches only frequent
+    terms. Pair generation is one _multi_arange per batch (no per-doc
+    Python); per-batch pair-code counts merge with a native
+    ``groupby("code")`` Sum. ABOVE the gate nothing broadcasts: the
+    exploded doc-term relation inner-joins the frequent slice, pairs
+    expand per doc inside ``groupby("doc_id").map_groups``, and lift's
+    df_a/df_b come from two more hash-joins (see
+    :func:`_association_pairs_joined`). The integer threshold makes the
+    filter exact — lift is a ratio of integers, FP only at the final
+    rounding.
     """
     import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
 
     src = docs.select_columns(["doc_id", "text"])
 
-    rows = src.map_batches(_df_partial, batch_format="pyarrow") \
-        .map_batches(
-            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
-                                                     pa.int8())),
-            batch_format="pyarrow") \
-        .groupby("_g").map_groups(
-            lambda g: _merge_df(g.drop(["_g"])),
-            batch_format="pyarrow").take_all()
-    n_docs = int(rows[0]["nd"]) if rows else 0
-    freq = sorted((r["term"], r["df"]) for r in rows
-                  if r["df"] >= min_count)
-    if len(freq) > vocab_gate:
-        raise ValueError(f"frequent vocab {len(freq)} exceeds gate")
-    import ray.data as rd
+    merged = _merged_counts(src, _df_partial, ["df", "nd"])
+    n_docs = int(merged.sum("nd") or 0)
     empty_out = pa.table({"a": pa.array([], pa.string()),
                           "b": pa.array([], pa.string()),
                           "n_ab": pa.array([], pa.int64()),
                           "lift": pa.array([], pa.float64())})
-    if not freq:
+    if n_docs == 0:
         return rd.from_arrow(empty_out)
+    freq_rel = merged.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("df"), min_count))
+        .select(["term", "df"]),
+        batch_format="pyarrow").materialize()
+    nfreq = freq_rel.count()
+    if nfreq == 0:
+        return rd.from_arrow(empty_out)
+    if nfreq > vocab_gate:
+        return _association_pairs_joined(src, freq_rel, n_docs,
+                                         min_count, empty_out)
+    freq = sorted((r["term"], r["df"]) for r in freq_rel.take_all())
     fvocab = np.asarray([t for t, _ in freq], object)
     fdf = np.asarray([d for _, d in freq], np.int64)
     ref = ray.put((fvocab, fdf))
@@ -614,16 +840,17 @@ def association_pairs(docs, min_count: int = 5,
         return pa.table({"code": pa.array(uniq, pa.int64()),
                          "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    def finish(g: pa.Table) -> pa.Table:
+    def finish(b: pa.Table) -> pa.Table:
+        # post-groupby, each code row is globally unique — finish is a
+        # plain per-batch map, not a merge
         v, d = ray.get(ref)
-        code = g.column("code").to_numpy(zero_copy_only=False)
-        c = g.column("c").to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(code, return_inverse=True)
-        sums = np.bincount(inv, weights=c).astype(np.int64)
+        code = b.column("code").to_numpy(zero_copy_only=False)
+        sums = b.column("n_ab").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         keep = sums >= min_count
-        uniq, sums = uniq[keep], sums[keep]
-        ai = uniq // nv
-        bi = uniq % nv
+        code, sums = code[keep], sums[keep]
+        ai = code // nv
+        bi = code % nv
         lift = np.round(sums * float(n_docs) /
                         (d[ai].astype(np.float64) * d[bi]), 6)
         return pa.table({"a": pa.array(v[ai], pa.string()),
@@ -631,14 +858,85 @@ def association_pairs(docs, min_count: int = 5,
                          "n_ab": pa.array(sums, pa.int64()),
                          "lift": pa.array(lift, pa.float64())})
 
-    out = src.map_batches(pair_partial, batch_format="pyarrow") \
-        .map_batches(
-            lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
-                                                     pa.int8())),
-            batch_format="pyarrow") \
-        .groupby("_g").map_groups(lambda g: finish(g.drop(["_g"])),
-                                  batch_format="pyarrow")
-    return out
+    return src.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("code").aggregate(Sum("c", alias_name="n_ab")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def _association_pairs_joined(src, freq_rel, n_docs: int, min_count: int,
+                              empty_out: pa.Table):
+    """Above-gate scale path for :func:`association_pairs`: the frequent
+    vocabulary never broadcasts. The exploded doc-term relation
+    inner-joins the frequent slice (shuffle on term), per-doc ordered
+    pairs expand inside ``groupby("doc_id").map_groups`` (a group is one
+    doc's frequent distinct terms — pair fan-out is C(m,2) with m
+    already Apriori-pruned), pair counts merge with a native
+    ``groupby("pair")`` Sum, and lift's df_a/df_b arrive via two more
+    hash-joins against the frequent slice."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    joined = hash_join(_doc_term_tf(src), freq_rel, on="term")
+    empty_pairs = pa.table({"pair": pa.array([], pa.string()),
+                            "c": pa.array([], pa.int64())})
+
+    def pairgen(g: pa.Table) -> pa.Table:
+        s = np.sort(g.column("term").to_numpy(zero_copy_only=False))
+        m = s.size
+        if m < 2:
+            return empty_pairs
+        left = np.repeat(np.arange(m), np.arange(m - 1, -1, -1))
+        right = _multi_arange(np.arange(1, m + 1),
+                              np.arange(m - 1, -1, -1))
+        # tokens contain no whitespace, so "a b" is an unambiguous key
+        pairs = [f"{s[i]} {s[j]}" for i, j in zip(left.tolist(),
+                                                  right.tolist())]
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "c": pa.array(np.ones(left.size, np.int64),
+                                       pa.int64())})
+
+    summed = joined.groupby("doc_id") \
+        .map_groups(pairgen, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("c", alias_name="n_ab"))
+
+    def split(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("n_ab"), min_count))
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64())})
+        parts = pc.split_pattern(t.column("pair"), " ")
+        return pa.table({"a": pc.list_element(parts, 0),
+                         "b": pc.list_element(parts, 1),
+                         "n_ab": t.column("n_ab").cast(pa.int64())})
+
+    pr = summed.map_batches(split, batch_format="pyarrow")
+    fa = freq_rel.map_batches(
+        lambda b: pa.table({"a": b.column("term"),
+                            "df_a": b.column("df")}),
+        batch_format="pyarrow")
+    fb = freq_rel.map_batches(
+        lambda b: pa.table({"b": b.column("term"),
+                            "df_b": b.column("df")}),
+        batch_format="pyarrow")
+    j2 = hash_join(hash_join(pr, fa, on="a"), fb, on="b")
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_out
+        n_ab = b.column("n_ab").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        da = b.column("df_a").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        db = b.column("df_b").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lift = np.round(n_ab * float(n_docs) / (da * db), 6)
+        return pa.table({"a": b.column("a"), "b": b.column("b"),
+                         "n_ab": pa.array(n_ab, pa.int64()),
+                         "lift": pa.array(lift, pa.float64())})
+
+    return j2.map_batches(fin, batch_format="pyarrow")
 
 
 # ---------------- repetition / diversity signals ----------------

@@ -1,0 +1,132 @@
+"""Hot-user (skew) salting for the single-key event operators
+(r3 verdict item 5): a synthetic one-user-dominates stream must produce
+IDENTICAL output through the day-salted path as through the unsalted
+kernels, with per-task rows bounded by the salt."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _skewed_events(n_hot=4000, n_cold_users=25, days=5):
+    """One bot user (id 7) with n_hot events spread over ``days`` days +
+    sparse normal users. Timestamps engineered so sessions, funnels and
+    transitions CROSS day boundaries (the re-merge paths must fire)."""
+    rng = np.random.default_rng(3)
+    day_us = 86_400 * 1_000_000
+    rows = []
+    eid = 0
+    # hot user: bursts with in-burst gaps of 60s and inter-burst gaps of
+    # 2h; bursts straddle midnight every day (last event 23:59:30,
+    # next day's first event 00:00:10 -> same session across the salt)
+    types = ["view", "click", "buy"]
+    for d in range(days):
+        t0 = d * day_us
+        for j in range(n_hot // days):
+            ts = t0 + (23 * 3600 + 3500 + j) * 1_000_000 if j >= n_hot // days - 3 \
+                else t0 + (int(rng.integers(0, 20 * 3600)) * 1_000_000 + j)
+            rows.append({"event_id": eid, "user_id": 7, "ts": ts,
+                         "value": float(rng.integers(-50, 200)) / 7.0,
+                         "event_type": types[int(rng.integers(0, 3))]})
+            eid += 1
+        # session bridge: first event of next day 40s after midnight
+        if d + 1 < days:
+            rows.append({"event_id": eid, "user_id": 7,
+                         "ts": (d + 1) * day_us + 40 * 1_000_000,
+                         "value": 1.25, "event_type": "click"})
+            eid += 1
+    for u in range(100, 100 + n_cold_users):
+        for j in range(int(rng.integers(2, 8))):
+            rows.append({"event_id": eid, "user_id": u,
+                         "ts": int(rng.integers(0, days * day_us)),
+                         "value": float(rng.integers(0, 100)) / 3.0,
+                         "event_type": types[int(rng.integers(0, 3))]})
+            eid += 1
+    return rows
+
+
+def _rows(ds, keys):
+    t = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows])
+    return t.to_pandas().sort_values(keys).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def skewed(ray_session):
+    import ray.data as rd
+    rows = _skewed_events()
+    # many small blocks so the pigeonhole sees the hot user per batch
+    return rd.from_items(rows).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=512)
+
+
+def test_hot_user_detected(skewed):
+    from ics_search_engine_ray.stages.events import _hot_users
+    hot = _hot_users(skewed)
+    assert 7 in hot
+    assert len(hot) < 10
+
+
+def test_sessionize_salted_identity(skewed):
+    import pandas as pd
+    from ics_search_engine_ray.stages.events import sessionize
+
+    salted = _rows(sessionize(skewed, gap_secs=1800),
+                   ["user_id", "session_start"])
+    plain = _rows(sessionize(skewed, gap_secs=1800, hot_frac=2.0),
+                  ["user_id", "session_start"])   # frac>1: nothing is hot
+    # cross-midnight sessions exist (the merge path actually fired)
+    assert (salted["user_id"] == 7).sum() < \
+        (plain["user_id"] == 7).sum() + 100
+    pd.testing.assert_frame_equal(
+        salted.drop(columns=["sum_value"]), plain.drop(columns=["sum_value"]))
+    assert np.allclose(salted["sum_value"], plain["sum_value"], atol=1e-6)
+
+
+def test_user_running_salted_identity(skewed):
+    import pandas as pd
+    from ics_search_engine_ray.stages.events import user_running
+
+    salted = _rows(user_running(skewed), ["event_id"])
+    plain = _rows(user_running(skewed, hot_frac=2.0), ["event_id"])
+    pd.testing.assert_frame_equal(salted, plain)   # bit-identical (int cents)
+
+
+def test_event_transitions_salted_identity(skewed):
+    import pandas as pd
+    from ics_search_engine_ray.stages.events import event_transitions
+
+    salted = _rows(event_transitions(skewed), ["src", "dst"])
+    plain = _rows(event_transitions(skewed, hot_frac=2.0), ["src", "dst"])
+    pd.testing.assert_frame_equal(salted, plain)
+    assert salted["n"].sum() > 3000
+
+
+def test_funnel_salted_identity(skewed):
+    import pandas as pd
+    from ics_search_engine_ray.stages.events import funnel
+
+    steps = ("view", "click", "buy")
+    salted = _rows(funnel(skewed, steps), ["user_id"])
+    plain = _rows(funnel(skewed, steps, hot_frac=2.0), ["user_id"])
+    assert 7 in set(salted["user_id"])
+    pd.testing.assert_frame_equal(salted, plain)
+
+
+def test_funnel_salted_crosses_days(ray_session):
+    """Chain completable ONLY across days: view on day 0, click day 1,
+    buy day 2 — the automaton composition must carry state."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import _funnel_salted
+
+    day = 86_400 * 1_000_000
+    rows = [{"event_id": i, "user_id": 7, "ts": d * day + 1000 + i,
+             "event_type": t, "value": 0.0}
+            for i, (d, t) in enumerate(
+                [(0, "view"), (0, "view"), (1, "click"), (2, "view"),
+                 (2, "buy")])]
+    out = _funnel_salted(rd.from_items(rows), ["view", "click", "buy"],
+                         "user_id", "ts", "event_id", "event_type",
+                         num_groups=8, salt_us=day)
+    got = out.take_all()
+    assert got == [{"user_id": 7, "view_id": 0, "click_id": 2, "buy_id": 4}]
