@@ -1131,6 +1131,55 @@ def _q_pagerank(sf_dir: str):
     })
 
 
+_PRD_ITERS_PR = 6    # fixed iteration counts (threshold=0.0 disables the
+_PRD_ITERS_HITS = 4  # break-before-assign quirk so SQL can replicate exactly)
+
+
+def _q_pagerank_docs(sf_dir: str):
+    """G1/G2 kernels with a DRIVER-CHECKABLE oracle (r3 verdict item 4):
+    the quirk-compatible PageRank (mass-leak: out-degree counts a phantom
+    external link that carries no mass, reference utils/pagerank.py:26-31)
+    and HITS power iterations run through the DISTRIBUTED dataset-pass
+    variants (graph/linkrank.py pagerank_arr_ds / hits_arr_ds — one
+    groupby().sum scatter-add per iteration, driver holds only O(V)) over
+    a deterministic arithmetic edge list on documents.doc_id:
+    i -> (7i+1) % n and (13i+3) % n, out_degree = 3 (2 internal + 1
+    external). threshold=0.0 -> exactly N power steps, which a DuckDB
+    recursive CTE replicates (HITS per-step L1 normalization telescopes,
+    so the oracle iterates raw and normalizes once at the end)."""
+    import ray.data as rd
+
+    from ics_search_engine_ray.graph.linkrank import (hits_arr_ds,
+                                                      pagerank_arr_ds)
+
+    ids = _read_docs(sf_dir, columns=("doc_id",))
+    n = ids.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = (i * 7 + 1) % n
+        d2 = (i * 13 + 3) % n
+        # duplicate targets collapse (reference assigns, not adds, into the
+        # dense matrix) — drop the second edge where the formulas collide
+        keep2 = d2 != d1
+        return pa.table({
+            "src": pa.array(np.concatenate([i, i[keep2]]), pa.int64()),
+            "dst": pa.array(np.concatenate([d1, d2[keep2]]), pa.int64())})
+
+    edges_ds = ids.map_batches(edges, batch_format="pyarrow").materialize()
+    out_deg = np.full(n, 3, np.int64)   # 2 internal + 1 phantom external
+    pr = pagerank_arr_ds(n, edges_ds, out_deg,
+                         max_iterations=_PRD_ITERS_PR, threshold=0.0)
+    auth, hub = hits_arr_ds(n, edges_ds,
+                            max_iterations=_PRD_ITERS_HITS, threshold=0.0)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "pagerank": pa.array(np.round(pr, 6), pa.float64()),
+        "auth": pa.array(np.round(auth, 6), pa.float64()),
+        "hub": pa.array(np.round(hub, 6), pa.float64()),
+    })
+
+
 def _q_index_stats(sf_dir: str):
     si = _pages_index(sf_dir)
     parts = si.manifest["partitions"]
@@ -1166,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_oracle": _q_search_bm25_oracle,  # serving path (SQL oracle)
         "search_tfidf_ref": _q_search_tfidf_ref,  # Q3-Q5 parity scorer
         "pagerank_hits": _q_pagerank,             # G1/G2 (rows-only)
+        "pagerank_docs": _q_pagerank_docs,        # G1/G2 kernels (SQL oracle)
         "index_stats": _q_index_stats,            # S4/S5 manifest (rows-only)
         "simhash_dedup": _q_simhash_dedup,        # T2/D2 (rows-only greedy)
         "simhash_pairs": _q_simhash_pairs,        # T2 pair rule (SQL oracle)
@@ -1768,6 +1818,62 @@ FROM allfp x JOIN allfp y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.fp::BIT, y.fp::BIT)) <= {DEFAULT_CONFIG.max_hamming}
 ORDER BY a, b""",
         "search_bm25_oracle": _bm25_multi_sql(_SEARCH_ORACLE_QUERIES, k1, b),
+        # G1/G2 kernels as recursive CTEs (r3 verdict item 4). PageRank:
+        # (1-0.85)/n literal matches the kernel's float expression bit-for-
+        # bit; mass leak = /3.0 while only 2 internal edges carry mass.
+        # HITS: per-step L1 normalization telescopes (normalize(A x) is
+        # invariant to scaling x), so the CTE iterates hub RAW via the
+        # two-hop expansion hub'[u] = sum_{(u,d),(s,d)} hub[s] and
+        # normalizes once at the end; final auth = A^T hub_(T-1).
+        # NOTE: the recursion references the recursive table ONCE, carrying
+        # scores on the SOURCE side and aggregating to the destination
+        # (GROUP BY e.d). Sound here because (7i+1) mod n is a permutation
+        # (gcd(7, n)=1), so every node keeps >= 1 in-edge and never drops
+        # out of the working table. The edge UNION is wrapped in a DISTINCT
+        # subquery: a bare top-level UNION in a CTE under WITH RECURSIVE is
+        # itself treated as a recursive definition by DuckDB and corrupts
+        # the edge set.
+        "pagerank_docs": f"""
+WITH RECURSIVE
+meta AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS i FROM documents),
+edges AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT i AS s, (i*7+1) % n AS d FROM nodes, meta
+    UNION ALL
+    SELECT i, (i*13+3) % n FROM nodes, meta)),
+pr(iter, node, score) AS (
+  SELECT 0, i, CAST(1.0/n AS DOUBLE) FROM nodes, meta
+  UNION ALL
+  SELECT p.iter+1, e.d,
+         (1-0.85)/(SELECT n FROM meta) + 0.85 * sum(p.score * (1.0/3))
+  FROM pr p JOIN edges e ON e.s = p.node
+  WHERE p.iter < {_PRD_ITERS_PR}
+  GROUP BY p.iter, e.d),
+hb(iter, node, hub) AS (
+  SELECT 0, i, CAST(1.0/n AS DOUBLE) FROM nodes, meta
+  UNION ALL
+  SELECT p.iter+1, e1.s, sum(p.hub)
+  FROM hb p JOIN edges e2 ON e2.s = p.node JOIN edges e1 ON e1.d = e2.d
+  WHERE p.iter < {_PRD_ITERS_HITS}
+  GROUP BY p.iter, e1.s),
+auth_raw AS (
+  SELECT e.d AS node, sum(h.hub) AS a
+  FROM hb h JOIN edges e ON e.s = h.node
+  WHERE h.iter = {_PRD_ITERS_HITS - 1}
+  GROUP BY e.d)
+SELECT p.node AS doc_id,
+       CAST(round(p.score * 1000, 6) AS DOUBLE) AS pagerank,
+       CAST(round(a.a / (SELECT sum(abs(a2.a)) FROM auth_raw a2) * 10, 6)
+            AS DOUBLE) AS auth,
+       CAST(round(h.hub / (SELECT sum(abs(h2.hub)) FROM hb h2
+                           WHERE h2.iter = {_PRD_ITERS_HITS}) * 10, 6)
+            AS DOUBLE) AS hub
+FROM pr p
+JOIN auth_raw a ON a.node = p.node
+JOIN hb h ON h.node = p.node AND h.iter = {_PRD_ITERS_HITS}
+WHERE p.iter = {_PRD_ITERS_PR}
+ORDER BY doc_id""",
         # frozen-fixture oracle (tools/freeze_extract_fixture.py): the
         # (n_docs, len_sum) pair identifies the sf dir from the registered
         # documents view, so one committed fixture serves every scale factor
