@@ -111,70 +111,160 @@ def fingerprint_dataset(docs):
 
 # ---------------- language ID ----------------
 
-# character-trigram profiles for a handful of languages, built from small
-# public-knowledge seed phrases (deterministic, self-contained heuristic —
-# a real deployment would plug a fastText-style model into this same stage)
-_LANG_SEEDS: Dict[str, str] = {
-    "en": "the quick brown fox jumps over the lazy dog and this is a test of the english language with many words that are common",
-    "de": "der schnelle braune fuchs springt über den faulen hund und dies ist ein test der deutschen sprache mit vielen wörtern",
-    "fr": "le renard brun rapide saute par dessus le chien paresseux et ceci est un test de la langue française avec beaucoup de mots",
-    "es": "el rápido zorro marrón salta sobre el perro perezoso y esto es una prueba del idioma español con muchas palabras comunes",
-    "it": "la rapida volpe marrone salta sopra il cane pigro e questo è una prova della lingua italiana con molte parole comuni che sono",
-    "pt": "a rápida raposa marrom pula sobre o cão preguiçoso e isto é um teste da língua portuguesa com muitas palavras comuns que são",
-    "nl": "de snelle bruine vos springt over de luie hond en dit is een test van de nederlandse taal met veel woorden die vaak voorkomen",
-    "sv": "den snabba bruna räven hoppar över den lata hunden och detta är ett test av det svenska språket med många vanliga ord som finns",
+# Byte-trigram language profiles over per-language frequent-word lists
+# (public common-knowledge vocabulary, frequency-ordered), Zipf-weighted
+# 1/rank — the Cavnar & Trenkle (1994) n-gram category profile idea with a
+# cosine scorer. Byte trigrams (UTF-8, space-padded words) handle diacritics
+# uniformly and make the doc-side scan one numpy pass. HONEST CAP
+# (SCALE.md): a word-frequency profile is weaker than a trained
+# fastText-class model (absent from this container); closely related pairs
+# (da/no, es/pt) can confuse on short inputs. Accuracy is pinned by
+# tests/test_training_ops.py on a labeled held-out sentence set.
+_LANG_TOP_WORDS: Dict[str, str] = {
+    "en": ("the of and to a in is it you that he was for on are with as his"
+           " they be at one have this from or had by but what some we can"
+           " out other were all there when up use your how said an each she"
+           " which do their time if will way about many then them would"
+           " write like so these her long make thing see him two has look"
+           " more day could go come did my sound no most number people over"
+           " know water than call first who may down side been now find"),
+    "de": ("der die und in den von zu das mit sich des auf für ist im dem"
+           " nicht ein eine als auch es an werden aus er hat dass sie nach"
+           " wird bei einer um am sind noch wie einem über einen so zum war"
+           " haben nur oder aber vor zur bis mehr durch man sein wurde sei"
+           " mir ihre dann unter wir soll ich eines jahr zwei diese wieder"
+           " uns da ihr seine würde nun beim selbst ja wo habe ihm kann"),
+    "fr": ("de la le et les des en un du une que est pour qui dans a par"
+           " plus pas au sur ne se ce il sont avec son ses mais comme ou si"
+           " leur y ont ces aux été cette votre aussi dont sa tout fait"
+           " être autre on nous vous ils elle deux peut même bien où sans"
+           " tous encore leurs avait très ans après entre lui notre je"),
+    "es": ("de la que el en y a los se del las un por con no una su para"
+           " es al lo como más o pero sus le ha me si sin sobre este ya"
+           " entre cuando todo esta ser son dos también fue había era muy"
+           " años hasta desde está mi porque qué sólo han yo hay vez puede"
+           " todos así nos ni parte tiene él uno donde bien tiempo mismo"
+           " ese ahora cada vida otro después te otros aunque esa eso"),
+    "it": ("di e il la che a in un per è una sono mi si lo ma ha le con"
+           " non io ti più questo qui del gli al come ci sei bene della"
+           " cosa te da quello fatto perché era no anche molto stato noi"
+           " tutto lei mio loro due fare così sempre essere suo quella"
+           " tutti casa sua o detto quando sta niente ecco vuoi degli"),
+    "pt": ("de a o que e do da em um para com não uma os no se na por mais"
+           " as dos como mas ao ele das à seu sua ou quando muito nos já"
+           " eu também só pelo pela até isso ela entre depois sem mesmo"
+           " aos seus quem nas me esse eles você essa num nem suas meu às"
+           " minha numa pelos quanto foi ser tem estão você tinha foram"),
+    "nl": ("de het een en van ik te dat die in je niet is was op aan met"
+           " als voor had er maar om hem dan zou of wat mijn men dit zo"
+           " door over ze zich bij ook tot mij uit der daar haar naar heb"
+           " hoe heeft hebben deze niets nog wel moet wordt kunnen zijn"
+           " hier tegen omdat toen nu onder ja eens meer al worden veel"),
+    "sv": ("och i att det som en på är av för med till den har de inte om"
+           " ett han men var jag sig från vi så kan man när år alla sin"
+           " får ha hon många även sina här mot sedan nu skulle sitt denna"
+           " vid kommer hur vara mig bara blir upp andra finns mycket"),
+    "da": ("og i at det er en til af på de med den for der jeg ikke som"
+           " han hun har vi kan men om et hvis så skal ved fra du vil sig"
+           " op hele ud kommer os over blev også meget mange nogle andre"
+           " dem hvor skulle denne efter være havde ham alle hvad deres"),
+    "no": ("og i det er som en til på av at de med han den for ikke jeg"
+           " har om et men seg var fra vi så kan vil hun å du skal noen"
+           " hvis meg dette mange andre bare ble da nå over hvor eller"
+           " denne etter også ved være hadde ham alle hva deres ut selv"),
+    "fi": ("ja on se että ei oli hän kun mutta ovat niin ole joka jos mitä"
+           " tai sen hänen kuin myös vain minä nyt siitä tämä mukaan"
+           " sitten hänet kaikki voi kaksi vuonna sitä jo olla sillä koska"
+           " näin paljon hyvin jotka vielä jonka mitään tässä jälkeen"),
+    "pl": ("w i na z do że się nie to jest o jak po co tak za od ale jego"
+           " przez jej ma być był są dla przy tego czy tylko już było może"
+           " ich będzie bardzo kiedy nas nad przed jeszcze także która"
+           " który gdy pan jednak oraz też sobie można wszystko roku"),
+    "ro": ("de a în și o ce nu la pe este cu un mai pentru care au fost"
+           " din sau dacă ai fi el ea noi lor își dar după când sunt două"
+           " fără prin între această acest până asupra foarte toate cele"
+           " fiind unde acum ani doar fie poate avea același său"),
+    "tr": ("bir ve bu da ne için de o çok ben ama gibi daha var sen onu ki"
+           " evet şey sonra kadar bana beni onun burada her şu seni ile"
+           " biz diye göre olan en yok nasıl neden zaman benim değil iki"
+           " olarak ise bunu onlar kendi şimdi bütün hiç böyle büyük"),
+    "id": ("yang dan di itu dengan ini untuk dari dalam tidak akan pada"
+           " mereka juga ke ada saya kita adalah dia anda bisa atau telah"
+           " oleh seperti sudah kami satu lebih harus saat karena tentang"
+           " orang bila kalau tahun hanya masih sangat sampai ketika"),
 }
 
+_WS_RE = re.compile(r"\s+")
 
-def _trigrams(s: str) -> Dict[str, int]:
-    s = re.sub(r"\s+", " ", s.lower())
-    out: Dict[str, int] = {}
-    for i in range(len(s) - 2):
-        g = s[i:i + 3]
-        out[g] = out.get(g, 0) + 1
-    return out
+
+def _byte_trigram_codes(s: str) -> np.ndarray:
+    """UTF-8 byte-trigram codes (24-bit ints) of a whitespace-normalized,
+    lowercased, space-padded string — one numpy pass, no Python char loop.
+    Runs WORKER-side: no call-time package imports."""
+    b = (" " + _WS_RE.sub(" ", s.lower()).strip() + " ").encode("utf-8")
+    a = np.frombuffer(b, np.uint8).astype(np.int64)
+    if a.size < 3:
+        return np.empty(0, np.int64)
+    return a[:-2] * 65536 + a[1:-1] * 256 + a[2:]
 
 
 class LangIdBatch:
-    """Actor-pool stage: trigram cosine against per-language profiles
-    (profiles built once per actor in __init__)."""
+    """Actor-pool stage: byte-trigram cosine against per-language Zipf-
+    weighted frequent-word profiles (profile matrix built once per actor
+    in __init__). Ties and zero-overlap docs resolve deterministically:
+    argmax takes the lexicographically smallest language on equal scores,
+    and a doc sharing no trigram with any profile is "und"."""
 
     def __init__(self):
-        # languages sorted so np.argmax's first-max rule == the documented
-        # lexicographically-smallest tie-break; profile matrix (L, V) over
-        # the union trigram vocabulary, L2-normalized per language
-        self.langs = sorted(_LANG_SEEDS)
-        profs = []
-        vocab: Dict[str, int] = {}
+        self.langs = sorted(_LANG_TOP_WORDS)
+        raw = []
+        vocab: set = set()
         for lang in self.langs:
-            tg = _trigrams(_LANG_SEEDS[lang])
-            norm = np.sqrt(sum(v * v for v in tg.values()))
-            profs.append({k: v / norm for k, v in tg.items()})
-            for k in tg:
-                vocab.setdefault(k, len(vocab))
-        self.vocab = vocab
-        self.mat = np.zeros((len(self.langs), len(vocab)))
-        for i, prof in enumerate(profs):
-            for k, v in prof.items():
-                self.mat[i, vocab[k]] = v
+            acc: Dict[int, float] = {}
+            for rank, w in enumerate(_LANG_TOP_WORDS[lang].split()):
+                # damped Zipf weight: 1/sqrt(rank) discriminates measurably
+                # better than 1/rank here (rank-1 function words otherwise
+                # dominate cross-language trigram overlap)
+                wgt = 1.0 / np.sqrt(rank + 1.0)
+                for c in _byte_trigram_codes(w).tolist():
+                    acc[c] = acc.get(c, 0.0) + wgt
+            raw.append(acc)
+            vocab.update(acc)
+        self.vcodes = np.sort(np.fromiter(vocab, np.int64, len(vocab)))
+        pos_of = {int(c): j for j, c in enumerate(self.vcodes)}
+        mat = np.zeros((len(self.langs), self.vcodes.size))
+        for i, acc in enumerate(raw):
+            for c, v in acc.items():
+                mat[i, pos_of[c]] = v
+        # IDF across language profiles: boost trigrams few languages share
+        # (diacritic-bearing byte sequences are the strongest signals)
+        df = (mat > 0).sum(axis=0)
+        mat *= np.log(1.0 + len(self.langs) / np.maximum(df, 1))
+        mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+        self.mat = mat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [x or "" for x in batch.column("text").to_pylist()]
         langs, confs = [], []
-        for x in texts:
-            tg = _trigrams(x[:2000])
-            if not tg:
+        for x in batch.column("text").to_pylist():
+            codes = _byte_trigram_codes((x or "")[:2000])
+            if not codes.size:
                 langs.append("und")
                 confs.append(0.0)
                 continue
-            norm = np.sqrt(sum(v * v for v in tg.values()))
-            idx = [self.vocab[k] for k in tg if k in self.vocab]
-            if idx:
-                cnt = np.fromiter((tg[k] for k in tg if k in self.vocab),
-                                  dtype=np.float64, count=len(idx))
-                scores = self.mat[:, idx] @ cnt / norm   # one kernel, all langs
+            uc, cnt = np.unique(codes, return_counts=True)
+            cnt = cnt.astype(np.float64)
+            norm = np.sqrt((cnt * cnt).sum())
+            pos = np.clip(np.searchsorted(self.vcodes, uc), 0,
+                          self.vcodes.size - 1)
+            m = self.vcodes[pos] == uc
+            if m.any():
+                scores = self.mat[:, pos[m]] @ cnt[m] / norm
             else:
                 scores = np.zeros(len(self.langs))
+            if scores.max() <= 0.0:
+                langs.append("und")
+                confs.append(0.0)
+                continue
             bi = int(np.argmax(scores))
             langs.append(self.langs[bi])
             confs.append(round(float(scores[bi]), 6))
