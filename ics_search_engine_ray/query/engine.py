@@ -102,16 +102,18 @@ def rank_topk(posts: Dict[str, _MergedPostings], qtf: Dict[str, int], k: int,
 
 
 def tfidf_ref_rank(posts: Dict[str, _MergedPostings], terms: List[str], k: int,
-                   url_of: Dict[int, str],
-                   link_scores: Dict[str, Tuple[float, float, float]]):
+                   resolve_links):
     """Reference Q3-Q5 combined scoring (search.py:141-198), shared by the
     local index and the sharded actor client. Returns
     [(doc_id, combined_score, matched_terms, url)] ranked by
     (-score, doc_id).
 
-    Note: the combined score folds per-URL link signals in BEFORE ranking,
-    so every candidate needs a url lookup — inherently a full-map scorer
-    (it is the reference-parity mode, not the scale path)."""
+    The combined score folds per-URL link signals in BEFORE ranking, so
+    every CANDIDATE (doc matching >= 1 term) needs a url + link lookup.
+    ``resolve_links(doc_ids)`` supplies them as
+    (urls list, auth, hub, pagerank arrays) — the local index backs it
+    with its cached maps, the sharded actors with filtered parquet reads
+    over only the candidate ids (O(matching docs), never O(corpus))."""
     total_q = len(terms)
     qtf: Dict[str, int] = {}
     for t in terms:
@@ -137,10 +139,7 @@ def tfidf_ref_rank(posts: Dict[str, _MergedPostings], terms: List[str], k: int,
         cos = np.where((dnorm > 0) & (qnorm > 0), dot / (qnorm * dnorm), 0.0)
 
     term_boost = n_matched / total_q
-    url_arr = [url_of.get(int(d), "") for d in uniq]
-    auth = np.array([link_scores.get(u, (0.0, 0.0, 0.0))[0] for u in url_arr])
-    hub = np.array([link_scores.get(u, (0.0, 0.0, 0.0))[1] for u in url_arr])
-    pr = np.array([link_scores.get(u, (0.0, 0.0, 0.0))[2] for u in url_arr])
+    url_arr, auth, hub, pr = resolve_links(uniq)
 
     combined = (0.2 * tfidf_sum + 0.2 * cos + 0.6 * term_boost
                 + 0.1 * auth + 0.1 * hub + 0.2 * pr)      # search.py:183-190
@@ -548,9 +547,17 @@ class SearchIndex:
         if not posts:
             return []
         titles = self._titles()
+
+        def resolve(doc_ids):
+            url_of, links = self._urls(), self.link_scores()
+            urls = [url_of.get(int(d), "") for d in doc_ids]
+            auth = np.array([links.get(u, (0.0, 0.0, 0.0))[0] for u in urls])
+            hub = np.array([links.get(u, (0.0, 0.0, 0.0))[1] for u in urls])
+            pr = np.array([links.get(u, (0.0, 0.0, 0.0))[2] for u in urls])
+            return urls, auth, hub, pr
+
         out = []
-        for d, score, matched, url in tfidf_ref_rank(
-                posts, terms, k, self._urls(), self.link_scores()):
+        for d, score, matched, url in tfidf_ref_rank(posts, terms, k, resolve):
             out.append(SearchResult(url=self._defrag(url), doc_id=d,
                                     score=score, matched_terms=matched,
                                     title=titles.get(d, "") or ""))
