@@ -150,6 +150,48 @@ def _q_scrub_duplicate_spans(sf_dir: str):
     return scrub_duplicate_spans(_read_docs(sf_dir), k=8)
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """CCNet/RefinedWeb-style unit-level dedup (stages/dedup_text.py
+    paragraph_dedup): disjoint 20-token chunks, every distinct chunk string
+    keeps its first corpus occurrence, docs re-joined from survivors —
+    chunk-hash bucketed groupby with string-exact selection, no broadcast."""
+    from ics_search_engine_ray.stages.dedup_text import paragraph_dedup
+    return paragraph_dedup(_read_docs(sf_dir), win=20)
+
+
+def _q_boilerplate_remove(sf_dir: str):
+    """Per-source boilerplate removal (stages/dedup_text.py
+    boilerplate_remove): 20-token chunks repeated across >=2 distinct docs
+    of one source drop everywhere (no canonical copy), like CCNet's
+    within-shard paragraph filter."""
+    from ics_search_engine_ray.stages.dedup_text import boilerplate_remove
+    return boilerplate_remove(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")),
+        win=20, min_docs=2)
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (stages/bpe.py, Sennrich et al.
+    2016): word-count pass via native groupby Sum, merge loop driver-local
+    below the word gate / per-merge distributed passes above it (tested
+    equivalent). Iterative argmax is not SQL-expressible -> no_oracle;
+    correctness pinned by tests/test_bpe.py (textbook example, local ==
+    distributed, exact decode)."""
+    from ics_search_engine_ray.stages.bpe import bpe_merges
+    return bpe_merges(_read_docs(sf_dir), n_merges=50)
+
+
+def _q_bpe_token_count(sf_dir: str):
+    """Per-doc BPE token counts under the corpus-trained merge table
+    (stages/bpe.py bpe_encode): the merge model (O(n_merges)) rides the
+    closure, per-batch word->length memo. no_oracle (depends on the
+    trained merges); decode-exactness and monotone compression pinned in
+    tests/test_bpe.py."""
+    from ics_search_engine_ray.stages.bpe import bpe_encode, bpe_merges
+    merges = bpe_merges(_read_docs(sf_dir), n_merges=50).take_all()
+    return bpe_encode(_read_docs(sf_dir), merges)
+
+
 def _q_window_distinct_users(sf_dir: str):
     """Exact distinct users per (hour window, event_type) (events.py
     window_distinct_users): per-batch distinct triples collapse repeats
@@ -406,6 +448,27 @@ def _q_bm25_topk_wand(sf_dir: str):
         "doc_id": pa.array([r.doc_id for r in res], pa.int64()),
         "score": pa.array([round(r.score, 6) for r in res], pa.float64()),
     })
+
+
+def _q_bool_search(sf_dir: str):
+    """Boolean-filtered BM25 (query/engine.py search_boolean): '+word'
+    must match, '-word' must not, bare words rank — candidate set by
+    sorted-array intersect/diff over posting lists, then the same TAAT
+    BM25 accumulation bm25_topk proves."""
+    si = _text_index(sf_dir)
+    res = si.search_boolean("+table merge sort -spark", k=10)
+    return pa.table({
+        "doc_id": pa.array([r.doc_id for r in res], pa.int64()),
+        "score": pa.array([round(r.score, 6) for r in res], pa.float64()),
+    })
+
+
+def _q_snippets(sf_dir: str):
+    """Keyword-in-context snippets (stages/text_analysis.py snippets):
+    width-5 window around the first occurrence of any query term, one
+    vectorized membership pass per batch, no shuffle."""
+    from ics_search_engine_ray.stages.text_analysis import snippets
+    return snippets(_read_docs(sf_dir), ["spark", "join"], width=5)
 
 
 def _q_knn_cosine(sf_dir: str):
@@ -1208,6 +1271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,                # O2-style global top-k
         "token_count": _q_token_count,            # M6 token_count semantics
         "bm25_topk": _q_bm25_topk,                # A3 + Q1-Q6 (TAAT)
+        "bool_search": _q_bool_search,            # boolean operators
+        "snippets": _q_snippets,                  # KWIC result snippets
         "bm25_topk_wand": _q_bm25_topk_wand,      # block-max WAND path
         "phrase_match": _q_phrase_match,          # positional index query
         "extract_text": _q_extract_text,          # M1-M3 (frozen-fixture oracle)
@@ -1281,6 +1346,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": _q_window_distinct_users,  # windowed DAU
         "duplicate_spans": _q_duplicate_spans,    # substring-level dedup
         "scrub_duplicate_spans": _q_scrub_duplicate_spans,  # span scrub
+        "paragraph_dedup": _q_paragraph_dedup,    # unit-level keep-first
+        "boilerplate_remove": _q_boilerplate_remove,  # per-source filter
+        "bpe_merges": _q_bpe_merges,              # tokenizer training
+        "bpe_token_count": _q_bpe_token_count,    # tokenizer application
     }
 
 
@@ -1362,6 +1431,40 @@ FROM scores ORDER BY s DESC, doc_id LIMIT 10"""
             "GROUP BY term ORDER BY df DESC, term LIMIT 100"),
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
+        "bool_search": f"""
+WITH toks AS ({_sql_tokens_cte()}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+cand AS (SELECT doc_id FROM toks WHERE term IN ('table')
+         GROUP BY doc_id HAVING count(DISTINCT term) = 1),
+excl AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('merge', 'sort', 'table') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+    AND tf.doc_id NOT IN (SELECT doc_id FROM excl)
+  GROUP BY tf.doc_id)
+SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score
+FROM scores ORDER BY s DESC, doc_id LIMIT 10""",
+        "snippets": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+hits AS (SELECT doc_id, tk,
+                list_filter(range(1, len(tk) + 1),
+                            i -> tk[i] IN ('join', 'spark')) AS hs
+         FROM toks),
+m AS (SELECT doc_id, tk, hs[1] AS p FROM hits WHERE len(hs) > 0)
+SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+       array_to_string(tk[CAST(GREATEST(1, p - 5) AS INT):CAST(p + 4 AS INT)],
+                       ' ') AS snippet
+FROM m""",
         "phrase_match": f"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
@@ -2011,6 +2114,45 @@ kept AS (SELECT pos.doc_id,
 SELECT t.doc_id, COALESCE(k.text_clean, '') AS text_clean,
        CAST(len(t.tk) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
 FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id""",
+        "paragraph_dedup": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+ch AS (SELECT doc_id, i AS cidx,
+              array_to_string(tk[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)],
+                              ' ') AS chunk,
+              CAST(ceil(len(tk) / 20.0) AS BIGINT) AS nch
+       FROM (SELECT doc_id, tk,
+                    unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT)))
+                    AS i
+             FROM toks WHERE len(tk) > 0)),
+surv AS (SELECT doc_id, cidx, chunk, nch,
+                row_number() OVER (PARTITION BY chunk
+                                   ORDER BY doc_id, cidx) AS rn
+         FROM ch)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text,
+       CAST(max(nch) AS BIGINT) AS n_chunks,
+       CAST(max(nch) - count(*) AS BIGINT) AS n_dropped
+FROM surv WHERE rn = 1 GROUP BY doc_id""",
+        "boilerplate_remove": """
+WITH toks AS (SELECT doc_id, source,
+              list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+ch AS (SELECT doc_id, source, i AS cidx,
+              array_to_string(tk[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)],
+                              ' ') AS chunk,
+              CAST(ceil(len(tk) / 20.0) AS BIGINT) AS nch
+       FROM (SELECT doc_id, source, tk,
+                    unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT)))
+                    AS i
+             FROM toks WHERE len(tk) > 0)),
+cnt AS (SELECT source, chunk, count(DISTINCT doc_id) AS ndoc
+        FROM ch GROUP BY source, chunk),
+surv AS (SELECT ch.doc_id, ch.cidx, ch.chunk, ch.nch
+         FROM ch JOIN cnt USING (source, chunk) WHERE cnt.ndoc < 2)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text,
+       CAST(max(nch) AS BIGINT) AS n_chunks,
+       CAST(max(nch) - count(*) AS BIGINT) AS n_dropped
+FROM surv GROUP BY doc_id""",
         "window_distinct_users": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

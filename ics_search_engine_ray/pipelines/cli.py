@@ -73,7 +73,9 @@ def cmd_query(args) -> int:
 
     def run_one(q: str):
         t0 = time.time()
-        if getattr(args, "proximity", False) and args.actors == 0:
+        if getattr(args, "boolean", False) and args.actors == 0:
+            results = si.search_boolean(q, args.k)
+        elif getattr(args, "proximity", False) and args.actors == 0:
             results = si.proximity_rerank(q, args.k)
         else:
             results = si.search(q, args.k, scorer=args.scorer,
@@ -377,6 +379,9 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--actors", type=int, default=0,
                    help="serve through a sharded actor pool of this size")
+    q.add_argument("--boolean", action="store_true",
+                   help="boolean operators: +word must match, -word must "
+                        "not (local path only)")
     q.add_argument("--proximity", action="store_true",
                    help="rerank BM25 finalists by minimal-window "
                         "term proximity (local path only)")

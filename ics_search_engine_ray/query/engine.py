@@ -366,6 +366,75 @@ class SearchIndex:
                                     title=titles.get(int(d), "") or ""))
         return out
 
+    def search_boolean(self, query: str, k: int = 10) -> List[SearchResult]:
+        """Boolean-filtered BM25: ``+word`` MUST match, ``-word`` MUST NOT,
+        bare words are optional rank contributors — the standard web-search
+        operators (a completeness add-on; the reference's UI has no boolean
+        syntax). Candidates = docs containing EVERY must term and NO
+        excluded term; score = BM25 TAAT over must+optional terms with the
+        usual (-score, doc_id) tie-break. Operators bind to the word they
+        prefix; each word tokenizes/stems like any query term (a word that
+        stems to several terms keeps the operator on each)."""
+        must: List[str] = []
+        nots: List[str] = []
+        opt: List[str] = []
+        for w in query.split():
+            op, word = (w[0], w[1:]) if w[:1] in "+-" else ("", w)
+            for t in self.tokenize_query(word):
+                (must if op == "+" else nots if op == "-" else opt).append(t)
+        score_terms = must + opt
+        if not score_terms:
+            return []
+        qtf: Dict[str, int] = {}
+        for t in score_terms:
+            qtf[t] = qtf.get(t, 0) + 1
+        posts = {t: self._scored(t, "bm25") for t in qtf}
+        posts = {t: p for t, p in posts.items() if p is not None}
+        cand: Optional[np.ndarray] = None
+        for t in must:
+            p = posts.get(t)
+            if p is None:
+                return []                     # a must term matches nothing
+            cand = p.doc_ids if cand is None \
+                else np.intersect1d(cand, p.doc_ids, assume_unique=True)
+        if cand is None:                      # no must terms: union of opts
+            if not posts:
+                return []
+            cand = np.unique(np.concatenate(
+                [p.doc_ids for p in posts.values()]))
+        for t in set(nots):
+            tp = self.term_postings(t)
+            if tp is not None and tp.doc_ids.size:
+                cand = cand[~np.isin(cand, tp.doc_ids, assume_unique=True)]
+        if not cand.size:
+            return []
+        # TAAT accumulate restricted to the candidate set (posting lists
+        # are doc_id-sorted: membership via searchsorted, no hashing)
+        all_ids = np.concatenate([p.doc_ids for p in posts.values()])
+        all_sc = np.concatenate([p.scores * qtf[t]
+                                 for t, p in posts.items()])
+        pos = np.searchsorted(cand, all_ids)
+        keep = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)]
+                                    == all_ids)
+        uniq, inv = np.unique(all_ids[keep], return_inverse=True)
+        if not uniq.size:
+            return []
+        acc = np.bincount(inv, weights=all_sc[keep], minlength=uniq.size)
+        order = np.lexsort((uniq, -acc))[:min(k, uniq.size)]
+        urls, titles = self._urls(), self._titles()
+        out = []
+        for i in order:
+            d = int(uniq[i])
+            matched = [t for t, p in posts.items()
+                       if p.doc_ids[np.searchsorted(p.doc_ids, d):
+                                    np.searchsorted(p.doc_ids, d) + 1].size
+                       and p.doc_ids[np.searchsorted(p.doc_ids, d)] == d]
+            out.append(SearchResult(
+                url=self._defrag(urls.get(d, "")), doc_id=d,
+                score=float(acc[i]), matched_terms=matched,
+                title=titles.get(d, "") or ""))
+        return out
+
     @staticmethod
     def _defrag(url: str) -> str:
         # reference defrags at result-render time (search.py:194)

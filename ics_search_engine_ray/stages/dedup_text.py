@@ -932,3 +932,207 @@ def scrub_duplicate_spans(docs, k: int = 8):
 
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------- window-unit (paragraph-level) dedup ----------------
+
+# The CCNet / RefinedWeb unit-level dedup family (Wenzek et al. 2020,
+# arXiv:1911.00359 dedupe paragraphs by hash across shards; Penedo et al.
+# 2023, arXiv:2306.01116 drop repeated lines/documents): the corpus is cut
+# into fixed-width token windows ("paragraphs" — this synthetic corpus has
+# no newline structure, so the unit is a W-token chunk) and each distinct
+# chunk string keeps exactly its FIRST occurrence corpus-wide. Differs from
+# duplicate_spans (Lee et al. substring dedup): units are disjoint and
+# aligned, the survivor policy is keep-first rather than scrub-all, and a
+# per-source boilerplate variant drops units repeated across >= m docs of
+# one source.
+
+
+def _chunk_relation(docs, win: int, cols=("doc_id", "text")):
+    """Cut each doc's SQL-replicable token stream (TOKEN_RE, len>1) into
+    disjoint ``win``-token chunks -> (doc_id[, source], cidx, chunk, h,
+    nch) where ``h`` is the vectorized 64-bit chunk-string hash (int64
+    bit-view — Ray shuffle keys must stay below 2^63) and ``nch`` the
+    doc's total chunk count. One ``flat_word_hashes`` call per batch;
+    chunk strings contain no newline (space-joined [a-z0-9]+ tokens), the
+    kernel's only precondition."""
+    from ..functions.wordhash import flat_word_hashes
+
+    with_source = "source" in cols
+
+    def chunker(b: pa.Table) -> pa.Table:
+        base = {"doc_id": pa.array([], pa.int64())}
+        if with_source:
+            base["source"] = pa.array([], pa.string())
+        base.update({"cidx": pa.array([], pa.int64()),
+                     "chunk": pa.array([], pa.string()),
+                     "h": pa.array([], pa.int64()),
+                     "nch": pa.array([], pa.int64())})
+        empty = pa.table(base)
+        if b.num_rows == 0:
+            return empty
+        texts = b.column("text").to_pylist()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1] for x in texts]
+        nch = np.array([-(-len(t) // win) if t else 0 for t in toks],
+                       np.int64)
+        if not nch.sum():
+            return empty
+        chunks = [" ".join(t[i * win:(i + 1) * win])
+                  for t in toks for i in range(-(-len(t) // win))]
+        h = flat_word_hashes(chunks).view(np.int64)
+        di = np.repeat(np.arange(len(toks)), nch)
+        cidx = np.arange(int(nch.sum()), dtype=np.int64) \
+            - np.repeat(np.concatenate(([0], np.cumsum(nch)[:-1])), nch)
+        out = {"doc_id": pa.array(ids[di].astype(np.int64), pa.int64())}
+        if with_source:
+            src = np.asarray(b.column("source").to_pylist(), object)
+            out["source"] = pa.array(src[di], pa.string())
+        out.update({
+            "cidx": pa.array(cidx, pa.int64()),
+            "chunk": pa.array(np.asarray(chunks, object), pa.string()),
+            "h": pa.array(h, pa.int64()),
+            "nch": pa.array(nch[di], pa.int64())})
+        return pa.table(out)
+
+    return docs.select_columns(list(cols)) \
+        .map_batches(chunker, batch_format="pyarrow")
+
+
+def _reassemble_chunks(survivors):
+    """(doc_id, cidx, chunk, nch) survivors -> (doc_id, text, n_chunks,
+    n_dropped): per-doc chunks re-joined in cidx order. Bucketed by
+    doc_id hash (adaptive group count) so one task never holds more than
+    ~target rows; the per-bucket kernel is one lexsort + segment walk
+    with a C-level join per doc."""
+    from .common import adaptive_groups
+
+    est = survivors.count()
+    ngroups = adaptive_groups(est, 1_000_000, lo=16)
+
+    def tag(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_g", pa.array((d * 0x9E3779B97F4A7C15 % ngroups)
+                           .astype(np.int64), pa.int64()))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string()),
+                          "n_chunks": pa.array([], pa.int64()),
+                          "n_dropped": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        ci = g.column("cidx").to_numpy(zero_copy_only=False)
+        ch = np.asarray(g.column("chunk").to_pylist(), object)
+        nch = g.column("nch").to_numpy(zero_copy_only=False)
+        o = np.lexsort((ci, d))
+        d, ci, ch, nch = d[o], ci[o], ch[o], nch[o]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d[1:] != d[:-1])))
+        ends = np.append(starts[1:], d.size)
+        return pa.table({
+            "doc_id": pa.array(d[starts].astype(np.int64), pa.int64()),
+            "text": pa.array([" ".join(ch[s:e])
+                              for s, e in zip(starts, ends)], pa.string()),
+            "n_chunks": pa.array(nch[starts].astype(np.int64), pa.int64()),
+            "n_dropped": pa.array(
+                (nch[starts] - (ends - starts)).astype(np.int64),
+                pa.int64())})
+
+    return survivors.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_g").map_groups(lambda g: rebuild(g.drop_columns(["_g"])),
+                                  batch_format="pyarrow")
+
+
+def paragraph_dedup(docs, win: int = 20):
+    """Corpus-wide keep-first window-unit dedup -> (doc_id, text,
+    n_chunks, n_dropped): every distinct ``win``-token chunk STRING keeps
+    only its first occurrence (min (doc_id, cidx)); docs are re-joined
+    from their surviving chunks (docs with zero tokens vanish, matching
+    the SQL oracle's group-by over surviving rows).
+
+    Plan: chunk relation (one vectorized hash pass) -> groupby chunk-hash
+    bucket -> per-bucket STRING-exact first-occurrence selection (equal
+    chunks always share h, so buckets are complete; hash collisions are
+    harmless because selection compares strings) -> bucketed per-doc
+    reassembly. Two natural-key shuffles, no driver-side state, no
+    broadcast — scales with the chunk relation like exact_dedup."""
+    from .common import adaptive_groups
+
+    chunks = _chunk_relation(docs, win)
+    ngroups = adaptive_groups(docs.count() * 8, 1_000_000, lo=16)
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_g", pa.array((h.view(np.uint64) % ngroups).astype(np.int64),
+                           pa.int64()))
+
+    def first_only(g: pa.Table) -> pa.Table:
+        cols = ["doc_id", "cidx", "chunk", "nch"]
+        if g.num_rows == 0:
+            return g.select(cols)
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        ci = g.column("cidx").to_numpy(zero_copy_only=False)
+        ch = np.asarray(g.column("chunk").to_pylist(), object)
+        o = np.lexsort((ci, d, ch))
+        firsts = np.concatenate(([True], ch[o][1:] != ch[o][:-1]))
+        return g.select(cols).take(pa.array(o[firsts], pa.int64()))
+
+    survivors = chunks.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: first_only(g.drop_columns(["_g"])),
+            batch_format="pyarrow")
+    return _reassemble_chunks(survivors)
+
+
+def boilerplate_remove(docs, win: int = 20, min_docs: int = 2):
+    """Per-source boilerplate removal -> (doc_id, text, n_chunks,
+    n_dropped): a chunk string appearing in >= ``min_docs`` DISTINCT docs
+    of the SAME source is boilerplate (nav bars, footers, templated
+    headers in a web crawl) and ALL its occurrences in that source drop —
+    no canonical copy survives, unlike :func:`paragraph_dedup`. The same
+    chunk text under a different source is independent (CCNet dedupes
+    within snapshot shards for the same reason).
+
+    Same bucketed plan; the per-bucket kernel segments (source, chunk)
+    runs and counts distinct doc_ids per run vectorized."""
+    from .common import adaptive_groups
+
+    chunks = _chunk_relation(docs, win, cols=("doc_id", "source", "text"))
+    ngroups = adaptive_groups(docs.count() * 8, 1_000_000, lo=16)
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_g", pa.array((h.view(np.uint64) % ngroups).astype(np.int64),
+                           pa.int64()))
+
+    def keep_rare(g: pa.Table) -> pa.Table:
+        cols = ["doc_id", "cidx", "chunk", "nch"]
+        if g.num_rows == 0:
+            return g.select(cols)
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        ci = g.column("cidx").to_numpy(zero_copy_only=False)
+        ch = np.asarray(g.column("chunk").to_pylist(), object)
+        src = np.asarray(g.column("source").to_pylist(), object)
+        o = np.lexsort((ci, d, ch, src))
+        d, ch, src = d[o], ch[o], src[o]
+        newrun = np.concatenate(
+            ([True], (src[1:] != src[:-1]) | (ch[1:] != ch[:-1])))
+        run_id = np.cumsum(newrun) - 1
+        # distinct doc_ids per (source, chunk) run: rows are sorted by
+        # doc within each run, so count doc-change boundaries
+        newdoc = newrun | np.concatenate(([True], d[1:] != d[:-1]))
+        ndoc = np.bincount(run_id, newdoc.astype(np.int64))
+        keep = ndoc[run_id] < min_docs
+        return g.select(cols).take(pa.array(o[keep], pa.int64()))
+
+    survivors = chunks.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: keep_rare(g.drop_columns(["_g"])),
+            batch_format="pyarrow")
+    return _reassemble_chunks(survivors)

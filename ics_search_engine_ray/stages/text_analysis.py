@@ -1275,3 +1275,64 @@ def balance_sources(docs, seed: int = 7, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, group_col]) \
         .map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------- result snippets (keyword-in-context) ----------------
+
+
+def snippets(docs, terms, width: int = 5):
+    """Keyword-in-context snippet extraction -> (doc_id, pos, snippet):
+    for every doc containing ANY query term, the ``width``-token window
+    around the FIRST occurrence (lowest token position of any term;
+    pos is the 0-based token index). The result-page enrichment stage of
+    a search serving pipeline — runs over the corpus table because the
+    index (like the reference's) does not store document text.
+
+    Per batch: one tokenize pass, one sorted-membership check over the
+    flat token stream (searchsorted against the tiny sorted term list —
+    no per-token Python), per-doc argmin via minimum.reduceat. No
+    shuffle; output is O(matching docs)."""
+    tset = np.asarray(sorted(set(terms)), object)
+
+    def kwic(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "snippet": pa.array([], pa.string())})
+        if b.num_rows == 0 or not tset.size:
+            return empty
+        texts = b.column("text").to_pylist()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1] for x in texts]
+        lens = np.array([len(t) for t in toks], np.int64)
+        n = int(lens.sum())
+        if not n:
+            return empty
+        flat = np.asarray([t for ts in toks for t in ts], object)
+        p = np.searchsorted(tset, flat)
+        hit = (p < tset.size) & (tset[np.minimum(p, tset.size - 1)] == flat)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos_in_doc = np.arange(n) - np.repeat(starts, lens)
+        # first hit per doc: min position among hits (misses -> +inf)
+        cand = np.where(hit, pos_in_doc, n + 1)
+        if lens.size:
+            seg = np.minimum(starts, max(n - 1, 0))
+            first = np.minimum.reduceat(cand, seg)
+        else:
+            first = np.empty(0, np.int64)
+        first = np.where(lens > 0, first, n + 1)
+        m = np.flatnonzero(first <= n)
+        if not m.size:
+            return empty
+        snips = []
+        for di in m.tolist():
+            fp = int(first[di])
+            snips.append(" ".join(
+                toks[di][max(0, fp - width):fp + width]))
+        return pa.table({
+            "doc_id": pa.array(ids[m].astype(np.int64), pa.int64()),
+            "pos": pa.array(first[m].astype(np.int64), pa.int64()),
+            "snippet": pa.array(snips, pa.string())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(kwic, batch_format="pyarrow")

@@ -550,3 +550,45 @@ def test_min_window_and_proximity_rerank(ray_session, tmp_path):
     for r in ranked:                         # bonus is additive and bounded
         assert plain[r.doc_id] <= r.score <= plain[r.doc_id] + 0.5
     si.close()
+
+
+def test_search_boolean_semantics(built_index, oracle):
+    """+must / -not / optional semantics against the brute-force oracle:
+    candidates contain every must term and no excluded term; scores equal
+    plain BM25 restricted to that set."""
+    from ics_search_engine_ray.query.engine import SearchIndex
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    docs, df, N, avgdl = oracle
+    toks = lambda w: si.tokenize_query(w)
+    q_must, q_opt, q_not = toks("data")[0], toks("query")[0], toks("merge")[0]
+
+    res = si.search_boolean("+data query -merge", k=10)
+    assert res, "query should match documents"
+    for r in res:
+        tmap = docs[r.doc_id][1]
+        assert q_must in tmap and q_not not in tmap
+        assert q_must in r.matched_terms
+
+    # scores: plain bm25 search filtered to the boolean-valid docs must
+    # give the same ranking and scores
+    plain = si.search("data query", k=len(docs), scorer="bm25", algo="taat")
+    valid = [r for r in plain
+             if q_must in docs[r.doc_id][1] and q_not not in docs[r.doc_id][1]]
+    assert [(r.doc_id, round(r.score, 9)) for r in res] == \
+        [(r.doc_id, round(r.score, 9)) for r in valid[:10]]
+
+    # a must term that matches nothing empties the result
+    assert si.search_boolean("+zzzzunseen data", k=5) == []
+    # pure negation with no positive terms is empty by definition
+    assert si.search_boolean("-data", k=5) == []
+
+
+def test_search_boolean_no_must_is_union(built_index):
+    from ics_search_engine_ray.query.engine import SearchIndex
+    _, out, _ = built_index
+    si = SearchIndex(out)
+    a = si.search_boolean("data query", k=10)
+    b = si.search("data query", k=10, scorer="bm25", algo="taat")
+    assert [(r.doc_id, round(r.score, 9)) for r in a] == \
+        [(r.doc_id, round(r.score, 9)) for r in b]

@@ -783,3 +783,122 @@ WHERE term LIKE 's%' GROUP BY term ORDER BY df DESC, term
 LIMIT 10""").fetchall()
     assert sorted(got) == sorted((t, int(d)) for t, d in want)
     assert got == sorted(got, key=lambda x: (-x[1], x[0]))  # rank order
+
+
+# ---------------- window-unit (paragraph) dedup ----------------
+
+
+_PD_SQL = """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+ch AS (SELECT doc_id, i AS cidx,
+              array_to_string(tk[CAST(i*{W}+1 AS INT):CAST(i*{W}+{W} AS INT)],
+                              ' ') AS chunk,
+              CAST(ceil(len(tk) / {W}.0) AS BIGINT) AS nch
+       FROM (SELECT doc_id, tk,
+                    unnest(range(0, CAST(ceil(len(tk) / {W}.0) AS BIGINT))) AS i
+             FROM toks WHERE len(tk) > 0)),
+surv AS (SELECT doc_id, cidx, chunk, nch,
+                row_number() OVER (PARTITION BY chunk
+                                   ORDER BY doc_id, cidx) AS rn FROM ch)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text,
+       CAST(max(nch) AS BIGINT) AS n_chunks,
+       CAST(max(nch) - count(*) AS BIGINT) AS n_dropped
+FROM surv WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def test_paragraph_dedup_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.dedup_text import paragraph_dedup
+    got = sorted(
+        ((r["doc_id"], r["text"], r["n_chunks"], r["n_dropped"])
+         for r in paragraph_dedup(docs_ds, win=20).take_all()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(_PD_SQL.format(W=20)).fetchall()]
+    assert got == want
+
+
+def test_paragraph_dedup_keep_first(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import paragraph_dedup
+    # win=3: doc 1 = [A][B], doc 2 = [B][C], doc 3 = [A] + short tail [D]
+    A, B, C, D = "aa bb cc", "dd ee ff", "gg hh ii", "jj kk"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([f"{A} {B}", f"{B} {C}", f"{A} {D}"]),
+    }))
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, win=3).take_all()}
+    assert out[1]["text"] == f"{A} {B}" and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == C and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == D and out[3]["n_dropped"] == 1
+    assert out[3]["n_chunks"] == 2       # short tail chunk counted
+
+
+def test_paragraph_dedup_all_dropped_doc_vanishes(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import paragraph_dedup
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 9, 7], pa.int64()),
+        "text": pa.array(["aa bb cc", "aa bb cc", ""]),
+    }))
+    rows = paragraph_dedup(docs, win=3).take_all()
+    # doc 9's only chunk is doc 5's; doc 7 has no tokens -> both vanish
+    assert [r["doc_id"] for r in rows] == [5]
+
+
+_BP_SQL = """
+WITH toks AS (SELECT doc_id, source,
+              list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+ch AS (SELECT doc_id, source, i AS cidx,
+              array_to_string(tk[CAST(i*{W}+1 AS INT):CAST(i*{W}+{W} AS INT)],
+                              ' ') AS chunk,
+              CAST(ceil(len(tk) / {W}.0) AS BIGINT) AS nch
+       FROM (SELECT doc_id, source, tk,
+                    unnest(range(0, CAST(ceil(len(tk) / {W}.0) AS BIGINT))) AS i
+             FROM toks WHERE len(tk) > 0)),
+cnt AS (SELECT source, chunk, count(DISTINCT doc_id) AS ndoc
+        FROM ch GROUP BY source, chunk),
+surv AS (SELECT ch.doc_id, ch.cidx, ch.chunk, ch.nch
+         FROM ch JOIN cnt USING (source, chunk) WHERE cnt.ndoc < {M})
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text,
+       CAST(max(nch) AS BIGINT) AS n_chunks,
+       CAST(max(nch) - count(*) AS BIGINT) AS n_dropped
+FROM surv GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def test_boilerplate_remove_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import boilerplate_remove
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    got = sorted(
+        ((r["doc_id"], r["text"], r["n_chunks"], r["n_dropped"])
+         for r in boilerplate_remove(docs, win=20, min_docs=2).take_all()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(
+        _BP_SQL.format(W=20, M=2)).fetchall()]
+    assert got == want
+
+
+def test_boilerplate_drops_all_copies_within_source(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import boilerplate_remove
+    NAV, X, Y = "aa bb cc", "dd ee ff", "gg hh ii"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([f"{NAV} {X}", f"{NAV} {Y}", f"{NAV} {Y}"]),
+        "source": pa.array(["s1", "s1", "s2"]),
+    }))
+    out = {r["doc_id"]: r for r in
+           boilerplate_remove(docs, win=3, min_docs=2).take_all()}
+    # NAV repeats across docs 1+2 of s1: ALL s1 copies drop, s2's survives;
+    # repetition within a single doc would NOT trip the distinct-doc rule
+    assert out[1]["text"] == X and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == Y and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == f"{NAV} {Y}" and out[3]["n_dropped"] == 0
