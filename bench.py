@@ -177,6 +177,20 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
         k=8, iters=6).count()
     tops["kmeans_assign"] = round(time.time() - t, 2)
 
+    # round-4 operators: unit-level dedup and BPE tokenizer training
+    from ics_search_engine_ray.stages.bpe import bpe_merges
+    from ics_search_engine_ray.stages.dedup_text import paragraph_dedup
+    t = time.time()
+    paragraph_dedup(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+        win=20).count()
+    tops["paragraph_dedup"] = round(time.time() - t, 2)
+    t = time.time()
+    bpe_merges(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+        n_merges=50).count()
+    tops["bpe_merges"] = round(time.time() - t, 2)
+
     # concurrent query throughput through the partition-sharded actor pool
     from concurrent.futures import ThreadPoolExecutor
     from ics_search_engine_ray.query.actors import ShardedSearchIndex
