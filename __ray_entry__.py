@@ -292,6 +292,17 @@ def _q_similar_docs(sf_dir: str):
     return similar_docs(_read_docs(sf_dir), query_doc_id=42, k=10)
 
 
+def _q_similar_docs_indexed(sf_dir: str):
+    """More-like-this with df/N READ FROM THE BUILT INDEX's term
+    dictionaries (r3 verdict item 7 — no per-query corpus df pass; the
+    text index tokenizes identically with stem=False). Same oracle as
+    similar_docs: the index df must equal the freshly-derived df."""
+    from ics_search_engine_ray.stages.text_analysis import similar_docs
+    si = _text_index(sf_dir)          # ensures the cached index exists
+    return similar_docs(_read_docs(sf_dir), query_doc_id=42, k=10,
+                        index_dir=si.index_dir)
+
+
 def _q_prefix_terms(sf_dir: str):
     """Autocomplete (text_analysis.py prefix_terms): top-10 df terms with
     prefix 's' — partial df relation filters to the prefix before the
@@ -1141,6 +1152,26 @@ def _q_search_bm25_oracle(sf_dir: str):
     })
 
 
+def _q_search_tfidf_ref_oracle(sf_dir: str):
+    """The reference's combined tf-idf scorer (search.py:141-198 parity
+    math: per-term tf/dl * log10(N/df), shared-scalar cosine quirk,
+    matched-term boost) through the full serving path over the TEXT
+    index, where the link signals are identically zero — which makes the
+    whole combined score SQL-expressible. Complements the pages-index
+    `search_tfidf_ref` row (full web pipeline, legitimately no_oracle)."""
+    si = _text_index(sf_dir)
+    rows = []
+    for q in _SEARCH_ORACLE_QUERIES:
+        for rank, r in enumerate(si.search(q, k=10, scorer="tfidf-ref"), 1):
+            rows.append((q, rank, r.doc_id, round(r.score, 6)))
+    return pa.table({
+        "query": pa.array([r[0] for r in rows], pa.string()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
 def _q_simhash_pairs(sf_dir: str):
     """The full <=max_hamming SimHash pair set over plain-token
     fingerprints (the same SQL-replicable fingerprints the green
@@ -1278,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _q_extract_text,          # M1-M3 (frozen-fixture oracle)
         "search_bm25": _q_search_bm25,            # full pipeline (rows-only)
         "search_bm25_oracle": _q_search_bm25_oracle,  # serving path (SQL oracle)
+        "search_tfidf_ref_oracle": _q_search_tfidf_ref_oracle,  # Q3-Q5 math
         "search_tfidf_ref": _q_search_tfidf_ref,  # Q3-Q5 parity scorer
         "pagerank_hits": _q_pagerank,             # G1/G2 (rows-only)
         "pagerank_docs": _q_pagerank_docs,        # G1/G2 kernels (SQL oracle)
@@ -1335,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": _q_bigram_counts,        # n-gram LM counts
         "trigram_counts": _q_trigram_counts,      # shingle-kernel n-grams
         "similar_docs": _q_similar_docs,          # more-like-this cosine
+        "similar_docs_indexed": _q_similar_docs_indexed,  # df from index
         "prefix_terms": _q_prefix_terms,          # autocomplete top-df
         "normalize_text": _q_normalize_text,      # canonical normalization
         "balance_sources": _q_balance_sources,    # inverse-freq resampling
@@ -1386,6 +1419,60 @@ def _bm25_multi_sql(queries, k1: float, b: float) -> str:
        CAST(round(s, 6) AS DOUBLE) AS score
 FROM (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
       FROM sc{qi}) WHERE rn <= 10""")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY query, rank")
+
+
+def _tfidf_ref_multi_sql(queries) -> str:
+    """One UNION ALL block per query replicating query/engine.py
+    tfidf_ref_rank over the text index: s = sum_t (tf/dl * log10(N/df))
+    / n_q, the shared-scalar cosine quirk cos = s*qc / (sqrt(n_q) * |s|
+    * sqrt(nm)) with qc = nm for distinct-term queries, boost = nm/n_q.
+    The text corpus has NO links, and on an edgeless graph the
+    quirk-compatible kernels (graph/linkrank.py pagerank_arr/hits_arr)
+    close-form: PageRank converges at iteration 2 to 1000*(1-d)/n_all =
+    150/n_all, HITS breaks at iteration 1 (zero auth mass) keeping the
+    10/n_all init — so the link contribution is exactly
+    0.1*(10/n_all)*2 + 0.2*(150/n_all) = 32/n_all, with n_all = ALL
+    docs (the link graph indexes empty-token docs too, unlike the BM25
+    n_docs). combined = 0.2 s + 0.2 cos + 0.6 boost + 32/n_all; rank on
+    the UNROUNDED score."""
+    parts = [
+        f"toks AS ({_sql_tokens_cte()})",
+        "dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id)",
+        "stats AS (SELECT count(*) AS n_docs FROM dl)",
+        "alldocs AS (SELECT count(*) AS n_all FROM documents)",
+    ]
+    selects = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(q.split()))
+        nq = len(q.split())
+        terms_in = ", ".join(f"'{t}'" for t in terms)
+        parts.append(
+            f"tf{qi} AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            f"WHERE term IN ({terms_in}) GROUP BY doc_id, term)")
+        parts.append(
+            f"df{qi} AS (SELECT term, count(*) AS df FROM tf{qi} GROUP BY term)")
+        parts.append(f"""sc{qi} AS (
+  SELECT tf{qi}.doc_id,
+         sum( (tf{qi}.tf * 1.0 / dl.doclen)
+              * log10(stats.n_docs * 1.0 / df{qi}.df) ) / {nq} AS s,
+         count(*) AS nm
+  FROM tf{qi} JOIN df{qi} USING (term) JOIN dl ON tf{qi}.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf{qi}.doc_id)""")
+        parts.append(f"""cb{qi} AS (
+  SELECT doc_id,
+         0.2 * s
+         + 0.2 * (CASE WHEN abs(s) * sqrt(nm) > 0
+                       THEN (s * nm) / (sqrt({nq}) * abs(s) * sqrt(nm))
+                       ELSE 0 END)
+         + 0.6 * nm / {nq}.0
+         + 32.0 / alldocs.n_all AS comb
+  FROM sc{qi} CROSS JOIN alldocs)""")
+        selects.append(f"""SELECT '{q}' AS query, CAST(rn AS BIGINT) AS rank, doc_id,
+       CAST(round(comb, 6) AS DOUBLE) AS score
+FROM (SELECT doc_id, comb, row_number() OVER (ORDER BY comb DESC, doc_id) AS rn
+      FROM cb{qi}) WHERE rn <= 10""")
     return ("WITH " + ",\n".join(parts) + "\n"
             + "\nUNION ALL\n".join(selects) + "\nORDER BY query, rank")
 
@@ -1921,6 +2008,7 @@ FROM allfp x JOIN allfp y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.fp::BIT, y.fp::BIT)) <= {DEFAULT_CONFIG.max_hamming}
 ORDER BY a, b""",
         "search_bm25_oracle": _bm25_multi_sql(_SEARCH_ORACLE_QUERIES, k1, b),
+        "search_tfidf_ref_oracle": _tfidf_ref_multi_sql(_SEARCH_ORACLE_QUERIES),
         # G1/G2 kernels as recursive CTEs (r3 verdict item 4). PageRank:
         # (1-0.85)/n literal matches the kernel's float expression bit-for-
         # bit; mass leak = /3.0 while only 2 internal edges carry mass.
@@ -2186,6 +2274,28 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
         "similar_docs": f"""
+WITH toks AS ({_sql_tokens_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ln((SELECT n FROM nd) * 1.0 / df.df) AS w
+      FROM tf JOIN df USING (term)),
+qv AS (SELECT term, w FROM w WHERE doc_id = 42),
+qn AS (SELECT sqrt(sum(w * w)) AS qnorm FROM qv),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (SELECT w.doc_id, sum(w.w * qv.w) AS d FROM w JOIN qv USING (term)
+         WHERE w.doc_id != 42 GROUP BY w.doc_id)
+SELECT dots.doc_id,
+       CAST(round(dots.d / (norms.nrm * (SELECT qnorm FROM qn)), 6)
+            AS DOUBLE) AS cos
+FROM dots JOIN norms ON dots.doc_id = norms.doc_id
+WHERE dots.d > 0
+ORDER BY cos DESC, dots.doc_id LIMIT 10""",
+        # identical math; the Ray side reads df/N from the built index's
+        # term dictionaries instead of a fresh corpus pass, so the oracle
+        # doubles as an index-dictionary integrity check
+        "similar_docs_indexed": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

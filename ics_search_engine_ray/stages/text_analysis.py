@@ -617,8 +617,50 @@ def _df_partial(b: pa.Table) -> pa.Table:
 # ---------------- more-like-this: sparse tf-idf cosine ----------------
 
 
+def _index_term_df(index_dir: str):
+    """(term, df) relation + n_docs read from a BUILT index instead of a
+    corpus tokenize pass (r3 verdict item 7): the per-partition term
+    dictionaries ARE parquet seek maps, so the relation is one
+    column-pruned ``read_parquet`` over the normal partitions. Salted
+    head terms live only in the S salt partitions with their FULL df
+    replicated per partition (summing them overcounts S x — the
+    ``suggest()`` pitfall), so they come from the manifest's exact
+    ``head_df`` instead. n_docs = docs with >= 1 token (docmeta
+    ``token_count > 0``), matching the df relation's semantics."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    paths = [os.path.join(index_dir, "segments",
+                          f"part-{p:05d}.terms.parquet")
+             for p in range(int(man["num_partitions"]))]
+    rel = rd.read_parquet(paths, columns=["term", "df"])
+    head_df = man.get("head_df") or {}
+    if head_df:
+        terms = sorted(head_df)
+        rel = rel.union(rd.from_arrow(pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([int(head_df[t]) for t in terms], pa.int64())})))
+    rel = rel.map_batches(
+        lambda b: pa.table({"term": b.column("term"),
+                            "df": b.column("df").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    meta = rd.read_parquet(os.path.join(index_dir, "docmeta"),
+                           columns=["token_count"])
+    n_docs = int(meta.map_batches(
+        lambda b: pa.table({"c": pa.array(
+            [int(pc.sum(pc.cast(pc.greater(b.column("token_count"), 0),
+                                pa.int64())).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").sum("c") or 0)
+    return rel, n_docs
+
+
 def similar_docs(docs, query_doc_id: int, k: int = 10,
-                 vocab_gate: int = 2_000_000):
+                 vocab_gate: int = 2_000_000, index_dir: str = None):
     """More-like-this: top-k documents by sparse tf-idf cosine to ONE
     query document (the related-documents feature of a search engine),
     -> (doc_id, cos), cos = <w_q, w_d> / (|w_q||w_d|), w = tf * ln(N/df)
@@ -642,8 +684,14 @@ def similar_docs(docs, query_doc_id: int, k: int = 10,
 
     src = docs.select_columns(["doc_id", "text"])
 
-    merged = _merged_counts(src, _df_partial, ["df", "nd"])
-    n_docs = int(merged.sum("nd") or 0)
+    if index_dir is not None:
+        # r3 verdict item 7: df/N from the already-built index's term
+        # dictionaries — the per-query corpus df pass disappears (the
+        # text index tokenizes identically when built with stem=False)
+        merged, n_docs = _index_term_df(index_dir)
+    else:
+        merged = _merged_counts(src, _df_partial, ["df", "nd"])
+        n_docs = int(merged.sum("nd") or 0)
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "cos": pa.array([], pa.float64())})
     import ray.data as rd

@@ -902,3 +902,36 @@ def test_boilerplate_drops_all_copies_within_source(ray_session):
     assert out[1]["text"] == X and out[1]["n_dropped"] == 1
     assert out[2]["text"] == Y and out[2]["n_dropped"] == 1
     assert out[3]["text"] == f"{NAV} {Y}" and out[3]["n_dropped"] == 0
+
+
+def test_similar_docs_index_df_equals_corpus_df(docs_ds, sf_dir, tmp_path):
+    """index_dir path (df/N from the built index's term dictionaries —
+    r3 verdict item 7) must reproduce the corpus-df path exactly,
+    including salted-head df handling via manifest head_df."""
+    from ics_search_engine_ray.pipelines.build import (DEFAULT_CONFIG,
+                                                       build_index_from_texts)
+    from ics_search_engine_ray.stages.text_analysis import (_index_term_df,
+                                                            similar_docs)
+    out = str(tmp_path / "idx")
+    cfg = DEFAULT_CONFIG.with_(stem=False)
+    build_index_from_texts(f"{sf_dir}/documents.parquet", out, cfg,
+                           skip_dedup=True)
+    base = [(r["doc_id"], r["cos"])
+            for r in similar_docs(docs_ds, query_doc_id=7, k=10).take_all()]
+    idx = [(r["doc_id"], r["cos"])
+           for r in similar_docs(docs_ds, query_doc_id=7, k=10,
+                                 index_dir=out).take_all()]
+    assert base == idx and len(idx) == 10
+    # the df relation itself matches DuckDB's (head terms not overcounted)
+    rel, n_docs = _index_term_df(out)
+    got = sorted((r["term"], r["df"]) for r in rel.take_all())
+    want = sorted(duckdb.sql(f"""
+SELECT term, count(DISTINCT doc_id) FROM (
+  SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text),
+         '[a-z0-9]+'), x -> length(x) > 1)) AS term
+  FROM '{sf_dir}/documents.parquet') GROUP BY term""").fetchall())
+    assert got == want
+    assert n_docs == duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),"
+        " x -> length(x) > 1)) > 0").fetchone()[0]
