@@ -1274,6 +1274,41 @@ def _q_pagerank_docs(sf_dir: str):
     })
 
 
+def _q_source_stats(sf_dir: str):
+    """Per-source curation report (text_analysis.py source_stats): doc
+    count, within-source exact-dup count (128-bit hash distinct), token
+    totals, mean doclen — two narrow aggregations hash-joined on source,
+    output-sized end to end."""
+    from ics_search_engine_ray.stages.text_analysis import source_stats
+    return source_stats(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")))
+
+
+def _q_index_stats_oracle(sf_dir: str):
+    """Index-integrity invariants read from BUILT artifacts (manifest,
+    term-dictionary seek maps via _index_term_df, docmeta) and
+    hash-checked against the corpus in SQL: doc/vocab/posting/token
+    totals must round-trip through build + segment encode + dictionary
+    write. Complements the per-partition index_stats row (layout-specific,
+    no_oracle)."""
+    import os
+
+    import ray.data as rd
+
+    from ics_search_engine_ray.stages.text_analysis import _index_term_df
+    si = _text_index(sf_dir)
+    rel, n_docs = _index_term_df(si.index_dir)
+    meta = rd.read_parquet(os.path.join(si.index_dir, "docmeta"),
+                           columns=["token_count"])
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "vocab": pa.array([rel.count()], pa.int64()),
+        "postings": pa.array([int(rel.sum("df") or 0)], pa.int64()),
+        "sum_doclen": pa.array([int(meta.sum("token_count") or 0)],
+                               pa.int64()),
+    })
+
+
 def _q_index_stats(sf_dir: str):
     si = _pages_index(sf_dir)
     parts = si.manifest["partitions"]
@@ -1314,6 +1349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hits": _q_pagerank,             # G1/G2 (rows-only)
         "pagerank_docs": _q_pagerank_docs,        # G1/G2 kernels (SQL oracle)
         "index_stats": _q_index_stats,            # S4/S5 manifest (rows-only)
+        "index_stats_oracle": _q_index_stats_oracle,  # A4 invariants (SQL)
+        "source_stats": _q_source_stats,          # per-source curation report
         "simhash_dedup": _q_simhash_dedup,        # T2/D2 (rows-only greedy)
         "simhash_pairs": _q_simhash_pairs,        # T2 pair rule (SQL oracle)
         # training-data operators (task brief)
@@ -2009,6 +2046,23 @@ WHERE bit_count(xor(x.fp::BIT, y.fp::BIT)) <= {DEFAULT_CONFIG.max_hamming}
 ORDER BY a, b""",
         "search_bm25_oracle": _bm25_multi_sql(_SEARCH_ORACLE_QUERIES, k1, b),
         "search_tfidf_ref_oracle": _tfidf_ref_multi_sql(_SEARCH_ORACLE_QUERIES),
+        "index_stats_oracle": f"""
+WITH toks AS ({_sql_tokens_cte()})
+SELECT (SELECT count(DISTINCT doc_id) FROM toks) AS n_docs,
+       (SELECT count(DISTINCT term) FROM toks) AS vocab,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM toks))
+           AS postings,
+       (SELECT count(*) FROM toks) AS sum_doclen""",
+        "source_stats": """
+WITH t AS (SELECT source, text,
+                  len(list_filter(regexp_extract_all(lower(text),
+                      '[a-z0-9]+'), x -> length(x) > 1)) AS tc
+           FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs,
+       CAST(sum(tc) AS BIGINT) AS sum_tokens,
+       CAST(round(sum(tc) * 1.0 / count(*), 6) AS DOUBLE) AS avg_doclen
+FROM t GROUP BY source""",
         # G1/G2 kernels as recursive CTEs (r3 verdict item 4). PageRank:
         # (1-0.85)/n literal matches the kernel's float expression bit-for-
         # bit; mass leak = /3.0 while only 2 internal edges carry mass.

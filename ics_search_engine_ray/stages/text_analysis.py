@@ -1384,3 +1384,126 @@ def snippets(docs, terms, width: int = 5):
 
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(kwic, batch_format="pyarrow")
+
+
+# ---------------- per-source curation report ----------------
+
+
+def source_stats(docs):
+    """Per-source curation summary -> (source, n_docs, n_dup_docs,
+    sum_tokens, avg_doclen): the source-level decision table of a
+    RefinedWeb-style pipeline (which hosts/shards to keep, downsample, or
+    drop). n_dup_docs counts docs whose exact text repeats WITHIN the
+    source (n - distinct texts, 128-bit hashes — the exact_dedup
+    identity).
+
+    Two narrow aggregations: per-batch (source, n, sum_tok) partials,
+    and per-batch-distinct (source, h128) triples -> triple groupby ->
+    per-source distinct counts. The two relations UNION into one final
+    groupby(source) Sum (zero-filled columns) instead of a join — a
+    per-source join would leave most hash partitions empty at small
+    source counts, which Arrow's join rejects (schema-less empty side).
+    Everything past the partials is output-sized, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "tok": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        src = np.asarray(b.column("source").to_pylist(), object)
+        texts = b.column("text").to_pylist()
+        tc = np.array([sum(1 for t in TOKEN_RE.findall((x or "").lower())
+                           if len(t) > 1) for x in texts], np.int64)
+        o = np.argsort(src, kind="stable")
+        src, tc = src[o], tc[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], src[1:] != src[:-1])))
+        ends = np.append(starts[1:], src.size)
+        return pa.table({
+            "source": pa.array(src[starts], pa.string()),
+            "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "tok": pa.array(np.add.reduceat(tc, starts).astype(np.int64),
+                            pa.int64())})
+
+    def _widen(n_zero: bool):
+        # (source, n, tok) or (source, d) -> the union schema
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "source" not in b.schema.names:
+                return pa.table({"source": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64()),
+                                 "tok": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            z = pa.array(np.zeros(b.num_rows, np.int64), pa.int64())
+            if n_zero:
+                return pa.table({"source": b.column("source"), "n": z,
+                                 "tok": z,
+                                 "d": pa.array(
+                                     np.ones(b.num_rows, np.int64),
+                                     pa.int64())})
+            return pa.table({"source": b.column("source"),
+                             "n": b.column("n").cast(pa.int64()),
+                             "tok": b.column("tok").cast(pa.int64()),
+                             "d": z})
+        return fn
+
+    stats = docs.select_columns(["source", "text"]) \
+        .map_batches(stat_partial, batch_format="pyarrow") \
+        .map_batches(_widen(False), batch_format="pyarrow")
+
+    import hashlib as _hl
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "hi": pa.array([], pa.int64()),
+                          "lo": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        seen = set()
+        s_out, hi_out, lo_out = [], [], []
+        for s, x in zip(b.column("source").to_pylist(),
+                        b.column("text").to_pylist()):
+            d = _hl.md5((x or "").encode("utf-8")).digest()
+            key = (s, d)
+            if key in seen:
+                continue
+            seen.add(key)
+            s_out.append(s)
+            hi_out.append(int.from_bytes(d[:8], "big", signed=True))
+            lo_out.append(int.from_bytes(d[8:], "big", signed=True))
+        return pa.table({"source": pa.array(s_out, pa.string()),
+                         "hi": pa.array(hi_out, pa.int64()),
+                         "lo": pa.array(lo_out, pa.int64())})
+
+    distinct = docs.select_columns(["source", "text"]) \
+        .map_batches(hash_partial, batch_format="pyarrow") \
+        .groupby(["source", "hi", "lo"]).count() \
+        .map_batches(_widen(True), batch_format="pyarrow")
+
+    joined = stats.union(distinct) \
+        .groupby("source").aggregate(Sum("n", alias_name="n"),
+                                     Sum("tok", alias_name="tok"),
+                                     Sum("d", alias_name="d"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_dup_docs": pa.array([], pa.int64()),
+                          "sum_tokens": pa.array([], pa.int64()),
+                          "avg_doclen": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = b.column("tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": b.column("source"),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_dup_docs": pa.array(n - d, pa.int64()),
+            "sum_tokens": pa.array(tok, pa.int64()),
+            # half-away like DuckDB round(), not np.round's half-to-even
+            "avg_doclen": pa.array(np.floor(tok / n * 1e6 + 0.5) / 1e6,
+                                   pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -935,3 +935,22 @@ SELECT term, count(DISTINCT doc_id) FROM (
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
         "WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),"
         " x -> length(x) > 1)) > 0").fetchone()[0]
+
+
+def test_source_stats_counts_within_source_dups(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import source_stats
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["aa bb cc", "aa bb cc", "dd ee",
+                          "aa bb cc", ""]),
+        "source": pa.array(["s1", "s1", "s1", "s2", "s2"]),
+    }))
+    out = {r["source"]: r for r in source_stats(docs).take_all()}
+    # s1: docs 1+2 share text -> 1 dup; s2's copy of the same text is
+    # counted against s2 only (0 dups there); empty text counts 0 tokens
+    assert out["s1"]["n_docs"] == 3 and out["s1"]["n_dup_docs"] == 1
+    assert out["s1"]["sum_tokens"] == 8
+    assert out["s2"]["n_docs"] == 2 and out["s2"]["n_dup_docs"] == 0
+    assert out["s2"]["sum_tokens"] == 3
+    assert out["s2"]["avg_doclen"] == 1.5
