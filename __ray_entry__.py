@@ -274,6 +274,65 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(_read_docs(sf_dir))
 
 
+_LOGREG_LABEL = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+
+
+def _logreg_sql_cached(emit: str) -> str:
+    from ics_search_engine_ray.stages.classifier import logreg_sql
+    return logreg_sql(_LOGREG_LABEL, n_features=64, iters=5, lr=1.0,
+                      emit=emit)
+
+
+def _logreg_feats(sf_dir: str):
+    from ics_search_engine_ray.stages.classifier import featurize
+
+    def label(b: pa.Table):
+        import numpy as np
+        langs = b.column("lang").to_pylist()
+        return np.array([1.0 if v == "en" else 0.0 for v in langs])
+
+    return featurize(
+        _read_docs(sf_dir, columns=("doc_id", "text", "lang")), label,
+        n_features=64)
+
+
+def _q_logreg_weights(sf_dir: str):
+    """Distributed trainable classifier (stages/classifier.py): logistic
+    regression on hashed bag-of-terms by full-batch GD — one featurize
+    pass, then one map pass per iteration shipping a single
+    (gradient-vector, count) partial per batch (the kmeans combiner
+    shape). Hash-checked against an unrolled-iteration DuckDB replica of
+    the exact update rule."""
+    from ics_search_engine_ray.stages.classifier import train_logreg
+    w = train_logreg(_logreg_feats(sf_dir), n_features=64, iters=5, lr=1.0)
+    import numpy as np
+    return pa.table({
+        "f": pa.array(np.arange(w.size, dtype=np.int64), pa.int64()),
+        "w": pa.array(np.floor(np.abs(w) * 1e6 + 0.5) / 1e6 * np.sign(w),
+                      pa.float64()),
+    })
+
+
+def _q_logreg_scores(sf_dir: str):
+    """Per-doc scores under the GD-trained classifier (pure map pass,
+    model in the closure) — same SQL oracle chain, emit='scores'."""
+    from ics_search_engine_ray.stages.classifier import (predict_logreg,
+                                                         train_logreg)
+    feats = _logreg_feats(sf_dir).materialize()
+    w = train_logreg(feats, n_features=64, iters=5, lr=1.0)
+    return predict_logreg(feats, w)
+
+
+def _q_temperature_resample(sf_dir: str):
+    """sqrt-temperature source rebalancing (text_analysis.py
+    temperature_resample): keep prob (n_min/n_g)^(1/2) via an exact
+    integer squared-hash comparison — no float pow on either side."""
+    from ics_search_engine_ray.stages.text_analysis import (
+        temperature_resample)
+    return temperature_resample(
+        _read_docs(sf_dir, columns=("doc_id", "source")), seed=7)
+
+
 def _q_balance_sources(sf_dir: str):
     """Deterministic inverse-frequency source balancing (text_analysis.py
     balance_sources): tiny groupby count broadcast + integer-exact Weyl
@@ -1408,6 +1467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_terms": _q_prefix_terms,          # autocomplete top-df
         "normalize_text": _q_normalize_text,      # canonical normalization
         "balance_sources": _q_balance_sources,    # inverse-freq resampling
+        "temperature_resample": _q_temperature_resample,  # tau=1/2 mixing
+        "logreg_weights": _q_logreg_weights,      # distributed GD training
+        "logreg_scores": _q_logreg_scores,        # trained-model scoring
         "kmeans_clusters": _q_kmeans_clusters,    # distributed Lloyd's
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
@@ -2391,6 +2453,18 @@ mn AS (SELECT min(c) AS m FROM cnt),
 thr AS (SELECT source, (m * 4294967296) // c AS t FROM cnt CROSS JOIN mn)
 SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
 WHERE ((d.doc_id + 7) * 2654435761) % 4294967296 < thr.t""",
+        "logreg_weights": _logreg_sql_cached("weights"),
+        "logreg_scores": _logreg_sql_cached("scores"),
+        "temperature_resample": """
+WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+mn AS (SELECT min(c) AS m FROM cnt),
+thr AS (SELECT source,
+               (CAST(m AS HUGEINT) * CAST(18446744073709551616 AS HUGEINT))
+               // c AS t
+        FROM cnt CROSS JOIN mn)
+SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+WHERE CAST(((d.doc_id + 7) * 2654435761) % 4294967296 AS HUGEINT)
+      * (((d.doc_id + 7) * 2654435761) % 4294967296) < thr.t""",
         "repetition_stats": """
 WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
               '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),

@@ -1325,6 +1325,58 @@ def balance_sources(docs, seed: int = 7, id_col: str = "doc_id",
         .map_batches(keep, batch_format="pyarrow")
 
 
+def temperature_resample(docs, seed: int = 7, id_col: str = "doc_id",
+                         group_col: str = "source"):
+    """Square-root temperature source resampling (tau = 1/2, the common
+    multilingual rebalancing temperature; Conneau & Lample 2019,
+    arXiv:1901.07291 §3.1 sample languages with p_l ~ n_l^alpha): keep a
+    row of group g with probability (n_min / n_g)^(1/2), so kept counts
+    follow n_g^(1/2) up to the min-group normalizer — between
+    balance_sources' uniform limit (tau -> 0) and the raw distribution
+    (tau = 1).
+
+    sqrt thresholds are IRRATIONAL, so instead of a rounded float
+    threshold the filter compares SQUARES in exact integer arithmetic:
+
+        keep  iff  h^2 < (n_min << 64) // n_g,   h = weyl_hash in [0, 2^32)
+
+    h^2 fits uint64 exactly ((2^32-1)^2 < 2^64); the rhs is a Python int
+    (== 2^64 only when n_g == n_min, where h^2 < 2^64 always holds ->
+    keep-all, handled as an explicit mask). The DuckDB oracle runs the
+    same comparison in HUGEINT — bit-identical membership with no float
+    pow on either side. Same two-pass shape as balance_sources: tiny
+    count groupby -> broadcast thresholds -> vectorized filter.
+    -> (doc_id, source)."""
+    from ..stages.splits import weyl_hash
+
+    counts = {r[group_col]: int(r["count()"])
+              for r in docs.groupby(group_col).count().take_all()}
+    if not counts:
+        return docs.select_columns([id_col, group_col])
+    mn = min(counts.values())
+    lim = {g: ((mn << 64) // c if c > mn else 0) for g, c in counts.items()}
+    keep_all = {g for g, c in counts.items() if c == mn}
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             group_col: pa.array([], pa.string())})
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        grp = b.column(group_col).to_pylist()
+        h = weyl_hash(ids, seed).astype(np.uint64)
+        h2 = h * h                                   # exact: < 2^64
+        lims = np.fromiter((lim[g] for g in grp), np.uint64, len(grp))
+        allmask = np.fromiter((g in keep_all for g in grp), bool, len(grp))
+        mask = allmask | (h2 < lims)
+        return pa.table({
+            id_col: pa.array(ids[mask].astype(np.int64), pa.int64()),
+            group_col: pa.array(np.asarray(grp, object)[mask],
+                                pa.string())})
+
+    return docs.select_columns([id_col, group_col]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------- result snippets (keyword-in-context) ----------------
 
 

@@ -954,3 +954,50 @@ def test_source_stats_counts_within_source_dups(ray_session):
     assert out["s2"]["n_docs"] == 2 and out["s2"]["n_dup_docs"] == 0
     assert out["s2"]["sum_tokens"] == 3
     assert out["s2"]["avg_doclen"] == 1.5
+
+
+def test_temperature_resample_sqrt_law_and_duckdb(ray_session):
+    import math
+
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import (
+        temperature_resample)
+    # skewed sources: 1600 / 400 / 100 docs
+    sizes = {"big": 1600, "mid": 400, "sml": 100}
+    ids, srcs = [], []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            ids.append(i)
+            srcs.append(s)
+            i += 1
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(srcs, pa.string())}))
+    kept = temperature_resample(docs.map_batches(
+        lambda b: b, batch_format="pyarrow"), seed=7).take_all()
+    by = {}
+    for r in kept:
+        by[r["source"]] = by.get(r["source"], 0) + 1
+    # min group keeps everything; others keep ~ n * sqrt(n_min/n)
+    assert by["sml"] == 100
+    for s in ("big", "mid"):
+        expect = sizes[s] * math.sqrt(100 / sizes[s])
+        assert abs(by[s] - expect) / expect < 0.25, (s, by[s], expect)
+    # exact membership parity with the HUGEINT SQL comparison
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(srcs, pa.string())}))
+    want = sorted(con.execute("""
+WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+mn AS (SELECT min(c) AS m FROM cnt),
+thr AS (SELECT source,
+        (CAST(m AS HUGEINT) * CAST(18446744073709551616 AS HUGEINT)) // c
+        AS t FROM cnt CROSS JOIN mn)
+SELECT d.doc_id FROM documents d JOIN thr USING (source)
+WHERE CAST(((d.doc_id + 7) * 2654435761) % 4294967296 AS HUGEINT)
+      * (((d.doc_id + 7) * 2654435761) % 4294967296) < thr.t
+""").fetchall())
+    got = sorted((r["doc_id"],) for r in kept)
+    assert got == want
