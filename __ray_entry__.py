@@ -304,12 +304,12 @@ def _q_logreg_weights(sf_dir: str):
     shape). Hash-checked against an unrolled-iteration DuckDB replica of
     the exact update rule."""
     from ics_search_engine_ray.stages.classifier import train_logreg
+    from ics_search_engine_ray.stages.common import round_half_away
     w = train_logreg(_logreg_feats(sf_dir), n_features=64, iters=5, lr=1.0)
     import numpy as np
     return pa.table({
         "f": pa.array(np.arange(w.size, dtype=np.int64), pa.int64()),
-        "w": pa.array(np.floor(np.abs(w) * 1e6 + 0.5) / 1e6 * np.sign(w),
-                      pa.float64()),
+        "w": pa.array(round_half_away(w), pa.float64()),
     })
 
 
@@ -1307,6 +1307,15 @@ def _q_pagerank_docs(sf_dir: str):
 
     ids = _read_docs(sf_dir, columns=("doc_id",))
     n = ids.count()
+    import math
+    if n and math.gcd(7, n) != 1 and math.gcd(13, n) != 1:
+        # oracle soundness: with gcd(7,n)=1 (or 13), (7i+1)%n is a
+        # permutation so every node has an in-edge; otherwise in-edge-less
+        # nodes silently drop out of the recursive-CTE working tables and
+        # a gate mismatch would masquerade as a kernel bug
+        raise ValueError(
+            f"pagerank_docs oracle requires gcd(7,n)=1 or gcd(13,n)=1; "
+            f"n={n} satisfies neither — pick another edge multiplier")
 
     def edges(b: pa.Table) -> pa.Table:
         i = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)

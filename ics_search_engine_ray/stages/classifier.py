@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.tokenizer import TOKEN_RE
+from .common import round_half_away
 
 
 def _feat_type(n_features: int):
@@ -93,7 +94,9 @@ def _xmat(b: pa.Table, d: int) -> np.ndarray:
         arr = col.chunk(0)
     else:
         arr = col.combine_chunks()
-    return arr.values.to_numpy(zero_copy_only=False).reshape(-1, d)
+    # .flatten(), NOT .values: .values ignores a sliced array's offset and
+    # length, silently misaligning X with this batch's y
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
 
 
 def train_logreg(feats, n_features: int = 64, iters: int = 5,
@@ -153,8 +156,7 @@ def predict_logreg(feats, w: np.ndarray):
                              "pred": pa.array([], pa.int64())})
         X = _xmat(b, d)
         p = 1.0 / (1.0 + np.exp(-(X @ ww)))
-        # half-away rounding (DuckDB round parity), p >= 0 always
-        pr = np.floor(p * 1e6 + 0.5) / 1e6
+        pr = round_half_away(p)         # DuckDB round() parity
         return pa.table({
             "doc_id": b.column("doc_id").cast(pa.int64()),
             "p": pa.array(pr, pa.float64()),

@@ -2,8 +2,25 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def round_half_away(x: np.ndarray, dp: int = 6) -> np.ndarray:
+    """DuckDB ``round()`` parity: half-AWAY-from-zero at ``dp`` decimals.
+    ``np.round`` is half-to-even and diverges from every SQL oracle on
+    exactly-representable .5 boundaries (e.g. 0.125 * 100 -> 12 vs 13) —
+    the bug class ADVICE r3 flagged; use this everywhere a float column
+    feeds a hash-compared oracle."""
+    s = 10.0 ** dp
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
+def half_away_scaled_int(x: np.ndarray, scale: int) -> np.ndarray:
+    """round(x * scale) half-away as int64 (e.g. exact integer cents)."""
+    xs = np.asarray(x) * float(scale)
+    return (np.floor(np.abs(xs) + 0.5) * np.sign(xs)).astype(np.int64)
 
 
 def filter_dropped_ids(dropped_ref, id_col: str = "doc_id"):

@@ -1008,14 +1008,19 @@ def _reassemble_chunks(survivors):
     with a C-level join per doc."""
     from .common import adaptive_groups
 
-    est = survivors.count()
+    survivors = survivors.materialize()       # count() + output pass: the
+    est = survivors.count()                   # dedup shuffle must run ONCE
     ngroups = adaptive_groups(est, 1_000_000, lo=16)
 
     def tag(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        # uint64 arithmetic: the golden-ratio constant exceeds int64, and
+        # int64 * big-python-int silently promotes to float64 (zeroing the
+        # low bits -> every row buckets to _g=0)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        g = (d * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(ngroups)
         return b.append_column(
-            "_g", pa.array((d * 0x9E3779B97F4A7C15 % ngroups)
-                           .astype(np.int64), pa.int64()))
+            "_g", pa.array(g.astype(np.int64), pa.int64()))
 
     def rebuild(g: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),

@@ -21,6 +21,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# module-level: referenced from worker-side kernels (by-value-pickled
+# closures must not trigger runtime relative imports on workers)
+from .common import half_away_scaled_int
+
 
 # ---------------- hot-key (skew) salting machinery ----------------
 #
@@ -46,7 +50,10 @@ def _hot_users(events, frac: float = _HOT_BATCH_FRAC,
     salted path."""
 
     def cand(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
+        # tiny tail blocks can't witness dataset-level heat: below
+        # ~1/frac rows the max(2, ...) floor would flag any user with two
+        # co-located events, ballooning the "O(hot keys)" driver set
+        if b.num_rows < int(np.ceil(2 / frac)):
             return pa.table({"u": pa.array([], pa.int64())})
         u = b.column(key).to_numpy(zero_copy_only=False)
         uu, c = np.unique(u, return_counts=True)
@@ -251,7 +258,8 @@ def _sessionize_salted(hotds, gap_us: int, salt_us: int, num_groups: int):
         batch_format="pyarrow") \
         .groupby("_g") \
         .map_groups(lambda g: parts(g.drop(["_g"])),
-                    batch_format="pyarrow")
+                    batch_format="pyarrow") \
+        .materialize()            # count() + merge stage: run stage 1 once
 
     merge_groups = adaptive_groups(max(partial.count(), 1), 1_000_000,
                                    lo=16)
@@ -755,9 +763,8 @@ def user_running(events, num_groups: int = None,
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
         # half-away-from-zero like DuckDB round(value*100,0) — np.round is
         # banker's and diverges on exact .5 scaled values (e.g. 0.125)
-        v100 = g.column("value").to_numpy(zero_copy_only=False) * 100.0
-        cents = (np.floor(np.abs(v100) + 0.5)
-                 * np.sign(v100)).astype(np.int64)
+        cents = half_away_scaled_int(
+            g.column("value").to_numpy(zero_copy_only=False), 100)
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
@@ -830,9 +837,8 @@ def _user_running_salted(hotds, salt_us: int, num_groups: int):
         salt = g.column("_salt").to_numpy(zero_copy_only=False)
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        v100 = g.column("value").to_numpy(zero_copy_only=False) * 100.0
-        cents = (np.floor(np.abs(v100) + 0.5)
-                 * np.sign(v100)).astype(np.int64)
+        cents = half_away_scaled_int(
+            g.column("value").to_numpy(zero_copy_only=False), 100)
         new = np.empty(n, dtype=bool)
         new[0] = True
         new[1:] = (uid[1:] != uid[:-1]) | (salt[1:] != salt[:-1])
@@ -898,15 +904,17 @@ def _user_running_salted(hotds, salt_us: int, num_groups: int):
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
         salt = b.column("_salt").to_numpy(zero_copy_only=False)
         # offsets dict is tiny (hot users x days); one lookup per
-        # DISTINCT (user, salt) in the batch, vectorized application
-        code = uid.astype(np.int64) * np.int64(1 << 20) + salt
-        uc, inv = np.unique(code, return_inverse=True)
-        so = np.empty(uc.size, np.int64)
-        co = np.empty(uc.size, np.int64)
-        pl = np.empty(uc.size, np.int64)
-        for i, c in enumerate(uc.tolist()):
-            u, s = c >> 20, c & ((1 << 20) - 1)
-            seq_o, cents_o, prev_last = off[(u, s)]
+        # DISTINCT (user, salt) in the batch, vectorized application.
+        # Pairs dedupe row-wise — bit-packing would corrupt for
+        # salt >= 2^20 (small salt_secs) or user ids >= 2^43
+        pairs = np.stack([uid.astype(np.int64),
+                          salt.astype(np.int64)], axis=1)
+        uc, inv = np.unique(pairs, axis=0, return_inverse=True)
+        so = np.empty(uc.shape[0], np.int64)
+        co = np.empty(uc.shape[0], np.int64)
+        pl = np.empty(uc.shape[0], np.int64)
+        for i, (u, s) in enumerate(uc.tolist()):
+            seq_o, cents_o, prev_last = off[(int(u), int(s))]
             so[i], co[i] = seq_o, cents_o
             pl[i] = -1 if prev_last is None else prev_last
         gap = b.column("gap_local").to_numpy(zero_copy_only=False).copy()

@@ -21,6 +21,10 @@ import pyarrow.compute as pc
 
 from ..functions.tokenizer import TOKEN_RE, Tokenizer
 from ..config import STOP_WORDS
+# module-level (worker-side closures reference it; a runtime relative
+# import inside a by-value-pickled batch fn would fail on foreign-cwd
+# workers)
+from .common import round_half_away
 
 # ---------------- token counting ----------------
 
@@ -1555,7 +1559,7 @@ def source_stats(docs):
             "n_dup_docs": pa.array(n - d, pa.int64()),
             "sum_tokens": pa.array(tok, pa.int64()),
             # half-away like DuckDB round(), not np.round's half-to-even
-            "avg_doclen": pa.array(np.floor(tok / n * 1e6 + 0.5) / 1e6,
+            "avg_doclen": pa.array(round_half_away(tok / n),
                                    pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
