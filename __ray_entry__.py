@@ -258,6 +258,17 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_read_docs(sf_dir))
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Gopher-rule document filter (text_analysis.py gopher_filter):
+    length + repetition thresholds over the hash-green repetition_stats
+    signals; pure map composition, thresholds compare rounded values so
+    the SQL replica is bit-identical."""
+    from ics_search_engine_ray.stages.text_analysis import gopher_filter
+    return gopher_filter(_read_docs(sf_dir), min_tokens=40,
+                         min_distinct_ratio=0.2, max_dup_trigram=0.5,
+                         max_top_token=0.3)
+
+
 def _q_bigram_counts(sf_dir: str):
     """Corpus bigram counts (text_analysis.py bigram_counts): per-batch
     hash-combined partial counts (flat_word_hashes + np.unique, no
@@ -1469,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assign": _q_pack_assign,            # concat-and-chunk packing
         "user_running": _q_user_running,          # SUM OVER/row_number/LAG
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
+        "gopher_filter": _q_gopher_filter,        # Gopher-rule keep/drop
         "bigram_counts": _q_bigram_counts,        # n-gram LM counts
         "trigram_counts": _q_trigram_counts,      # shingle-kernel n-grams
         "similar_docs": _q_similar_docs,          # more-like-this cosine
@@ -2491,6 +2503,26 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
             x -> len(list_filter(tk, y -> y = x)))) * 1.0 / n, 6)
        ELSE 0.0 END AS DOUBLE) AS top_token_frac
 FROM base""",
+        "gopher_filter": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS tk FROM documents),
+base AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+sig AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  CASE WHEN n > 0
+       THEN round(len(list_distinct(tk)) * 1.0 / n, 6) ELSE 0.0 END
+       AS distinct_ratio,
+  CASE WHEN n >= 3
+       THEN round(1.0 - len(list_distinct(list_transform(range(1, n-1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) * 1.0 / (n-2), 6)
+       ELSE 0.0 END AS dup_trigram_frac,
+  CASE WHEN n > 0
+       THEN round(list_max(list_transform(list_distinct(tk),
+            x -> len(list_filter(tk, y -> y = x)))) * 1.0 / n, 6)
+       ELSE 0.0 END AS top_token_frac
+  FROM base)
+SELECT doc_id, n_tokens FROM sig
+WHERE n_tokens >= 40 AND n_tokens <= 100000 AND distinct_ratio >= 0.2
+  AND dup_trigram_frac <= 0.5 AND top_token_frac <= 0.3""",
         "user_running": """
 SELECT event_id, user_id,
   CAST(SUM(CAST(round(value*100,0) AS BIGINT)) OVER

@@ -29,7 +29,8 @@ _PAGE = """<!doctype html>
 <form action="/" method="get">
  <input type="text" name="q" value="{q}" autofocus>
  <select name="scorer"><option value="bm25" {s_bm25}>bm25</option>
- <option value="tfidf-ref" {s_ref}>tfidf-ref</option></select>
+ <option value="tfidf-ref" {s_ref}>tfidf-ref</option>
+ <option value="boolean" {s_bool}>boolean (+must -not)</option></select>
  <input type="submit" value="Search">
 </form>
 {body}
@@ -74,7 +75,10 @@ def serve(index_dir: str, port: int = 8080, actors: int = 0, max_k: int = 20):
             body = ""
             if q.strip():
                 t0 = time.time()
-                results = si.search(q, max_k, scorer=scorer)
+                if scorer == "boolean" and hasattr(si, "search_boolean"):
+                    results = si.search_boolean(q, max_k)
+                else:
+                    results = si.search(q, max_k, scorer=scorer)
                 body = _render_results(results, time.time() - t0)
                 if not results and hasattr(si, "suggest"):
                     sugg = [t for w in q.split()
@@ -88,7 +92,8 @@ def serve(index_dir: str, port: int = 8080, actors: int = 0, max_k: int = 20):
                         body += f"<p>Did you mean: {links}?</p>"
             page = _PAGE.format(q=html.escape(q, quote=True), body=body,
                                 s_bm25="selected" if scorer == "bm25" else "",
-                                s_ref="selected" if scorer == "tfidf-ref" else "")
+                                s_ref="selected" if scorer == "tfidf-ref" else "",
+                                s_bool="selected" if scorer == "boolean" else "")
             data = page.encode("utf-8")
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
@@ -106,7 +111,12 @@ def serve(index_dir: str, port: int = 8080, actors: int = 0, max_k: int = 20):
                 return
             k = max(1, min(k, max_k))
             scorer = (qs.get("scorer") or ["bm25"])[0]
-            results = si.search(q, k, scorer=scorer) if q.strip() else []
+            if not q.strip():
+                results = []
+            elif scorer == "boolean" and hasattr(si, "search_boolean"):
+                results = si.search_boolean(q, k)
+            else:
+                results = si.search(q, k, scorer=scorer)
             data = json.dumps([
                 {"rank": i, "url": r.url, "title": r.title,
                  "score": round(r.score, 6), "doc_id": r.doc_id,

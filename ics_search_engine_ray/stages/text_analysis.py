@@ -1442,6 +1442,37 @@ def snippets(docs, terms, width: int = 5):
         .map_batches(kwic, batch_format="pyarrow")
 
 
+def gopher_filter(docs, min_tokens: int = 40, max_tokens: int = 100_000,
+                  min_distinct_ratio: float = 0.2,
+                  max_dup_trigram: float = 0.5,
+                  max_top_token: float = 0.3):
+    """Gopher-rule document filter (Rae et al. 2021 §A1.1 applied to this
+    corpus's signals): keep docs whose length and repetition statistics
+    pass the thresholds -> (doc_id, n_tokens) survivors. Thresholds
+    compare the ROUNDED signals (the exact values the hash-green
+    repetition_stats oracle proves), so the SQL replica is bit-identical
+    by construction. Pure map composition over :func:`repetition_stats`
+    — no extra shuffle."""
+    stats = repetition_stats(docs)
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        dr = b.column("distinct_ratio").to_numpy(zero_copy_only=False)
+        dt = b.column("dup_trigram_frac").to_numpy(zero_copy_only=False)
+        tt = b.column("top_token_frac").to_numpy(zero_copy_only=False)
+        m = ((n >= min_tokens) & (n <= max_tokens)
+             & (dr >= min_distinct_ratio) & (dt <= max_dup_trigram)
+             & (tt <= max_top_token))
+        return pa.table({
+            "doc_id": b.column("doc_id").filter(pa.array(m)),
+            "n_tokens": pa.array(n[m].astype(np.int64), pa.int64())})
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------- per-source curation report ----------------
 
 

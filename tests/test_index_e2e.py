@@ -330,6 +330,16 @@ def test_web_ui_serves_results(built_index):
         assert "No results found" in page
         assert "Did you mean" in page and "spark" in page
         assert "scorer=bm25" in page   # suggestion links keep the scorer
+        # boolean mode: +must -not operators through the API ('+' must be
+        # %2B-encoded in a query string)
+        from ics_search_engine_ray.query.engine import SearchIndex
+        si = SearchIndex(out)
+        want = si.search_boolean("+data query -merge", k=5)
+        api = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api?q=%2Bdata+query+-merge&k=5"
+            "&scorer=boolean").read())
+        assert [(r["doc_id"], r["score"]) for r in api] == \
+            [(r.doc_id, round(r.score, 6)) for r in want]
     finally:
         srv.shutdown()
 
