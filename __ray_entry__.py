@@ -288,6 +288,27 @@ def _q_normalize_text(sf_dir: str):
 _LOGREG_LABEL = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
 
 
+def _embed_docs_sql(emit: str) -> str:
+    from ics_search_engine_ray.stages.embed import embed_cte
+    cte = embed_cte(n_features=64, dim=16, seed=7)
+    if emit == "emit":
+        return f"WITH {cte}\nSELECT doc_id, j, e FROM emb"
+    return f"""WITH {cte},
+q AS (SELECT j, e FROM emb WHERE doc_id = 42),
+qn AS (SELECT sqrt(sum(e * e)) AS v FROM q),
+nm AS (SELECT doc_id, sqrt(sum(e * e)) AS v FROM emb GROUP BY doc_id),
+dots AS (SELECT emb.doc_id, sum(emb.e * q.e) AS d
+         FROM emb JOIN q USING (j)
+         WHERE emb.doc_id != 42 GROUP BY emb.doc_id)
+SELECT dots.doc_id,
+       CAST(round(dots.d / (nm.v * (SELECT v FROM qn)), 6) + 0.0
+            AS DOUBLE) AS cos
+FROM dots JOIN nm ON dots.doc_id = nm.doc_id
+WHERE nm.v > 0
+ORDER BY round(dots.d / (nm.v * (SELECT v FROM qn)), 6) DESC, dots.doc_id
+LIMIT 10"""
+
+
 def _logreg_sql_cached(emit: str) -> str:
     from ics_search_engine_ray.stages.classifier import logreg_sql
     return logreg_sql(_LOGREG_LABEL, n_features=64, iters=5, lr=1.0,
@@ -550,6 +571,24 @@ def _q_snippets(sf_dir: str):
     vectorized membership pass per batch, no shuffle."""
     from ics_search_engine_ray.stages.text_analysis import snippets
     return snippets(_read_docs(sf_dir), ["spark", "join"], width=5)
+
+
+def _q_embed_docs(sf_dir: str):
+    """Deterministic text embeddings (stages/embed.py): hashed
+    bag-of-terms through a +-1 Johnson-Lindenstrauss sign projection
+    whose entries are a pure integer function of (bucket, dim) — the
+    whole embedder replicates in SQL. Long-form output (doc_id, j, e)."""
+    from ics_search_engine_ray.stages.embed import embed_docs
+    return embed_docs(_read_docs(sf_dir), n_features=64, dim=16, seed=7)
+
+
+def _q_knn_text(sf_dir: str):
+    """End-to-end text -> embedding -> cosine top-k (stages/embed.py
+    knn_text): generated embeddings, broadcast query vector, per-batch
+    local top-k partials (knn_brute pattern) — similarity search with no
+    external vector table, SQL-checked end to end."""
+    from ics_search_engine_ray.stages.embed import knn_text
+    return knn_text(_read_docs(sf_dir), query_doc_id=42, k=10)
 
 
 def _q_knn_cosine(sf_dir: str):
@@ -1418,6 +1457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,                # A3 + Q1-Q6 (TAAT)
         "bool_search": _q_bool_search,            # boolean operators
         "snippets": _q_snippets,                  # KWIC result snippets
+        "embed_docs": _q_embed_docs,              # JL sign-projection embed
+        "knn_text": _q_knn_text,                  # text-native ANN top-k
         "bm25_topk_wand": _q_bm25_topk_wand,      # block-max WAND path
         "phrase_match": _q_phrase_match,          # positional index query
         "extract_text": _q_extract_text,          # M1-M3 (frozen-fixture oracle)
@@ -2129,6 +2170,8 @@ WHERE bit_count(xor(x.fp::BIT, y.fp::BIT)) <= {DEFAULT_CONFIG.max_hamming}
 ORDER BY a, b""",
         "search_bm25_oracle": _bm25_multi_sql(_SEARCH_ORACLE_QUERIES, k1, b),
         "search_tfidf_ref_oracle": _tfidf_ref_multi_sql(_SEARCH_ORACLE_QUERIES),
+        "embed_docs": _embed_docs_sql("emit"),
+        "knn_text": _embed_docs_sql("knn"),
         "index_stats_oracle": f"""
 WITH toks AS ({_sql_tokens_cte()})
 SELECT (SELECT count(DISTINCT doc_id) FROM toks) AS n_docs,
