@@ -293,6 +293,14 @@ def _embed_docs_sql(emit: str) -> str:
     cte = embed_cte(n_features=64, dim=16, seed=7)
     if emit == "emit":
         return f"WITH {cte}\nSELECT doc_id, j, e FROM emb"
+    if emit == "pairs":
+        return f"""WITH {cte},
+v AS (SELECT doc_id, array_agg(e ORDER BY j) AS e FROM emb GROUP BY doc_id)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(round(list_cosine_similarity(a.e, b.e), 6) AS DOUBLE) AS cos
+FROM v a JOIN v b ON a.doc_id < b.doc_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.995 - 1e-12
+ORDER BY a, b"""
     return f"""WITH {cte},
 q AS (SELECT j, e FROM emb WHERE doc_id = 42),
 qn AS (SELECT sqrt(sum(e * e)) AS v FROM q),
@@ -589,6 +597,44 @@ def _q_knn_text(sf_dir: str):
     external vector table, SQL-checked end to end."""
     from ics_search_engine_ray.stages.embed import knn_text
     return knn_text(_read_docs(sf_dir), query_doc_id=42, k=10)
+
+
+def _q_text_cosine_pairs(sf_dir: str):
+    """Semantic near-dup pairs over GENERATED text embeddings: embed_docs
+    (SQL-replicable JL projection) widened per batch into the exact
+    all-pairs cosine join (stages/similarity.py cosine_pairs_exact —
+    broadcast under the vec gate, tiled triangle join above). The whole
+    text -> vector -> pair-join chain under one oracle."""
+    from ics_search_engine_ray.stages.embed import embed_docs
+    from ics_search_engine_ray.stages.similarity import cosine_pairs_exact
+    dim = 16
+    long = embed_docs(_read_docs(sf_dir), n_features=64, dim=dim, seed=7)
+
+    def widen(b: pa.Table) -> pa.Table:
+        import numpy as np
+        if b.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64()))})
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        j = b.column("j").to_numpy(zero_copy_only=False)
+        e = b.column("e").to_numpy(zero_copy_only=False)
+        o = np.lexsort((j, d))
+        flat = pa.array(e[o], pa.float64())
+        n = b.num_rows // dim
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * dim, pa.int32())
+        return pa.table({
+            "vec_id": pa.array(d[o][::dim].astype(np.int64), pa.int64()),
+            "embedding": pa.ListArray.from_arrays(offs, flat)})
+
+    emb = long.map_batches(widen, batch_format="pyarrow",
+                           batch_size=dim * 512)   # dim-aligned slices
+    pairs = cosine_pairs_exact(emb, threshold=0.995)
+    return pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+        "cos": pa.array([p[2] for p in pairs], pa.float64()),
+    })
 
 
 def _q_knn_cosine(sf_dir: str):
@@ -1459,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": _q_snippets,                  # KWIC result snippets
         "embed_docs": _q_embed_docs,              # JL sign-projection embed
         "knn_text": _q_knn_text,                  # text-native ANN top-k
+        "text_cosine_pairs": _q_text_cosine_pairs,  # semantic near-dup pairs
         "bm25_topk_wand": _q_bm25_topk_wand,      # block-max WAND path
         "phrase_match": _q_phrase_match,          # positional index query
         "extract_text": _q_extract_text,          # M1-M3 (frozen-fixture oracle)
@@ -2172,6 +2219,7 @@ ORDER BY a, b""",
         "search_tfidf_ref_oracle": _tfidf_ref_multi_sql(_SEARCH_ORACLE_QUERIES),
         "embed_docs": _embed_docs_sql("emit"),
         "knn_text": _embed_docs_sql("knn"),
+        "text_cosine_pairs": _embed_docs_sql("pairs"),
         "index_stats_oracle": f"""
 WITH toks AS ({_sql_tokens_cte()})
 SELECT (SELECT count(DISTINCT doc_id) FROM toks) AS n_docs,
