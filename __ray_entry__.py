@@ -1484,6 +1484,124 @@ def _q_index_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# round-4 wave 3: PII scrub, JSON extraction, mode-per-key, semi/outer joins
+# ---------------------------------------------------------------------------
+
+# deterministic PII injection (the synthetic corpus carries none): plain
+# non-overlapping substring replaces, identical semantics in Arrow
+# replace_substring and DuckDB replace() — part of the test harness, not
+# the operator; pytest covers the scrubber on adversarial fixtures too.
+_PII_INJECT = [
+    (" value ", " bob.smith+1@mail-example.co "),
+    (" window ", " 415-555-0142 "),
+    (" merge ", " 10.0.42.7 "),
+    (" batch ", " 4111 1111 1111 1111 "),
+]
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (stages/pii.py pii_scrub): chained vectorized RE2
+    passes (emails -> IPs -> phones -> cards) entirely inside Arrow C++,
+    plus per-kind hit counts measured on the text each pattern actually
+    ran on. Pure map, zero shuffle. DuckDB regexp_replace is RE2 too, so
+    the oracle replays the identical automaton."""
+    import pyarrow.compute as pc
+    from ics_search_engine_ray.stages.pii import pii_scrub
+
+    def inject(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column("text"), pa.string())
+        for old, new in _PII_INJECT:
+            t = pc.replace_substring(t, pattern=old, replacement=new)
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    return pii_scrub(_read_docs(sf_dir).map_batches(
+        inject, batch_format="pyarrow"))
+
+
+def _pii_scrub_sql() -> str:
+    from ics_search_engine_ray.stages.pii import pii_sql_exprs
+    t = "text"
+    for old, new in _PII_INJECT:
+        t = f"replace({t}, '{old}', '{new}')"
+    scrub, counts = pii_sql_exprs(t)
+    cnt_cols = ",\n       ".join(
+        f"CAST({expr} AS BIGINT) AS n_{kind}" for kind, expr in counts.items())
+    return (f"SELECT doc_id,\n       {scrub} AS clean_text,\n"
+            f"       {cnt_cols}\nFROM documents")
+
+
+def _q_json_field_agg(sf_dir: str):
+    """Semi-structured extraction (stages/events.py json_field_agg):
+    props.k pulled by ONE vectorized RE2 extract over the whole column,
+    then per-batch (group, n, sum) partials -> native groupby Sum. The
+    JSON-blob analytics staple without a per-row parse."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import json_field_agg
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+    return json_field_agg(ev, key="k", group="event_type")
+
+
+def _q_mode_per_key(sf_dir: str):
+    """Categorical mode per key (stages/events.py mode_per_key): exact
+    pair counts via per-batch partials + native Sum, then a per-key
+    argmax combiner (at most one candidate per key per batch survives
+    into the final tiny shuffle). Ties break to the smallest value."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import mode_per_key
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    return mode_per_key(ev, key="user_id", val="event_type")
+
+
+def _q_late_orders_semi(sf_dir: str):
+    """EXISTS semi-join (stages/joins.py semi_join — TPC-H Q4's shape):
+    orders with at least one returned lineitem, counted per priority.
+    The right side collapses to DISTINCT keys first (native groupby),
+    then ships once under the broadcast gate / hash-partitions above it;
+    either way each qualifying order is emitted exactly once."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.joins import semi_join
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_returnflag"])
+    li = li.filter(expr="l_returnflag == 'R'")
+    hit = semi_join(orders, li, on="o_orderkey", right_on="l_orderkey")
+    counted = hit.groupby("o_orderpriority").count()
+    return counted.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_orders": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join with zero-fill: per-customer order counts
+    INCLUDING order-less customers. Orders pre-aggregate to O(customers)
+    counts (native groupby — the only corpus-sized shuffle), then the
+    count relation joins 'left outer' under the broadcast gate
+    (stages/joins.py broadcast_join; hash_join above it) and nulls
+    become 0."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.joins import broadcast_join
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    counts = orders.groupby("o_custkey").count()
+    joined = broadcast_join(cust, counts, on="c_custkey",
+                            right_on="o_custkey", join_type="left outer")
+    return joined.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "n_orders": pc.coalesce(b.column("count()"),
+                                    pa.scalar(0)).cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -1591,6 +1709,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_remove": _q_boilerplate_remove,  # per-source filter
         "bpe_merges": _q_bpe_merges,              # tokenizer training
         "bpe_token_count": _q_bpe_token_count,    # tokenizer application
+        "pii_scrub": _q_pii_scrub,                # RE2 PII redaction + counts
+        "json_field_agg": _q_json_field_agg,      # props JSON extraction
+        "mode_per_key": _q_mode_per_key,          # categorical mode
+        "late_orders_semi": _q_late_orders_semi,  # EXISTS semi-join (Q4)
+        "customer_order_counts": _q_customer_order_counts,  # left outer
     }
 
 
@@ -2220,6 +2343,39 @@ ORDER BY a, b""",
         "embed_docs": _embed_docs_sql("emit"),
         "knn_text": _embed_docs_sql("knn"),
         "text_cosine_pairs": _embed_docs_sql("pairs"),
+        "pii_scrub": _pii_scrub_sql(),
+        "json_field_agg": """
+WITH v AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS v
+  FROM events
+  WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> '')
+SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_k,
+       CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 6) + 0.0 AS DOUBLE)
+         AS avg_k
+FROM v GROUP BY event_type ORDER BY event_type""",
+        "mode_per_key": """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS top_val, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1 ORDER BY user_id""",
+        "late_orders_semi": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "customer_order_counts": """
+SELECT c_custkey,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o.o_custkey
+ORDER BY c_custkey""",
         "index_stats_oracle": f"""
 WITH toks AS ({_sql_tokens_cte()})
 SELECT (SELECT count(DISTINCT doc_id) FROM toks) AS n_docs,

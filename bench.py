@@ -190,6 +190,11 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
         rd.read_parquet(docs_path, columns=["doc_id", "text"]),
         n_merges=50).count()
     tops["bpe_merges"] = round(time.time() - t, 2)
+    from ics_search_engine_ray.stages.pii import pii_scrub
+    t = time.time()
+    pii_scrub(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
+    tops["pii_scrub"] = round(time.time() - t, 2)
 
     # concurrent query throughput through the partition-sharded actor pool
     from concurrent.futures import ThreadPoolExecutor

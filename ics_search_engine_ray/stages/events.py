@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 # module-level: referenced from worker-side kernels (by-value-pickled
 # closures must not trigger runtime relative imports on workers)
-from .common import half_away_scaled_int
+from .common import half_away_scaled_int, round_half_away
 
 
 # ---------------- hot-key (skew) salting machinery ----------------
@@ -1242,3 +1242,136 @@ def window_distinct_users(events, window_secs: int = 3600):
             "n_users": b.column("count()").cast(pa.int64())})
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def json_field_agg(events, key: str = "k", group: str = "event_type",
+                   props_col: str = "props"):
+    """Semi-structured extraction + aggregate -> (group, n, sum_k, avg_k):
+    pull integer field ``key`` out of the JSON-ish ``props`` column and
+    aggregate it per group. The log-analytics staple (every event table
+    carries a JSON blob; the engine must reach into it without a
+    row-at-a-time parse).
+
+    Extraction is ONE vectorized RE2 pass (`pyarrow.compute.extract_regex`
+    over the whole column in C++ — DuckDB's regexp_extract replays the
+    identical automaton, so the oracle is exact); rows without the field
+    are dropped like SQL NULLs. Per-batch (group, n, sum) partials ->
+    native groupby Sum: only O(batches x groups) rows shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    pat = '"' + key + '":\\s*(?P<v>-?\\d+)'
+
+    def partial(b: pa.Table) -> pa.Table:
+        gtype = b.schema.field(group).type
+        empty = pa.table({group: pa.array([], gtype),
+                          "c": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        hit = pc.extract_regex(pc.cast(b.column(props_col), pa.string()),
+                               pattern=pat)
+        v = pc.struct_field(hit, "v")
+        ok = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        if not ok.any():
+            return empty
+        vals = np.array(
+            [int(x) for x in v.drop_null().to_pylist()], np.int64)
+        g = b.column(group).to_numpy(zero_copy_only=False)[ok]
+        o = np.argsort(g, kind="stable")
+        g, vals = g[o], vals[o]
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        ends = np.append(starts[1:], g.size)
+        return pa.table({
+            group: pa.array(g[starts], gtype),
+            "c": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "s": pa.array(np.add.reduceat(vals, starts).astype(np.int64),
+                          pa.int64())})
+
+    merged = (events.select_columns([group, props_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(group).aggregate(Sum("c", alias_name="n"),
+                                        Sum("s", alias_name="sum_k")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = b.column("sum_k").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        avg = round_half_away(s.astype(np.float64) / n, 6) + 0.0
+        return pa.table({group: b.column(group),
+                         "n": pa.array(n, pa.int64()),
+                         "sum_k": pa.array(s, pa.int64()),
+                         "avg_k": pa.array(avg, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def mode_per_key(events, key: str = "user_id", val: str = "event_type"):
+    """Most-frequent value per key -> (key, top_val, n); ties break to
+    the lexicographically smallest value (deterministic = oracle-able).
+    The categorical-profile op (dominant event type per user, dominant
+    language per domain, ...).
+
+    Stage 1: per-batch (key, val, c) partials (lexsort + reduceat) ->
+    native groupby Sum gives exact pair counts with only
+    O(batches x distinct-pairs-per-batch) rows shuffled. Stage 2: the
+    pair relation (output-bounded, O(distinct pairs)) reduces to one row
+    per key with the same argmax combiner applied per batch and then per
+    group — at most one candidate row per key per batch survives into
+    the second (tiny) shuffle, the latest_per_key shape.
+    """
+    from ray.data.aggregate import Sum
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        ktype = b.schema.field(key).type
+        vtype = b.schema.field(val).type
+        empty = pa.table({key: pa.array([], ktype),
+                          val: pa.array([], vtype),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        v = b.column(val).to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, k))
+        k, v = k[o], v[o]
+        new = np.flatnonzero(np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (v[1:] != v[:-1]))))
+        ends = np.append(new[1:], k.size)
+        return pa.table({
+            key: pa.array(k[new], ktype),
+            val: pa.array(v[new], vtype),
+            "c": pa.array((ends - new).astype(np.int64), pa.int64())})
+
+    pairs = (events.select_columns([key, val])
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .groupby([key, val]).aggregate(Sum("c", alias_name="n")))
+
+    def argmax_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        v = b.column(val).to_numpy(zero_copy_only=False)
+        n = b.column("n").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # best per key = max n, then min val: sort by (key asc, n desc,
+        # val asc) and take the first row of each key segment. np.lexsort
+        # sorts ascending by the LAST key first, so feed (val, -n, key).
+        o = np.lexsort((v, -n, k))
+        ks = k[o]
+        first = np.flatnonzero(np.concatenate(
+            ([True], ks[1:] != ks[:-1])))
+        return b.take(pa.array(o[first]))
+
+    reduced = (pairs.map_batches(argmax_batch, batch_format="pyarrow")
+               .groupby(key).map_groups(argmax_batch,
+                                        batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "top_val": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({key: b.column(key),
+                         "top_val": b.column(val),
+                         "n": b.column("n").cast(pa.int64())})
+
+    return reduced.map_batches(finish, batch_format="pyarrow")
