@@ -1576,6 +1576,83 @@ def _q_late_orders_semi(sf_dir: str):
         batch_format="pyarrow")
 
 
+_PREFIX_QUERY = "s"
+
+# deterministic line/punctuation injection (the synthetic corpus is one
+# unpunctuated line): same replace-chain semantics as _PII_INJECT.
+_C4_INJECT = [
+    (" the ", ".\n"),
+    (" a ", " ok!\n"),
+    (" slow ", " lorem ipsum "),
+    (" hash ", " { "),
+]
+
+
+def _q_c4_clean(sf_dir: str):
+    """C4 line-level cleaning (text_analysis.py c4_line_filter, Raffel
+    et al. 2020): keep lines ending in terminal punctuation with >= 5
+    words, drop docs with < 3 surviving lines or containing
+    'lorem ipsum' / '{'. Fully vectorized: Arrow split + two RE2 line
+    predicates + reduceat re-aggregation."""
+    import pyarrow.compute as pc
+    from ics_search_engine_ray.stages.text_analysis import c4_line_filter
+
+    def inject(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column("text"), pa.string())
+        for old, new in _C4_INJECT:
+            t = pc.replace_substring(t, pattern=old, replacement=new)
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    return c4_line_filter(_read_docs(sf_dir).map_batches(
+        inject, batch_format="pyarrow"), min_words=3, min_lines=2)
+
+
+def _c4_clean_sql() -> str:
+    t = "text"
+    for old, new in _C4_INJECT:
+        lit = new.replace("\n", "' || chr(10) || '")
+        t = f"replace({t}, '{old}', '{lit}')"
+        t = t.replace(" || ''", "")           # trailing-newline literals
+    return f"""
+WITH inj AS (SELECT doc_id, {t} AS t FROM documents),
+k AS (SELECT doc_id, t, len(split(t, chr(10))) AS n_lines,
+             list_filter(split(t, chr(10)),
+                         x -> regexp_matches(x, '[.!?"]$')
+                              AND len(regexp_extract_all(x, '\\S+')) >= 3)
+               AS kept
+      FROM inj)
+SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+       CAST(n_lines AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept
+FROM k
+WHERE len(kept) >= 2 AND NOT contains(t, 'lorem ipsum')
+      AND NOT contains(t, '{{')
+ORDER BY doc_id"""
+
+
+def _q_search_prefix(sf_dir: str):
+    """Wildcard query over the text index (query/engine.py
+    search_prefix): vocabulary prefix expansion capped at top-50 by
+    (df desc, term), then the proven TAAT BM25 OR-accumulation with
+    qtf=1 per expanded term. Expansion df comes from the index term
+    DICTIONARIES (no posting decode)."""
+    si = _text_index(sf_dir)
+    res = si.search_prefix(_PREFIX_QUERY, k=10, max_expand=50)
+    return pa.table({
+        "doc_id": pa.array([r.doc_id for r in res], pa.int64()),
+        "score": pa.array([round(r.score, 6) for r in res], pa.float64()),
+    })
+
+
+def _q_winnow_fingerprints(sf_dir: str):
+    """Robust winnowing (text_analysis.py winnow_fingerprints, Schleimer
+    et al. 2003): k-gram md5s, sliding-window rightmost-min selection —
+    the MOSS fingerprint layer. Hash order is the md5 hex string, so the
+    SQL replica selects the identical positions."""
+    from ics_search_engine_ray.stages.text_analysis import (
+        winnow_fingerprints)
+    return winnow_fingerprints(_read_docs(sf_dir), k=4, w=5)
+
+
 def _q_customer_order_counts(sf_dir: str):
     """LEFT OUTER join with zero-fill: per-customer order counts
     INCLUDING order-less customers. Orders pre-aggregate to O(customers)
@@ -1714,6 +1791,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_per_key": _q_mode_per_key,          # categorical mode
         "late_orders_semi": _q_late_orders_semi,  # EXISTS semi-join (Q4)
         "customer_order_counts": _q_customer_order_counts,  # left outer
+        "winnow_fingerprints": _q_winnow_fingerprints,  # MOSS winnowing
+        "search_prefix": _q_search_prefix,        # wildcard BM25 rewrite
+        "c4_clean": _q_c4_clean,                  # C4 line filtering
     }
 
 
@@ -1833,6 +1913,29 @@ scores AS (
   CROSS JOIN stats GROUP BY tf.doc_id)
 SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score
 FROM scores ORDER BY s DESC, doc_id LIMIT 10"""
+    # wildcard rewrite: expansion = top-50 vocabulary terms with the
+    # prefix by (index df desc, term asc), then the SAME BM25 OR-sum
+    # with qtf=1 per expanded term (search_prefix's exact rule)
+    bm25_prefix = f"""
+WITH toks AS ({_sql_tokens_cte()}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+exp AS (SELECT term FROM (
+          SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          WHERE term LIKE '{_PREFIX_QUERY}%' GROUP BY term)
+        ORDER BY df DESC, term LIMIT 50),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score
+FROM scores ORDER BY s DESC, doc_id LIMIT 10"""
     return {
         "exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_count": (
@@ -1849,6 +1952,8 @@ FROM scores ORDER BY s DESC, doc_id LIMIT 10"""
             "GROUP BY term ORDER BY df DESC, term LIMIT 100"),
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
+        "search_prefix": bm25_prefix,
+        "c4_clean": _c4_clean_sql(),
         "bool_search": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
@@ -2344,6 +2449,33 @@ ORDER BY a, b""",
         "knn_text": _embed_docs_sql("knn"),
         "text_cosine_pairs": _embed_docs_sql("pairs"),
         "pii_scrub": _pii_scrub_sql(),
+        # robust winnowing: same k-gram positions, md5 hex order, window
+        # of w gram hashes (degenerate w'=m for short docs), min with
+        # ties -> rightmost, distinct selections
+        "winnow_fingerprints": """
+WITH lt AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+            '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS p
+         FROM lt),
+grams AS (
+  SELECT doc_id, p - 1 AS pos,
+         array_to_string(list(term) OVER wk, ' ') AS gram,
+         count(*) OVER wk AS glen
+  FROM toks
+  WINDOW wk AS (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+g AS (SELECT doc_id, pos, md5(gram) AS h,
+             count(*) OVER (PARTITION BY doc_id) AS m
+      FROM grams WHERE glen = 4),
+wins AS (SELECT doc_id, pos AS s, least(5, m) AS ww, m FROM g
+         WHERE pos <= m - least(5, m)),
+sel AS (SELECT w.doc_id, g.pos, g.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.s
+                                  ORDER BY g.h ASC, g.pos DESC) AS rn
+        FROM wins w JOIN g ON g.doc_id = w.doc_id
+                          AND g.pos BETWEEN w.s AND w.s + w.ww - 1)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS gram_md5
+FROM sel WHERE rn = 1 ORDER BY doc_id, pos""",
         "json_field_agg": """
 WITH v AS (
   SELECT event_type,

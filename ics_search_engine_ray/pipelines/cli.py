@@ -73,7 +73,9 @@ def cmd_query(args) -> int:
 
     def run_one(q: str):
         t0 = time.time()
-        if getattr(args, "boolean", False) and args.actors == 0:
+        if getattr(args, "wildcard", False) and args.actors == 0:
+            results = si.search_prefix(q, args.k)
+        elif getattr(args, "boolean", False) and args.actors == 0:
             results = si.search_boolean(q, args.k)
         elif getattr(args, "proximity", False) and args.actors == 0:
             results = si.proximity_rerank(q, args.k)
@@ -382,6 +384,9 @@ def main(argv=None) -> int:
     q.add_argument("--boolean", action="store_true",
                    help="boolean operators: +word must match, -word must "
                         "not (local path only)")
+    q.add_argument("--wildcard", action="store_true",
+                   help="treat the query as a vocabulary prefix "
+                        "(prefix* expansion, local path only)")
     q.add_argument("--proximity", action="store_true",
                    help="rerank BM25 finalists by minimal-window "
                         "term proximity (local path only)")

@@ -305,15 +305,7 @@ class SearchIndex:
                                             threading.Lock())
             with lock:
                 if getattr(self, "_del_map", None) is None:
-                    dfs: Dict[str, int] = {}
-                    for part in range(self.P + self.S):
-                        r = self._reader(part)
-                        for t in r.terms():
-                            if t in dfs:
-                                continue  # salted terms span S partitions
-                            dfs[t] = (int(self.head_df[t])
-                                      if self.S > 0 and t in self.head_df
-                                      else r.df(t))  # _df_quick semantics
+                    dfs = self._vocab_dfs()
                     dm: Dict[str, List[str]] = {}
                     for t in dfs:
                         dm.setdefault(t, []).append(t)
@@ -328,6 +320,88 @@ class SearchIndex:
                 if t == q or _ed_le1(q, t)]
         good.sort(key=lambda x: (-x[1], x[0]))
         return good[:n]
+
+    def _vocab_dfs(self) -> Dict[str, int]:
+        """term -> df over the whole index vocabulary (one pass over the
+        partition term DICTIONARIES — postings never decode). O(vocab)
+        driver memory, same serving-node-cache class as the deletion map;
+        shard by partition dictionary at web-scale vocabularies."""
+        dfs: Dict[str, int] = {}
+        for part in range(self.P + self.S):
+            r = self._reader(part)
+            for t in r.terms():
+                if t in dfs:
+                    continue  # salted terms span S partitions
+                dfs[t] = (int(self.head_df[t])
+                          if self.S > 0 and t in self.head_df
+                          else r.df(t))  # _df_quick semantics
+        return dfs
+
+    def expand_prefix(self, prefix: str, max_expand: int = 50
+                      ) -> List[Tuple[str, int]]:
+        """Index-vocabulary wildcard expansion: terms starting with
+        ``prefix``, highest document frequency first (ties -> term asc),
+        capped at ``max_expand`` (the Lucene rewrite rule — an unbounded
+        single-char expansion would fetch the whole dictionary). The
+        sorted vocabulary array builds lazily ONCE per index; each call
+        is two binary searches over it."""
+        import bisect
+        import threading
+
+        if getattr(self, "_vocab_sorted", None) is None:
+            lock = self.__dict__.setdefault("_suggest_lock",
+                                            threading.Lock())
+            with lock:
+                if getattr(self, "_vocab_sorted", None) is None:
+                    dfs = (self._vocab_df
+                           if getattr(self, "_vocab_df", None) is not None
+                           else self._vocab_dfs())
+                    terms = sorted(dfs)
+                    self._vocab_sorted = (terms,
+                                          [dfs[t] for t in terms])
+        terms, dfl = self._vocab_sorted
+        lo = bisect.bisect_left(terms, prefix)
+        hi = bisect.bisect_left(terms, prefix + "\U0010ffff")
+        cands = [(terms[i], int(dfl[i])) for i in range(lo, hi)]
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        return cands[:max_expand]
+
+    def search_prefix(self, prefix: str, k: int = 10,
+                      max_expand: int = 50) -> List[SearchResult]:
+        """Wildcard query ``prefix*``: expand over the index vocabulary
+        (top ``max_expand`` by df), then score the expansion as an OR
+        query with the same TAAT BM25 accumulation ``search`` uses (each
+        expanded term contributes once, qtf=1 — the standard wildcard
+        rewrite). The reference has no wildcard queries; completeness
+        add-on for the query surface. The prefix is lowercased but NOT
+        stemmed/analyzed (the Lucene wildcard rule — analysis would move
+        it out of the vocabulary keyspace it must prefix-match)."""
+        import re as _re
+        p = (prefix or "").lower().rstrip("*")
+        if not _re.fullmatch(r"[a-z0-9]+", p):
+            return []
+        expanded = self.expand_prefix(p, max_expand)
+        if not expanded:
+            return []
+        qtf = {t: 1 for t, _ in expanded}
+        posts = {t: self._scored(t, "bm25") for t in qtf}
+        posts = {t: p for t, p in posts.items() if p is not None}
+        if not posts:
+            return []
+        top_ids, top_scores = rank_topk(posts, qtf, k,
+                                        self.cfg.posting_block_size, "taat")
+        urls, titles = self._urls(), self._titles()
+        out = []
+        for d, s in zip(top_ids, top_scores):
+            matched = [t for t, p in posts.items()
+                       if p.doc_ids[np.searchsorted(p.doc_ids, d):
+                                    np.searchsorted(p.doc_ids, d) + 1].size
+                       and p.doc_ids[np.searchsorted(p.doc_ids, d)] == d]
+            out.append(SearchResult(
+                url=self._defrag(urls.get(int(d), "")), doc_id=int(d),
+                score=float(s), matched_terms=matched,
+                title=titles.get(int(d), "") or ""))
+        return out
 
     def search(self, query: str, k: int = 10, scorer: str = "bm25",
                algo: str = "auto") -> List[SearchResult]:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -1594,3 +1594,156 @@ def source_stats(docs):
                                    pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------- winnowing fingerprints ----------------
+
+
+def winnow_fingerprints(docs, k: int = 4, w: int = 5):
+    """Robust winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+    MOSS fingerprint selector): hash every k-token gram, slide a window of
+    ``w`` consecutive gram hashes, keep each window's minimum (ties ->
+    RIGHTMOST position), emit the distinct selected (doc_id, pos, gram
+    md5) triples. Guarantees any shared run of >= w+k-1 tokens between two
+    docs shares a fingerprint — the document-fingerprinting layer of a
+    plagiarism / near-dup detector with bounded density 2/(w+1).
+
+    Pure map over batches, no shuffle. Hash order is the md5 HEX STRING
+    (lexicographic == numeric for fixed-width hex), so the DuckDB oracle
+    replays the identical selection. Per batch: one tokenize pass, md5
+    only over the batch-DISTINCT grams (np.unique), then rightmost-min
+    selection as ONE sliding-window argmin over unique ranks (rank =
+    lexsort by (hash asc, pos desc) — no per-window Python).
+
+    Docs with fewer than k tokens emit nothing; docs with fewer than w
+    grams emit their single overall minimum (the w'=m degenerate window,
+    matching the oracle's GREATEST(m-w+1, 1) window count).
+    """
+    import hashlib as _hashlib
+
+    def winnow(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "gram_md5": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        out_id, out_pos, out_h = [], [], []
+        grams_all: List[str] = []
+        spans = []          # (doc_idx, start_in_grams_all, n_grams)
+        for di, x in enumerate(texts):
+            toks = [t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1]
+            m = len(toks) - k + 1
+            if m <= 0:
+                continue
+            spans.append((di, len(grams_all), m))
+            grams_all.extend(" ".join(toks[i:i + k]) for i in range(m))
+        if not grams_all:
+            return empty
+        garr = np.asarray(grams_all, object)
+        uniq, inv = np.unique(garr, return_inverse=True)
+        digests = np.asarray(
+            [_hashlib.md5(g.encode("utf-8")).hexdigest() for g in uniq],
+            object)
+        hflat = digests[inv]
+        for di, s, m in spans:
+            h = hflat[s:s + m]
+            pos = np.arange(m)
+            ww = min(w, m)
+            # unique rank: smaller hash first, ties -> larger pos first
+            order = np.lexsort((-pos, h))
+            rank = np.empty(m, np.int64)
+            rank[order] = np.arange(m)
+            win = np.lib.stride_tricks.sliding_window_view(rank, ww)
+            sel = np.unique(win.argmin(axis=1) + np.arange(m - ww + 1))
+            out_id.append(np.full(sel.size, ids[di], np.int64))
+            out_pos.append(sel.astype(np.int64))
+            out_h.append(h[sel])
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+            "gram_md5": pa.array(np.concatenate(out_h), pa.string())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(winnow, batch_format="pyarrow")
+
+
+# ---------------- C4-style line filtering ----------------
+
+
+def c4_line_filter(docs, min_words: int = 5, min_lines: int = 3,
+                   bad_substrings: Tuple[str, ...] = ("lorem ipsum", "{")):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation ``[.!?"]`` AND contain >=
+    ``min_words`` whitespace-words; drop the whole document when fewer
+    than ``min_lines`` lines survive or when the ORIGINAL text contains
+    any of ``bad_substrings`` (their "lorem ipsum" / curly-brace rules)
+    -> (doc_id, clean_text, n_lines, n_kept) for survivors, clean_text =
+    kept lines re-joined with newlines.
+
+    Pure map, fully vectorized: one Arrow ``split_pattern`` into a list
+    column, per-LINE predicates as two RE2 kernels over the flattened
+    line array (C++ over the whole batch), per-doc re-aggregation with
+    ``np.add.reduceat`` over the list offsets, and the surviving lines
+    re-joined with ``binary_join``. No shuffle, no per-row Python.
+    """
+
+    def clean(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "clean_text": pa.array([], pa.string()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "n_kept": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        text = pc.cast(b.column("text"), pa.string())
+        bad = np.zeros(b.num_rows, bool)
+        for s in bad_substrings:
+            bad |= pc.match_substring(text, pattern=s).to_numpy(
+                zero_copy_only=False)
+        lines = pc.split_pattern(text, pattern="\n").combine_chunks()
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]       # sliced-array offsets normalize to 0
+        flat = lines.flatten()      # flatten() respects slices; .values not
+        n_lines = np.diff(offs)
+        ends_punct = pc.match_substring_regex(
+            flat, pattern='[.!?"]$').to_numpy(zero_copy_only=False)
+        enough = pc.greater_equal(
+            pc.count_substring_regex(flat, pattern=r"\S+"),
+            pa.scalar(min_words)).to_numpy(zero_copy_only=False)
+        keep_line = ends_punct & enough
+        # per-doc kept counts: reduceat over the list offsets (empty
+        # docs -> guard the degenerate zero-length segment)
+        seg = np.minimum(offs[:-1], max(len(flat) - 1, 0))
+        kl = keep_line.astype(np.int64)
+        n_kept = (np.add.reduceat(kl, seg) if len(flat)
+                  else np.zeros(b.num_rows, np.int64))
+        n_kept = np.where(n_lines > 0, n_kept, 0)
+        keep_doc = (~bad) & (n_kept >= min_lines)
+        if not keep_doc.any():
+            return empty
+        # rebuild kept lines per surviving doc
+        doc_of_line = np.repeat(np.arange(b.num_rows), n_lines)
+        line_ok = keep_line & keep_doc[doc_of_line]
+        kept_flat = flat.filter(pa.array(line_ok))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        kept_per_doc = (np.add.reduceat(line_ok.astype(np.int64), seg)
+                        if len(flat) else np.zeros(b.num_rows, np.int64))
+        kept_per_doc = np.where(n_lines > 0, kept_per_doc, 0)[keep_doc]
+        new_offs = np.concatenate(
+            ([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                     kept_flat),
+            pa.scalar("\n"))
+        m = pa.array(keep_doc)
+        return pa.table({
+            "doc_id": b.column("doc_id").filter(m),
+            "clean_text": joined,
+            "n_lines": pa.array(n_lines[keep_doc], pa.int64()),
+            "n_kept": pa.array(n_kept[keep_doc], pa.int64())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(clean, batch_format="pyarrow")
