@@ -1653,6 +1653,84 @@ def _q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(_read_docs(sf_dir), k=4, w=5)
 
 
+# deterministic URL synthesis from (doc_id, source) — the documents
+# table carries no URL column; the construction is replayed verbatim in
+# SQL so the operators under test are canonicalize/dedup, not the data.
+def _synth_urls(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def mk(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.asarray(b.column("source").to_pylist(), object).astype(str)
+        scheme = np.where(ids % 2 == 0, "https://", "HTTPS://").astype(object)
+        host = np.where(ids % 2 == 0, src, np.char.upper(src)).astype(object)
+        path = (ids % 25).astype(str).astype(object)
+        sfx = np.select(
+            [ids % 4 == 0, ids % 4 == 1, ids % 4 == 2],
+            ["?utm_source=x", "/", "#frag"],
+            "?id=1&utm_campaign=y").astype(object)
+        url = scheme + host + ".example.com/p/" + path + sfx
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "url": pa.array(url, pa.string())})
+
+    return _read_docs(sf_dir, columns=("doc_id", "source")) \
+        .map_batches(mk, batch_format="pyarrow")
+
+
+_SYNTH_URL_SQL = """
+CASE WHEN doc_id % 2 = 0 THEN 'https://' || source
+     ELSE 'HTTPS://' || upper(source) END
+|| '.example.com/p/' || CAST(doc_id % 25 AS VARCHAR)
+|| CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x'
+        WHEN doc_id % 4 = 1 THEN '/'
+        WHEN doc_id % 4 = 2 THEN '#frag'
+        ELSE '?id=1&utm_campaign=y' END"""
+
+
+def _q_url_canonicalize(sf_dir: str):
+    """URL canonicalization (stages/urls.py canonicalize_urls): lowercase
+    -> strip fragment -> drop utm_* params -> strip trailing slashes, all
+    chained RE2 kernels in Arrow C++; DuckDB regexp_replace replays the
+    identical chain."""
+    from ics_search_engine_ray.stages.urls import canonicalize_urls
+    return canonicalize_urls(_synth_urls(sf_dir))
+
+
+def _q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup (stages/urls.py url_dedup): one surviving id
+    per canonical URL (min — keep-first) + collapse count via ONE native
+    groupby; only (canon, id) pairs shuffle."""
+    from ics_search_engine_ray.stages.urls import url_dedup
+    return url_dedup(_synth_urls(sf_dir))
+
+
+def _q_quality_percentile(sf_dir: str):
+    """Per-source percent_rank (stages/rank.py group_percent_rank): each
+    doc's quality percentile within its source by n_chars — the
+    keep-top-p%-per-source selector. Co-partitioned by a deterministic
+    group hash; per-task resolution is one sort + searchsorted per group
+    segment."""
+    from ics_search_engine_ray.stages.rank import group_percent_rank
+    return group_percent_rank(
+        _read_docs(sf_dir, columns=("doc_id", "source", "n_chars")),
+        group="source", order_col="n_chars", id_col="doc_id")
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 pricing summary (stages/relational.py pricing_summary):
+    per-batch integer partials (half-away cents/hundredths) -> native
+    groupby Sum -> float finish. The relation never shuffles; all sums
+    are int64-exact so the SQL comparison is bit-identical."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import pricing_summary
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return pricing_summary(li)
+
+
 def _q_customer_order_counts(sf_dir: str):
     """LEFT OUTER join with zero-fill: per-customer order counts
     INCLUDING order-less customers. Orders pre-aggregate to O(customers)
@@ -1794,6 +1872,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,  # MOSS winnowing
         "search_prefix": _q_search_prefix,        # wildcard BM25 rewrite
         "c4_clean": _q_c4_clean,                  # C4 line filtering
+        "pricing_summary": _q_pricing_summary,    # TPC-H Q1 wide scan
+        "url_canonicalize": _q_url_canonicalize,  # crawl URL canon
+        "url_dedup": _q_url_dedup,                # canonical-URL dedup
+        "quality_percentile": _q_quality_percentile,  # per-source pct rank
     }
 
 
@@ -1897,6 +1979,8 @@ def oracle_sql() -> dict[str, str]:
                                      seed=_SPLIT_SEED)
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     k1, b = DEFAULT_CONFIG.bm25_k1, DEFAULT_CONFIG.bm25_b
+    from ics_search_engine_ray.stages.urls import url_canon_sql
+    _url_canon_expr = url_canon_sql("url")
     bm25 = f"""
 WITH toks AS ({_sql_tokens_cte()}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
@@ -1954,6 +2038,44 @@ FROM scores ORDER BY s DESC, doc_id LIMIT 10"""
         "bm25_topk_wand": bm25,
         "search_prefix": bm25_prefix,
         "c4_clean": _c4_clean_sql(),
+        "quality_percentile": """
+SELECT doc_id, source, n_chars,
+       CAST(round(percent_rank() OVER (PARTITION BY source
+                                       ORDER BY n_chars), 6) AS DOUBLE) AS pr
+FROM documents ORDER BY doc_id""",
+        "url_canonicalize": f"""
+WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+SELECT doc_id, url, {_url_canon_expr} AS canon_url FROM u
+ORDER BY doc_id""",
+        "url_dedup": f"""
+WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+SELECT {_url_canon_expr} AS canon_url,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(*) AS n_dups
+FROM u GROUP BY canon_url ORDER BY canon_url""",
+        "pricing_summary": """
+WITH s AS (SELECT l_returnflag, l_linestatus,
+                  CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS bp,
+                  CAST(round(l_discount * 100, 0) AS BIGINT) AS dc,
+                  CAST(round(l_tax * 100, 0) AS BIGINT) AS tx
+           FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(CAST(sum(bp) AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(CAST(sum(bp * (100 - dc)) AS BIGINT) AS DOUBLE) / 10000.0
+         AS sum_disc_price,
+       CAST(CAST(sum(bp * (100 - dc) * (100 + tx)) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS sum_charge,
+       round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 100.0 / count(*), 6)
+         AS avg_qty,
+       round(CAST(CAST(sum(bp) AS BIGINT) AS DOUBLE) / 100.0 / count(*), 6)
+         AS avg_price,
+       round(CAST(CAST(sum(dc) AS BIGINT) AS DOUBLE) / 100.0 / count(*), 6)
+         AS avg_disc,
+       count(*) AS count_order
+FROM s GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
         "bool_search": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),

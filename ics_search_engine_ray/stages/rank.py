@@ -109,3 +109,69 @@ def global_rank(ds, value_col: str, id_col: str,
             lambda t: rank_bin(t.drop(["gkey"]),
                                t.column("gkey")[0].as_py()),
             batch_format="pyarrow")
+
+
+def group_percent_rank(ds, group: str, order_col: str, id_col: str,
+                       dp: int = 6):
+    """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY order_col)``
+    -> (id, group, order_col, pr): rank-with-gaps ties, pr =
+    (rank-1)/(n-1), single-row groups -> 0. The per-source quality-
+    percentile selector (keep the top p% of each source by a quality
+    signal) every mixture-curation pipeline needs.
+
+    Co-partitions by ``group`` and resolves each partition vectorized
+    (one sort + searchsorted per group segment — the loop is over
+    distinct groups per task, not rows). Partitioning assumption: one
+    group's rows fit one task (the sessionize contract); for a group
+    that exceeds a worker, swap in the equi-depth global_rank bins per
+    group — same output, two passes.
+    """
+    from .common import adaptive_groups, round_half_away
+
+    est = ds.count()
+    ngroups = adaptive_groups(est, 1_000_000, lo=16)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             group: pa.array([], pa.string()),
+                             order_col: pa.array([], pa.int64()),
+                             "pr": pa.array([], pa.float64())})
+        key = np.asarray(g.column(group).to_pylist(), object)
+        v = g.column(order_col).to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, key))
+        ks, vs = key[o], v[o]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        ends = np.append(starts[1:], ks.size)
+        pr = np.zeros(ks.size, np.float64)
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n > 1:
+                seg = vs[s:e]
+                rank = np.searchsorted(seg, seg, side="left")  # ties: rank()
+                pr[s:e] = rank / (n - 1)
+        inv = np.empty(ks.size, np.int64)
+        inv[o] = np.arange(ks.size)
+        return pa.table({
+            id_col: g.column(id_col),
+            group: g.column(group),
+            order_col: g.column(order_col),
+            "pr": pa.array(round_half_away(pr[inv], dp), pa.float64())})
+
+    def add_g(b: pa.Table) -> pa.Table:
+        import hashlib
+        # deterministic cross-process hash (Python hash() is per-process
+        # salted — it would split one group across partitions); md5 only
+        # over the batch-DISTINCT group values
+        vals = np.asarray(b.column(group).to_pylist(), object)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        hu = np.array([int.from_bytes(
+            hashlib.md5(str(x).encode()).digest()[:8], "little")
+            % ngroups for x in uniq], np.int64)
+        return b.append_column("_g", pa.array(hu[inv], pa.int64()))
+
+    return (ds.select_columns([id_col, group, order_col])
+            .map_batches(add_g, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: resolve(g.drop(["_g"])),
+                        batch_format="pyarrow"))

@@ -341,3 +341,87 @@ def read_revenue_inputs(sf_dir: str, date_lo: str = "1996-01-01",
         os.path.join(sf_dir, "nation.parquet"),
         columns=["n_nationkey", "n_name"])
     return li, orders, customer, nation
+
+
+def pricing_summary(lineitem):
+    """TPC-H Q1 pricing summary report per (l_returnflag, l_linestatus):
+    sum_qty, sum_base_price, sum_disc_price, sum_charge, avg_qty,
+    avg_price, avg_disc, count_order — the canonical wide-scan aggregate.
+
+    Bit-exact vs SQL by integer arithmetic: quantities/prices/discount/
+    tax convert to half-away-rounded integer hundredths ONCE per row
+    (common.half_away_scaled_int == DuckDB round()), every sum is int64
+    (disc_price in 1e-4 units, charge in 1e-6), and only the final
+    divisions produce floats (round_half_away(., 6) both sides).
+
+    Per-batch (flag, status) partials via lexsort+reduceat -> native
+    groupby Sum over at most O(batches x 6) rows — the full relation
+    never shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    from .common import half_away_scaled_int, round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "l_linestatus": pa.array([], pa.string()),
+            **{c: pa.array([], pa.int64())
+               for c in ("q", "bp", "dp", "ch", "dc", "n")}})
+        if b.num_rows == 0:
+            return empty
+        rf = np.asarray(b.column("l_returnflag").to_pylist(), object)
+        ls = np.asarray(b.column("l_linestatus").to_pylist(), object)
+        qty = half_away_scaled_int(
+            b.column("l_quantity").to_numpy(zero_copy_only=False), 100)
+        cents = half_away_scaled_int(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False), 100)
+        dpct = half_away_scaled_int(
+            b.column("l_discount").to_numpy(zero_copy_only=False), 100)
+        tpct = half_away_scaled_int(
+            b.column("l_tax").to_numpy(zero_copy_only=False), 100)
+        disc_price = cents * (100 - dpct)             # 1e-4 units
+        charge = disc_price * (100 + tpct)            # 1e-6 units
+        key = np.char.add(np.char.add(rf.astype(str), "|"), ls.astype(str))
+        o = np.argsort(key, kind="stable")
+        ks = key[o]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        ends = np.append(starts[1:], ks.size)
+        sums = {c: np.add.reduceat(v[o], starts).astype(np.int64)
+                for c, v in (("q", qty), ("bp", cents),
+                             ("dp", disc_price), ("ch", charge),
+                             ("dc", dpct))}
+        return pa.table({
+            "l_returnflag": pa.array(rf[o][starts], pa.string()),
+            "l_linestatus": pa.array(ls[o][starts], pa.string()),
+            **{c: pa.array(v, pa.int64()) for c, v in sums.items()},
+            "n": pa.array((ends - starts).astype(np.int64), pa.int64())})
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"]
+    merged = (lineitem.select_columns(cols)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(*[Sum(c, alias_name=c)
+                           for c in ("q", "bp", "dp", "ch", "dc", "n")]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        g = {c: b.column(c).cast(pa.int64()).to_numpy(zero_copy_only=False)
+             for c in ("q", "bp", "dp", "ch", "dc", "n")}
+        n = g["n"].astype(np.float64)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": pa.array(g["q"] / 100.0, pa.float64()),
+            "sum_base_price": pa.array(g["bp"] / 100.0, pa.float64()),
+            "sum_disc_price": pa.array(g["dp"] / 1e4, pa.float64()),
+            "sum_charge": pa.array(g["ch"] / 1e6, pa.float64()),
+            "avg_qty": pa.array(
+                round_half_away(g["q"] / 100.0 / n, 6), pa.float64()),
+            "avg_price": pa.array(
+                round_half_away(g["bp"] / 100.0 / n, 6), pa.float64()),
+            "avg_disc": pa.array(
+                round_half_away(g["dc"] / 100.0 / n, 6), pa.float64()),
+            "count_order": pa.array(g["n"], pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
