@@ -1705,6 +1705,44 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(_synth_urls(sf_dir))
 
 
+def _q_part_type_revenue(sf_dir: str):
+    """Star-schema dimension join (stages/relational.py
+    part_type_revenue): part ships once via the gated broadcast join,
+    revenue sums in exact 1e-4 integer units, per-batch partials ->
+    native Sum. The fact relation never shuffles."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import part_type_revenue
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+    return part_type_revenue(li, part)
+
+
+def _q_ntile_values(sf_dir: str):
+    """Distributed NTILE (stages/rank.py ntile): exact global rank via
+    equi-depth bins + prefix sums (no global sort), then SQL's
+    extras-to-the-front bucket formula in closed form."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.rank import ntile
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    return ntile(ev, value_col="value", id_col="event_id", k=8)
+
+
+def _q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap profile (stages/events.py event_gaps):
+    LAG/date_diff/avg/max parity — co-partition by user, one lexsort +
+    diff + reduceat per task, integer-microsecond arithmetic until the
+    final division."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import event_gaps
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id"])
+    return event_gaps(ev)
+
+
 def _q_quality_percentile(sf_dir: str):
     """Per-source percent_rank (stages/rank.py group_percent_rank): each
     doc's quality percentile within its source by n_chars — the
@@ -1876,6 +1914,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _q_url_canonicalize,  # crawl URL canon
         "url_dedup": _q_url_dedup,                # canonical-URL dedup
         "quality_percentile": _q_quality_percentile,  # per-source pct rank
+        "part_type_revenue": _q_part_type_revenue,  # star-schema dim join
+        "ntile_values": _q_ntile_values,          # distributed NTILE
+        "event_gaps": _q_event_gaps,              # LAG gap profile
     }
 
 
@@ -2038,6 +2079,28 @@ FROM scores ORDER BY s DESC, doc_id LIMIT 10"""
         "bm25_topk_wand": bm25,
         "search_prefix": bm25_prefix,
         "c4_clean": _c4_clean_sql(),
+        "part_type_revenue": """
+SELECT p_type, count(*) AS n_items,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type ORDER BY p_type""",
+        "ntile_values": """
+SELECT event_id,
+       CAST(ntile(8) OVER (ORDER BY value, event_id) AS BIGINT) AS bucket
+FROM events ORDER BY event_id""",
+        "event_gaps": """
+WITH o AS (SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pts
+           FROM events),
+g AS (SELECT user_id, date_diff('microsecond', pts, ts) AS d
+      FROM o WHERE pts IS NOT NULL)
+SELECT user_id, count(*) AS n_gaps,
+       round(CAST(sum(d) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_gap_s,
+       CAST(max(d) AS DOUBLE) / 1000000.0 AS max_gap_s
+FROM g GROUP BY user_id ORDER BY user_id""",
         "quality_percentile": """
 SELECT doc_id, source, n_chars,
        CAST(round(percent_rank() OVER (PARTITION BY source

@@ -1375,3 +1375,67 @@ def mode_per_key(events, key: str = "user_id", val: str = "event_type"):
                          "n": b.column("n").cast(pa.int64())})
 
     return reduced.map_batches(finish, batch_format="pyarrow")
+
+
+def event_gaps(events, key: str = "user_id", ts_col: str = "ts",
+               tie_col: str = "event_id", num_groups=None):
+    """Per-key inter-event gap statistics -> (user_id, n_gaps, avg_gap_s,
+    max_gap_s) over events ordered by (ts, tie): the engagement-cadence /
+    bot-detection profile (SQL: LAG + date_diff + avg/max). Keys with a
+    single event emit nothing (no gaps).
+
+    Co-partitions by key into adaptive integer-hash groups (the
+    sessionize contract: one key fits one task; salt by day first if one
+    ever exceeds a worker) and resolves each partition vectorized: one
+    lexsort, one diff, reduceat segment sums/maxima. Gap arithmetic is
+    integer microseconds end-to-end; only the final avg/max divide into
+    float with the oracle's exact expression order."""
+    from .common import adaptive_groups, round_half_away
+
+    if num_groups is None:
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=32)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        u = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_g", pa.array((u % num_groups + num_groups) % num_groups,
+                           pa.int64()))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "avg_gap_s": pa.array([], pa.float64()),
+                          "max_gap_s": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        u = g.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tie = g.column(tie_col).to_numpy(zero_copy_only=False)
+        o = np.lexsort((tie, ts, u))
+        us, tss = u[o], ts[o]
+        same = us[1:] == us[:-1]            # gap rows (same key as prev)
+        if not same.any():
+            return empty
+        d = (tss[1:] - tss[:-1])[same]
+        gu = us[1:][same]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], gu[1:] != gu[:-1])))
+        ends = np.append(starts[1:], gu.size)
+        sums = np.add.reduceat(d, starts)
+        maxs = np.maximum.reduceat(d, starts)
+        n = (ends - starts).astype(np.int64)
+        avg = round_half_away(
+            sums.astype(np.float64) / n / 1_000_000.0, 6)
+        return pa.table({
+            key: pa.array(gu[starts], pa.int64()),
+            "n_gaps": pa.array(n, pa.int64()),
+            "avg_gap_s": pa.array(avg, pa.float64()),
+            "max_gap_s": pa.array(maxs.astype(np.float64) / 1_000_000.0,
+                                  pa.float64())})
+
+    return (events.select_columns([key, ts_col, tie_col])
+            .map_batches(add_g, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: resolve(g.drop(["_g"])),
+                        batch_format="pyarrow"))

@@ -175,3 +175,33 @@ def group_percent_rank(ds, group: str, order_col: str, id_col: str,
             .groupby("_g")
             .map_groups(lambda g: resolve(g.drop(["_g"])),
                         batch_format="pyarrow"))
+
+
+def ntile(ds, value_col: str, id_col: str, k: int):
+    """SQL ``ntile(k) OVER (ORDER BY value, id)`` -> (id, bucket):
+    distributed equal-frequency bucketing WITHOUT a global sort — the
+    exact 1-based global rank comes from :func:`global_rank` (equi-depth
+    bins + prefix-sum offsets, two streaming passes) and the bucket is a
+    closed-form function of (rank, n, k) replicating SQL's
+    extras-to-the-front rule: the first ``n % k`` buckets hold
+    ``n // k + 1`` rows, the rest ``n // k``."""
+    n = ds.count()
+    ranks = global_rank(ds, value_col, id_col)
+    n_big = n % k
+    size_small = n // k
+    size_big = size_small + 1
+    cut = n_big * size_big
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        r0 = b.column("rank").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) - 1
+        if size_small > 0:
+            bkt = np.where(r0 < cut, r0 // size_big,
+                           n_big + (r0 - cut) // max(size_small, 1))
+        else:                      # n < k: one row per leading bucket
+            bkt = r0
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            "bucket": pa.array((bkt + 1).astype(np.int64), pa.int64())})
+
+    return ranks.map_batches(bucketize, batch_format="pyarrow")

@@ -425,3 +425,60 @@ def pricing_summary(lineitem):
             "count_order": pa.array(g["n"], pa.int64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def part_type_revenue(lineitem, part, max_bcast_rows=_BCAST_JOIN_ROWS):
+    """Dimension-enrichment aggregate: discounted revenue per part type
+    -> (p_type, n_items, revenue). The star-schema staple (fact table x
+    small dimension): ``part`` projects to (p_partkey, p_type) and ships
+    ONCE via the broadcast-join gate (a dimension at any realistic scale;
+    above the gate swap in hash_join — documented, not silently slow).
+    Revenue sums in exact 1e-4 integer units (the _rev_units identity the
+    green revenue oracles prove), per-batch lexsort+reduceat partials ->
+    native groupby Sum; the fact relation never shuffles."""
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away  # noqa: F401 (parity w/ siblings)
+    from .joins import broadcast_join
+
+    dim = part.select_columns(["p_partkey", "p_type"])
+    joined = broadcast_join(
+        lineitem.select_columns(["l_partkey", "l_extendedprice",
+                                 "l_discount"]),
+        dim, on="l_partkey", right_on="p_partkey",
+        max_rows=max_bcast_rows)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"p_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        t = np.asarray(b.column("p_type").to_pylist(), object)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        o = np.argsort(t, kind="stable")
+        ts = t[o]
+        starts = np.flatnonzero(np.concatenate(([True], ts[1:] != ts[:-1])))
+        ends = np.append(starts[1:], ts.size)
+        # np.unique sorts ascending like argsort: uk aligns with starts
+        uk, sums = _int_group_sums(t, rev)
+        return pa.table({
+            "p_type": pa.array(uk, pa.string()),
+            "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "rev": pa.array(sums, pa.int64())})
+
+    merged = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_type").aggregate(Sum("n", alias_name="n_items"),
+                                     Sum("rev", alias_name="rev"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b.column("rev").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_type": b.column("p_type"),
+            "n_items": b.column("n_items").cast(pa.int64()),
+            "revenue": pa.array(r.astype(np.float64) / 10000.0,
+                                pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
