@@ -1794,6 +1794,117 @@ def _q_customer_order_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 (stages/relational.py forecast_revenue): date window
+    pushed into the scan, cents-exact discount/qty predicates, one
+    (count, int64-units) pair per batch — no shuffle at all."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import forecast_revenue
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi))
+    return forecast_revenue(li, disc_lo=5, disc_hi=7, qty_max=24.0)
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 (stages/relational.py promo_revenue): one-month lineitem
+    scan x broadcast part dimension; promo/total revenue in exact 1e-4
+    integer units, single driver-side division."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import promo_revenue
+    lo = pa.scalar(np.datetime64("1997-09-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-10-01", "us"), pa.timestamp("us"))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi))
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+    return promo_revenue(li, part)
+
+
+def _q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 (stages/relational.py top_unshipped_orders): segment
+    semi-filter on orders, per-batch lineitem revenue partials before the
+    one large-large hash join, local-top-k forward -> tiny final sort."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import top_unshipped_orders
+    cut = pa.scalar(np.datetime64("1998-07-01", "us"), pa.timestamp("us"))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > cut)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_custkey"],
+        filter=pc.field("o_orderdate") < cut)
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == "BUILDING")
+    return top_unshipped_orders(li, orders, customer, k=10)
+
+
+def _q_large_orders(sf_dir: str):
+    """TPC-H Q18 (stages/relational.py large_orders): one native groupby
+    Sum over per-batch qty partials + HAVING, then the rare heavy orders
+    broadcast onto orders and customer — big relations never shuffle."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import large_orders
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_name"])
+    return large_orders(li, orders, customer, min_qty=250.0, k=100)
+
+
+def _synth_recrawl(sf_dir: str):
+    """Deterministic recrawl fixture over documents: OLD = the corpus as
+    crawled; NEW = docs with doc_id%7 in (0,1) re-fetched unchanged (ids
+    +1e6) plus docs with doc_id%7 in (2,3) re-fetched with edited text
+    (ids +2e6). Mirrored exactly in the SQL oracle."""
+    docs = _read_docs(sf_dir)
+
+    def make_new(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        r = ids % 7
+        same = np.flatnonzero((r == 0) | (r == 1))
+        edit = np.flatnonzero((r == 2) | (r == 3))
+        t_same = b.column("text").take(pa.array(same, pa.int64()))
+        t_edit = pc.binary_join_element_wise(
+            b.column("text").take(pa.array(edit, pa.int64())),
+            pa.scalar(" (updated)"), "")
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids[same] + 1_000_000,
+                                ids[edit] + 2_000_000]), pa.int64()),
+            "text": pa.concat_arrays(
+                [t_same.combine_chunks(), t_edit.combine_chunks()])})
+
+    new = docs.map_batches(make_new, batch_format="pyarrow")
+    return new, docs
+
+
+def _q_dedup_against(sf_dir: str):
+    """Incremental cross-corpus exact dedup (stages/dedup_text.py
+    dedup_against): new crawl anti-joins the old corpus's distinct
+    128-bit text hashes — gated broadcast 'left anti' per batch below
+    2M old hashes, hash_hi co-partitioned lexsort-run membership above."""
+    from ics_search_engine_ray.stages.dedup_text import dedup_against
+    new, old = _synth_recrawl(sf_dir)
+    return dedup_against(new, old)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1917,6 +2028,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_revenue": _q_part_type_revenue,  # star-schema dim join
         "ntile_values": _q_ntile_values,          # distributed NTILE
         "event_gaps": _q_event_gaps,              # LAG gap profile
+        "forecast_revenue": _q_forecast_revenue,  # TPC-H Q6 no-shuffle agg
+        "promo_revenue": _q_promo_revenue,        # TPC-H Q14 dim ratio
+        "top_unshipped_orders": _q_top_unshipped_orders,  # TPC-H Q3 top-k
+        "large_orders": _q_large_orders,          # TPC-H Q18 HAVING join
+        "dedup_against": _q_dedup_against,        # incremental crawl dedup
     }
 
 
@@ -2116,6 +2232,63 @@ SELECT {_url_canon_expr} AS canon_url,
        CAST(min(doc_id) AS BIGINT) AS keep_id,
        count(*) AS n_dups
 FROM u GROUP BY canon_url ORDER BY canon_url""",
+        "forecast_revenue": """
+WITH f AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS bp,
+                  CAST(round(l_discount * 100, 0) AS BIGINT) AS dc
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND round(l_discount * 100, 0) BETWEEN 5 AND 7
+             AND l_quantity < 24)
+SELECT count(*) AS n_items,
+       CAST(CAST(sum(bp * dc) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+FROM f""",
+        "promo_revenue": """
+WITH f AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev,
+                  p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+             AND l_shipdate < TIMESTAMP '1997-10-01')
+SELECT round(100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                        ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE), 6) AS promo_pct
+FROM f""",
+        "top_unshipped_orders": """
+WITH li AS (SELECT l_orderkey,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     AS rev
+            FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01'
+            GROUP BY l_orderkey)
+SELECT o_orderkey, o_orderdate,
+       CAST(rev AS DOUBLE) / 10000.0 AS revenue
+FROM li JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < TIMESTAMP '1998-07-01'
+  AND c_mktsegment = 'BUILDING'
+ORDER BY rev DESC, o_orderdate, o_orderkey LIMIT 10""",
+        "large_orders": """
+WITH q AS (SELECT l_orderkey,
+                  sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qu
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 25000)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qu AS DOUBLE) / 100.0 AS total_qty
+FROM q JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "dedup_against": """
+WITH old AS (SELECT DISTINCT md5(text) AS h FROM documents),
+novel AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 IN (0, 1)
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' (updated)' AS text
+  FROM documents WHERE doc_id % 7 IN (2, 3))
+SELECT doc_id FROM novel
+WHERE md5(text) NOT IN (SELECT h FROM old)
+ORDER BY doc_id""",
         "pricing_summary": """
 WITH s AS (SELECT l_returnflag, l_linestatus,
                   CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,

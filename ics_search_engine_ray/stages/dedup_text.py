@@ -1141,3 +1141,97 @@ def boilerplate_remove(docs, win: int = 20, min_docs: int = 2):
             lambda g: keep_rare(g.drop_columns(["_g"])),
             batch_format="pyarrow")
     return _reassemble_chunks(survivors)
+
+
+# ---------------- cross-corpus (incremental) exact dedup ----------------
+
+
+def dedup_against(new_docs, old_docs, max_bcast_rows: int = 2_000_000,
+                  num_groups: int = None):
+    """Incremental-crawl exact dedup: drop NEW documents whose full text
+    already exists in the OLD corpus (the recrawl filter every continuous
+    crawl pipeline runs before indexing). Returns the surviving new-side
+    ``(doc_id,)`` rows.
+
+    Both corpora hash per batch to the same 128-bit md5 as
+    :func:`exact_dedup` (two int64 halves — a truncated digest could
+    collide and silently drop a genuinely new page). The old side first
+    collapses to DISTINCT hashes with one native groupby, so only
+    O(distinct old texts) keys ever move:
+
+    - **under the gate** the key set ships once via the object store and
+      each new batch runs pyarrow's vectorized 'left anti' join locally —
+      zero new-side shuffle (the common case: the old-hash set is the
+      thing a crawl keeps hot anyway);
+    - **above the gate** both sides co-partition by ``hash_hi % G``
+      (uniform — md5 bits) into adaptive groups, and each group resolves
+      with one lexsort-run membership scan: a new row survives iff no old
+      row shares its (hi, lo) run. No driver-side O(corpus) state.
+    """
+    import ray
+
+    from .common import adaptive_groups
+
+    new_h = new_docs.map_batches(_text_hash_batch, batch_format="pyarrow")
+    old_keys = old_docs.map_batches(_text_hash_batch,
+                                    batch_format="pyarrow") \
+        .groupby(["hash_hi", "hash_lo"]).count() \
+        .select_columns(["hash_hi", "hash_lo"]).materialize()
+    n_keys = old_keys.count()
+
+    if n_keys <= max_bcast_rows:
+        parts = [t for t in ray.get(old_keys.to_arrow_refs())
+                 if t.num_rows]
+        k_tbl = (pa.concat_tables(parts) if parts else pa.table(
+            {"hash_hi": pa.array([], pa.int64()),
+             "hash_lo": pa.array([], pa.int64())})).combine_chunks()
+        k_ref = ray.put(k_tbl)
+
+        def anti(b: pa.Table) -> pa.Table:
+            keys = ray.get(k_ref)
+            out = b.join(keys, keys=["hash_hi", "hash_lo"],
+                         join_type="left anti", use_threads=False)
+            return out.select(["doc_id"])
+
+        return new_h.map_batches(anti, batch_format="pyarrow")
+
+    # scale path: co-partition by the (uniform) high hash half
+    if num_groups is None:
+        num_groups = adaptive_groups(new_h.count() + n_keys,
+                                     1_000_000, lo=32)
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            hi = b.column("hash_hi").to_numpy(zero_copy_only=False)
+            g = (hi % num_groups + num_groups) % num_groups
+            ids = (b.column("doc_id").to_numpy(zero_copy_only=False)
+                   if side == 0 else np.zeros(n, np.int64))
+            return pa.table({
+                "_g": pa.array(g, pa.int64()),
+                "_side": pa.array(np.full(n, side, np.int8), pa.int8()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "hash_hi": pa.array(hi, pa.int64()),
+                "hash_lo": b.column("hash_lo")})
+        return fn
+
+    tagged = new_h.map_batches(tag(0), batch_format="pyarrow") \
+        .union(old_keys.map_batches(tag(1), batch_format="pyarrow"))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        hi = g.column("hash_hi").to_numpy(zero_copy_only=False)
+        lo = g.column("hash_lo").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, lo, hi))
+        hi_s, lo_s, side_s = hi[order], lo[order], side[order]
+        run_start = np.concatenate(
+            ([True], (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])))
+        run_id = np.cumsum(run_start) - 1
+        has_old = np.bincount(run_id, weights=(side_s == 1)) > 0
+        keep = order[(side_s == 0) & ~has_old[run_id]]
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    return tagged.groupby("_g").map_groups(resolve, batch_format="pyarrow")

@@ -482,3 +482,244 @@ def part_type_revenue(lineitem, part, max_bcast_rows=_BCAST_JOIN_ROWS):
                                 pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def forecast_revenue(lineitem, disc_lo: int = 5, disc_hi: int = 7,
+                     qty_max: float = 24.0):
+    """TPC-H Q6 forecast-revenue-change: one global SUM over a filtered
+    scan -> a single row ``(n_items, revenue)``.
+
+    The whole relation streams through stateless per-batch partials; the
+    ONLY thing that ever leaves a task is one (count, int64-units) pair
+    per batch, so there is no shuffle at all — the cheapest possible
+    physical plan for a filter + global aggregate at 100 TB. The caller
+    pushes the date window into the parquet scan (row-group pruning);
+    the discount/quantity predicates are vectorized here because the
+    discount test is on the CENTS value (``round(l_discount*100)``), not
+    the raw float — keeping the filter bit-identical to the SQL oracle.
+    Revenue accumulates in exact 1e-4 integer units (cents x discount
+    percent), so summation order cannot drift."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"n": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        dpct = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        m = (dpct >= disc_lo) & (dpct <= disc_hi) & (qty < qty_max)
+        if not m.any():
+            return empty
+        cents = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        rev = int((cents * dpct[m]).sum())
+        return pa.table({"n": pa.array([int(m.sum())], pa.int64()),
+                         "rev": pa.array([rev], pa.int64())})
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"), Sum("rev", alias_name="rev"))
+    n = int(agg.get("n") or 0)
+    rev = int(agg.get("rev") or 0)
+    return pa.table({"n_items": pa.array([n], pa.int64()),
+                     "revenue": pa.array([rev / 10000.0], pa.float64())})
+
+
+def promo_revenue(lineitem, part, max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q14 promotion-effect: percentage of revenue in a date window
+    coming from PROMO-type parts -> one row ``(promo_pct,)``.
+
+    Fact x dimension: ``part`` projects to (p_partkey, p_type) and ships
+    ONCE through the gated broadcast join (hash_join is the documented
+    path above the gate); the lineitem relation never shuffles. Both the
+    promo and the total revenue accumulate in exact 1e-4 integer units;
+    the single float division happens once on two driver-side scalars."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    joined = broadcast_join(
+        lineitem.select_columns(["l_partkey", "l_extendedprice",
+                                 "l_discount"]),
+        part.select_columns(["p_partkey", "p_type"]),
+        on="l_partkey", right_on="p_partkey", max_rows=max_bcast_rows)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"promo": pa.array([], pa.int64()),
+                          "total": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        is_promo = pc.equal(b.column("p_type"), "PROMO") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total": pa.array([int(rev.sum())], pa.int64())})
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("promo", alias_name="promo"),
+                   Sum("total", alias_name="total"))
+    promo = int(agg.get("promo") or 0)
+    total = int(agg.get("total") or 0)
+    pct = round(100.0 * promo / total, 6) if total else 0.0
+    return pa.table({"promo_pct": pa.array([pct], pa.float64())})
+
+
+def top_unshipped_orders(lineitem, orders, customer,
+                         segment: str = "BUILDING", k: int = 10,
+                         max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q3 shipping-priority: top-k orders by outstanding revenue for
+    one market segment -> (o_orderkey, o_orderdate, revenue) rows.
+
+    Physical plan, chosen for the 100 TB shapes:
+
+    - the caller pushes BOTH date predicates into the scans
+      (l_shipdate > cutoff on lineitem, o_orderdate < cutoff on orders);
+    - customer filters to the segment and collapses to a custkey set;
+      :func:`~.joins.semi_join` picks gated-broadcast vs co-partitioned
+      anti-shuffle automatically, so orders never re-shuffles for it;
+    - lineitem collapses per batch to (orderkey, rev_units) partials
+      BEFORE the one large-large hash join, so the join moves
+      ~|qualifying orders| rows, never |lineitem|;
+    - the post-join groupby keys on (orderkey, orderdate-as-int64us) —
+      orderdate is functionally dependent on orderkey, riding along
+      costs nothing and avoids a second join to re-attach it;
+    - global top-k WITHOUT a global sort: every merged batch forwards
+      only its local top-k candidates under the total order
+      (rev desc, orderdate asc, orderkey asc), then one tiny sort+limit
+      finishes on O(batches x k) rows.
+
+    Revenue is exact 1e-4 integer units end-to-end, so the top-k
+    membership and its tie-breaks are bit-identical to the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join, semi_join
+
+    cust = customer.select_columns(["c_custkey"])
+    ords = semi_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                     max_bcast_rows=max_bcast_rows)
+
+    def ords_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_date_us": b.column("o_orderdate").cast(pa.int64())})
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_units": pa.array([], pa.int64())})
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        uk, sums = _int_group_sums(keys, rev)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "rev_units": pa.array(sums, pa.int64())})
+
+    li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(
+        li_agg, ords.map_batches(ords_proj, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey")
+    merged = joined.groupby(["l_orderkey", "o_date_us"]) \
+        .aggregate(Sum("rev_units", alias_name="rev"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "o_date_us": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        rev = b.column("rev").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        odate = b.column("o_date_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, odate, -rev))[:k]
+        return pa.table({
+            "o_orderkey": pa.array(okey[order], pa.int64()),
+            "o_date_us": pa.array(odate[order], pa.int64()),
+            "rev": pa.array(rev[order], pa.int64())})
+
+    cand = merged.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["rev", "o_date_us", "o_orderkey"],
+              descending=[True, False, False]).limit(k)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderdate": b.column("o_date_us").cast(pa.timestamp("us")),
+            "revenue": pa.array(
+                b.column("rev").to_numpy(zero_copy_only=False)
+                .astype(np.float64) / 10000.0, pa.float64())})
+
+    return cand.map_batches(finish, batch_format="pyarrow")
+
+
+def large_orders(lineitem, orders, customer, min_qty: float = 250.0,
+                 k: int = 100, max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds ``min_qty``, with the buyer's name -> top-k by
+    (o_totalprice desc, o_orderkey) of
+    (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty).
+
+    Plan: lineitem collapses per batch to (orderkey, qty-in-1e-2-units)
+    partials -> ONE native groupby Sum (the only corpus-sized shuffle)
+    -> the HAVING filter. Orders exceeding ``min_qty`` are rare by
+    construction, so the surviving relation is tiny: it rides the gated
+    broadcast join onto orders, and the enriched (still tiny) result
+    broadcasts onto customer — neither big relation ever shuffles. Above
+    the gate (a pathological threshold) the documented path is two
+    hash_joins. Quantities are exact integer hundredths end-to-end."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = np.rint(b.column("l_quantity").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        uk, sums = _int_group_sums(keys, q)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "q": pa.array(sums, pa.int64())})
+
+    thresh = int(round(min_qty * 100))
+    heavy = lineitem.map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("q", alias_name="q")) \
+        .map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("q"),
+                "q", b.column("q").cast(pa.int64()))
+            .filter(pc.greater(b.column("q").cast(pa.int64()), thresh)),
+            batch_format="pyarrow")
+
+    with_orders = broadcast_join(
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_totalprice"]),
+        heavy, on="o_orderkey", right_on="l_orderkey",
+        max_rows=max_bcast_rows)
+    enriched = broadcast_join(
+        customer.select_columns(["c_custkey", "c_name"]),
+        with_orders, on="c_custkey", right_on="o_custkey",
+        max_rows=max_bcast_rows)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": b.column("c_name"),
+            "c_custkey": b.column("c_custkey").cast(pa.int64()),
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_orderdate": b.column("o_orderdate"),
+            "o_totalprice": b.column("o_totalprice"),
+            "total_qty": pa.array(
+                b.column("q").to_numpy(zero_copy_only=False)
+                .astype(np.float64) / 100.0, pa.float64())})
+
+    return enriched.map_batches(finish, batch_format="pyarrow") \
+        .sort(["o_totalprice", "o_orderkey"],
+              descending=[True, False]).limit(k)
