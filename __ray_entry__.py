@@ -1905,6 +1905,123 @@ def _q_dedup_against(sf_dir: str):
     return dedup_against(new, old)
 
 
+def _q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 (stages/relational.py order_count_distribution): per-
+    customer order counts via ONE native groupby, count histogram via a
+    second tiny groupby, zero bucket closed-form from two scalar counts
+    — the classic left-outer join eliminated entirely."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import \
+        order_count_distribution
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey"])
+    return order_count_distribution(orders, customer)
+
+
+def _q_top_suppliers(sf_dir: str):
+    """TPC-H Q15 (stages/relational.py top_suppliers): per-supplier
+    revenue partials -> native groupby Sum -> streaming global Max ->
+    tie-exact winner set broadcasts onto supplier."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import top_suppliers
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-04-01", "us"), pa.timestamp("us"))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi))
+    supplier = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                               columns=["s_suppkey", "s_name"])
+    return top_suppliers(li, supplier)
+
+
+def _q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 (stages/relational.py idle_rich_customers): the
+    correlated AVG subquery becomes two streaming integer scalars and an
+    exact cross-multiplication; active custkeys broadcast as a per-batch
+    Arrow 'left anti' — customer never shuffles."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import idle_rich_customers
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    cut = pa.scalar(np.datetime64("2000-01-01", "us"), pa.timestamp("us"))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"],
+                             filter=pc.field("o_orderdate") >= cut)
+    return idle_rich_customers(customer, orders)
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 (stages/relational.py small_qty_revenue): brand part
+    keys broadcast-semi-filter lineitem; the correlated per-part AVG is
+    an exact integer cross-multiplication over broadcast per-part stats
+    — two streaming passes, zero shuffles."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import small_qty_revenue
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_brand"])
+    return small_qty_revenue(li, part, brand="Brand#12")
+
+
+def _q_returned_item_report(sf_dir: str):
+    """TPC-H Q10 (stages/relational.py returned_item_report): R-flag
+    lineitem collapses per batch before ONE hash join with the window-
+    filtered orders; per-customer Sum -> local-top-k forward -> the 20
+    winners broadcast onto customer + nation."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import returned_item_report
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-07-01", "us"), pa.timestamp("us"))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= lo)
+               & (pc.field("o_orderdate") < hi))
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_name"])
+    return returned_item_report(li, orders, customer, nation, k=20)
+
+
+def _q_nation_volume(sf_dir: str):
+    """TPC-H Q7 (stages/relational.py nation_volume): supplier-nation
+    map broadcasts onto lineitem (filters to the two nations + per-batch
+    packed-key partials); two-nation customers broadcast onto orders;
+    ONE large-large hash join; cross-direction cells merge in a tiny
+    groupby."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import nation_volume
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+    supplier = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                               columns=["s_suppkey", "s_nationkey"])
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_name"])
+    return nation_volume(li, orders, customer, supplier, nation,
+                         nation_a="NATION_2", nation_b="NATION_11")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2033,6 +2150,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": _q_top_unshipped_orders,  # TPC-H Q3 top-k
         "large_orders": _q_large_orders,          # TPC-H Q18 HAVING join
         "dedup_against": _q_dedup_against,        # incremental crawl dedup
+        "order_count_distribution": _q_order_count_distribution,  # Q13
+        "top_suppliers": _q_top_suppliers,        # TPC-H Q15 max + ties
+        "idle_rich_customers": _q_idle_rich_customers,  # TPC-H Q22 anti
+        "small_qty_revenue": _q_small_qty_revenue,  # TPC-H Q17 correlated
+        "returned_item_report": _q_returned_item_report,  # TPC-H Q10
+        "nation_volume": _q_nation_volume,        # TPC-H Q7 cross pairs
     }
 
 
@@ -2289,6 +2412,79 @@ novel AS (
 SELECT doc_id FROM novel
 WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
+        "order_count_distribution": """
+WITH c AS (SELECT c_custkey, count(o_custkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM c GROUP BY c_count ORDER BY c_count""",
+        "top_suppliers": """
+WITH r AS (SELECT l_suppkey,
+                  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                    AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) / 10000.0 AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM r) ORDER BY s_suppkey""",
+        "idle_rich_customers": """
+WITH b AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+           FROM customer),
+s AS (SELECT sum(cents) AS sc, count(*) AS cnt FROM b WHERE cents > 0)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+FROM b, s
+WHERE cents * cnt > sc
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "small_qty_revenue": """
+WITH a AS (SELECT l_partkey,
+                  sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sq,
+                  count(*) AS cnt
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_brand = 'Brand#12')
+           GROUP BY l_partkey)
+SELECT round(CAST(coalesce(
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)), 0)
+       AS DOUBLE) / 100.0 / 7.0, 6) AS avg_yearly
+FROM lineitem JOIN a USING (l_partkey)
+WHERE CAST(round(l_quantity * 100, 0) AS BIGINT) * 5 * cnt < sq""",
+        "returned_item_report": """
+WITH li AS (SELECT l_orderkey,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     AS rev
+            FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+pcust AS (SELECT o_custkey, sum(rev) AS rev
+          FROM li JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-07-01'
+          GROUP BY o_custkey)
+SELECT c_custkey, c_name, CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+       c_acctbal, n_name
+FROM pcust JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev DESC, c_custkey LIMIT 20""",
+        "nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+     JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN nation n1 ON s_nationkey = n1.n_nationkey
+     JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_11')
+   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_2')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "pricing_summary": """
 WITH s AS (SELECT l_returnflag, l_linestatus,
                   CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,

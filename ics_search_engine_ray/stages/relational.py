@@ -723,3 +723,500 @@ def large_orders(lineitem, orders, customer, min_qty: float = 250.0,
     return enriched.map_batches(finish, batch_format="pyarrow") \
         .sort(["o_totalprice", "o_orderkey"],
               descending=[True, False]).limit(k)
+
+
+def order_count_distribution(orders, customer):
+    """TPC-H Q13 customer-distribution: how many customers placed exactly
+    N orders, INCLUDING the zero-order bucket -> (c_count, custdist).
+
+    The classic formulation is a left-outer join; the distributed plan
+    here needs NO join at all: orders collapse to per-customer counts
+    with one native groupby (the only corpus shuffle), the count
+    histogram is a second (tiny, O(distinct counts)) groupby, and the
+    zero bucket is closed-form — ``|customer| - |customers with >=1
+    order|`` — two streaming scalar counts. Nothing customer-sized ever
+    moves."""
+    from ray.data.aggregate import Sum
+
+    counts = orders.groupby("o_custkey").count().materialize()
+    n_customers = customer.count()
+    n_with_orders = counts.count()
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c_count": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        c = b.column("count()").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uk, sums = _int_group_sums(c, np.ones(c.size, np.int64))
+        return pa.table({"c_count": pa.array(uk, pa.int64()),
+                         "n": pa.array(sums, pa.int64())})
+
+    hist = counts.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("n", alias_name="custdist"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"c_count": b.column("c_count"),
+                         "custdist": b.column("custdist").cast(pa.int64())})
+
+    out = hist.map_batches(finish, batch_format="pyarrow")
+    n_zero = n_customers - n_with_orders
+    if n_zero == 0:        # SQL's groupby emits no empty zero bucket
+        return out
+    zero = pa.table({"c_count": pa.array([0], pa.int64()),
+                     "custdist": pa.array([n_zero], pa.int64())})
+    import ray.data as rd
+    return out.union(rd.from_arrow(zero))
+
+
+def top_suppliers(lineitem, supplier, max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q15 top supplier(s): supplier(s) with the MAX revenue over a
+    shipping window (window pushed into the scan by the caller) ->
+    (s_suppkey, s_name, total_revenue), all ties.
+
+    Plan: per-batch (suppkey, rev-units) partials -> one native groupby
+    Sum (O(suppliers) rows shuffle, never lineitem) -> a streaming Max
+    for the global best -> the winner set (>=1 row, almost always tiny)
+    broadcasts onto supplier, which never shuffles. Revenue in exact
+    1e-4 integer units makes the max and its tie set scale-invariant."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from .joins import broadcast_join
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        keys = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        uk, sums = _int_group_sums(keys, rev)
+        return pa.table({"l_suppkey": pa.array(uk, pa.int64()),
+                         "rev": pa.array(sums, pa.int64())})
+
+    per_supp = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Sum("rev", alias_name="rev")) \
+        .map_batches(
+            lambda b: pa.table({
+                "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "rev": b.column("rev").cast(pa.int64())}),
+            batch_format="pyarrow").materialize()   # consumed twice
+    best = per_supp.aggregate(Max("rev", alias_name="m")).get("m")
+    if best is None:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue": pa.array([], pa.float64())})
+    winners = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b.column("rev"), best)),
+        batch_format="pyarrow")
+
+    enriched = broadcast_join(
+        supplier.select_columns(["s_suppkey", "s_name"]), winners,
+        on="s_suppkey", right_on="l_suppkey", max_rows=max_bcast_rows)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": b.column("s_suppkey").cast(pa.int64()),
+            "s_name": b.column("s_name"),
+            "total_revenue": pa.array(
+                b.column("rev").to_numpy(zero_copy_only=False)
+                .astype(np.float64) / 10000.0, pa.float64())})
+
+    return enriched.map_batches(finish, batch_format="pyarrow")
+
+
+def idle_rich_customers(customer, orders, max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q22 global-relation sales opportunity: customers with an
+    account balance above the (positive-balance) global average who never
+    placed an order, grouped by nation ->
+    (c_nationkey, numcust, totacctbal).
+
+    Plan: the correlated scalar subquery becomes two streaming integer
+    scalars (sum of positive balances in cents, their count) — the
+    above-average test is the EXACT integer cross-multiplication
+    ``bal_cents * cnt > sum_cents`` on both sides, so no float average
+    ever exists to drift. Orders collapse to distinct custkeys (native
+    groupby); under the gate that key set ships once and each customer
+    batch runs Arrow 'left anti' locally — the customer relation never
+    shuffles. The final per-nation rollup is a tiny groupby Sum."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"s": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        cents = np.rint(b.column("c_acctbal").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        pos = cents[cents > 0]
+        if pos.size == 0:
+            return empty
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "c": pa.array([int(pos.size)], pa.int64())})
+
+    agg = customer.map_batches(bal_partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    sum_cents = int(agg.get("s") or 0)
+    cnt = int(agg.get("c") or 0)
+
+    okeys = orders.select_columns(["o_custkey"]).groupby("o_custkey") \
+        .count().select_columns(["o_custkey"]).materialize()
+    if okeys.count() > max_bcast_rows:
+        raise ValueError("active-customer key set exceeds the broadcast "
+                         "gate; use the co-partitioned anti path "
+                         "(dedup_against's resolve shape)")
+    parts = [t for t in ray.get(okeys.to_arrow_refs()) if t.num_rows]
+    k_tbl = (pa.concat_tables(parts) if parts else
+             pa.table({"o_custkey": pa.array([], pa.int64())})) \
+        .combine_chunks()
+    k_ref = ray.put(k_tbl)
+
+    def idle_rich(b: pa.Table) -> pa.Table:
+        empty = pa.table({"c_nationkey": pa.array([], pa.int64()),
+                          "numcust": pa.array([], pa.int64()),
+                          "bal": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        cents = np.rint(b.column("c_acctbal").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        rich = cents * cnt > sum_cents
+        sub = b.filter(pa.array(rich)).append_column(
+            "bal_cents", pa.array(cents[rich], pa.int64()))
+        keys = ray.get(k_ref)
+        sub = sub.join(keys, keys="c_custkey", right_keys="o_custkey",
+                       join_type="left anti", use_threads=False)
+        if sub.num_rows == 0:
+            return empty
+        nat = sub.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bal = sub.column("bal_cents").to_numpy(zero_copy_only=False)
+        uk, sums = _int_group_sums(nat, bal)
+        _, ns = _int_group_sums(nat, np.ones(nat.size, np.int64))
+        return pa.table({"c_nationkey": pa.array(uk, pa.int64()),
+                         "numcust": pa.array(ns, pa.int64()),
+                         "bal": pa.array(sums, pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+    merged = customer.map_batches(idle_rich, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(
+            _Sum("numcust", alias_name="numcust"),
+            _Sum("bal", alias_name="bal"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            "numcust": b.column("numcust").cast(pa.int64()),
+            "totacctbal": pa.array(
+                b.column("bal").to_numpy(zero_copy_only=False)
+                .astype(np.float64) / 100.0, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def small_qty_revenue(lineitem, part, brand: str,
+                      max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q17 small-quantity-order revenue: average yearly revenue
+    lost if orders below 20%% of a part's average quantity were not
+    filled, for one brand -> one row ``(avg_yearly,)``.
+
+    The correlated per-part average becomes two streaming passes over a
+    brand-pruned lineitem — neither shuffles:
+
+    - pass 1: brand part keys broadcast as an Arrow 'left semi' filter;
+      per-batch (partkey, qty-units, count) partials -> native groupby
+      Sum -> the per-part stats relation, O(parts of one brand);
+    - pass 2: those stats broadcast back (gated) and the quantity test
+      is the EXACT integer cross-multiplication ``qty_units * 5 * cnt <
+      sum_qty_units`` (i.e. qty < 0.2 * avg without ever forming the
+      float average); matching extendedprice sums in integer cents.
+
+    The single float division (by 100 * 7 years) happens once on the
+    driver."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    import pyarrow.compute as _pc
+
+    def brand_keys(b: pa.Table) -> pa.Table:
+        return b.filter(_pc.equal(b.column("p_brand"), brand)) \
+            .select(["p_partkey"])
+
+    bkeys = part.map_batches(brand_keys, batch_format="pyarrow")
+    li_b = broadcast_join(lineitem, bkeys, on="l_partkey",
+                          right_on="p_partkey", join_type="left semi",
+                          max_rows=max_bcast_rows).materialize()
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = np.rint(b.column("l_quantity").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        uk, sums = _int_group_sums(keys, q)
+        _, ns = _int_group_sums(keys, np.ones(keys.size, np.int64))
+        return pa.table({"l_partkey": pa.array(uk, pa.int64()),
+                         "sq": pa.array(sums, pa.int64()),
+                         "cnt": pa.array(ns, pa.int64())})
+
+    stats = li_b.map_batches(stat_partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("sq", alias_name="sq"),
+                                        Sum("cnt", alias_name="cnt"))
+    s_parts = [t for t in ray.get(stats.materialize().to_arrow_refs())
+               if t.num_rows]
+    s_tbl = (pa.concat_tables(s_parts) if s_parts else pa.table(
+        {"l_partkey": pa.array([], pa.int64()),
+         "sq": pa.array([], pa.int64()),
+         "cnt": pa.array([], pa.int64())})).combine_chunks()
+    if s_tbl.num_rows > max_bcast_rows:
+        raise ValueError("per-part stats exceed the broadcast gate; "
+                         "use hash_join back onto lineitem")
+    pk = s_tbl.column("l_partkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    stats_ref = ray.put((pk[order],
+                         s_tbl.column("sq").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False)[order],
+                         s_tbl.column("cnt").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False)[order]))
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"cents": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        spk, ssq, scnt = ray.get(stats_ref)
+        keys = b.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(spk, keys)
+        q = np.rint(b.column("l_quantity").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        small = q * 5 * scnt[pos] < ssq[pos]
+        if not small.any():
+            return empty
+        cents = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[small] * 100.0).astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())],
+                                           pa.int64())})
+
+    total = li_b.map_batches(rev_partial, batch_format="pyarrow") \
+        .aggregate(Sum("cents", alias_name="cents"))
+    cents = int(total.get("cents") or 0)
+    return pa.table({"avg_yearly": pa.array(
+        [round(cents / 100.0 / 7.0, 6)], pa.float64())})
+
+
+def returned_item_report(lineitem, orders, customer, nation, k: int = 20,
+                         max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q10 returned-item reporting: top-k customers by revenue on
+    RETURNED items in an order window ->
+    (c_custkey, c_name, revenue, c_acctbal, n_name).
+
+    Plan: lineitem keeps only returnflag='R' rows and collapses per batch
+    to (orderkey, rev-units) BEFORE the one large-large hash join with
+    the window-filtered orders (caller pushes the date window into the
+    scan); per-customer revenue is one native groupby Sum; the global
+    top-k forwards per-batch candidates under the exact-integer total
+    order (rev desc, custkey asc) so only O(batches x k) rows sort; the
+    k winners broadcast onto customer (which never shuffles) and the
+    25-row nation map rides along. Ties cannot drift: revenue is exact
+    1e-4 integer units end-to-end."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join, hash_join
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        m = pc.equal(b.column("l_returnflag"), "R") \
+            .to_numpy(zero_copy_only=False)
+        if not m.any():
+            return empty
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)[m]
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[m],
+            b.column("l_discount").to_numpy(zero_copy_only=False)[m])
+        uk, sums = _int_group_sums(keys, rev)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "rev": pa.array(sums, pa.int64())})
+
+    li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(li_agg, orders.select_columns(
+        ["o_orderkey", "o_custkey"]), on="l_orderkey",
+        right_on="o_orderkey")
+    per_cust = joined.groupby("o_custkey") \
+        .aggregate(Sum("rev", alias_name="rev"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        rev = b.column("rev").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ck = b.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rev))[:k]
+        return pa.table({"o_custkey": pa.array(ck[order], pa.int64()),
+                         "rev": pa.array(rev[order], pa.int64())})
+
+    winners = per_cust.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["rev", "o_custkey"], descending=[True, False]).limit(k)
+
+    enriched = broadcast_join(
+        customer.select_columns(["c_custkey", "c_name", "c_acctbal",
+                                 "c_nationkey"]),
+        winners, on="c_custkey", right_on="o_custkey",
+        max_rows=max_bcast_rows)
+    enriched = broadcast_join(
+        enriched, nation.select_columns(["n_nationkey", "n_name"]),
+        on="c_nationkey", right_on="n_nationkey",
+        max_rows=max_bcast_rows)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("c_custkey").cast(pa.int64()),
+            "c_name": b.column("c_name"),
+            "revenue": pa.array(
+                b.column("rev").to_numpy(zero_copy_only=False)
+                .astype(np.float64) / 10000.0, pa.float64()),
+            "c_acctbal": b.column("c_acctbal"),
+            "n_name": b.column("n_name")})
+
+    return enriched.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+
+
+def nation_volume(lineitem, orders, customer, supplier, nation,
+                  nation_a: str, nation_b: str,
+                  max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q7 volume shipping between two nations: revenue by
+    (supplier nation, customer nation, ship year) for the two cross
+    directions -> (supp_nation, cust_nation, l_year, revenue).
+
+    Plan: the supplier->nation and the 25-row nation maps are
+    dimensions — they broadcast onto lineitem, which filters to the two
+    supplier nations and collapses per batch to
+    (orderkey, supp-nation-key, year, rev-units) partials; customer
+    filters to the two nations and joins orders under the broadcast
+    gate (hash_join above it — documented); ONE large-large hash join
+    connects the two sides, a groupby over the 2x2xyears cells merges,
+    and the cross-direction filter keeps (a->b) and (b->a). Names
+    resolve from the tiny nation map at the end."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join, hash_join
+
+    # tiny nation map driver-side (25 rows by schema contract)
+    nat_tbl = pa.concat_tables(
+        [b for b in nation.select_columns(["n_nationkey", "n_name"])
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    keys = nat_tbl.column("n_nationkey").cast(pa.int64()).to_pylist()
+    names = nat_tbl.column("n_name").to_pylist()
+    name_of = dict(zip(keys, names))
+    key_of = {v: k for k, v in name_of.items()}
+    ka, kb = key_of[nation_a], key_of[nation_b]
+
+    li_s = broadcast_join(
+        lineitem, supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        on="l_suppkey", right_on="s_suppkey", max_rows=max_bcast_rows)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "snat": pa.array([], pa.int64()),
+                          "l_year": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        snat = b.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = (snat == ka) | (snat == kb)
+        if not m.any():
+            return empty
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)[m]
+        yr = pc.year(b.column("l_shipdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[m],
+            b.column("l_discount").to_numpy(zero_copy_only=False)[m])
+        # pack (orderkey, snat-bit, year) into one sortable int64 key:
+        # orderkey <= 2^40 by contract here; years fit in 12 bits
+        sb = (snat[m] == kb).astype(np.int64)
+        packed = (ok << np.int64(14)) | (sb << np.int64(13)) | (yr - 1900)
+        uk, sums = _int_group_sums(packed, rev)
+        return pa.table({
+            "l_orderkey": pa.array(uk >> np.int64(14), pa.int64()),
+            "snat": pa.array(np.where((uk >> np.int64(13)) & 1, kb, ka),
+                             pa.int64()),
+            "l_year": pa.array((uk & np.int64(0x1FFF)) + 1900, pa.int64()),
+            "rev": pa.array(sums, pa.int64())})
+
+    li_agg = li_s.map_batches(li_partial, batch_format="pyarrow")
+
+    cust2 = customer.map_batches(
+        lambda b: b.filter(
+            pc.or_(pc.equal(pc.cast(b.column("c_nationkey"), pa.int64()),
+                            ka),
+                   pc.equal(pc.cast(b.column("c_nationkey"), pa.int64()),
+                            kb)))
+        .select(["c_custkey", "c_nationkey"]), batch_format="pyarrow")
+    ords = broadcast_join(orders.select_columns(
+        ["o_orderkey", "o_custkey"]), cust2, on="o_custkey",
+        right_on="c_custkey", max_rows=max_bcast_rows)
+
+    joined = hash_join(li_agg, ords, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def cross_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"snat": pa.array([], pa.int64()),
+                          "cnat": pa.array([], pa.int64()),
+                          "l_year": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        snat = b.column("snat").to_numpy(zero_copy_only=False)
+        cnat = b.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = snat != cnat
+        if not m.any():
+            return empty
+        yr = b.column("l_year").to_numpy(zero_copy_only=False)[m]
+        rev = b.column("rev").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[m]
+        packed = ((snat[m] == kb).astype(np.int64) << np.int64(13)) \
+            | (yr - 1900)
+        uk, sums = _int_group_sums(packed, rev)
+        sk = np.where((uk >> np.int64(13)) & 1, kb, ka)
+        return pa.table({
+            "snat": pa.array(sk, pa.int64()),
+            "cnat": pa.array(np.where(sk == ka, kb, ka), pa.int64()),
+            "l_year": pa.array((uk & np.int64(0x1FFF)) + 1900, pa.int64()),
+            "rev": pa.array(sums, pa.int64())})
+
+    merged = joined.map_batches(cross_partial, batch_format="pyarrow") \
+        .groupby(["snat", "cnat", "l_year"]) \
+        .aggregate(Sum("rev", alias_name="rev"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        sn = [name_of[x] for x in b.column("snat").to_pylist()]
+        cn = [name_of[x] for x in b.column("cnat").to_pylist()]
+        return pa.table({
+            "supp_nation": pa.array(sn, pa.string()),
+            "cust_nation": pa.array(cn, pa.string()),
+            "l_year": b.column("l_year").cast(pa.int64()),
+            "revenue": pa.array(
+                b.column("rev").cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64) / 10000.0, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
