@@ -2022,6 +2022,33 @@ def _q_nation_volume(sf_dir: str):
                          nation_a="NATION_2", nation_b="NATION_11")
 
 
+_DSIR_K = 1024
+_DSIR_TARGET = "src1"
+
+
+def _q_dsir_logweights(sf_dir: str):
+    """DSIR importance resampling (stages/importance.py, Xie et al.
+    2023): hashed-unigram bucket histograms -> one sparse groupby Sum ->
+    K int64 micro-nat log-ratios broadcast -> per-doc integer score sum.
+    Driver state is O(K), both passes shuffle-free."""
+    from ics_search_engine_ray.stages.importance import dsir_logweights
+    return dsir_logweights(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")),
+        target_source=_DSIR_TARGET, k=_DSIR_K)
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix (stages/events.py retention_cohorts):
+    user-co-partitioned first-week + distinct-week resolution (one
+    lexsort + reduceat per task), integer epoch-week arithmetic, final
+    tiny groupby Sum over partition-deduplicated cell counts."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import retention_cohorts
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return retention_cohorts(ev)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2156,12 +2183,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": _q_small_qty_revenue,  # TPC-H Q17 correlated
         "returned_item_report": _q_returned_item_report,  # TPC-H Q10
         "nation_volume": _q_nation_volume,        # TPC-H Q7 cross pairs
+        "dsir_logweights": _q_dsir_logweights,    # DSIR importance weights
+        "retention_cohorts": _q_retention_cohorts,  # cohort retention
     }
 
 
 def _sql_tokens_cte() -> str:
     return ("SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), "
             "'[a-z0-9]+'), x -> length(x) > 1)) AS term FROM documents")
+
+
+def _dsir_sql_oracle() -> str:
+    from ics_search_engine_ray.stages.importance import dsir_sql
+    return dsir_sql(_DSIR_K, _DSIR_TARGET, _sql_tokens_cte())
 
 
 def _bm25_multi_sql(queries, k1: float, b: float) -> str:
@@ -2412,6 +2446,17 @@ novel AS (
 SELECT doc_id FROM novel
 WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
+        "dsir_logweights": _dsir_sql_oracle(),
+        "retention_cohorts": """
+WITH w AS (SELECT user_id,
+                  CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+           FROM events),
+f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id),
+d AS (SELECT DISTINCT w.user_id, f.cw AS cohort_week,
+             w.wk - f.cw AS week_offset
+      FROM w JOIN f USING (user_id))
+SELECT cohort_week, week_offset, count(*) AS n_users
+FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
         "order_count_distribution": """
 WITH c AS (SELECT c_custkey, count(o_custkey) AS c_count
            FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -1439,3 +1439,81 @@ def event_gaps(events, key: str = "user_id", ts_col: str = "ts",
             .groupby("_g")
             .map_groups(lambda g: resolve(g.drop(["_g"])),
                         batch_format="pyarrow"))
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def retention_cohorts(events, key: str = "user_id", ts_col: str = "ts",
+                      num_groups=None):
+    """Cohort retention matrix -> (cohort_week, week_offset, n_users):
+    users grouped by the epoch-week of their FIRST event, counted as
+    active in every later week they appear — the product-analytics
+    staple (SQL: min() OVER user + date_diff + count(DISTINCT)).
+
+    One co-partitioned pass: users hash into adaptive integer groups
+    (every event of a user lands in ONE task, so "first event" and
+    "distinct weeks" resolve locally and exactly), each partition runs
+    one lexsort + reduceat-min + unique; the per-partition output is
+    already user-deduplicated, so the final native groupby only Sums
+    O(partitions x cells) partial counts. Week arithmetic is integer
+    microseconds end-to-end (floor-division by a 604800-second week) —
+    nothing floats, nothing can drift from the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from .common import adaptive_groups
+
+    if num_groups is None:
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=32)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        u = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_g", pa.array((u % num_groups + num_groups) % num_groups,
+                           pa.int64()))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                          "week_offset": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        u = g.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = g.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // _WEEK_US
+        o = np.lexsort((wk, u))
+        us, ws = u[o], wk[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], us[1:] != us[:-1])))
+        first = np.repeat(ws[starts], np.diff(np.append(starts, us.size)))
+        # one (cohort, offset) per distinct (user, week): the sorted run
+        # boundaries give distinctness without a per-user Python loop
+        keep = np.concatenate(
+            ([True], (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])))
+        cw = first[keep]
+        off = ws[keep] - cw
+        # partial counts per (cohort, offset) cell within this partition
+        packed = cw * np.int64(1 << 20) + off       # offsets < 2^20 weeks
+        uk, inv = np.unique(packed, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "cohort_week": pa.array(uk >> np.int64(20), pa.int64()),
+            "week_offset": pa.array(uk & np.int64((1 << 20) - 1),
+                                    pa.int64()),
+            "n": pa.array(cnt, pa.int64())})
+
+    merged = (events.select_columns([key, ts_col])
+              .map_batches(add_g, batch_format="pyarrow")
+              .groupby("_g")
+              .map_groups(lambda g: resolve(g.drop(["_g"])),
+                          batch_format="pyarrow")
+              .groupby(["cohort_week", "week_offset"])
+              .aggregate(Sum("n", alias_name="n_users")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": b.column("cohort_week").cast(pa.int64()),
+            "week_offset": b.column("week_offset").cast(pa.int64()),
+            "n_users": b.column("n_users").cast(pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
