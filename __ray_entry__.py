@@ -2049,6 +2049,29 @@ def _q_retention_cohorts(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def _q_vocab_stats_per_source(sf_dir: str):
+    """Per-source vocabulary profile (stages/text_analysis.py
+    vocab_stats_per_source): per-batch distinct (source, term) partials
+    -> ONE native pair groupby (the bigram_counts shuffle shape) ->
+    per-source distinct/token sums -> ttr."""
+    from ics_search_engine_ray.stages.text_analysis import \
+        vocab_stats_per_source
+    return vocab_stats_per_source(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")))
+
+
+def _q_value_hour_corr(sf_dir: str):
+    """Per-user value/hour-of-day Pearson correlation (stages/events.py
+    value_hour_corr): exact integer second moments merged by one native
+    groupby Sum; one float expression at the end (identical order to the
+    SQL oracle)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import value_hour_corr
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return value_hour_corr(ev)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2185,6 +2208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_volume": _q_nation_volume,        # TPC-H Q7 cross pairs
         "dsir_logweights": _q_dsir_logweights,    # DSIR importance weights
         "retention_cohorts": _q_retention_cohorts,  # cohort retention
+        "vocab_stats_per_source": _q_vocab_stats_per_source,  # Heaps/TTR
+        "value_hour_corr": _q_value_hour_corr,    # exact moments corr
     }
 
 
@@ -2447,6 +2472,29 @@ SELECT doc_id FROM novel
 WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
         "dsir_logweights": _dsir_sql_oracle(),
+        "vocab_stats_per_source": f"""
+WITH toks AS ({_sql_tokens_cte()}),
+st AS (SELECT d.source, t.term
+       FROM toks t JOIN documents d USING (doc_id))
+SELECT source, count(*) AS n_tokens,
+       count(DISTINCT term) AS n_distinct,
+       round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6) AS ttr
+FROM st GROUP BY source ORDER BY source""",
+        "value_hour_corr": """
+WITH z AS (SELECT user_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  CAST(hour(ts) AS BIGINT) AS hr
+           FROM events),
+m AS (SELECT user_id, count(*) AS n, sum(cents) AS sx, sum(hr) AS sy,
+             sum(cents * hr) AS sxy, sum(cents * cents) AS sx2,
+             sum(hr * hr) AS sy2
+      FROM z GROUP BY user_id)
+SELECT user_id,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6) AS corr_vh
+FROM m WHERE n * sx2 > sx * sx AND n * sy2 > sy * sy
+ORDER BY user_id""",
         "retention_cohorts": """
 WITH w AS (SELECT user_id,
                   CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk

@@ -448,10 +448,32 @@ class SearchIndex:
         excluded term; score = BM25 TAAT over must+optional terms with the
         usual (-score, doc_id) tie-break. Operators bind to the word they
         prefix; each word tokenizes/stems like any query term (a word that
-        stems to several terms keeps the operator on each)."""
+        stems to several terms keeps the operator on each).
+
+        Quoted segments are PHRASE constraints resolved against the
+        positional index (:meth:`phrase_match`): ``"exact phrase"`` and
+        ``+"exact phrase"`` require the consecutive phrase,
+        ``-"exact phrase"`` excludes docs containing it; the phrase's
+        words still contribute to the BM25 score (for + and bare)."""
+        import re as _re
+
         must: List[str] = []
         nots: List[str] = []
         opt: List[str] = []
+        phrase_must: List[np.ndarray] = []
+        phrase_not: List[np.ndarray] = []
+
+        def take_phrase(mt) -> str:
+            op, phrase = mt.group(1), mt.group(2)
+            ids = np.array(self.phrase_match(phrase), np.int64)
+            if op == "-":
+                phrase_not.append(ids)
+            else:
+                phrase_must.append(ids)
+                opt.extend(self.tokenize_query(phrase))
+            return " "
+
+        query = _re.sub(r'([+-]?)"([^"]*)"', take_phrase, query)
         for w in query.split():
             op, word = (w[0], w[1:]) if w[:1] in "+-" else ("", w)
             for t in self.tokenize_query(word):
@@ -471,6 +493,11 @@ class SearchIndex:
                 return []                     # a must term matches nothing
             cand = p.doc_ids if cand is None \
                 else np.intersect1d(cand, p.doc_ids, assume_unique=True)
+        for ids in phrase_must:
+            if ids.size == 0:
+                return []                     # phrase matches nothing
+            cand = ids if cand is None \
+                else np.intersect1d(cand, ids, assume_unique=True)
         if cand is None:                      # no must terms: union of opts
             if not posts:
                 return []
@@ -480,6 +507,9 @@ class SearchIndex:
             tp = self.term_postings(t)
             if tp is not None and tp.doc_ids.size:
                 cand = cand[~np.isin(cand, tp.doc_ids, assume_unique=True)]
+        for ids in phrase_not:
+            if ids.size:
+                cand = cand[~np.isin(cand, ids, assume_unique=True)]
         if not cand.size:
             return []
         # TAAT accumulate restricted to the candidate set (posting lists

@@ -1747,3 +1747,83 @@ def c4_line_filter(docs, min_words: int = 5, min_lines: int = 3,
 
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(clean, batch_format="pyarrow")
+
+
+def vocab_stats_per_source(docs):
+    """Per-source vocabulary profile -> (source, n_tokens, n_distinct,
+    ttr): token volume, distinct SQL-form terms and type-token ratio per
+    corpus source — the Heaps-law / diversity snapshot a curation report
+    reads before mixing sources.
+
+    Plan: per-batch (source, term) distinct pairs with occurrence counts
+    (one python-free lexsort+reduceat per batch) -> native
+    groupby(source, term) Sum — the ONLY corpus-sized shuffle, moving
+    O(distinct pairs) rows like bigram_counts — -> per-batch partials of
+    (distinct-term count, token count) per source -> tiny groupby Sum.
+    The ratio rounds half-away at 6 dp on both oracle sides."""
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "ct": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        srcs = b.column("source").to_pylist()
+        out_s, out_t, out_c = [], [], []
+        agg: dict = {}
+        for s, x in zip(srcs, b.column("text").to_pylist()):
+            for t in TOKEN_RE.findall((x or "").lower()):
+                if len(t) > 1:
+                    agg[(s, t)] = agg.get((s, t), 0) + 1
+        for (s, t), c in agg.items():
+            out_s.append(s)
+            out_t.append(t)
+            out_c.append(c)
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "term": pa.array(out_t, pa.string()),
+                         "ct": pa.array(out_c, pa.int64())})
+
+    pairs = docs.select_columns(["source", "text"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("ct", alias_name="ct"))
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        s = np.asarray(b.column("source").to_pylist(), object)
+        ct = b.column("ct").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.argsort(s, kind="stable")
+        ss, cs = s[o], ct[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ss[1:] != ss[:-1])))
+        return pa.table({
+            "source": pa.array(ss[starts], pa.string()),
+            "n_distinct": pa.array(
+                np.diff(np.append(starts, ss.size)).astype(np.int64),
+                pa.int64()),
+            "n_tokens": pa.array(np.add.reduceat(cs, starts), pa.int64())})
+
+    merged = pairs.map_batches(src_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("n_tokens", alias_name="n_tokens"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b.column("n_distinct").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nt = b.column("n_tokens").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ttr = round_half_away(nd.astype(np.float64) / nt, 6)
+        return pa.table({"source": b.column("source"),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "n_distinct": pa.array(nd, pa.int64()),
+                         "ttr": pa.array(ttr, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
