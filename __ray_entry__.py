@@ -2072,6 +2072,28 @@ def _q_value_hour_corr(sf_dir: str):
     return value_hour_corr(ev)
 
 
+def _q_burst_max(sf_dir: str):
+    """Peak rolling-window burst per user (stages/events.py burst_max):
+    SQL RANGE-frame peer semantics, user-co-partitioned two-pointer
+    searchsorted sweeps, integer microseconds."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import burst_max
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return burst_max(ev, window_s=86400 * 7)
+
+
+def _q_source_divergence(sf_dir: str):
+    """Per-source KL divergence from the corpus token mix
+    (stages/importance.py source_divergence): sparse (source, bucket)
+    groupby Sum -> O(sources x K) driver reduce, integer nano-nat
+    contributions so the sum is order-independent."""
+    from ics_search_engine_ray.stages.importance import source_divergence
+    return source_divergence(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")),
+        k=_DSIR_K)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2210,6 +2232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,  # cohort retention
         "vocab_stats_per_source": _q_vocab_stats_per_source,  # Heaps/TTR
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
+        "burst_max": _q_burst_max,                # rolling-window peak
+        "source_divergence": _q_source_divergence,  # per-source KL
     }
 
 
@@ -2221,6 +2245,12 @@ def _sql_tokens_cte() -> str:
 def _dsir_sql_oracle() -> str:
     from ics_search_engine_ray.stages.importance import dsir_sql
     return dsir_sql(_DSIR_K, _DSIR_TARGET, _sql_tokens_cte())
+
+
+def _source_divergence_sql_oracle() -> str:
+    from ics_search_engine_ray.stages.importance import \
+        source_divergence_sql
+    return source_divergence_sql(_DSIR_K, _sql_tokens_cte())
 
 
 def _bm25_multi_sql(queries, k1: float, b: float) -> str:
@@ -2472,6 +2502,15 @@ SELECT doc_id FROM novel
 WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
         "dsir_logweights": _dsir_sql_oracle(),
+        "source_divergence": _source_divergence_sql_oracle(),
+        "burst_max": """
+WITH c AS (SELECT user_id,
+                  count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                                 AND CURRENT ROW) AS burst
+           FROM events)
+SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst
+FROM c GROUP BY user_id ORDER BY user_id""",
         "vocab_stats_per_source": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 st AS (SELECT d.source, t.term

@@ -196,6 +196,35 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
         rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
     tops["pii_scrub"] = round(time.time() - t, 2)
 
+    # late-round-4 operators: DSIR importance weights (two streaming
+    # passes + one sparse bucket merge) and the TPC-H Q3 top-k join
+    from ics_search_engine_ray.stages.importance import dsir_logweights
+    t = time.time()
+    dsir_logweights(
+        rd.read_parquet(docs_path, columns=["doc_id", "text", "source"]),
+        target_source="src1", k=4096).count()
+    tops["dsir_logweights"] = round(time.time() - t, 2)
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from ics_search_engine_ray.stages.relational import top_unshipped_orders
+    t = time.time()
+    _cut = _pa.scalar(_np.datetime64("1998-07-01", "us"),
+                      _pa.timestamp("us"))
+    top_unshipped_orders(
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_extendedprice",
+                                 "l_discount"],
+                        filter=_pc.field("l_shipdate") > _cut),
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey", "o_orderdate", "o_custkey"],
+                        filter=_pc.field("o_orderdate") < _cut),
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey"],
+                        filter=_pc.field("c_mktsegment") == "BUILDING"),
+        k=10).count()
+    tops["top_unshipped_orders"] = round(time.time() - t, 2)
+
     # concurrent query throughput through the partition-sharded actor pool
     from concurrent.futures import ThreadPoolExecutor
     from ics_search_engine_ray.query.actors import ShardedSearchIndex

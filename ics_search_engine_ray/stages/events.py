@@ -1590,3 +1590,70 @@ def value_hour_corr(events, key: str = "user_id", ts_col: str = "ts",
                          "corr_vh": pa.array(corr, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def burst_max(events, key: str = "user_id", ts_col: str = "ts",
+              window_s: int = 60, num_groups=None):
+    """Per-key peak burst rate -> (user_id, max_burst): the maximum
+    number of events inside ANY rolling ``window_s`` window (rate-limit /
+    bot-burst detection). Matches SQL's
+    ``count(*) OVER (... RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT
+    ROW)`` peer semantics exactly: the frame is every event with
+    timestamp in ``[t - w, t]``, duplicates included.
+
+    Keys co-partition by hash (the sessionize contract); each partition
+    resolves vectorized — one lexsort, then per-key-segment the frame
+    count is two ``searchsorted`` sweeps (right bound at each ts, left
+    bound at ts - w), and the per-key max is one ``reduceat``. Integer
+    microseconds end-to-end."""
+    from ray.data.aggregate import Max
+
+    from .common import adaptive_groups
+
+    if num_groups is None:
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=32)
+    w_us = np.int64(window_s) * 1_000_000
+
+    def add_g(b: pa.Table) -> pa.Table:
+        u = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_g", pa.array((u % num_groups + num_groups) % num_groups,
+                           pa.int64()))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          "max_burst": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        u = g.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((ts, u))
+        us, tss = u[o], ts[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], us[1:] != us[:-1])))
+        ends = np.append(starts[1:], us.size)
+        bursts = np.empty(us.size, np.int64)
+        for s, e in zip(starts, ends):      # per key: two sorted sweeps
+            seg = tss[s:e]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - w_us, side="left")
+            bursts[s:e] = hi - lo
+        mx = np.maximum.reduceat(bursts, starts)
+        return pa.table({key: pa.array(us[starts], pa.int64()),
+                         "max_burst": pa.array(mx, pa.int64())})
+
+    merged = (events.select_columns([key, ts_col])
+              .map_batches(add_g, batch_format="pyarrow")
+              .groupby("_g")
+              .map_groups(lambda g: resolve(g.drop(["_g"])),
+                          batch_format="pyarrow")
+              .groupby(key).aggregate(Max("max_burst",
+                                          alias_name="max_burst")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({key: b.column(key).cast(pa.int64()),
+                         "max_burst": b.column("max_burst")
+                         .cast(pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -200,3 +200,114 @@ l AS (SELECT raw.bkt,
 SELECT b.doc_id, CAST(sum(l.li) AS DOUBLE) / 1000000.0 AS dsir_logw
 FROM b JOIN l USING (bkt)
 GROUP BY b.doc_id ORDER BY b.doc_id"""
+
+
+def source_divergence(docs, k: int = 4096, source_col: str = "source"):
+    """Per-source KL divergence from the corpus token distribution ->
+    (source, kl_nats): how far each source's hashed-unigram distribution
+    sits from the overall mix (add-one smoothed) — the mixing
+    diagnostic a curation report reads next to temperature resampling.
+
+    One pass: per-batch (source, bucket) histograms -> native
+    groupby(source, bucket) Sum over sparse partials (the only shuffle,
+    O(sources x K) merged rows); the driver reduces O(sources x K)
+    cells. Each bucket's KL contribution rounds to integer NANO-nats
+    BEFORE the per-source sum — identical doubles on both oracle sides,
+    then an order-independent integer sum:
+
+    ``kl_nats = sum_b round(1e9 * p_s[b] * ln(p_s[b]/p_c[b])) / 1e9``
+    with ``p_s = (ct_s+1)/(n_s+K)``, ``p_c = (ct_c+1)/(n_c+K)``
+    (corpus counts include every source's tokens).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import half_away_scaled_int
+
+    class Hist:
+        def __init__(self):
+            self.bc = _BucketCounter(k)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            empty = pa.table({"source": pa.array([], pa.string()),
+                              "bkt": pa.array([], pa.int64()),
+                              "ct": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            acc: dict = {}
+            for s, x in zip(b.column(source_col).to_pylist(),
+                            b.column("text").to_pylist()):
+                bk = self.bc.doc_buckets(x)
+                if bk.size == 0:
+                    continue
+                h = np.bincount(bk, minlength=k)
+                for bi in np.flatnonzero(h):
+                    acc[(s, int(bi))] = acc.get((s, int(bi)), 0) + int(h[bi])
+            if not acc:
+                return empty
+            ks = list(acc)
+            return pa.table({
+                "source": pa.array([a for a, _ in ks], pa.string()),
+                "bkt": pa.array([b_ for _, b_ in ks], pa.int64()),
+                "ct": pa.array([acc[x] for x in ks], pa.int64())})
+
+    merged = docs.select_columns(["text", source_col]) \
+        .map_batches(Hist, batch_format="pyarrow", concurrency=(1, 8)) \
+        .groupby(["source", "bkt"]).aggregate(Sum("ct", alias_name="ct"))
+    parts = [t for t in ray.get(merged.materialize().to_arrow_refs())
+             if t.num_rows]
+    if not parts:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "kl_nats": pa.array([], pa.float64())})
+    m = pa.concat_tables(parts)
+    src = np.asarray(m.column("source").to_pylist(), object)
+    bkt = m.column("bkt").to_numpy(zero_copy_only=False)
+    ct = m.column("ct").cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    corpus = np.zeros(k, np.int64)
+    np.add.at(corpus, bkt, ct)
+    n_c = int(corpus.sum())
+    p_c = (corpus + 1.0) / (n_c + k)
+
+    names = sorted(set(src.tolist()))
+    out_s, out_kl = [], []
+    for s in names:
+        sel = src == s
+        cs = np.zeros(k, np.int64)
+        cs[bkt[sel]] = ct[sel]
+        n_s = int(cs.sum())
+        p_s = (cs + 1.0) / (n_s + k)
+        contrib = half_away_scaled_int(p_s * np.log(p_s / p_c),
+                                       1_000_000_000)
+        out_s.append(s)
+        out_kl.append(int(contrib.sum()) / 1_000_000_000.0)
+    return pa.table({"source": pa.array(out_s, pa.string()),
+                     "kl_nats": pa.array(out_kl, pa.float64())})
+
+
+def source_divergence_sql(k: int, tokens_cte: str,
+                          source_col: str = "source") -> str:
+    """DuckDB mirror of :func:`source_divergence` (shared with tests)."""
+    return f"""
+WITH toks AS ({tokens_cte}),
+b AS (SELECT d.{source_col} AS source,
+             ('0x' || substr(md5(t.term), 1, 8))::BIGINT % {k} AS bkt
+      FROM toks t JOIN documents d USING (doc_id)),
+sb AS (SELECT source, bkt, count(*) AS ct FROM b GROUP BY source, bkt),
+ns AS (SELECT source, sum(ct) AS n FROM sb GROUP BY source),
+cb AS (SELECT bkt, sum(ct) AS ct FROM sb GROUP BY bkt),
+nc AS (SELECT sum(ct) AS n FROM sb),
+grid AS (SELECT ns.source, g.bkt, coalesce(sb.ct, 0) AS cs,
+                coalesce(cb.ct, 0) AS cc, ns.n AS n_s, nc.n AS n_c
+         FROM ns CROSS JOIN (SELECT unnest(range({k})) AS bkt) g
+         CROSS JOIN nc
+         LEFT JOIN sb ON sb.source = ns.source AND sb.bkt = g.bkt
+         LEFT JOIN cb ON cb.bkt = g.bkt),
+c AS (SELECT source,
+             CAST(round((cs + 1.0) / (n_s + {k})
+                        * ln( ((cs + 1.0) / (n_s + {k}))
+                              / ((cc + 1.0) / (n_c + {k})) )
+                        * 1000000000.0, 0) AS BIGINT) AS nano
+      FROM grid)
+SELECT source, CAST(sum(nano) AS DOUBLE) / 1000000000.0 AS kl_nats
+FROM c GROUP BY source ORDER BY source"""

@@ -94,3 +94,24 @@ def test_retention_cohorts_matches_duckdb(ray_session):
                  for r in b.to_pylist())
     assert got == [tuple(w) for w in want]
     assert len(got) > 10       # fixture spans many cohort cells
+
+
+def test_source_divergence_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.importance import (
+        source_divergence, source_divergence_sql)
+    rng = np.random.default_rng(33)
+    docs = _corpus(rng)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    toks = ("SELECT doc_id, unnest(list_filter(regexp_extract_all("
+            "lower(text), '[a-z0-9]+'), x -> length(x) > 1)) AS term "
+            "FROM documents")
+    want = con.execute(source_divergence_sql(256, toks)).fetchall()
+    out = source_divergence(rd.from_arrow(docs).repartition(4), k=256)
+    got = sorted((r["source"], r["kl_nats"]) for r in out.to_pylist())
+    assert got == [tuple(w) for w in want]
+    # the distinct-vocabulary target source must diverge most
+    kl = dict(got)
+    assert kl["target"] == max(kl.values())

@@ -116,3 +116,31 @@ def test_value_hour_corr(ray_session):
                  for r in b.to_pylist())
     assert got == [tuple(w) for w in want]
     assert 99 not in dict(got)
+
+
+def test_burst_max_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import burst_max
+    rng = np.random.default_rng(43)
+    n = 2500
+    ts = rng.integers(0, 3600 * 10**6, n)      # one hour, dense bursts
+    ts[10] = ts[11] = ts[12]                   # exact-tie peers
+    ev = pa.table({
+        "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us"))})
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH c AS (SELECT user_id,
+                          count(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING
+                          AND CURRENT ROW) AS burst FROM events)
+        SELECT user_id, CAST(max(burst) AS BIGINT) FROM c
+        GROUP BY user_id ORDER BY user_id""").fetchall()
+    out = burst_max(rd.from_arrow(ev).repartition(5), window_s=60,
+                    num_groups=7)
+    got = sorted((r["user_id"], r["max_burst"])
+                 for b in out.iter_batches(batch_format="pyarrow")
+                 for r in b.to_pylist())
+    assert got == [tuple(w) for w in want]
