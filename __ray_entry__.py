@@ -2094,6 +2094,17 @@ def _q_source_divergence(sf_dir: str):
         k=_DSIR_K)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (stages/
+    splits.py weighted_sample, Efraimidis-Spirakis keys from md5-derived
+    uniforms): per-batch local top-k forward -> tiny final sort; fully
+    SQL-mirrorable, no RNG state."""
+    from ics_search_engine_ray.stages.splits import weighted_sample
+    return weighted_sample(
+        _read_docs(sf_dir, columns=("doc_id", "n_chars")),
+        k=50, weight_col="n_chars")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2234,6 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
+        "weighted_sample": _q_weighted_sample,    # ES06 weighted top-k
     }
 
 
@@ -2251,6 +2263,11 @@ def _source_divergence_sql_oracle() -> str:
     from ics_search_engine_ray.stages.importance import \
         source_divergence_sql
     return source_divergence_sql(_DSIR_K, _sql_tokens_cte())
+
+
+def _weighted_sample_sql_oracle() -> str:
+    from ics_search_engine_ray.stages.splits import weighted_sample_sql
+    return weighted_sample_sql(50, "n_chars", "doc_id", "documents")
 
 
 def _bm25_multi_sql(queries, k1: float, b: float) -> str:
@@ -2503,6 +2520,7 @@ WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
         "dsir_logweights": _dsir_sql_oracle(),
         "source_divergence": _source_divergence_sql_oracle(),
+        "weighted_sample": _weighted_sample_sql_oracle(),
         "burst_max": """
 WITH c AS (SELECT user_id,
                   count(*) OVER (PARTITION BY user_id ORDER BY ts

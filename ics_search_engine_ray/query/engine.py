@@ -710,6 +710,57 @@ class SearchIndex:
         rescored.sort(key=lambda r: (-r.score, r.doc_id))
         return rescored[:k]
 
+    def search_near(self, query: str, k: int = 10,
+                    window: int = 8) -> List[SearchResult]:
+        """NEAR operator: BM25-ranked results restricted to documents
+        where ALL query terms co-occur inside a ``window``-token minimal
+        interval (unordered — the classic proximity constraint between
+        exact phrase and bare AND). Candidates come from the posting-list
+        intersection ordered by ascending df (cheapest list first), the
+        window test is :meth:`min_window` per surviving candidate, and
+        scores/tie-breaks match plain BM25 restricted to that set."""
+        terms = self.tokenize_query(query)
+        distinct = sorted(set(terms))
+        if not distinct:
+            return []
+        tps = []
+        for t in distinct:
+            tp = self.term_postings(t)
+            if tp is None:
+                return []
+            tps.append(tp)
+        tps.sort(key=lambda tp: tp.doc_ids.size)
+        cand = tps[0].doc_ids
+        for tp in tps[1:]:
+            cand = cand[np.isin(cand, tp.doc_ids, assume_unique=True)]
+            if cand.size == 0:
+                return []
+        ok = np.array([int(d) for d in cand
+                       if (self.min_window(int(d), distinct)
+                           or window + 1) <= window], np.int64)
+        if not ok.size:
+            return []
+        qtf: Dict[str, int] = {}
+        for t in terms:
+            qtf[t] = qtf.get(t, 0) + 1
+        posts = {t: p for t, p in
+                 ((t, self._scored(t, "bm25")) for t in qtf)
+                 if p is not None}
+        acc = np.zeros(ok.size, np.float64)
+        for t, p in posts.items():
+            pos = np.searchsorted(p.doc_ids, ok)
+            hit = (pos < p.doc_ids.size) & \
+                (p.doc_ids[np.minimum(pos, p.doc_ids.size - 1)] == ok)
+            acc[hit] += p.scores[pos[hit]] * qtf[t]
+        order = np.lexsort((ok, -acc))[:min(k, ok.size)]
+        urls, titles = self._urls(), self._titles()
+        return [SearchResult(
+            url=self._defrag(urls.get(int(ok[i]), "")),
+            doc_id=int(ok[i]), score=float(acc[i]),
+            matched_terms=distinct,
+            title=titles.get(int(ok[i]), "") or "")
+            for i in order]
+
     def _search_tfidf_ref(self, terms: List[str], k: int) -> List[SearchResult]:
         """Reference Q3-Q5 semantics (search.py:141-198)."""
         qtf: Dict[str, int] = {}

@@ -108,3 +108,62 @@ def stratified_sample(ds, key: str, n: int, id_col: str, seed: int = 0,
         key=key, order_col="_negh", k=n, tiebreak=id_col,
         payload_cols=extra_cols)
     return picked.drop_columns(["_negh"])
+
+
+def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id"):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): keep the k rows with the largest ``ln(u) / w`` keys,
+    where u is a per-row uniform derived from md5(id) — heavier rows are
+    proportionally likelier to survive, and the sample is reproducible
+    and SQL-mirrorable (no RNG state anywhere).
+
+    ``u = (('0x' || substr(md5(id), 1, 13))::BIGINT + 0.5) / 2^52`` —
+    13 hex digits = 52 bits, exactly representable in a double, so both
+    oracle sides compute the identical uniform; the key expression
+    divides once by the (positive) weight. Distributed shape: stateless
+    per-batch key computation + per-batch local top-k forward (the total
+    order is (key desc, id asc)) -> one tiny final sort over
+    O(batches x k) candidate rows — the corpus never sorts. Emitted key
+    rounds half-away at 6 dp for the hash-compared oracle."""
+    import hashlib
+
+    from .common import round_half_away
+
+    def add_key(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "samp_key": pa.array([], pa.float64()),
+                          "_k": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:13], 16)
+             for i in ids), np.int64, ids.size)
+        u = (v + 0.5) / float(1 << 52)
+        key = np.log(u) / w
+        order = np.lexsort((ids, -key))[:k]       # local top-k forward
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "samp_key": pa.array(round_half_away(key[order], 6),
+                                 pa.float64()),
+            "_k": pa.array(key[order], pa.float64())})
+
+    return ds.select_columns([id_col, weight_col]) \
+        .map_batches(add_key, batch_format="pyarrow") \
+        .sort(["_k", id_col], descending=[True, False]).limit(k) \
+        .map_batches(lambda b: b.drop(["_k"]), batch_format="pyarrow")
+
+
+def weighted_sample_sql(k: int, weight_expr: str, id_expr: str,
+                        table: str) -> str:
+    """DuckDB mirror of :func:`weighted_sample` (shared with tests)."""
+    u = (f"((('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 13))"
+         f"::BIGINT + 0.5) / 4503599627370496.0)")
+    return f"""
+WITH s AS (SELECT {id_expr} AS doc_id,
+                  ln({u}) / ({weight_expr}) AS key
+           FROM {table})
+SELECT doc_id, round(key, 6) AS samp_key
+FROM s ORDER BY key DESC, doc_id LIMIT {k}"""

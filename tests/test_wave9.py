@@ -144,3 +144,63 @@ def test_burst_max_matches_duckdb(ray_session):
                  for b in out.iter_batches(batch_format="pyarrow")
                  for r in b.to_pylist())
     assert got == [tuple(w) for w in want]
+
+
+def test_weighted_sample_matches_duckdb_and_is_biased(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.splits import (weighted_sample,
+                                                     weighted_sample_sql)
+    rng = np.random.default_rng(44)
+    n = 4000
+    # heavy tail: ids < 200 get 100x the weight of the rest
+    w = np.where(np.arange(n) < 200, 1000, 10).astype(np.int64)
+    docs = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                     "n_chars": pa.array(w, pa.int64())})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        weighted_sample_sql(100, "n_chars", "doc_id",
+                            "documents")).fetchall()
+    out = weighted_sample(rd.from_arrow(docs).repartition(6), k=100,
+                          weight_col="n_chars")
+    got = [(r["doc_id"], r["samp_key"])
+           for b in out.iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()]
+    assert sorted(got) == sorted(tuple(x) for x in want)
+    # heavy rows must be strongly over-represented
+    heavy = sum(1 for d, _ in got if d < 200)
+    assert heavy > 50
+
+
+def test_search_near_window_semantics(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from ics_search_engine_ray.config import DEFAULT_CONFIG
+    from ics_search_engine_ray.pipelines.build import build_index_from_texts
+    from ics_search_engine_ray.query.engine import SearchIndex
+
+    filler = " ".join(f"pad{i}" for i in range(20))
+    rows = [
+        (1, "alpha beta nearby"),                       # window 2
+        (2, f"alpha {filler} beta"),                    # window 22
+        (3, "beta words alpha"),                        # window 3
+        (4, "alpha only here"),
+    ]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows])}), src)
+    out = str(tmp_path / "idx")
+    build_index_from_texts(src, out, DEFAULT_CONFIG.with_(stem=False),
+                           skip_dedup=True)
+    si = SearchIndex(out)
+    assert {r.doc_id for r in si.search_near("alpha beta", window=4)} \
+        == {1, 3}
+    assert {r.doc_id for r in si.search_near("alpha beta", window=30)} \
+        == {1, 2, 3}
+    assert si.search_near("alpha beta", window=1) == []
+    # scores equal plain BM25 on the same docs
+    plain = {r.doc_id: r.score for r in si.search("alpha beta", k=10)}
+    for r in si.search_near("alpha beta", window=30):
+        assert r.score == plain[r.doc_id]
+    si.close()
