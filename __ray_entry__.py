@@ -2105,6 +2105,37 @@ def _q_weighted_sample(sf_dir: str):
         k=50, weight_col="n_chars")
 
 
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 (stages/relational.py market_share): every dimension
+    broadcasts (part-type keys, supplier-nation map, region customer
+    set); one hash join connects lineitem partials (is-target flag rides
+    the key) to year-carrying orders; share = one float division per
+    year over exact integer sums."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import market_share
+    rdp = lambda t, cols: rd.read_parquet(
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols)
+    return market_share(
+        rdp("lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                         "l_extendedprice", "l_discount"]),
+        rdp("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        rdp("customer", ["c_custkey", "c_nationkey"]),
+        rdp("supplier", ["s_suppkey", "s_nationkey"]),
+        rdp("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        rdp("region", ["r_regionkey", "r_name"]),
+        target_nation="NATION_2", region_name="ASIA",
+        part_type="PROMO", part=rdp("part", ["p_partkey", "p_type"]))
+
+
+def _q_dup_rate_per_source(sf_dir: str):
+    """Per-source exact-duplicate report (stages/dedup_text.py
+    dup_rate_per_source): one (hash, source) groupby + per-source
+    distinct partials; doc totals from per-batch count partials."""
+    from ics_search_engine_ray.stages.dedup_text import dup_rate_per_source
+    return dup_rate_per_source(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2246,6 +2277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
         "weighted_sample": _q_weighted_sample,    # ES06 weighted top-k
+        "market_share": _q_market_share,          # TPC-H Q8 six-way
+        "dup_rate_per_source": _q_dup_rate_per_source,  # curation report
     }
 
 
@@ -2521,6 +2554,31 @@ ORDER BY doc_id""",
         "dsir_logweights": _dsir_sql_oracle(),
         "source_divergence": _source_divergence_sql_oracle(),
         "weighted_sample": _weighted_sample_sql_oracle(),
+        "market_share": """
+WITH f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                  CASE WHEN n1.n_name = 'NATION_2' THEN 1 ELSE 0 END
+                    AS tflag,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                    AS rev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+SELECT o_year,
+       round(CAST(sum(tflag * rev) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM f GROUP BY o_year ORDER BY o_year""",
+        "dup_rate_per_source": """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*),
+             6) AS dup_rate
+FROM documents GROUP BY source ORDER BY source""",
         "burst_max": """
 WITH c AS (SELECT user_id,
                   count(*) OVER (PARTITION BY user_id ORDER BY ts

@@ -1235,3 +1235,93 @@ def dedup_against(new_docs, old_docs, max_bcast_rows: int = 2_000_000,
         return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
 
     return tagged.groupby("_g").map_groups(resolve, batch_format="pyarrow")
+
+
+def dup_rate_per_source(docs):
+    """Per-source exact-duplicate report -> (source, n_docs, n_unique,
+    dup_rate): how much of each source is verbatim repetition — the
+    number a curation dashboard watches per crawl snapshot.
+
+    Shape: per-batch (source, 128-bit md5 halves) rows -> ONE native
+    groupby over (hash_hi, hash_lo, source) (shuffles O(docs) tiny rows)
+    -> per-batch distinct-count partials per source -> tiny groupby Sum;
+    doc totals come from per-batch count partials (no corpus-sized
+    groupby). dup_rate = round(1 - n_unique/n_docs, 6)."""
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        texts = [x or "" for x in b.column("text").to_pylist()]
+        digests = [hashlib.md5(x.encode("utf-8")).digest() for x in texts]
+        return pa.table({
+            "source": b.column("source"),
+            "hash_hi": pa.array(
+                [int.from_bytes(d[:8], "big", signed=True)
+                 for d in digests], pa.int64()),
+            "hash_lo": pa.array(
+                [int.from_bytes(d[8:], "big", signed=True)
+                 for d in digests], pa.int64())})
+
+    uniq = docs.map_batches(hash_rows, batch_format="pyarrow") \
+        .groupby(["hash_hi", "hash_lo", "source"]).count()
+
+    def uniq_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_unique": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        s = np.asarray(b.column("source").to_pylist(), object)
+        o = np.argsort(s, kind="stable")
+        ss = s[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ss[1:] != ss[:-1])))
+        return pa.table({
+            "source": pa.array(ss[starts], pa.string()),
+            "n_unique": pa.array(
+                np.diff(np.append(starts, ss.size)).astype(np.int64),
+                pa.int64())})
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        s = np.asarray(b.column("source").to_pylist(), object)
+        o = np.argsort(s, kind="stable")
+        ss = s[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ss[1:] != ss[:-1])))
+        return pa.table({
+            "source": pa.array(ss[starts], pa.string()),
+            "n_docs": pa.array(
+                np.diff(np.append(starts, ss.size)).astype(np.int64),
+                pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+    nu = uniq.map_batches(uniq_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(_Sum("n_unique",
+                                          alias_name="n_unique"))
+    nd = docs.select_columns(["source"]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(_Sum("n_docs", alias_name="n_docs"))
+
+    import ray
+    nu_t = pa.concat_tables([t for t in ray.get(
+        nu.materialize().to_arrow_refs()) if t.num_rows])
+    nd_t = pa.concat_tables([t for t in ray.get(
+        nd.materialize().to_arrow_refs()) if t.num_rows])
+    u_map = dict(zip(nu_t.column("source").to_pylist(),
+                     nu_t.column("n_unique").cast(pa.int64()).to_pylist()))
+    rows = sorted(zip(nd_t.column("source").to_pylist(),
+                      nd_t.column("n_docs").cast(pa.int64()).to_pylist()))
+    srcs = [s for s, _ in rows]
+    ndv = np.array([n for _, n in rows], np.int64)
+    nuv = np.array([u_map.get(s, 0) for s in srcs], np.int64)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array(ndv, pa.int64()),
+        "n_unique": pa.array(nuv, pa.int64()),
+        "dup_rate": pa.array(
+            round_half_away(1.0 - nuv.astype(np.float64) / ndv, 6),
+            pa.float64())})

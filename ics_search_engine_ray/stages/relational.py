@@ -1220,3 +1220,137 @@ def nation_volume(lineitem, orders, customer, supplier, nation,
                 .astype(np.float64) / 10000.0, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def market_share(lineitem, orders, customer, supplier, nation, region,
+                 target_nation: str, region_name: str, part_type: str,
+                 part, max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q8 national market share: the fraction of a region's
+    revenue in one part type supplied by one nation, per order year ->
+    (o_year, mkt_share).
+
+    Every dimension stays a broadcast; the single large-large hash join
+    connects the two fact-derived sides:
+
+    - part keys of ``part_type`` broadcast-semi-filter lineitem;
+    - the supplier->nation map broadcasts onto lineitem, which collapses
+      per batch to (orderkey, is-target-flag, rev-units) partials — the
+      flag rides the key, so target and non-target revenue co-aggregate;
+    - region customers (customer x tiny nation/region maps) collapse to
+      a custkey set; orders semi-join against it (gated broadcast /
+      co-partition) carrying the order year;
+    - ONE hash join, then per-batch (year, rev_target, rev_all) integer
+      partials -> a years-sized groupby. The share is one float division
+      per year over exact 1e-4-unit sums."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away
+    from .joins import broadcast_join, semi_join
+
+    # tiny maps driver-side (25 nations / 5 regions by schema contract)
+    nat_tbl = pa.concat_tables(
+        [b for b in nation.iter_batches(batch_format="pyarrow")
+         if b.num_rows])
+    reg_tbl = pa.concat_tables(
+        [b for b in region.iter_batches(batch_format="pyarrow")
+         if b.num_rows])
+    rkey = {r["r_name"]: r["r_regionkey"]
+            for r in reg_tbl.to_pylist()}[region_name]
+    target_key = [r["n_nationkey"] for r in nat_tbl.to_pylist()
+                  if r["n_name"] == target_nation][0]
+    region_nats = {int(r["n_nationkey"]) for r in nat_tbl.to_pylist()
+                   if int(r["n_regionkey"]) == int(rkey)}
+
+    def type_keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return b.filter(_pc.equal(b.column("p_type"), part_type)) \
+            .select(["p_partkey"])
+
+    pkeys = part.map_batches(type_keys, batch_format="pyarrow")
+    li_f = broadcast_join(lineitem, pkeys, on="l_partkey",
+                          right_on="p_partkey", join_type="left semi",
+                          max_rows=max_bcast_rows)
+    li_s = broadcast_join(
+        li_f, supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        on="l_suppkey", right_on="s_suppkey", max_rows=max_bcast_rows)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "tflag": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        snat = b.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        flag = (snat == target_key).astype(np.int64)
+        packed = (ok << np.int64(1)) | flag
+        uk, sums = _int_group_sums(packed, rev)
+        return pa.table({
+            "l_orderkey": pa.array(uk >> np.int64(1), pa.int64()),
+            "tflag": pa.array(uk & np.int64(1), pa.int64()),
+            "rev": pa.array(sums, pa.int64())})
+
+    li_agg = li_s.map_batches(li_partial, batch_format="pyarrow")
+
+    rnats = np.array(sorted(region_nats), np.int64)
+
+    def region_cust(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = np.isin(nk, rnats)
+        return pa.table({"c_custkey": pa.array(
+            b.column("c_custkey").to_numpy(zero_copy_only=False)[m],
+            pa.int64())})
+
+    cust_r = customer.map_batches(region_cust, batch_format="pyarrow")
+    ords = semi_join(orders, cust_r, on="o_custkey",
+                     right_on="c_custkey", max_bcast_rows=max_bcast_rows)
+
+    def ords_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                              pa.int64())})
+
+    from .joins import hash_join
+    joined = hash_join(
+        li_agg, ords.map_batches(ords_proj, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey")
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"o_year": pa.array([], pa.int64()),
+                          "rev_t": pa.array([], pa.int64()),
+                          "rev_all": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        yr = b.column("o_year").to_numpy(zero_copy_only=False)
+        fl = b.column("tflag").to_numpy(zero_copy_only=False)
+        rev = b.column("rev").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uk, tot = _int_group_sums(yr, rev)
+        _, tgt = _int_group_sums(yr, rev * fl)
+        return pa.table({"o_year": pa.array(uk, pa.int64()),
+                         "rev_t": pa.array(tgt, pa.int64()),
+                         "rev_all": pa.array(tot, pa.int64())})
+
+    merged = joined.map_batches(year_partial, batch_format="pyarrow") \
+        .groupby("o_year").aggregate(Sum("rev_t", alias_name="rev_t"),
+                                     Sum("rev_all", alias_name="rev_all"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.column("rev_t").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        a = b.column("rev_all").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_year": b.column("o_year").cast(pa.int64()),
+            "mkt_share": pa.array(round_half_away(t / a, 6),
+                                  pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

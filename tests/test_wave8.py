@@ -198,3 +198,75 @@ def test_nation_volume(ray_session):
         rd.from_arrow(customer), rd.from_arrow(supplier),
         rd.from_arrow(nation), nation_a="NATION_1", nation_b="NATION_3")
     assert sorted(_rows(out)) == [tuple(w) for w in want]
+
+
+def test_market_share_matches_duckdb(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import market_share
+    li, orders, customer, supplier, nation = _rng_tables(26, n_li=3000)
+    rng = np.random.default_rng(27)
+    orders = orders.append_column(
+        "o_orderdate", pa.array(
+            rng.integers(8 * 10**14, 9 * 10**14, orders.num_rows),
+            pa.timestamp("us")))
+    nation = nation.append_column(
+        "n_regionkey", pa.array([i % 2 for i in range(6)], pa.int32()))
+    region = pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["EAST", "WEST"])})
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(60), pa.int64()),
+        "p_type": pa.array([["PROMO", "LARGE"][i % 2] for i in range(60)])})
+    con = _con(lineitem=li, orders=orders, customer=customer,
+               supplier=supplier, nation=nation, region=region, part=part)
+    want = con.execute("""
+        WITH f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                          CASE WHEN n1.n_name = 'NATION_1' THEN 1 ELSE 0
+                          END AS tflag,
+                          CAST(round(l_extendedprice*100,0) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100,0) AS BIGINT))
+                            AS rev
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+                        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                        JOIN region ON n2.n_regionkey = r_regionkey
+                        JOIN part ON l_partkey = p_partkey
+                        JOIN supplier ON l_suppkey = s_suppkey
+                        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                   WHERE r_name = 'WEST' AND p_type = 'PROMO')
+        SELECT o_year, round(CAST(sum(tflag*rev) AS DOUBLE)
+                             / CAST(sum(rev) AS DOUBLE), 6)
+        FROM f GROUP BY o_year ORDER BY o_year""").fetchall()
+    assert want
+    out = market_share(
+        rd.from_arrow(li).repartition(4), rd.from_arrow(orders),
+        rd.from_arrow(customer), rd.from_arrow(supplier),
+        rd.from_arrow(nation), rd.from_arrow(region),
+        target_nation="NATION_1", region_name="WEST",
+        part_type="PROMO", part=rd.from_arrow(part))
+    assert sorted(_rows(out)) == [tuple(w) for w in want]
+
+
+def test_dup_rate_per_source(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import dup_rate_per_source
+    texts = [f"unique doc {i}" for i in range(40)] \
+        + ["repeated body"] * 10 + ["other repeat"] * 4
+    srcs = [f"s{i % 3}" for i in range(40)] + ["s0"] * 10 + ["s1"] * 4
+    docs = pa.table({"doc_id": pa.array(np.arange(54), pa.int64()),
+                     "text": pa.array(texts),
+                     "source": pa.array(srcs)})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute("""
+        SELECT source, count(*), count(DISTINCT md5(text)),
+               round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                     / count(*), 6)
+        FROM documents GROUP BY source ORDER BY source""").fetchall()
+    out = dup_rate_per_source(rd.from_arrow(docs).repartition(4))
+    got = sorted((r["source"], r["n_docs"], r["n_unique"], r["dup_rate"])
+                 for r in out.to_pylist())
+    assert got == [tuple(w) for w in want]
+    d = {s: r for s, _, _, r in got}
+    assert d["s0"] > 0 and d["s2"] == 0.0
