@@ -2512,9 +2512,11 @@ WITH f AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
              AND l_shipdate < TIMESTAMP '1997-10-01')
-SELECT round(100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
-                                        ELSE 0 END) AS BIGINT) AS DOUBLE)
-             / CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE), 6) AS promo_pct
+SELECT coalesce(round(100.0
+             * CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                  ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE), 6), 0.0)
+         AS promo_pct
 FROM f""",
         "top_unshipped_orders": """
 WITH li AS (SELECT l_orderkey,

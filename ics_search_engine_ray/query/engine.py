@@ -735,31 +735,36 @@ class SearchIndex:
             cand = cand[np.isin(cand, tp.doc_ids, assume_unique=True)]
             if cand.size == 0:
                 return []
-        ok = np.array([int(d) for d in cand
-                       if (self.min_window(int(d), distinct)
-                           or window + 1) <= window], np.int64)
-        if not ok.size:
-            return []
+        # score the intersection first (vectorized TAAT), then walk
+        # candidates in final rank order and stop after k window
+        # survivors — min_window's per-doc Python sweep stays bounded by
+        # O(k + rejects-before-the-kth), never the whole intersection
         qtf: Dict[str, int] = {}
         for t in terms:
             qtf[t] = qtf.get(t, 0) + 1
         posts = {t: p for t, p in
                  ((t, self._scored(t, "bm25")) for t in qtf)
                  if p is not None}
-        acc = np.zeros(ok.size, np.float64)
+        acc = np.zeros(cand.size, np.float64)
         for t, p in posts.items():
-            pos = np.searchsorted(p.doc_ids, ok)
+            pos = np.searchsorted(p.doc_ids, cand)
             hit = (pos < p.doc_ids.size) & \
-                (p.doc_ids[np.minimum(pos, p.doc_ids.size - 1)] == ok)
+                (p.doc_ids[np.minimum(pos, p.doc_ids.size - 1)] == cand)
             acc[hit] += p.scores[pos[hit]] * qtf[t]
-        order = np.lexsort((ok, -acc))[:min(k, ok.size)]
+        order = np.lexsort((cand, -acc))
         urls, titles = self._urls(), self._titles()
-        return [SearchResult(
-            url=self._defrag(urls.get(int(ok[i]), "")),
-            doc_id=int(ok[i]), score=float(acc[i]),
-            matched_terms=distinct,
-            title=titles.get(int(ok[i]), "") or "")
-            for i in order]
+        out: List[SearchResult] = []
+        for i in order:
+            d = int(cand[i])
+            if (self.min_window(d, distinct) or window + 1) > window:
+                continue
+            out.append(SearchResult(
+                url=self._defrag(urls.get(d, "")), doc_id=d,
+                score=float(acc[i]), matched_terms=distinct,
+                title=titles.get(d, "") or ""))
+            if len(out) >= k:
+                break
+        return out
 
     def _search_tfidf_ref(self, terms: List[str], k: int) -> List[SearchResult]:
         """Reference Q3-Q5 semantics (search.py:141-198)."""

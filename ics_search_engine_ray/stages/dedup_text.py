@@ -1195,9 +1195,12 @@ def dedup_against(new_docs, old_docs, max_bcast_rows: int = 2_000_000,
 
         return new_h.map_batches(anti, batch_format="pyarrow")
 
-    # scale path: co-partition by the (uniform) high hash half
+    # scale path: co-partition by the (uniform) high hash half.
+    # Size from new_docs.count() — the map is 1:1, and counting new_h
+    # would execute the md5 pass a second time (the paragraph_dedup
+    # materialize-before-count pitfall).
     if num_groups is None:
-        num_groups = adaptive_groups(new_h.count() + n_keys,
+        num_groups = adaptive_groups(new_docs.count() + n_keys,
                                      1_000_000, lo=32)
 
     def tag(side: int):
@@ -1242,77 +1245,69 @@ def dup_rate_per_source(docs):
     dup_rate): how much of each source is verbatim repetition — the
     number a curation dashboard watches per crawl snapshot.
 
-    Shape: per-batch (source, 128-bit md5 halves) rows -> ONE native
-    groupby over (hash_hi, hash_lo, source) (shuffles O(docs) tiny rows)
-    -> per-batch distinct-count partials per source -> tiny groupby Sum;
-    doc totals come from per-batch count partials (no corpus-sized
-    groupby). dup_rate = round(1 - n_unique/n_docs, 6)."""
+    Shape: per-batch (source, 128-bit md5 halves) rows (the exact_dedup
+    hash with the source column riding along) -> ONE native groupby over
+    (hash_hi, hash_lo, source) -> per-batch per-source run-count
+    partials (one sort + boundary scan, shared kernel for both the
+    distinct and the raw counts) -> tiny groupby Sum.
+    dup_rate = round(1 - n_unique/n_docs, 6)."""
+    import ray
     from ray.data.aggregate import Sum
 
     from .common import round_half_away
 
     def hash_rows(b: pa.Table) -> pa.Table:
-        texts = [x or "" for x in b.column("text").to_pylist()]
-        digests = [hashlib.md5(x.encode("utf-8")).digest() for x in texts]
-        return pa.table({
-            "source": b.column("source"),
-            "hash_hi": pa.array(
-                [int.from_bytes(d[:8], "big", signed=True)
-                 for d in digests], pa.int64()),
-            "hash_lo": pa.array(
-                [int.from_bytes(d[8:], "big", signed=True)
-                 for d in digests], pa.int64())})
+        return _text_hash_batch(b).append_column("source",
+                                                 b.column("source"))
+
+    def runs_per_source(out_col: str):
+        """(source, <out_col>) = rows per source in this batch — counts
+        DISTINCT hashes when fed the post-groupby relation, raw docs
+        when fed the corpus."""
+        def fn(b: pa.Table) -> pa.Table:
+            empty = pa.table({"source": pa.array([], pa.string()),
+                              out_col: pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            srcs = np.asarray(b.column("source").to_pylist(), object)
+            o = np.argsort(srcs, kind="stable")
+            ss = srcs[o]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], ss[1:] != ss[:-1])))
+            return pa.table({
+                "source": pa.array(ss[starts], pa.string()),
+                out_col: pa.array(
+                    np.diff(np.append(starts, ss.size)).astype(np.int64),
+                    pa.int64())})
+        return fn
 
     uniq = docs.map_batches(hash_rows, batch_format="pyarrow") \
         .groupby(["hash_hi", "hash_lo", "source"]).count()
-
-    def uniq_partial(b: pa.Table) -> pa.Table:
-        empty = pa.table({"source": pa.array([], pa.string()),
-                          "n_unique": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        s = np.asarray(b.column("source").to_pylist(), object)
-        o = np.argsort(s, kind="stable")
-        ss = s[o]
-        starts = np.flatnonzero(np.concatenate(
-            ([True], ss[1:] != ss[:-1])))
-        return pa.table({
-            "source": pa.array(ss[starts], pa.string()),
-            "n_unique": pa.array(
-                np.diff(np.append(starts, ss.size)).astype(np.int64),
-                pa.int64())})
-
-    def count_partial(b: pa.Table) -> pa.Table:
-        empty = pa.table({"source": pa.array([], pa.string()),
-                          "n_docs": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        s = np.asarray(b.column("source").to_pylist(), object)
-        o = np.argsort(s, kind="stable")
-        ss = s[o]
-        starts = np.flatnonzero(np.concatenate(
-            ([True], ss[1:] != ss[:-1])))
-        return pa.table({
-            "source": pa.array(ss[starts], pa.string()),
-            "n_docs": pa.array(
-                np.diff(np.append(starts, ss.size)).astype(np.int64),
-                pa.int64())})
-
-    from ray.data.aggregate import Sum as _Sum
-    nu = uniq.map_batches(uniq_partial, batch_format="pyarrow") \
-        .groupby("source").aggregate(_Sum("n_unique",
-                                          alias_name="n_unique"))
+    nu = uniq.map_batches(runs_per_source("n_unique"),
+                          batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_unique",
+                                         alias_name="n_unique"))
     nd = docs.select_columns(["source"]) \
-        .map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("source").aggregate(_Sum("n_docs", alias_name="n_docs"))
+        .map_batches(runs_per_source("n_docs"), batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs"))
 
-    import ray
-    nu_t = pa.concat_tables([t for t in ray.get(
-        nu.materialize().to_arrow_refs()) if t.num_rows])
-    nd_t = pa.concat_tables([t for t in ray.get(
-        nd.materialize().to_arrow_refs()) if t.num_rows])
-    u_map = dict(zip(nu_t.column("source").to_pylist(),
-                     nu_t.column("n_unique").cast(pa.int64()).to_pylist()))
+    empty_out = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_unique": pa.array([], pa.int64()),
+                          "dup_rate": pa.array([], pa.float64())})
+    nd_parts = [t for t in ray.get(nd.materialize().to_arrow_refs())
+                if t.num_rows]
+    if not nd_parts:
+        return empty_out
+    nu_parts = [t for t in ray.get(nu.materialize().to_arrow_refs())
+                if t.num_rows]
+    nd_t = pa.concat_tables(nd_parts)
+    u_map: dict = {}
+    if nu_parts:
+        nu_t = pa.concat_tables(nu_parts)
+        u_map = dict(zip(
+            nu_t.column("source").to_pylist(),
+            nu_t.column("n_unique").cast(pa.int64()).to_pylist()))
     rows = sorted(zip(nd_t.column("source").to_pylist(),
                       nd_t.column("n_docs").cast(pa.int64()).to_pylist()))
     srcs = [s for s, _ in rows]

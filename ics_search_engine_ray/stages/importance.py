@@ -70,6 +70,18 @@ class _BucketCounter:
         return np.fromiter((self.bucket_of(t) for t in toks),
                            np.int64, len(toks))
 
+    def batch_buckets(self, texts):
+        """(flat bucket ids, per-doc lengths) for a whole batch — ONE
+        concatenated array so downstream kernels run one bincount /
+        reduceat per BATCH, not per document (O(tokens + K), no
+        per-doc K-sized allocations)."""
+        per_doc = [self.doc_buckets(x) for x in texts]
+        lens = np.fromiter((a.size for a in per_doc), np.int64,
+                           len(per_doc))
+        flat = (np.concatenate(per_doc) if lens.sum()
+                else np.empty(0, np.int64))
+        return flat, lens
+
 
 def dsir_logweights(docs, target_source: str, k: int = 4096,
                     source_col: str = "source"):
@@ -87,9 +99,9 @@ def dsir_logweights(docs, target_source: str, k: int = 4096,
 
     from .common import half_away_scaled_int
 
-    docs = docs.select_columns([c for c in
-                                ("doc_id", "text", source_col)]) \
-        .materialize()   # consumed by both passes
+    # consumed by both passes: re-read from the (parquet-backed) input
+    # per pass rather than pinning an O(corpus) copy in the object store
+    docs = docs.select_columns(list(("doc_id", "text", source_col)))
 
     class PassA:
         def __init__(self):
@@ -104,16 +116,13 @@ def dsir_logweights(docs, target_source: str, k: int = 4096,
             texts = b.column("text").to_pylist()
             is_t = pc.equal(b.column(source_col), target_source) \
                 .to_numpy(zero_copy_only=False)
-            raw = np.zeros(k, np.int64)
-            tgt = np.zeros(k, np.int64)
-            for i, x in enumerate(texts):
-                bk = self.bc.doc_buckets(x)
-                if bk.size == 0:
-                    continue
-                h = np.bincount(bk, minlength=k)
-                raw += h
-                if is_t[i]:
-                    tgt += h
+            flat, lens = self.bc.batch_buckets(texts)
+            if flat.size == 0:
+                return empty
+            raw = np.bincount(flat, minlength=k).astype(np.int64)
+            t_mask = np.repeat(is_t, lens)
+            tgt = np.bincount(flat[t_mask],
+                              minlength=k).astype(np.int64)
             nz = np.flatnonzero(raw)
             if nz.size == 0:
                 return empty
@@ -159,18 +168,19 @@ def dsir_logweights(docs, target_source: str, k: int = 4096,
             if b.num_rows == 0:
                 return empty
             ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            out_id, out_w = [], []
-            for i, x in enumerate(b.column("text").to_pylist()):
-                bk = self.bc.doc_buckets(x)
-                if bk.size == 0:
-                    continue          # SQL's join emits nothing for it
-                score = int(self.li[bk].sum())
-                out_id.append(int(ids[i]))
-                out_w.append(score / 1_000_000.0)
-            if not out_id:
+            flat, lens = self.bc.batch_buckets(
+                b.column("text").to_pylist())
+            keep = lens > 0          # token-less docs emit nothing (SQL)
+            if not keep.any():
                 return empty
-            return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                             "dsir_logw": pa.array(out_w, pa.float64())})
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1][keep]
+            scores = np.add.reduceat(self.li[flat], offs) \
+                if flat.size else np.empty(0, np.int64)
+            return pa.table({
+                "doc_id": pa.array(ids[keep].astype(np.int64),
+                                   pa.int64()),
+                "dsir_logw": pa.array(scores / 1_000_000.0,
+                                      pa.float64())})
 
     return docs.map_batches(PassB, batch_format="pyarrow",
                             concurrency=(1, 8))
@@ -234,22 +244,24 @@ def source_divergence(docs, k: int = 4096, source_col: str = "source"):
                               "ct": pa.array([], pa.int64())})
             if b.num_rows == 0:
                 return empty
-            acc: dict = {}
-            for s, x in zip(b.column(source_col).to_pylist(),
-                            b.column("text").to_pylist()):
-                bk = self.bc.doc_buckets(x)
-                if bk.size == 0:
-                    continue
-                h = np.bincount(bk, minlength=k)
-                for bi in np.flatnonzero(h):
-                    acc[(s, int(bi))] = acc.get((s, int(bi)), 0) + int(h[bi])
-            if not acc:
+            srcs = np.asarray(b.column(source_col).to_pylist(), object)
+            flat, lens = self.bc.batch_buckets(
+                b.column("text").to_pylist())
+            if flat.size == 0:
                 return empty
-            ks = list(acc)
+            src_rep = np.repeat(srcs, lens)
+            out_s, out_b, out_c = [], [], []
+            for sname in np.unique(src_rep):     # few sources per batch
+                h = np.bincount(flat[src_rep == sname], minlength=k)
+                nz = np.flatnonzero(h)
+                out_s.extend([sname] * nz.size)
+                out_b.append(nz)
+                out_c.append(h[nz])
             return pa.table({
-                "source": pa.array([a for a, _ in ks], pa.string()),
-                "bkt": pa.array([b_ for _, b_ in ks], pa.int64()),
-                "ct": pa.array([acc[x] for x in ks], pa.int64())})
+                "source": pa.array(out_s, pa.string()),
+                "bkt": pa.array(np.concatenate(out_b), pa.int64()),
+                "ct": pa.array(np.concatenate(out_c).astype(np.int64),
+                               pa.int64())})
 
     merged = docs.select_columns(["text", source_col]) \
         .map_batches(Hist, batch_format="pyarrow", concurrency=(1, 8)) \

@@ -31,15 +31,27 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+from .common import half_away_scaled_int
 from .joins import _BCAST_JOIN_ROWS, hash_join
 
 
 def _rev_units(ep: np.ndarray, disc: np.ndarray) -> np.ndarray:
     """Exact revenue in 1e-4 currency units: round(price*100) cents times
-    (100 - round(discount*100)) percent-complement — int64, no float sum."""
-    cents = np.rint(ep * 100.0).astype(np.int64)
-    dpct = np.rint(disc * 100.0).astype(np.int64)
+    (100 - round(discount*100)) percent-complement — int64, no float sum.
+    Rounding is half-AWAY-from-zero to match DuckDB round() by
+    construction (np.rint is half-to-even and diverges on exact .5
+    boundaries like 0.045 * 100 — data with >2 decimals would flip)."""
+    cents = _half_away_100(ep)
+    dpct = _half_away_100(disc)
     return cents * (100 - dpct)
+
+
+def _half_away_100(x: np.ndarray) -> np.ndarray:
+    """round(x * 100) half-away-from-zero as int64 (DuckDB parity).
+    half_away_scaled_int is imported at MODULE level — a runtime
+    relative import here would raise ModuleNotFoundError inside
+    by-value-pickled worker closures."""
+    return half_away_scaled_int(np.asarray(x, np.float64), 100)
 
 
 def _int_group_sums(keys: np.ndarray, vals: np.ndarray):
@@ -507,13 +519,13 @@ def forecast_revenue(lineitem, disc_lo: int = 5, disc_hi: int = 7,
         if b.num_rows == 0:
             return empty
         qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
-        dpct = np.rint(b.column("l_discount").to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
+        dpct = _half_away_100(b.column("l_discount").to_numpy(
+            zero_copy_only=False))
         m = (dpct >= disc_lo) & (dpct <= disc_hi) & (qty < qty_max)
         if not m.any():
             return empty
-        cents = np.rint(b.column("l_extendedprice").to_numpy(
-            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        cents = _half_away_100(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m])
         rev = int((cents * dpct[m]).sum())
         return pa.table({"n": pa.array([int(m.sum())], pa.int64()),
                          "rev": pa.array([rev], pa.int64())})
@@ -565,7 +577,9 @@ def promo_revenue(lineitem, part, max_bcast_rows=_BCAST_JOIN_ROWS):
                    Sum("total", alias_name="total"))
     promo = int(agg.get("promo") or 0)
     total = int(agg.get("total") or 0)
-    pct = round(100.0 * promo / total, 6) if total else 0.0
+    from .common import round_half_away
+    pct = float(round_half_away(np.array([100.0 * promo / total]),
+                                6)[0]) if total else 0.0
     return pa.table({"promo_pct": pa.array([pct], pa.float64())})
 
 
@@ -683,8 +697,8 @@ def large_orders(lineitem, orders, customer, min_qty: float = 250.0,
             return pa.table({"l_orderkey": pa.array([], pa.int64()),
                              "q": pa.array([], pa.int64())})
         keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
-        q = np.rint(b.column("l_quantity").to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
+        q = _half_away_100(b.column("l_quantity").to_numpy(
+            zero_copy_only=False))
         uk, sums = _int_group_sums(keys, q)
         return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
                          "q": pa.array(sums, pa.int64())})
@@ -850,8 +864,8 @@ def idle_rich_customers(customer, orders, max_bcast_rows=_BCAST_JOIN_ROWS):
                           "c": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        cents = np.rint(b.column("c_acctbal").to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
+        cents = _half_away_100(b.column("c_acctbal").to_numpy(
+            zero_copy_only=False))
         pos = cents[cents > 0]
         if pos.size == 0:
             return empty
@@ -881,8 +895,8 @@ def idle_rich_customers(customer, orders, max_bcast_rows=_BCAST_JOIN_ROWS):
                           "bal": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        cents = np.rint(b.column("c_acctbal").to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
+        cents = _half_away_100(b.column("c_acctbal").to_numpy(
+            zero_copy_only=False))
         rich = cents * cnt > sum_cents
         sub = b.filter(pa.array(rich)).append_column(
             "bal_cents", pa.array(cents[rich], pa.int64()))
@@ -958,8 +972,8 @@ def small_qty_revenue(lineitem, part, brand: str,
                              "sq": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
         keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
-        q = np.rint(b.column("l_quantity").to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
+        q = _half_away_100(b.column("l_quantity").to_numpy(
+            zero_copy_only=False))
         uk, sums = _int_group_sums(keys, q)
         _, ns = _int_group_sums(keys, np.ones(keys.size, np.int64))
         return pa.table({"l_partkey": pa.array(uk, pa.int64()),
@@ -995,21 +1009,23 @@ def small_qty_revenue(lineitem, part, brand: str,
         keys = b.column("l_partkey").to_numpy(
             zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(spk, keys)
-        q = np.rint(b.column("l_quantity").to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
+        q = _half_away_100(b.column("l_quantity").to_numpy(
+            zero_copy_only=False))
         small = q * 5 * scnt[pos] < ssq[pos]
         if not small.any():
             return empty
-        cents = np.rint(b.column("l_extendedprice").to_numpy(
-            zero_copy_only=False)[small] * 100.0).astype(np.int64)
+        cents = _half_away_100(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[small])
         return pa.table({"cents": pa.array([int(cents.sum())],
                                            pa.int64())})
 
     total = li_b.map_batches(rev_partial, batch_format="pyarrow") \
         .aggregate(Sum("cents", alias_name="cents"))
     cents = int(total.get("cents") or 0)
+    from .common import round_half_away
     return pa.table({"avg_yearly": pa.array(
-        [round(cents / 100.0 / 7.0, 6)], pa.float64())})
+        [float(round_half_away(np.array([cents / 100.0 / 7.0]), 6)[0])],
+        pa.float64())})
 
 
 def returned_item_report(lineitem, orders, customer, nation, k: int = 20,
@@ -1092,8 +1108,11 @@ def returned_item_report(lineitem, orders, customer, nation, k: int = 20,
             "c_acctbal": b.column("c_acctbal"),
             "n_name": b.column("n_name")})
 
-    return enriched.map_batches(finish, batch_format="pyarrow") \
-        .sort(["revenue", "c_custkey"], descending=[True, False])
+    # sort on the EXACT integer rev (not the derived float — two revs
+    # above 2^53 1e-4-units could collapse to one double and flip ties)
+    return enriched.sort(["rev", "c_custkey"],
+                         descending=[True, False]) \
+        .map_batches(finish, batch_format="pyarrow")
 
 
 def nation_volume(lineitem, orders, customer, supplier, nation,

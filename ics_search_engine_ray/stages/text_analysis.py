@@ -1755,12 +1755,14 @@ def vocab_stats_per_source(docs):
     corpus source — the Heaps-law / diversity snapshot a curation report
     reads before mixing sources.
 
-    Plan: per-batch (source, term) distinct pairs with occurrence counts
-    (one python-free lexsort+reduceat per batch) -> native
-    groupby(source, term) Sum — the ONLY corpus-sized shuffle, moving
-    O(distinct pairs) rows like bigram_counts — -> per-batch partials of
-    (distinct-term count, token count) per source -> tiny groupby Sum.
-    The ratio rounds half-away at 6 dp on both oracle sides."""
+    Plan: per-batch (source, term) pair counts (a Python dict combine
+    over token occurrences — tokenization itself is Python-level, so
+    this adds only a constant factor; the scale property is the SHAPE)
+    -> native groupby(source, term) Sum — the ONLY corpus-sized shuffle,
+    moving O(distinct pairs) rows like bigram_counts — -> per-batch
+    partials of (distinct-term count, token count) per source -> tiny
+    groupby Sum. The ratio rounds half-away at 6 dp on both oracle
+    sides."""
     from ray.data.aggregate import Sum
 
     from .common import round_half_away

@@ -179,3 +179,32 @@ def test_dedup_against_copartition_path(ray_session):
     got = sorted(r["doc_id"] for b in out.iter_batches(
         batch_format="pyarrow") for r in b.to_pylist())
     assert got == survivors
+
+
+def test_rev_units_half_away_boundary():
+    """0.045 * 100 is EXACTLY 4.5 in float64: DuckDB round() gives 5
+    (half-away), np.rint would give 4 (half-even). _rev_units must take
+    the half-away branch or Q6's BETWEEN 5 AND 7 silently diverges on
+    any >2-decimal data."""
+    import numpy as np
+    from ics_search_engine_ray.stages.relational import (_half_away_100,
+                                                         _rev_units)
+    assert (0.045 * 100.0) == 4.5
+    assert _half_away_100(np.array([0.045]))[0] == 5
+    assert _half_away_100(np.array([-0.045]))[0] == -5
+    assert _half_away_100(np.array([0.125]))[0] == 13     # 12.5 -> 13
+    # discount 0.045 -> 5%: complement 95
+    assert _rev_units(np.array([1.0]), np.array([0.045]))[0] == 100 * 95
+
+
+def test_dup_rate_empty_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import dup_rate_per_source
+    docs = pa.table({"doc_id": pa.array([], pa.int64()),
+                     "text": pa.array([], pa.string()),
+                     "source": pa.array([], pa.string())})
+    out = dup_rate_per_source(rd.from_arrow(docs))
+    assert out.num_rows == 0
+    assert out.column_names == ["source", "n_docs", "n_unique",
+                                "dup_rate"]
