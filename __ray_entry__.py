@@ -2136,6 +2136,41 @@ def _q_dup_rate_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_median_abs_dev(sf_dir: str):
+    """Per-user median + MAD (stages/events.py median_abs_dev): user
+    co-partition, exact integer cents, np.quantile linear interpolation
+    matching DuckDB median()."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import median_abs_dev
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    return median_abs_dev(ev)
+
+
+def _q_drop_rapid_repeats(sf_dir: str):
+    """Telemetry debounce (stages/events.py drop_rapid_repeats): drop
+    events whose same-(user, type) predecessor is < 1 hour away — LAG
+    semantics, one lexsort + vectorized gap test per partition."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import drop_rapid_repeats
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"])
+    return drop_rapid_repeats(ev, min_gap_s=3600.0)
+
+
+def _q_ab_funnel(sf_dir: str):
+    """A/B funnel analysis (stages/events.py ab_funnel): deterministic
+    Weyl variant split, ordered signup->view->purchase completions over
+    first-step users, exact integer counts -> one rounded division."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import ab_funnel
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"])
+    return ab_funnel(ev)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2279,6 +2314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,    # ES06 weighted top-k
         "market_share": _q_market_share,          # TPC-H Q8 six-way
         "dup_rate_per_source": _q_dup_rate_per_source,  # curation report
+        "median_abs_dev": _q_median_abs_dev,      # robust per-key scale
+        "drop_rapid_repeats": _q_drop_rapid_repeats,  # telemetry debounce
+        "ab_funnel": _q_ab_funnel,                # variant conversion
     }
 
 
@@ -2575,6 +2613,62 @@ SELECT o_year,
        round(CAST(sum(tflag * rev) AS DOUBLE)
              / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
 FROM f GROUP BY o_year ORDER BY o_year""",
+        "median_abs_dev": """
+WITH z AS (SELECT user_id,
+                  CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)
+                    AS cents
+           FROM events),
+m AS (SELECT user_id, median(cents) AS med FROM z GROUP BY user_id),
+d AS (SELECT z.user_id, abs(z.cents - m.med) AS dev, m.med
+      FROM z JOIN m USING (user_id))
+SELECT user_id, round(any_value(med) / 100.0, 6) AS median_value,
+       round(median(dev) / 100.0, 6) AS mad
+FROM d GROUP BY user_id ORDER BY user_id""",
+        "drop_rapid_repeats": """
+WITH g AS (SELECT event_id,
+                  date_diff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id),
+                            ts) AS gap
+           FROM events)
+SELECT event_id FROM g
+WHERE gap IS NULL OR gap >= 3600000000
+ORDER BY event_id""",
+        "ab_funnel": """
+WITH s1 AS (
+  SELECT user_id, ts AS ts1, event_id AS id1 FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+s2 AS (
+  SELECT user_id, ts2, id2 FROM (
+    SELECT e.user_id, e.ts AS ts2, e.event_id AS id2,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'view'
+      AND (e.ts, e.event_id) > (s1.ts1, s1.id1)) WHERE rn = 1),
+s3 AS (
+  SELECT user_id FROM (
+    SELECT e.user_id,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND (e.ts, e.event_id) > (s2.ts2, s2.id2)) WHERE rn = 1),
+den AS (SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'signup'),
+v AS (SELECT den.user_id,
+             CASE WHEN ((den.user_id + 5) * 2654435761) % 4294967296
+                       % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM den LEFT JOIN s3 USING (user_id))
+SELECT variant, count(*) AS n_users,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS cvr
+FROM v GROUP BY variant ORDER BY variant""",
         "dup_rate_per_source": """
 SELECT source, count(*) AS n_docs,
        count(DISTINCT md5(text)) AS n_unique,

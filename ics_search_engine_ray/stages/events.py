@@ -1657,3 +1657,202 @@ def burst_max(events, key: str = "user_id", ts_col: str = "ts",
                          .cast(pa.int64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def median_abs_dev(events, key: str = "user_id", val_col: str = "value",
+                   num_groups=None):
+    """Per-key robust location/scale -> (user_id, median_value, mad):
+    the median and the median absolute deviation of event values — the
+    outlier-resistant profile that mean/std-based monitors get wrong on
+    heavy-tailed spend.
+
+    Keys co-partition by hash (all of a key's values land in one task —
+    exact medians need the full set, same contract as sessionize); each
+    segment computes both medians with ``np.quantile``'s linear
+    interpolation, bit-matching DuckDB ``median()`` (the green
+    quantile_agg precedent). Values convert to exact integer cents
+    first, so only the final interpolation/divide floats."""
+    from .common import adaptive_groups, round_half_away
+
+    if num_groups is None:
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=32)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        u = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_g", pa.array((u % num_groups + num_groups) % num_groups,
+                           pa.int64()))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          "median_value": pa.array([], pa.float64()),
+                          "mad": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        u = g.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = half_away_scaled_int(
+            g.column(val_col).to_numpy(zero_copy_only=False), 100) \
+            .astype(np.float64)
+        o = np.argsort(u, kind="stable")
+        us, cs = u[o], c[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], us[1:] != us[:-1])))
+        ends = np.append(starts[1:], us.size)
+        meds = np.empty(starts.size, np.float64)
+        mads = np.empty(starts.size, np.float64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            seg = cs[s:e]
+            med = np.quantile(seg, 0.5)
+            meds[i] = med
+            mads[i] = np.quantile(np.abs(seg - med), 0.5)
+        return pa.table({
+            key: pa.array(us[starts], pa.int64()),
+            "median_value": pa.array(
+                round_half_away(meds / 100.0, 6), pa.float64()),
+            "mad": pa.array(round_half_away(mads / 100.0, 6),
+                            pa.float64())})
+
+    return (events.select_columns([key, val_col])
+            .map_batches(add_g, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: resolve(g.drop(["_g"])),
+                        batch_format="pyarrow"))
+
+
+def drop_rapid_repeats(events, key_cols=("user_id", "event_type"),
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       min_gap_s: float = 5.0, num_groups=None):
+    """Telemetry de-bounce -> surviving (event_id,) rows: drop an event
+    when the PREVIOUS event of the same (user, type) — in (ts, id) order
+    — is closer than ``min_gap_s`` (SQL LAG semantics: each event
+    compares against its immediate predecessor, kept or not, so the
+    rule is one window expression on both oracle sides).
+
+    Co-partitions by the first key's hash (all of a user's events in
+    one task); each partition is one lexsort + one vectorized gap test.
+    Integer microseconds; a gap EQUAL to the threshold survives
+    (strict <)."""
+    from .common import adaptive_groups
+
+    if num_groups is None:
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=32)
+    gap_us = np.int64(round(min_gap_s * 1_000_000))
+    k1, k2 = key_cols
+
+    def add_g(b: pa.Table) -> pa.Table:
+        u = b.column(k1).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_g", pa.array((u % num_groups + num_groups) % num_groups,
+                           pa.int64()))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        u = g.column(k1).to_numpy(zero_copy_only=False).astype(np.int64)
+        t2 = np.asarray(g.column(k2).to_pylist(), object)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, ts, t2, u))
+        us, ts2, tss, idss = u[o], t2[o], ts[o], ids[o]
+        same = np.concatenate(
+            ([False], (us[1:] == us[:-1]) & (ts2[1:] == ts2[:-1])))
+        gap = np.empty(us.size, np.int64)
+        gap[0] = gap_us
+        gap[1:] = tss[1:] - tss[:-1]
+        keep = ~(same & (gap < gap_us))
+        return pa.table({id_col: pa.array(idss[keep], pa.int64())})
+
+    return (events.select_columns([k1, k2, ts_col, id_col])
+            .map_batches(add_g, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: resolve(g.drop(["_g"])),
+                        batch_format="pyarrow"))
+
+
+def ab_funnel(events, steps=("signup", "view", "purchase"),
+              variant_seed: int = 5, by: str = "user_id",
+              num_groups=None):
+    """A/B funnel analysis -> (variant, n_users, n_converted, cvr):
+    users hash-assign to variants A/B (the deterministic Weyl split —
+    no RNG state, SQL-mirrorable), the denominator is users with at
+    least one first-step event, and conversions are full ordered-funnel
+    completions (:func:`funnel`, the salted-skew cascade). cvr rounds
+    half-away at 6 dp.
+
+    Everything after the funnel is O(users)-thin: per-batch variant
+    partials -> one tiny 2-row merge."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.splits import weyl_hash
+    from .common import round_half_away
+
+    step0 = steps[0]
+    conv = funnel(events, steps, by=by, num_groups=num_groups)
+
+    def variant_of(u: np.ndarray) -> np.ndarray:
+        return weyl_hash(u, variant_seed) % 2       # 0 = A, 1 = B
+
+    def conv_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"v": pa.array([], pa.int64()),
+                          "n_converted": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        v = variant_of(b.column(by).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"v": pa.array([0, 1], pa.int64()),
+                         "n_converted": pa.array(
+                             [int((v == 0).sum()), int((v == 1).sum())],
+                             pa.int64())})
+
+    def den_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"v": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        v = variant_of(b.column(by).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"v": pa.array([0, 1], pa.int64()),
+                         "n_users": pa.array(
+                             [int((v == 0).sum()), int((v == 1).sum())],
+                             pa.int64())})
+
+    def first_step_users(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), step0)
+        return pa.table({by: b.filter(m).column(by).cast(pa.int64())})
+
+    den = events.select_columns([by, "event_type"]) \
+        .map_batches(first_step_users, batch_format="pyarrow") \
+        .groupby(by).count().select_columns([by]) \
+        .map_batches(den_partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("n_users", alias_name="n_users"))
+    num = conv.map_batches(conv_partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("n_converted",
+                                    alias_name="n_converted"))
+
+    import ray
+    den_t = pa.concat_tables([t for t in ray.get(
+        den.materialize().to_arrow_refs()) if t.num_rows])
+    num_parts = [t for t in ray.get(num.materialize().to_arrow_refs())
+                 if t.num_rows]
+    n_map = {}
+    if num_parts:
+        nt = pa.concat_tables(num_parts)
+        n_map = dict(zip(nt.column("v").cast(pa.int64()).to_pylist(),
+                         nt.column("n_converted").cast(pa.int64())
+                         .to_pylist()))
+    rows = sorted(zip(den_t.column("v").cast(pa.int64()).to_pylist(),
+                      den_t.column("n_users").cast(pa.int64())
+                      .to_pylist()))
+    vs = [v for v, _ in rows]
+    nu = np.array([n for _, n in rows], np.int64)
+    nc = np.array([n_map.get(v, 0) for v in vs], np.int64)
+    return pa.table({
+        "variant": pa.array(["A" if v == 0 else "B" for v in vs],
+                            pa.string()),
+        "n_users": pa.array(nu, pa.int64()),
+        "n_converted": pa.array(nc, pa.int64()),
+        "cvr": pa.array(round_half_away(
+            nc.astype(np.float64) / nu, 6), pa.float64())})

@@ -1,0 +1,109 @@
+"""Round-4 wave-10 event operators vs DuckDB: per-key median/MAD,
+LAG-semantics debounce, A/B funnel conversion."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _events(rng, n=3000, n_users=40):
+    return pa.table({
+        "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["signup", "view", "purchase", "error"], n)),
+        "ts": pa.array(rng.integers(0, 10**12, n), pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "value": pa.array(np.round(rng.uniform(0, 500, n), 2))})
+
+
+def test_median_abs_dev_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import median_abs_dev
+    rng = np.random.default_rng(51)
+    ev = _events(rng)
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH z AS (SELECT user_id,
+                          CAST(CAST(round(value*100,0) AS BIGINT)
+                               AS DOUBLE) AS cents FROM events),
+        m AS (SELECT user_id, median(cents) AS med FROM z
+              GROUP BY user_id),
+        d AS (SELECT z.user_id, abs(z.cents - m.med) AS dev, m.med
+              FROM z JOIN m USING (user_id))
+        SELECT user_id, round(any_value(med)/100.0, 6),
+               round(median(dev)/100.0, 6)
+        FROM d GROUP BY user_id ORDER BY user_id""").fetchall()
+    out = median_abs_dev(rd.from_arrow(ev).repartition(5), num_groups=7)
+    got = sorted((r["user_id"], r["median_value"], r["mad"])
+                 for b in out.iter_batches(batch_format="pyarrow")
+                 for r in b.to_pylist())
+    assert got == [tuple(w) for w in want]
+
+
+def test_drop_rapid_repeats_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import drop_rapid_repeats
+    rng = np.random.default_rng(52)
+    n = 2000
+    ev = pa.table({
+        "user_id": pa.array(rng.integers(0, 10, n), pa.int64()),
+        "event_type": pa.array(rng.choice(["a", "b"], n)),
+        # dense second-scale timestamps: many sub-threshold gaps
+        "ts": pa.array(rng.integers(0, 2 * 10**9, n),
+                       pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64())})
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = [r[0] for r in con.execute("""
+        WITH g AS (SELECT event_id,
+                          date_diff('microsecond',
+                                    lag(ts) OVER (PARTITION BY user_id,
+                                                  event_type
+                                                  ORDER BY ts, event_id),
+                                    ts) AS gap FROM events)
+        SELECT event_id FROM g
+        WHERE gap IS NULL OR gap >= 5000000
+        ORDER BY event_id""").fetchall()]
+    assert 0 < len(want) < n, "fixture must drop some and keep some"
+    out = drop_rapid_repeats(rd.from_arrow(ev).repartition(4),
+                             min_gap_s=5.0, num_groups=3)
+    got = sorted(r["event_id"] for b in out.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist())
+    assert got == want
+
+
+def test_ab_funnel_matches_brute(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import ab_funnel
+    from ics_search_engine_ray.stages.splits import weyl_hash
+    rng = np.random.default_rng(53)
+    ev = _events(rng, n=5000, n_users=60)
+    out = ab_funnel(rd.from_arrow(ev).repartition(5))
+    rows = {r["variant"]: r for r in out.to_pylist()}
+    assert set(rows) == {"A", "B"}
+
+    # brute-force reference
+    by_user: dict = {}
+    for r in ev.to_pylist():
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"]))
+    n_users = {"A": 0, "B": 0}
+    n_conv = {"A": 0, "B": 0}
+    for u, evs in by_user.items():
+        evs.sort()
+        if not any(t == "signup" for _, _, t in evs):
+            continue
+        v = "A" if weyl_hash(np.array([u]), 5)[0] % 2 == 0 else "B"
+        n_users[v] += 1
+        want_i = 0
+        steps = ["signup", "view", "purchase"]
+        for _, _, t in evs:
+            if want_i < 3 and t == steps[want_i]:
+                want_i += 1
+        if want_i == 3:
+            n_conv[v] += 1
+    for v in ("A", "B"):
+        assert rows[v]["n_users"] == n_users[v]
+        assert rows[v]["n_converted"] == n_conv[v]
