@@ -2171,6 +2171,28 @@ def _q_ab_funnel(sf_dir: str):
     return ab_funnel(ev)
 
 
+_OVERLAP_TERMS = ("data", "query", "merge", "stream", "table", "hash")
+
+
+def _q_window_topk(sf_dir: str):
+    """Continuous top-k per tumbling window (stages/events.py
+    window_topk, SAP ICDE 2018 shape): composite-key integer partials ->
+    one native Sum groupby -> per-window local-top-k forward."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import window_topk
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return window_topk(ev, window_s=86400 * 7, k=3)
+
+
+def _q_overlap_topk(sf_dir: str):
+    """Exact top-k set-overlap search (stages/text_analysis.py
+    overlap_topk, the Koios ICDE 2023 shape): broadcast query set, one
+    vectorized distinct-membership pass, local top-k forward."""
+    from ics_search_engine_ray.stages.text_analysis import overlap_topk
+    return overlap_topk(_read_docs(sf_dir), list(_OVERLAP_TERMS), k=10)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2317,6 +2339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_abs_dev": _q_median_abs_dev,      # robust per-key scale
         "drop_rapid_repeats": _q_drop_rapid_repeats,  # telemetry debounce
         "ab_funnel": _q_ab_funnel,                # variant conversion
+        "window_topk": _q_window_topk,            # continuous top-k
+        "overlap_topk": _q_overlap_topk,          # set-overlap search
     }
 
 
@@ -2613,6 +2637,25 @@ SELECT o_year,
        round(CAST(sum(tflag * rev) AS DOUBLE)
              / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
 FROM f GROUP BY o_year ORDER BY o_year""",
+        "window_topk": """
+WITH z AS (SELECT user_id,
+                  epoch_us(ts) // 604800000000 AS win,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+s AS (SELECT win, user_id, sum(cents) AS cents FROM z GROUP BY 1, 2),
+r AS (SELECT win, user_id, cents,
+             row_number() OVER (PARTITION BY win
+                                ORDER BY cents DESC, user_id) AS rk
+      FROM s)
+SELECT make_timestamp(win * 604800000000) AS win_start,
+       CAST(rk AS BIGINT) AS rank, user_id,
+       CAST(cents AS DOUBLE) / 100.0 AS total_value
+FROM r WHERE rk <= 3 ORDER BY win_start, rank""",
+        "overlap_topk": f"""
+WITH toks AS ({_sql_tokens_cte()})
+SELECT doc_id, count(DISTINCT term) AS overlap
+FROM toks WHERE term IN ({", ".join(repr(t) for t in _OVERLAP_TERMS)})
+GROUP BY doc_id ORDER BY overlap DESC, doc_id LIMIT 10""",
         "median_abs_dev": """
 WITH z AS (SELECT user_id,
                   CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)

@@ -1829,3 +1829,41 @@ def vocab_stats_per_source(docs):
                          "ttr": pa.array(ttr, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def overlap_topk(docs, query_terms, k: int = 10):
+    """Top-k set-overlap search (the Koios / set-similarity-search shape,
+    ICDE 2023, as an exact batch operator) -> (doc_id, overlap): the k
+    documents whose DISTINCT token sets share the most terms with the
+    query set, ties by doc_id.
+
+    The query set broadcasts inside the closure (tiny); each batch is
+    one vectorized pass — tokenize, per-doc distinct membership count —
+    followed by a per-batch local top-k forward under the exact total
+    order (overlap desc, doc_id asc) and one tiny final sort. No
+    shuffle touches the corpus."""
+    qset = frozenset(t.lower() for t in query_terms)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "overlap": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ov = np.fromiter(
+            (len(qset.intersection(
+                t for t in TOKEN_RE.findall((x or "").lower())
+                if len(t) > 1))
+             for x in b.column("text").to_pylist()),
+            np.int64, b.num_rows)
+        m = ov > 0
+        if not m.any():
+            return empty
+        ids, ov = ids[m].astype(np.int64), ov[m]
+        order = np.lexsort((ids, -ov))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "overlap": pa.array(ov[order], pa.int64())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .sort(["overlap", "doc_id"], descending=[True, False]).limit(k)

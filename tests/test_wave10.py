@@ -107,3 +107,53 @@ def test_ab_funnel_matches_brute(ray_session):
     for v in ("A", "B"):
         assert rows[v]["n_users"] == n_users[v]
         assert rows[v]["n_converted"] == n_conv[v]
+
+
+def test_window_topk_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import window_topk
+    rng = np.random.default_rng(54)
+    ev = _events(rng, n=4000, n_users=25)
+    con = duckdb.connect()
+    con.register("events", ev)
+    w = 3600 * 10**6                 # 1-hour windows on the us clock
+    want = con.execute(f"""
+        WITH z AS (SELECT user_id, epoch_us(ts) // {w} AS win,
+                          CAST(round(value*100,0) AS BIGINT) AS cents
+                   FROM events),
+        s AS (SELECT win, user_id, sum(cents) AS cents FROM z
+              GROUP BY 1, 2),
+        r AS (SELECT win, user_id, cents,
+                     row_number() OVER (PARTITION BY win
+                                        ORDER BY cents DESC, user_id)
+                       AS rk FROM s)
+        SELECT make_timestamp(win * {w}), CAST(rk AS BIGINT), user_id,
+               CAST(cents AS DOUBLE)/100.0
+        FROM r WHERE rk <= 2 ORDER BY 1, 2""").fetchall()
+    out = window_topk(rd.from_arrow(ev).repartition(5),
+                      window_s=3600, k=2)
+    got = sorted((r["win_start"], r["rank"], r["user_id"],
+                  r["total_value"])
+                 for b in out.iter_batches(batch_format="pyarrow")
+                 for r in b.to_pylist())
+    assert got == [tuple(x) for x in want]
+
+
+def test_overlap_topk_brute(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import overlap_topk
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma",          # 3 overlap
+            "alpha alpha alpha",         # 1 (distinct!)
+            "beta gamma",                # 2
+            "nothing relevant here",     # 0 -> excluded
+            "alpha beta gamma delta"])}) # 3, tie with doc 1
+    out = overlap_topk(rd.from_arrow(docs).repartition(3),
+                       ["alpha", "beta", "gamma"], k=3)
+    got = [(r["doc_id"], r["overlap"]) for r in
+           pa.concat_tables([b for b in out.iter_batches(
+               batch_format="pyarrow")]).to_pylist()]
+    assert got == [(1, 3), (5, 3), (3, 2)]
