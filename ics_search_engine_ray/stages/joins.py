@@ -471,3 +471,61 @@ def semi_join(left_ds, right_ds, on: str, right_on: Optional[str] = None,
         return g.drop(["_side", "_g"]).take(pa.array(li, pa.int64()))
 
     return tagged.groupby("_g").map_groups(resolve, batch_format="pyarrow")
+
+
+def anti_join_keys(left_ds, keys_ds, on: str, right_on: Optional[str] = None,
+                   max_bcast_rows: int = _BCAST_JOIN_ROWS):
+    """NOT-EXISTS anti-join against a key relation: left rows whose key
+    appears NOWHERE on the right (the complement of :func:`semi_join`,
+    same physical plan).
+
+    The right side collapses to DISTINCT keys first; under the gate the
+    key set ships once and each left batch runs Arrow 'left anti'
+    locally (zero left shuffle); above it both sides co-partition by key
+    hash into adaptive groups and each group drops its members with one
+    vectorized ``np.isin`` complement. Integer keys only on the hash
+    path."""
+    r_on = right_on or on
+    keys = (keys_ds.select_columns([r_on]).groupby(r_on).count()
+            .select_columns([r_on]).materialize())
+    n_keys = keys.count()
+    if n_keys <= max_bcast_rows:
+        return broadcast_join(left_ds, keys, on=on, right_on=r_on,
+                              join_type="left anti",
+                              max_rows=max_bcast_rows)
+
+    l_schema = left_ds.schema().base_schema
+    u_schema = pa.schema([pa.field("_side", pa.int8()),
+                          pa.field("_g", pa.int64())]
+                         + [pa.field(f.name, f.type) for f in l_schema])
+    num_groups = adaptive_groups(left_ds.count() + n_keys, 1_000_000,
+                                 lo=32)
+
+    def tag(side: int, key_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            k = b.column(key_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            g = (k % num_groups + num_groups) % num_groups
+            arrays = [pa.array(np.full(n, side, np.int8), pa.int8()),
+                      pa.array(g, pa.int64())]
+            for f in l_schema:
+                if side == 1:
+                    arrays.append(b.column(key_col).cast(f.type)
+                                  if f.name == on else pa.nulls(n, f.type))
+                else:
+                    arrays.append(b.column(f.name))
+            return pa.Table.from_arrays(arrays, schema=u_schema)
+        return fn
+
+    tagged = left_ds.map_batches(tag(0, on), batch_format="pyarrow") \
+        .union(keys.map_batches(tag(1, r_on), batch_format="pyarrow"))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        k = g.column(on).to_numpy(zero_copy_only=False)
+        member = np.unique(k[side == 1])
+        li = np.flatnonzero((side == 0) & ~np.isin(k, member))
+        return g.drop(["_side", "_g"]).take(pa.array(li, pa.int64()))
+
+    return tagged.groupby("_g").map_groups(resolve, batch_format="pyarrow")

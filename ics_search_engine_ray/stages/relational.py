@@ -684,9 +684,10 @@ def large_orders(lineitem, orders, customer, min_qty: float = 250.0,
     -> the HAVING filter. Orders exceeding ``min_qty`` are rare by
     construction, so the surviving relation is tiny: it rides the gated
     broadcast join onto orders, and the enriched (still tiny) result
-    broadcasts onto customer — neither big relation ever shuffles. Above
-    the gate (a pathological threshold) the documented path is two
-    hash_joins. Quantities are exact integer hundredths end-to-end."""
+    broadcasts onto customer — neither big relation ever shuffles.
+    Above the gate (a pathological threshold) the operator flips to two
+    native hash-partitioned joins automatically. Quantities are exact
+    integer hundredths end-to-end."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -713,15 +714,34 @@ def large_orders(lineitem, orders, customer, min_qty: float = 250.0,
             .filter(pc.greater(b.column("q").cast(pa.int64()), thresh)),
             batch_format="pyarrow")
 
-    with_orders = broadcast_join(
-        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate",
-                               "o_totalprice"]),
-        heavy, on="o_orderkey", right_on="l_orderkey",
-        max_rows=max_bcast_rows)
-    enriched = broadcast_join(
-        customer.select_columns(["c_custkey", "c_name"]),
-        with_orders, on="c_custkey", right_on="o_custkey",
-        max_rows=max_bcast_rows)
+    heavy = heavy.materialize()            # consumed twice (gate + join)
+    ords_proj = orders.select_columns(["o_orderkey", "o_custkey",
+                                       "o_orderdate", "o_totalprice"])
+    cust_proj = customer.select_columns(["c_custkey", "c_name"])
+    if heavy.count() <= max_bcast_rows:
+        with_orders = broadcast_join(
+            ords_proj, heavy, on="o_orderkey", right_on="l_orderkey",
+            max_rows=max_bcast_rows)
+        enriched = broadcast_join(
+            cust_proj, with_orders, on="c_custkey", right_on="o_custkey",
+            max_rows=max_bcast_rows)
+    else:
+        # pathological threshold: the heavy set is order-sized — two
+        # native hash-partitioned joins instead of broadcasts (the
+        # native join keeps only the LEFT key column when names differ,
+        # so c_custkey is restored from the surviving join key)
+        with_orders = hash_join(heavy, ords_proj, on="l_orderkey",
+                                right_on="o_orderkey") \
+            .map_batches(
+                lambda b: b.append_column(
+                    "o_orderkey", b.column("l_orderkey").cast(pa.int64())),
+                batch_format="pyarrow")
+        enriched = hash_join(with_orders, cust_proj, on="o_custkey",
+                             right_on="c_custkey") \
+            .map_batches(
+                lambda b: b.append_column(
+                    "c_custkey", b.column("o_custkey").cast(pa.int64())),
+                batch_format="pyarrow")
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -851,13 +871,16 @@ def idle_rich_customers(customer, orders, max_bcast_rows=_BCAST_JOIN_ROWS):
     scalars (sum of positive balances in cents, their count) — the
     above-average test is the EXACT integer cross-multiplication
     ``bal_cents * cnt > sum_cents`` on both sides, so no float average
-    ever exists to drift. Orders collapse to distinct custkeys (native
-    groupby); under the gate that key set ships once and each customer
-    batch runs Arrow 'left anti' locally — the customer relation never
-    shuffles. The final per-nation rollup is a tiny groupby Sum."""
-    import pyarrow.compute as pc
-    import ray
+    ever exists to drift. The rich customers then anti-join the
+    distinct active custkeys via :func:`~.joins.anti_join_keys` — gated
+    broadcast 'left anti' per batch below the gate, key-hash
+    co-partitioned complement above it (so the customer relation never
+    shuffles in the common case and the operator still works when
+    active keys outgrow the object store). The final per-nation rollup
+    is a tiny groupby Sum."""
     from ray.data.aggregate import Sum
+
+    from .joins import anti_join_keys
 
     def bal_partial(b: pa.Table) -> pa.Table:
         empty = pa.table({"s": pa.array([], pa.int64()),
@@ -877,37 +900,43 @@ def idle_rich_customers(customer, orders, max_bcast_rows=_BCAST_JOIN_ROWS):
     sum_cents = int(agg.get("s") or 0)
     cnt = int(agg.get("c") or 0)
 
-    okeys = orders.select_columns(["o_custkey"]).groupby("o_custkey") \
-        .count().select_columns(["o_custkey"]).materialize()
-    if okeys.count() > max_bcast_rows:
-        raise ValueError("active-customer key set exceeds the broadcast "
-                         "gate; use the co-partitioned anti path "
-                         "(dedup_against's resolve shape)")
-    parts = [t for t in ray.get(okeys.to_arrow_refs()) if t.num_rows]
-    k_tbl = (pa.concat_tables(parts) if parts else
-             pa.table({"o_custkey": pa.array([], pa.int64())})) \
-        .combine_chunks()
-    k_ref = ray.put(k_tbl)
-
-    def idle_rich(b: pa.Table) -> pa.Table:
-        empty = pa.table({"c_nationkey": pa.array([], pa.int64()),
-                          "numcust": pa.array([], pa.int64()),
-                          "bal": pa.array([], pa.int64())})
+    def rich_only(b: pa.Table) -> pa.Table:
+        empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                          "c_nationkey": pa.array([], pa.int64()),
+                          "bal_cents": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
         cents = _half_away_100(b.column("c_acctbal").to_numpy(
             zero_copy_only=False))
         rich = cents * cnt > sum_cents
-        sub = b.filter(pa.array(rich)).append_column(
-            "bal_cents", pa.array(cents[rich], pa.int64()))
-        keys = ray.get(k_ref)
-        sub = sub.join(keys, keys="c_custkey", right_keys="o_custkey",
-                       join_type="left anti", use_threads=False)
-        if sub.num_rows == 0:
+        if not rich.any():
             return empty
-        nat = sub.column("c_nationkey").to_numpy(
+        return pa.table({
+            "c_custkey": pa.array(
+                b.column("c_custkey").to_numpy(
+                    zero_copy_only=False)[rich].astype(np.int64),
+                pa.int64()),
+            "c_nationkey": pa.array(
+                b.column("c_nationkey").to_numpy(
+                    zero_copy_only=False)[rich].astype(np.int64),
+                pa.int64()),
+            "bal_cents": pa.array(cents[rich], pa.int64())})
+
+    idle = anti_join_keys(
+        customer.map_batches(rich_only, batch_format="pyarrow"),
+        orders.select_columns(["o_custkey"]),
+        on="c_custkey", right_on="o_custkey",
+        max_bcast_rows=max_bcast_rows)
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"c_nationkey": pa.array([], pa.int64()),
+                          "numcust": pa.array([], pa.int64()),
+                          "bal": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        nat = b.column("c_nationkey").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        bal = sub.column("bal_cents").to_numpy(zero_copy_only=False)
+        bal = b.column("bal_cents").to_numpy(zero_copy_only=False)
         uk, sums = _int_group_sums(nat, bal)
         _, ns = _int_group_sums(nat, np.ones(nat.size, np.int64))
         return pa.table({"c_nationkey": pa.array(uk, pa.int64()),
@@ -915,7 +944,7 @@ def idle_rich_customers(customer, orders, max_bcast_rows=_BCAST_JOIN_ROWS):
                          "bal": pa.array(sums, pa.int64())})
 
     from ray.data.aggregate import Sum as _Sum
-    merged = customer.map_batches(idle_rich, batch_format="pyarrow") \
+    merged = idle.map_batches(nation_partial, batch_format="pyarrow") \
         .groupby("c_nationkey").aggregate(
             _Sum("numcust", alias_name="numcust"),
             _Sum("bal", alias_name="bal"))

@@ -270,3 +270,37 @@ def test_dup_rate_per_source(ray_session):
     assert got == [tuple(w) for w in want]
     d = {s: r for s, _, _, r in got}
     assert d["s0"] > 0 and d["s2"] == 0.0
+
+
+def test_large_orders_hash_fallback(ray_session):
+    """Force the above-gate path (max_bcast_rows=1): two hash joins must
+    give exactly the broadcast plan's rows."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import large_orders
+    li, orders, customer, *_ = _rng_tables(28, n_li=3000, n_orders=200)
+    rng = np.random.default_rng(28)
+    orders = orders.append_column(
+        "o_orderdate", pa.array(
+            rng.integers(0, 10**15, orders.num_rows), pa.timestamp("us")))
+    orders = orders.append_column(
+        "o_totalprice", pa.array(
+            np.round(rng.uniform(1e3, 5e5, orders.num_rows), 2)))
+    args = (rd.from_arrow(li).repartition(4), rd.from_arrow(orders),
+            rd.from_arrow(customer))
+    want = _rows(large_orders(*args, min_qty=400.0, k=15))
+    got = _rows(large_orders(*args, min_qty=400.0, k=15,
+                             max_bcast_rows=1))
+    assert want and got == want
+
+
+def test_idle_rich_customers_copartition_path(ray_session):
+    """Force anti_join_keys' above-gate complement path and compare with
+    the broadcast path."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import idle_rich_customers
+    li, orders, customer, *_ = _rng_tables(29)
+    args = (rd.from_arrow(customer).repartition(3),
+            rd.from_arrow(orders).repartition(3))
+    want = sorted(_rows(idle_rich_customers(*args)))
+    got = sorted(_rows(idle_rich_customers(*args, max_bcast_rows=2)))
+    assert want and got == want
