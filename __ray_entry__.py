@@ -2193,6 +2193,22 @@ def _q_overlap_topk(sf_dir: str):
     return overlap_topk(_read_docs(sf_dir), list(_OVERLAP_TERMS), k=10)
 
 
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderdate", "o_totalprice")
+
+
+def _q_profile_table(sf_dir: str):
+    """Distributed table profiler (stages/relational.py profile_table):
+    per-column null density + exact distinct cardinality via
+    pre-collapsed per-batch distinct partials -> one narrow groupby per
+    column."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import profile_table
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=list(_PROFILE_COLS))
+    return profile_table(orders, list(_PROFILE_COLS))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2341,6 +2357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_funnel": _q_ab_funnel,                # variant conversion
         "window_topk": _q_window_topk,            # continuous top-k
         "overlap_topk": _q_overlap_topk,          # set-overlap search
+        "profile_table": _q_profile_table,        # column profiler
     }
 
 
@@ -2637,6 +2654,11 @@ SELECT o_year,
        round(CAST(sum(tflag * rev) AS DOUBLE)
              / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
 FROM f GROUP BY o_year ORDER BY o_year""",
+        "profile_table": "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct FROM orders"""
+            for c in _PROFILE_COLS) + "\nORDER BY col_name",
         "window_topk": """
 WITH z AS (SELECT user_id,
                   epoch_us(ts) // 604800000000 AS win,

@@ -1402,3 +1402,61 @@ def market_share(lineitem, orders, customer, supplier, nation, region,
                                   pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def profile_table(ds, columns):
+    """Data-profiling report -> one row per column: (col_name, n_rows,
+    n_nulls, n_distinct) — the first thing a pipeline runs against an
+    unfamiliar extract (null density and key-ness drive every later
+    partitioning decision).
+
+    Per column: per-batch partials collapse to (n, n_null) scalars plus
+    the batch's DISTINCT values (hashed to one int64 via Arrow's
+    dictionary encoding per batch — value-type-agnostic), then ONE
+    native groupby per column over the pre-collapsed distincts
+    (documented: O(columns) shuffles, each moving at most the column's
+    distinct cardinality, never the relation)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    out_cols, out_rows, out_nulls, out_dist = [], [], [], []
+    for col in columns:
+        sub = ds.select_columns([col])
+
+        def count_partial(b: pa.Table, _c=col) -> pa.Table:
+            empty = pa.table({"n": pa.array([], pa.int64()),
+                              "nn": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            nn = int(b.column(_c).null_count)
+            return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                             "nn": pa.array([nn], pa.int64())})
+
+        agg = sub.map_batches(count_partial, batch_format="pyarrow") \
+            .aggregate(Sum("n", alias_name="n"), Sum("nn", alias_name="nn"))
+        n = int(agg.get("n") or 0)
+        nn = int(agg.get("nn") or 0)
+
+        def distinct_partial(b: pa.Table, _c=col) -> pa.Table:
+            empty = pa.table({"v": pa.array([], pa.large_string())})
+            if b.num_rows == 0:
+                return empty
+            c_arr = b.column(_c).combine_chunks()
+            if pa.types.is_floating(c_arr.type):
+                # -0.0 == 0.0 to SQL DISTINCT but stringifies apart
+                c_arr = pc.add(c_arr, 0.0)
+            u = pc.unique(c_arr)
+            u = u.filter(pc.is_valid(u))
+            return pa.table({"v": pc.cast(u, pa.large_string())})
+
+        nd = sub.map_batches(distinct_partial, batch_format="pyarrow") \
+            .groupby("v").count().count()
+        out_cols.append(col)
+        out_rows.append(n)
+        out_nulls.append(nn)
+        out_dist.append(int(nd))
+
+    return pa.table({"col_name": pa.array(out_cols, pa.string()),
+                     "n_rows": pa.array(out_rows, pa.int64()),
+                     "n_nulls": pa.array(out_nulls, pa.int64()),
+                     "n_distinct": pa.array(out_dist, pa.int64())})

@@ -157,3 +157,25 @@ def test_overlap_topk_brute(ray_session):
            pa.concat_tables([b for b in out.iter_batches(
                batch_format="pyarrow")]).to_pylist()]
     assert got == [(1, 3), (5, 3), (3, 2)]
+
+
+def test_profile_table_with_nulls(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import profile_table
+    t = pa.table({
+        "a": pa.array([1, 2, 2, None, 5], pa.int64()),
+        "b": pa.array(["x", None, None, "x", "y"]),
+        "c": pa.array([1.5, -0.0, 0.0, 1.5, None], pa.float64())})
+    con = duckdb.connect()
+    con.register("orders", t)
+    want = con.execute("""
+        SELECT 'a', count(*), count(*)-count(a), count(DISTINCT a)
+        FROM orders UNION ALL
+        SELECT 'b', count(*), count(*)-count(b), count(DISTINCT b)
+        FROM orders UNION ALL
+        SELECT 'c', count(*), count(*)-count(c), count(DISTINCT c)
+        FROM orders ORDER BY 1""").fetchall()
+    out = profile_table(rd.from_arrow(t).repartition(3), ["a", "b", "c"])
+    got = sorted(tuple(r.values()) for r in out.to_pylist())
+    assert got == [tuple(w) for w in want]
