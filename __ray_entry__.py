@@ -2209,6 +2209,27 @@ def _q_profile_table(sf_dir: str):
     return profile_table(orders, list(_PROFILE_COLS))
 
 
+def _q_winsorize_values(sf_dir: str):
+    """Per-type winsorization (stages/events.py winsorize_values): exact
+    per-key quantile bounds (rounded 6 dp on both oracle sides) ->
+    stateless vectorized clip, corpus never shuffles."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import winsorize_values
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value", "event_id"])
+    return winsorize_values(ev)
+
+
+def _q_distinctive_terms(sf_dir: str):
+    """Per-source distinctive vocabulary (stages/text_analysis.py
+    distinctive_terms, Monroe et al. 2008 log-odds z): one pair groupby
+    + groupby(term) resolve; the z expression is closed-form per row."""
+    from ics_search_engine_ray.stages.text_analysis import \
+        distinctive_terms
+    return distinctive_terms(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")), k=5)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2358,6 +2379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_topk": _q_window_topk,            # continuous top-k
         "overlap_topk": _q_overlap_topk,          # set-overlap search
         "profile_table": _q_profile_table,        # column profiler
+        "winsorize_values": _q_winsorize_values,  # per-type clipping
+        "distinctive_terms": _q_distinctive_terms,  # Fightin' Words z
     }
 
 
@@ -2659,6 +2682,38 @@ FROM f GROUP BY o_year ORDER BY o_year""",
        count(*) - count({c}) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct FROM orders"""
             for c in _PROFILE_COLS) + "\nORDER BY col_name",
+        "winsorize_values": """
+WITH b AS (SELECT event_type,
+                  round(quantile_cont(value, 0.05), 6) AS lo,
+                  round(quantile_cont(value, 0.95), 6) AS hi
+           FROM events GROUP BY event_type)
+SELECT event_id, least(greatest(value, lo), hi) AS value_w
+FROM events JOIN b USING (event_type) ORDER BY event_id""",
+        "distinctive_terms": f"""
+WITH toks AS ({_sql_tokens_cte()}),
+st AS (SELECT d.source, t.term
+       FROM toks t JOIN documents d USING (doc_id)),
+p AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS y
+      FROM st GROUP BY 1, 2),
+tt AS (SELECT term, sum(y) AS yt FROM p GROUP BY term),
+ns AS (SELECT source, sum(y) AS n FROM p GROUP BY source),
+nn AS (SELECT sum(y) AS nt FROM p),
+zt AS (SELECT p.source, p.term,
+         round((ln((p.y + 100.0 * tt.yt / nn.nt)
+                   / (ns.n + 100.0 - p.y - 100.0 * tt.yt / nn.nt))
+              - ln(((tt.yt - p.y) + 100.0 * tt.yt / nn.nt)
+                   / ((nn.nt - ns.n) + 100.0 - (tt.yt - p.y)
+                      - 100.0 * tt.yt / nn.nt)))
+               / sqrt(1.0 / (p.y + 100.0 * tt.yt / nn.nt)
+                      + 1.0 / ((tt.yt - p.y)
+                               + 100.0 * tt.yt / nn.nt)), 6) AS z
+       FROM p JOIN tt USING (term) JOIN ns USING (source) CROSS JOIN nn),
+r AS (SELECT source, term, z,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY z DESC, term) AS rk
+      FROM zt)
+SELECT source, CAST(rk AS BIGINT) AS rank, term, z
+FROM r WHERE rk <= 5 ORDER BY source, rank""",
         "window_topk": """
 WITH z AS (SELECT user_id,
                   epoch_us(ts) // 604800000000 AS win,

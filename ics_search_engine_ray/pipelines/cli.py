@@ -79,6 +79,8 @@ def cmd_query(args) -> int:
             results = si.search_boolean(q, args.k)
         elif getattr(args, "proximity", False) and args.actors == 0:
             results = si.proximity_rerank(q, args.k)
+        elif getattr(args, "near", 0) and args.actors == 0:
+            results = si.search_near(q, args.k, window=args.near)
         else:
             results = si.search(q, args.k, scorer=args.scorer,
                                 algo=args.algo)
@@ -387,6 +389,9 @@ def main(argv=None) -> int:
     q.add_argument("--wildcard", action="store_true",
                    help="treat the query as a vocabulary prefix "
                         "(prefix* expansion, local path only)")
+    q.add_argument("--near", type=int, default=0, metavar="W",
+                   help="require all query terms within a W-token "
+                        "window (local path only)")
     q.add_argument("--proximity", action="store_true",
                    help="rerank BM25 finalists by minimal-window "
                         "term proximity (local path only)")

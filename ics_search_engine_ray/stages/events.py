@@ -1939,3 +1939,63 @@ def window_topk(events, window_s: int = 86400 * 7, k: int = 3,
 
     return summed.map_batches(local_topk, batch_format="pyarrow") \
         .groupby("win").map_groups(resolve, batch_format="pyarrow")
+
+
+def winsorize_values(events, key: str = "event_type",
+                     val_col: str = "value", id_col: str = "event_id",
+                     p_lo: float = 0.05, p_hi: float = 0.95):
+    """Per-key winsorization -> (event_id, value_w): clip each value to
+    its key's [p_lo, p_hi] exact quantiles — the standard outlier guard
+    before any mean-based metric.
+
+    Bounds come from one small-cardinality ``groupby(key).map_groups``
+    (exact quantiles need the full per-key set — the quantile_agg
+    contract; keys here are event types / status codes, not users) and
+    broadcast as a dict; the clip itself is a stateless vectorized map,
+    so the corpus never shuffles. Bounds round half-away at 6 dp on
+    BOTH oracle sides before clipping — unrounded float quantiles could
+    differ by 1 ulp between numpy and the SQL engine."""
+    from .common import round_half_away
+
+    def per_key(g: pa.Table) -> pa.Table:
+        kt = g.schema.field(key).type
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        v = g.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lo, hi = np.quantile(v, [p_lo, p_hi])
+        return pa.table({
+            key: g.column(key).combine_chunks().slice(0, 1),
+            "lo": pa.array(round_half_away(np.array([lo]), 6),
+                           pa.float64()),
+            "hi": pa.array(round_half_away(np.array([hi]), 6),
+                           pa.float64())})
+
+    bounds_tbl = pa.concat_tables(
+        [b for b in events.select_columns([key, val_col])
+         .groupby(key).map_groups(per_key, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    bounds = {r[key]: (r["lo"], r["hi"])
+              for r in bounds_tbl.to_pylist()}
+
+    def clip(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "value_w": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        keys = b.column(key).to_pylist()
+        v = b.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lo = np.fromiter((bounds[x][0] for x in keys), np.float64,
+                         len(keys))
+        hi = np.fromiter((bounds[x][1] for x in keys), np.float64,
+                         len(keys))
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            "value_w": pa.array(np.minimum(np.maximum(v, lo), hi),
+                                pa.float64())})
+
+    return events.select_columns([key, val_col, id_col]) \
+        .map_batches(clip, batch_format="pyarrow")

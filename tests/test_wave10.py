@@ -179,3 +179,53 @@ def test_profile_table_with_nulls(ray_session):
     out = profile_table(rd.from_arrow(t).repartition(3), ["a", "b", "c"])
     got = sorted(tuple(r.values()) for r in out.to_pylist())
     assert got == [tuple(w) for w in want]
+
+
+def test_winsorize_values_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import winsorize_values
+    rng = np.random.default_rng(55)
+    ev = _events(rng, n=2500)
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH b AS (SELECT event_type,
+                          round(quantile_cont(value, 0.05), 6) AS lo,
+                          round(quantile_cont(value, 0.95), 6) AS hi
+                   FROM events GROUP BY event_type)
+        SELECT event_id, least(greatest(value, lo), hi)
+        FROM events JOIN b USING (event_type)
+        ORDER BY event_id""").fetchall()
+    out = winsorize_values(rd.from_arrow(ev).repartition(5))
+    got = sorted((r["event_id"], r["value_w"])
+                 for b in out.iter_batches(batch_format="pyarrow")
+                 for r in b.to_pylist())
+    assert got == [tuple(w) for w in want]
+    # clipping is real: some rows changed, most did not
+    orig = dict(zip(ev.column("event_id").to_pylist(),
+                    ev.column("value").to_pylist()))
+    changed = sum(1 for i, v in got if v != orig[i])
+    assert 0 < changed < len(got) // 2
+
+
+def test_distinctive_terms_semantics(ray_session):
+    """The planted marker word of each source must top its z ranking."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import \
+        distinctive_terms
+    rng = np.random.default_rng(56)
+    common = ["the", "quick", "brown", "fox", "jumps"]
+    docs, srcs = [], []
+    for i in range(90):
+        s = f"s{i % 3}"
+        words = list(rng.choice(common, 12)) + [f"marker{i % 3}"] * 3
+        docs.append(" ".join(words))
+        srcs.append(s)
+    t = pa.table({"doc_id": pa.array(np.arange(90), pa.int64()),
+                  "text": pa.array(docs), "source": pa.array(srcs)})
+    out = distinctive_terms(rd.from_arrow(t).repartition(4), k=3)
+    rows = [r for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()]
+    top = {r["source"]: r["term"] for r in rows if r["rank"] == 1}
+    assert top == {"s0": "marker0", "s1": "marker1", "s2": "marker2"}
