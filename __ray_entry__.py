@@ -2230,6 +2230,25 @@ def _q_distinctive_terms(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")), k=5)
 
 
+def _q_event_type_entropy(sf_dir: str):
+    """Per-user behavioral entropy (stages/events.py event_type_entropy):
+    user co-partition, per-type contributions rounded to integer
+    nano-nats before the per-key sum (order-independent)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import event_type_entropy
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    return event_type_entropy(ev)
+
+
+def _q_lang_mix(sf_dir: str):
+    """Per-source language composition (stages/text_analysis.py
+    lang_mix): one (source, lang) pair groupby + broadcast totals."""
+    from ics_search_engine_ray.stages.text_analysis import lang_mix
+    return lang_mix(
+        _read_docs(sf_dir, columns=("doc_id", "source", "lang")))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2381,6 +2400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_table": _q_profile_table,        # column profiler
         "winsorize_values": _q_winsorize_values,  # per-type clipping
         "distinctive_terms": _q_distinctive_terms,  # Fightin' Words z
+        "event_type_entropy": _q_event_type_entropy,  # behavior entropy
+        "lang_mix": _q_lang_mix,                  # per-source lang table
     }
 
 
@@ -2682,6 +2703,25 @@ FROM f GROUP BY o_year ORDER BY o_year""",
        count(*) - count({c}) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct FROM orders"""
             for c in _PROFILE_COLS) + "\nORDER BY col_name",
+        "event_type_entropy": """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1, 2),
+n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id),
+e AS (SELECT c.user_id,
+             CAST(round((c.c / n.n) * ln(c.c / n.n) * 1000000000.0, 0)
+                  AS BIGINT) AS nano
+      FROM c JOIN n USING (user_id))
+SELECT e.user_id, CAST(any_value(n.n) AS BIGINT) AS n_events,
+       CAST(-sum(e.nano) AS DOUBLE) / 1000000000.0 AS entropy_nats
+FROM e JOIN n USING (user_id) GROUP BY e.user_id ORDER BY e.user_id""",
+        "lang_mix": """
+WITH p AS (SELECT source, lang, count(*) AS n_docs FROM documents
+           GROUP BY 1, 2),
+t AS (SELECT source, sum(n_docs) AS tot FROM p GROUP BY source)
+SELECT p.source, p.lang, p.n_docs,
+       round(CAST(p.n_docs AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+         AS frac
+FROM p JOIN t USING (source) ORDER BY p.source, p.lang""",
         "winsorize_values": """
 WITH b AS (SELECT event_type,
                   round(quantile_cont(value, 0.05), 6) AS lo,

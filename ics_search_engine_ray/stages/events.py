@@ -1999,3 +1999,62 @@ def winsorize_values(events, key: str = "event_type",
 
     return events.select_columns([key, val_col, id_col]) \
         .map_batches(clip, batch_format="pyarrow")
+
+
+def event_type_entropy(events, key: str = "user_id",
+                       type_col: str = "event_type", num_groups=None):
+    """Per-key behavioral entropy -> (user_id, n_events, entropy_nats):
+    Shannon entropy of the event-type distribution — uniform mixes score
+    high, single-action bots score 0.
+
+    Keys co-partition by hash; within a partition one lexsort gives
+    per-(key, type) counts, and each term's contribution rounds to
+    integer NANO-nats before the per-key sum — the same
+    order-independence trick as source_divergence, so the result is
+    bit-identical to the SQL oracle no matter how either side orders
+    the (few) types. ``entropy = -sum_t p_t ln p_t``."""
+    from .common import adaptive_groups
+
+    if num_groups is None:
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=32)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        u = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_g", pa.array((u % num_groups + num_groups) % num_groups,
+                           pa.int64()))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "entropy_nats": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        u = g.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = np.asarray(g.column(type_col).to_pylist(), object)
+        o = np.lexsort((t, u))
+        us, ts = u[o], t[o]
+        pair_start = np.concatenate(
+            ([True], (us[1:] != us[:-1]) | (ts[1:] != ts[:-1])))
+        pidx = np.flatnonzero(pair_start)
+        c = np.diff(np.append(pidx, us.size)).astype(np.float64)
+        pu = us[pidx]
+        key_start = np.concatenate(([True], pu[1:] != pu[:-1]))
+        kidx = np.flatnonzero(key_start)
+        n = np.add.reduceat(c, kidx)
+        n_of_pair = np.repeat(n, np.diff(np.append(kidx, pu.size)))
+        p = c / n_of_pair
+        nano = np.sign(p * np.log(p)) * np.floor(
+            np.abs(p * np.log(p)) * 1e9 + 0.5)    # half-away to int
+        ent = -np.add.reduceat(nano.astype(np.int64), kidx)
+        return pa.table({
+            key: pa.array(pu[kidx], pa.int64()),
+            "n_events": pa.array(n.astype(np.int64), pa.int64()),
+            "entropy_nats": pa.array(ent.astype(np.float64) / 1e9,
+                                     pa.float64())})
+
+    return (events.select_columns([key, type_col])
+            .map_batches(add_g, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: resolve(g.drop(["_g"])),
+                        batch_format="pyarrow"))

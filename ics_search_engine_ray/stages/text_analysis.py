@@ -2002,3 +2002,63 @@ def distinctive_terms(docs, k: int = 5, alpha0: float = 100.0):
 
     return scored.map_batches(local_topk, batch_format="pyarrow") \
         .groupby("source").map_groups(resolve, batch_format="pyarrow")
+
+
+def lang_mix(docs):
+    """Per-source language composition -> (source, lang, n_docs, frac):
+    the mix table a multilingual curation pass reads before setting
+    per-language sampling temperatures.
+
+    One native groupby over per-batch (source, lang) pair partials
+    (O(sources x langs) rows shuffle, never the corpus); per-source
+    totals ride a tiny broadcast dict; frac rounds half-away at 6 dp."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "lang": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        agg: dict = {}
+        for s, l in zip(b.column("source").to_pylist(),
+                        b.column("lang").to_pylist()):
+            agg[(s, l)] = agg.get((s, l), 0) + 1
+        ks = list(agg)
+        return pa.table({"source": pa.array([a for a, _ in ks]),
+                         "lang": pa.array([b_ for _, b_ in ks]),
+                         "n": pa.array([agg[x] for x in ks], pa.int64())})
+
+    pairs = docs.select_columns(["source", "lang"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+
+    tot_parts = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    totals: dict = {}
+    for t in tot_parts:
+        for r in t.to_pylist():
+            totals[r["source"]] = totals.get(r["source"], 0) + int(r["n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "lang": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "frac": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        srcs = b.column("source").to_pylist()
+        n = b.column("n").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tot = np.fromiter((totals[s] for s in srcs), np.float64, len(srcs))
+        return pa.table({
+            "source": b.column("source"),
+            "lang": b.column("lang"),
+            "n_docs": pa.array(n, pa.int64()),
+            "frac": pa.array(
+                round_half_away(n.astype(np.float64) / tot, 6),
+                pa.float64())})
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

@@ -229,3 +229,66 @@ def test_distinctive_terms_semantics(ray_session):
             for r in b.to_pylist()]
     top = {r["source"]: r["term"] for r in rows if r["rank"] == 1}
     assert top == {"s0": "marker0", "s1": "marker1", "s2": "marker2"}
+
+
+def test_event_type_entropy_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import event_type_entropy
+    rng = np.random.default_rng(57)
+    ev = _events(rng, n=2500, n_users=30)
+    # one single-action user: entropy must be exactly 0
+    ev = pa.concat_tables([ev, pa.table({
+        "user_id": pa.array([99] * 6, pa.int64()),
+        "event_type": pa.array(["view"] * 6),
+        "ts": pa.array(range(6), pa.timestamp("us")),
+        "event_id": pa.array(range(10000, 10006), pa.int64()),
+        "value": pa.array([1.0] * 6)})])
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH c AS (SELECT user_id, event_type,
+                          CAST(count(*) AS DOUBLE) AS c FROM events
+                   GROUP BY 1, 2),
+        n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id),
+        e AS (SELECT c.user_id,
+                     CAST(round((c.c/n.n) * ln(c.c/n.n) * 1e9, 0)
+                          AS BIGINT) AS nano
+              FROM c JOIN n USING (user_id))
+        SELECT e.user_id, CAST(any_value(n.n) AS BIGINT),
+               CAST(-sum(e.nano) AS DOUBLE) / 1e9
+        FROM e JOIN n USING (user_id) GROUP BY e.user_id
+        ORDER BY e.user_id""").fetchall()
+    out = event_type_entropy(rd.from_arrow(ev).repartition(5),
+                             num_groups=7)
+    got = sorted((r["user_id"], r["n_events"], r["entropy_nats"])
+                 for b in out.iter_batches(batch_format="pyarrow")
+                 for r in b.to_pylist())
+    assert got == [tuple(w) for w in want]
+    assert dict((u, e) for u, _, e in got)[99] == 0.0
+
+
+def test_lang_mix_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import lang_mix
+    rng = np.random.default_rng(58)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array([f"s{i % 5}" for i in range(n)]),
+        "lang": pa.array(rng.choice(["en", "de", "fr"], n))})
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+        WITH p AS (SELECT source, lang, count(*) AS n FROM documents
+                   GROUP BY 1, 2),
+        t AS (SELECT source, sum(n) AS tot FROM p GROUP BY source)
+        SELECT p.source, p.lang, p.n,
+               round(CAST(p.n AS DOUBLE)/CAST(t.tot AS DOUBLE), 6)
+        FROM p JOIN t USING (source) ORDER BY 1, 2""").fetchall()
+    out = lang_mix(rd.from_arrow(t).repartition(4))
+    got = sorted((r["source"], r["lang"], r["n_docs"], r["frac"])
+                 for b in out.iter_batches(batch_format="pyarrow")
+                 for r in b.to_pylist())
+    assert got == [tuple(w) for w in want]
