@@ -1444,6 +1444,15 @@ def event_gaps(events, key: str = "user_id", ts_col: str = "ts",
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
+def _div_trunc(x: np.ndarray, d) -> np.ndarray:
+    """Integer division truncating toward zero — DuckDB's ``//``.
+    numpy ``//`` FLOORS, which diverges on negative epoch timestamps
+    (np -7//2 = -4, DuckDB -7//2 = -3); every window/week bucket that
+    mirrors a SQL ``//`` must use this."""
+    d = np.int64(d)
+    return np.where(x >= 0, x // d, -((-x) // d))
+
+
 def retention_cohorts(events, key: str = "user_id", ts_col: str = "ts",
                       num_groups=None):
     """Cohort retention matrix -> (cohort_week, week_offset, n_users):
@@ -1457,8 +1466,9 @@ def retention_cohorts(events, key: str = "user_id", ts_col: str = "ts",
     one lexsort + reduceat-min + unique; the per-partition output is
     already user-deduplicated, so the final native groupby only Sums
     O(partitions x cells) partial counts. Week arithmetic is integer
-    microseconds end-to-end (floor-division by a 604800-second week) —
-    nothing floats, nothing can drift from the SQL oracle."""
+    microseconds end-to-end (truncating division matching DuckDB ``//``
+    — see _div_trunc) — nothing floats, nothing can drift from the SQL
+    oracle."""
     from ray.data.aggregate import Sum
 
     from .common import adaptive_groups
@@ -1479,8 +1489,8 @@ def retention_cohorts(events, key: str = "user_id", ts_col: str = "ts",
         if g.num_rows == 0:
             return empty
         u = g.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-        wk = g.column(ts_col).cast(pa.int64()).to_numpy(
-            zero_copy_only=False) // _WEEK_US
+        wk = _div_trunc(g.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False), _WEEK_US)
         o = np.lexsort((wk, u))
         us, ws = u[o], wk[o]
         starts = np.flatnonzero(np.concatenate(
@@ -1795,29 +1805,22 @@ def ab_funnel(events, steps=("signup", "view", "purchase"),
     def variant_of(u: np.ndarray) -> np.ndarray:
         return weyl_hash(u, variant_seed) % 2       # 0 = A, 1 = B
 
-    def conv_partial(b: pa.Table) -> pa.Table:
-        empty = pa.table({"v": pa.array([], pa.int64()),
-                          "n_converted": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        v = variant_of(b.column(by).to_numpy(
-            zero_copy_only=False).astype(np.int64))
-        return pa.table({"v": pa.array([0, 1], pa.int64()),
-                         "n_converted": pa.array(
-                             [int((v == 0).sum()), int((v == 1).sum())],
-                             pa.int64())})
+    def variant_counts(out_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            empty = pa.table({"v": pa.array([], pa.int64()),
+                              out_col: pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            v = variant_of(b.column(by).to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            return pa.table({"v": pa.array([0, 1], pa.int64()),
+                             out_col: pa.array(
+                                 [int((v == 0).sum()),
+                                  int((v == 1).sum())], pa.int64())})
+        return fn
 
-    def den_partial(b: pa.Table) -> pa.Table:
-        empty = pa.table({"v": pa.array([], pa.int64()),
-                          "n_users": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        v = variant_of(b.column(by).to_numpy(
-            zero_copy_only=False).astype(np.int64))
-        return pa.table({"v": pa.array([0, 1], pa.int64()),
-                         "n_users": pa.array(
-                             [int((v == 0).sum()), int((v == 1).sum())],
-                             pa.int64())})
+    conv_partial = variant_counts("n_converted")
+    den_partial = variant_counts("n_users")
 
     def first_step_users(b: pa.Table) -> pa.Table:
         m = pc.equal(b.column("event_type"), step0)
@@ -1833,8 +1836,14 @@ def ab_funnel(events, steps=("signup", "view", "purchase"),
                                     alias_name="n_converted"))
 
     import ray
-    den_t = pa.concat_tables([t for t in ray.get(
-        den.materialize().to_arrow_refs()) if t.num_rows])
+    den_parts = [t for t in ray.get(den.materialize().to_arrow_refs())
+                 if t.num_rows]
+    if not den_parts:          # no first-step events: SQL returns 0 rows
+        return pa.table({"variant": pa.array([], pa.string()),
+                         "n_users": pa.array([], pa.int64()),
+                         "n_converted": pa.array([], pa.int64()),
+                         "cvr": pa.array([], pa.float64())})
+    den_t = pa.concat_tables(den_parts)
     num_parts = [t for t in ray.get(num.materialize().to_arrow_refs())
                  if t.num_rows]
     n_map = {}
@@ -1874,8 +1883,6 @@ def window_topk(events, window_s: int = 86400 * 7, k: int = 3,
     key-asc tie-breaks."""
     from ray.data.aggregate import Sum
 
-    from .common import adaptive_groups  # noqa: F401 (family parity)
-
     w_us = np.int64(window_s) * 1_000_000
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1885,8 +1892,8 @@ def window_topk(events, window_s: int = 86400 * 7, k: int = 3,
         if b.num_rows == 0:
             return empty
         u = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-        win = b.column(ts_col).cast(pa.int64()).to_numpy(
-            zero_copy_only=False) // w_us
+        win = _div_trunc(b.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False), w_us)
         c = half_away_scaled_int(
             b.column(val_col).to_numpy(zero_copy_only=False), 100)
         order = np.lexsort((u, win))
@@ -1973,12 +1980,13 @@ def winsorize_values(events, key: str = "event_type",
             "hi": pa.array(round_half_away(np.array([hi]), 6),
                            pa.float64())})
 
-    bounds_tbl = pa.concat_tables(
-        [b for b in events.select_columns([key, val_col])
-         .groupby(key).map_groups(per_key, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow") if b.num_rows])
-    bounds = {r[key]: (r["lo"], r["hi"])
-              for r in bounds_tbl.to_pylist()}
+    bound_parts = [b for b in events.select_columns([key, val_col])
+                   .groupby(key).map_groups(per_key,
+                                            batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow") if b.num_rows]
+    bounds = ({r[key]: (r["lo"], r["hi"])
+               for r in pa.concat_tables(bound_parts).to_pylist()}
+              if bound_parts else {})
 
     def clip(b: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], pa.int64()),
@@ -2044,9 +2052,8 @@ def event_type_entropy(events, key: str = "user_id",
         n = np.add.reduceat(c, kidx)
         n_of_pair = np.repeat(n, np.diff(np.append(kidx, pu.size)))
         p = c / n_of_pair
-        nano = np.sign(p * np.log(p)) * np.floor(
-            np.abs(p * np.log(p)) * 1e9 + 0.5)    # half-away to int
-        ent = -np.add.reduceat(nano.astype(np.int64), kidx)
+        nano = half_away_scaled_int(p * np.log(p), 10**9)
+        ent = -np.add.reduceat(nano, kidx)
         return pa.table({
             key: pa.array(pu[kidx], pa.int64()),
             "n_events": pa.array(n.astype(np.int64), pa.int64()),

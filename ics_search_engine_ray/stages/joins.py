@@ -412,87 +412,28 @@ def interval_join(left_ds, right_ds, by: str, on: str, lo: str, hi: str,
         lambda g: resolve(g.drop(["gkey"])), batch_format="pyarrow")
 
 
-def semi_join(left_ds, right_ds, on: str, right_on: Optional[str] = None,
-              max_bcast_rows: int = _BCAST_JOIN_ROWS):
-    """EXISTS semi-join: left rows whose key appears at least once on the
-    right, each emitted ONCE regardless of right multiplicity (TPC-H Q4's
-    shape: orders having any qualifying lineitem).
-
-    Scale shape: the right side first collapses to DISTINCT keys with a
-    native groupby (shuffles O(distinct keys), never the right relation).
-    Under the broadcast gate the key set ships once via the object store
-    and each left batch runs pyarrow's 'left semi' join locally (zero
-    left shuffle); above it, left rows and keys co-partition by key hash
-    into adaptive groups (the asof_join tagged-union shape — a native
-    keyed join here trips Arrow's schema-less-empty-partition failure
-    when key cardinality << partitions) and each group keeps its matches
-    with one vectorized ``np.isin``. Integer keys only on the hash path.
-    """
+def _keys_membership_join(left_ds, keys_src, on: str,
+                          right_on: Optional[str], keep_matches: bool,
+                          max_bcast_rows: int):
+    """Shared engine for :func:`semi_join` (keep members) and
+    :func:`anti_join_keys` (keep non-members): the right side collapses
+    to DISTINCT keys with a native groupby; under the gate the key set
+    ships once and each left batch runs Arrow 'left semi'/'left anti'
+    locally (zero left shuffle); above it left rows and keys
+    co-partition by key hash into adaptive groups (the asof_join
+    tagged-union shape — a native keyed join here trips Arrow's
+    schema-less-empty-partition failure when key cardinality <<
+    partitions) and each group resolves with one vectorized ``np.isin``
+    (complemented for anti). Integer keys only on the hash path."""
     r_on = right_on or on
-    keys = (right_ds.select_columns([r_on]).groupby(r_on).count()
+    keys = (keys_src.select_columns([r_on]).groupby(r_on).count()
             .select_columns([r_on]).materialize())   # consumed twice below
     n_keys = keys.count()
     if n_keys <= max_bcast_rows:
-        return broadcast_join(left_ds, keys, on=on, right_on=r_on,
-                              join_type="left semi",
-                              max_rows=max_bcast_rows)
-
-    l_schema = left_ds.schema().base_schema
-    u_schema = pa.schema([pa.field("_side", pa.int8()),
-                          pa.field("_g", pa.int64())]
-                         + [pa.field(f.name, f.type) for f in l_schema])
-    num_groups = adaptive_groups(left_ds.count() + n_keys, 1_000_000, lo=32)
-
-    def tag(side: int, key_col: str):
-        def fn(b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            k = b.column(key_col).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            g = (k % num_groups + num_groups) % num_groups
-            arrays = [pa.array(np.full(n, side, np.int8), pa.int8()),
-                      pa.array(g, pa.int64())]
-            for f in l_schema:
-                if side == 1:
-                    arrays.append(b.column(key_col).cast(f.type)
-                                  if f.name == on else pa.nulls(n, f.type))
-                else:
-                    arrays.append(b.column(f.name))
-            return pa.Table.from_arrays(arrays, schema=u_schema)
-        return fn
-
-    tagged = left_ds.map_batches(tag(0, on), batch_format="pyarrow") \
-        .union(keys.map_batches(tag(1, r_on), batch_format="pyarrow"))
-
-    def resolve(g: pa.Table) -> pa.Table:
-        side = g.column("_side").to_numpy(zero_copy_only=False)
-        k = g.column(on).to_numpy(zero_copy_only=False)
-        member = np.unique(k[side == 1])
-        li = np.flatnonzero((side == 0) & np.isin(k, member))
-        return g.drop(["_side", "_g"]).take(pa.array(li, pa.int64()))
-
-    return tagged.groupby("_g").map_groups(resolve, batch_format="pyarrow")
-
-
-def anti_join_keys(left_ds, keys_ds, on: str, right_on: Optional[str] = None,
-                   max_bcast_rows: int = _BCAST_JOIN_ROWS):
-    """NOT-EXISTS anti-join against a key relation: left rows whose key
-    appears NOWHERE on the right (the complement of :func:`semi_join`,
-    same physical plan).
-
-    The right side collapses to DISTINCT keys first; under the gate the
-    key set ships once and each left batch runs Arrow 'left anti'
-    locally (zero left shuffle); above it both sides co-partition by key
-    hash into adaptive groups and each group drops its members with one
-    vectorized ``np.isin`` complement. Integer keys only on the hash
-    path."""
-    r_on = right_on or on
-    keys = (keys_ds.select_columns([r_on]).groupby(r_on).count()
-            .select_columns([r_on]).materialize())
-    n_keys = keys.count()
-    if n_keys <= max_bcast_rows:
-        return broadcast_join(left_ds, keys, on=on, right_on=r_on,
-                              join_type="left anti",
-                              max_rows=max_bcast_rows)
+        return broadcast_join(
+            left_ds, keys, on=on, right_on=r_on,
+            join_type="left semi" if keep_matches else "left anti",
+            max_rows=max_bcast_rows)
 
     l_schema = left_ds.schema().base_schema
     u_schema = pa.schema([pa.field("_side", pa.int8()),
@@ -525,7 +466,30 @@ def anti_join_keys(left_ds, keys_ds, on: str, right_on: Optional[str] = None,
         side = g.column("_side").to_numpy(zero_copy_only=False)
         k = g.column(on).to_numpy(zero_copy_only=False)
         member = np.unique(k[side == 1])
-        li = np.flatnonzero((side == 0) & ~np.isin(k, member))
+        is_member = np.isin(k, member)
+        want = is_member if keep_matches else ~is_member
+        li = np.flatnonzero((side == 0) & want)
         return g.drop(["_side", "_g"]).take(pa.array(li, pa.int64()))
 
     return tagged.groupby("_g").map_groups(resolve, batch_format="pyarrow")
+
+
+def semi_join(left_ds, right_ds, on: str, right_on: Optional[str] = None,
+              max_bcast_rows: int = _BCAST_JOIN_ROWS):
+    """EXISTS semi-join: left rows whose key appears at least once on the
+    right, each emitted ONCE regardless of right multiplicity (TPC-H Q4's
+    shape: orders having any qualifying lineitem). Physical plan in
+    :func:`_keys_membership_join`."""
+    return _keys_membership_join(left_ds, right_ds, on, right_on,
+                                 keep_matches=True,
+                                 max_bcast_rows=max_bcast_rows)
+
+
+def anti_join_keys(left_ds, keys_ds, on: str, right_on: Optional[str] = None,
+                   max_bcast_rows: int = _BCAST_JOIN_ROWS):
+    """NOT-EXISTS anti-join against a key relation: left rows whose key
+    appears NOWHERE on the right (the complement of :func:`semi_join`,
+    same physical plan — see :func:`_keys_membership_join`)."""
+    return _keys_membership_join(left_ds, keys_ds, on, right_on,
+                                 keep_matches=False,
+                                 max_bcast_rows=max_bcast_rows)

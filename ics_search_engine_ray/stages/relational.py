@@ -1410,32 +1410,46 @@ def profile_table(ds, columns):
     unfamiliar extract (null density and key-ness drive every later
     partitioning decision).
 
-    Per column: per-batch partials collapse to (n, n_null) scalars plus
-    the batch's DISTINCT values (hashed to one int64 via Arrow's
-    dictionary encoding per batch — value-type-agnostic), then ONE
-    native groupby per column over the pre-collapsed distincts
-    (documented: O(columns) shuffles, each moving at most the column's
-    distinct cardinality, never the relation)."""
+    Physical plan: ONE streaming pass collects (n, n_nulls) partials for
+    ALL columns together; then one narrow groupby per column over
+    pre-collapsed per-batch DISTINCT values (hashed type-agnostically
+    through Arrow's string cast, floats canonicalized +0.0 so -0.0
+    matches SQL DISTINCT). Documented: O(columns) distinct shuffles,
+    each moving at most that column's distinct cardinality — never the
+    relation."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    out_cols, out_rows, out_nulls, out_dist = [], [], [], []
-    for col in columns:
-        sub = ds.select_columns([col])
+    cols = list(columns)
 
-        def count_partial(b: pa.Table, _c=col) -> pa.Table:
-            empty = pa.table({"n": pa.array([], pa.int64()),
-                              "nn": pa.array([], pa.int64())})
-            if b.num_rows == 0:
-                return empty
-            nn = int(b.column(_c).null_count)
-            return pa.table({"n": pa.array([b.num_rows], pa.int64()),
-                             "nn": pa.array([nn], pa.int64())})
+    def counts_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"col_name": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             "nn": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        return pa.table({
+            "col_name": pa.array(cols, pa.string()),
+            "n": pa.array([b.num_rows] * len(cols), pa.int64()),
+            "nn": pa.array([int(b.column(c).null_count) for c in cols],
+                           pa.int64())})
 
-        agg = sub.map_batches(count_partial, batch_format="pyarrow") \
-            .aggregate(Sum("n", alias_name="n"), Sum("nn", alias_name="nn"))
-        n = int(agg.get("n") or 0)
-        nn = int(agg.get("nn") or 0)
+    stats = pa.concat_tables(
+        [b for b in ds.map_batches(counts_partial,
+                                   batch_format="pyarrow")
+         .groupby("col_name").aggregate(Sum("n", alias_name="n"),
+                                        Sum("nn", alias_name="nn"))
+         .iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [pa.table({"col_name": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "nn": pa.array([], pa.int64())})])
+    by_col = {r["col_name"]: (int(r["n"]), int(r["nn"]))
+              for r in stats.to_pylist()}
+
+    out_rows, out_nulls, out_dist = [], [], []
+    for col in cols:
+        n, nn = by_col.get(col, (0, 0))
 
         def distinct_partial(b: pa.Table, _c=col) -> pa.Table:
             empty = pa.table({"v": pa.array([], pa.large_string())})
@@ -1449,14 +1463,14 @@ def profile_table(ds, columns):
             u = u.filter(pc.is_valid(u))
             return pa.table({"v": pc.cast(u, pa.large_string())})
 
-        nd = sub.map_batches(distinct_partial, batch_format="pyarrow") \
+        nd = ds.select_columns([col]) \
+            .map_batches(distinct_partial, batch_format="pyarrow") \
             .groupby("v").count().count()
-        out_cols.append(col)
         out_rows.append(n)
         out_nulls.append(nn)
         out_dist.append(int(nd))
 
-    return pa.table({"col_name": pa.array(out_cols, pa.string()),
+    return pa.table({"col_name": pa.array(cols, pa.string()),
                      "n_rows": pa.array(out_rows, pa.int64()),
                      "n_nulls": pa.array(out_nulls, pa.int64()),
                      "n_distinct": pa.array(out_dist, pa.int64())})

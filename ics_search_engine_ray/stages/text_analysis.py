@@ -1936,11 +1936,17 @@ def distinctive_terms(docs, k: int = 5, alpha0: float = 100.0):
 
     import ray
     from ray.data.aggregate import Sum as _Sum
-    tot_tbl = pa.concat_tables([t for t in ray.get(
+    tot_parts = [t for t in ray.get(
         pairs.map_batches(src_tot, batch_format="pyarrow")
         .groupby("source").aggregate(_Sum("n", alias_name="n"))
-        .materialize().to_arrow_refs()) if t.num_rows])
-    n_s = {r["source"]: int(r["n"]) for r in tot_tbl.to_pylist()}
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not tot_parts:              # token-less corpus: SQL returns 0 rows
+        return pa.table({"source": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "z": pa.array([], pa.float64())})
+    n_s = {r["source"]: int(r["n"])
+           for r in pa.concat_tables(tot_parts).to_pylist()}
     n_total = sum(n_s.values())
 
     def per_term(g: pa.Table) -> pa.Table:

@@ -292,3 +292,64 @@ def test_lang_mix_matches_duckdb(ray_session):
                  for b in out.iter_batches(batch_format="pyarrow")
                  for r in b.to_pylist())
     assert got == [tuple(w) for w in want]
+
+
+def test_window_buckets_truncate_like_sql(ray_session):
+    """numpy // floors, DuckDB // truncates toward zero: pre-epoch
+    timestamps must bucket identically on both sides."""
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import (retention_cohorts,
+                                                     window_topk)
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([-7 * 604800000000 // 2, -1, 1,
+                        3 * 604800000000], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0])})
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH w AS (SELECT user_id,
+                          CAST(epoch_us(ts) // 604800000000 AS BIGINT)
+                            AS wk FROM events),
+        f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id),
+        d AS (SELECT DISTINCT w.user_id, f.cw AS cohort_week,
+                     w.wk - f.cw AS week_offset
+              FROM w JOIN f USING (user_id))
+        SELECT cohort_week, week_offset, count(*) FROM d
+        GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    out = retention_cohorts(rd.from_arrow(ev), num_groups=2)
+    got = sorted((r["cohort_week"], r["week_offset"], r["n_users"])
+                 for b in out.iter_batches(batch_format="pyarrow")
+                 for r in b.to_pylist())
+    assert got == [tuple(w) for w in want]
+    # window_topk on the same pre-epoch data must not crash and must
+    # produce one row per (window, rank)
+    rows = [r for b in window_topk(rd.from_arrow(ev), window_s=604800,
+                                   k=1).iter_batches(
+                batch_format="pyarrow") for r in b.to_pylist()]
+    assert len(rows) == len({(r["win_start"], r["rank"]) for r in rows})
+
+
+def test_empty_input_guards(ray_session):
+    """ab_funnel / winsorize_values / distinctive_terms return typed
+    empty results (not ArrowInvalid) on inputs with no qualifying rows."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import (ab_funnel,
+                                                     winsorize_values)
+    from ics_search_engine_ray.stages.text_analysis import \
+        distinctive_terms
+    ev = pa.table({"user_id": pa.array([1, 2], pa.int64()),
+                   "event_type": pa.array(["error", "error"]),
+                   "ts": pa.array([1, 2], pa.timestamp("us")),
+                   "event_id": pa.array([1, 2], pa.int64()),
+                   "value": pa.array([1.0, 2.0])})
+    out = ab_funnel(rd.from_arrow(ev))       # zero 'signup' rows
+    assert out.num_rows == 0
+    empty_ev = ev.slice(0, 0)
+    assert winsorize_values(rd.from_arrow(empty_ev)).count() == 0
+    docs = pa.table({"doc_id": pa.array([1], pa.int64()),
+                     "text": pa.array(["!!!"]),     # no 2+-char tokens
+                     "source": pa.array(["s"])})
+    assert distinctive_terms(rd.from_arrow(docs)).num_rows == 0
