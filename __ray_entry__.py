@@ -2249,6 +2249,17 @@ def _q_lang_mix(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "source", "lang")))
 
 
+def _q_value_trend(sf_dir: str):
+    """Per-user OLS spend trend (stages/events.py value_trend): exact
+    integer moments -> one native Sum groupby -> single float slope
+    expression (cents per hour since 1995)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import value_trend
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return value_trend(ev)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2402,6 +2413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": _q_distinctive_terms,  # Fightin' Words z
         "event_type_entropy": _q_event_type_entropy,  # behavior entropy
         "lang_mix": _q_lang_mix,                  # per-source lang table
+        "value_trend": _q_value_trend,            # per-user OLS slope
     }
 
 
@@ -2703,6 +2715,18 @@ FROM f GROUP BY o_year ORDER BY o_year""",
        count(*) - count({c}) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct FROM orders"""
             for c in _PROFILE_COLS) + "\nORDER BY col_name",
+        "value_trend": """
+WITH z AS (SELECT user_id,
+                  (epoch_us(ts) - 788918400000000) // 3600000000 AS x,
+                  CAST(round(value * 100, 0) AS BIGINT) AS y
+           FROM events),
+m AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sx2
+      FROM z GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope
+FROM m WHERE n * sx2 > sx * sx ORDER BY user_id""",
         "event_type_entropy": """
 WITH c AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
            FROM events GROUP BY 1, 2),

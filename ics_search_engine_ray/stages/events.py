@@ -2065,3 +2065,76 @@ def event_type_entropy(events, key: str = "user_id",
             .groupby("_g")
             .map_groups(lambda g: resolve(g.drop(["_g"])),
                         batch_format="pyarrow"))
+
+
+_TREND_EPOCH_US = 788918400000000        # 1995-01-01, keeps x offsets small
+
+
+def value_trend(events, key: str = "user_id", ts_col: str = "ts",
+                val_col: str = "value"):
+    """Per-key OLS spend trend -> (user_id, n_events, slope): the least-
+    squares slope of value (cents) over time (hours since 1995-01-01) —
+    is this account ramping up or cooling off.
+
+    Same distributed-exact-moments skeleton as value_hour_corr: each
+    batch emits per-key integer partials (n, Sx, Sy, Sxy, Sx2), one
+    native groupby Sum merges them order-independently, and the slope
+    ``(n*Sxy - Sx*Sy) / (n*Sx2 - Sx*Sx)`` is a single float expression
+    over exact integers, identical on both oracle sides. The 1995 epoch
+    keeps x small: with hour offsets < 2^17 and cents < 2^27, n*Sx2
+    stays inside int64 past 10^7 events per key (document-shard beyond).
+    Keys with zero time variance emit nothing (vertical line)."""
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ["n", "sx", "sy", "sxy", "sx2"]
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          **{c: pa.array([], pa.int64()) for c in cols}})
+        if b.num_rows == 0:
+            return empty
+        u = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _div_trunc(b.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) - _TREND_EPOCH_US, 3_600_000_000)
+        y = half_away_scaled_int(
+            b.column(val_col).to_numpy(zero_copy_only=False), 100)
+        o = np.argsort(u, kind="stable")
+        us, xs, ys = u[o], x[o], y[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], us[1:] != us[:-1])))
+        sums = {"n": np.diff(np.append(starts, us.size)).astype(np.int64),
+                "sx": np.add.reduceat(xs, starts),
+                "sy": np.add.reduceat(ys, starts),
+                "sxy": np.add.reduceat(xs * ys, starts),
+                "sx2": np.add.reduceat(xs * xs, starts)}
+        return pa.table({key: pa.array(us[starts], pa.int64()),
+                         **{c: pa.array(v, pa.int64())
+                            for c, v in sums.items()}})
+
+    merged = events.select_columns([key, ts_col, val_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(*[Sum(c, alias_name=c) for c in
+                                  ("n", "sx", "sy", "sxy", "sx2")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "slope": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        g = {c: b.column(c).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) for c in
+            (key, "n", "sx", "sy", "sxy", "sx2")}
+        den = g["n"] * g["sx2"] - g["sx"] * g["sx"]
+        ok = den > 0
+        if not ok.any():
+            return empty
+        num = (g["n"] * g["sxy"] - g["sx"] * g["sy"])[ok] \
+            .astype(np.float64)
+        slope = round_half_away(num / den[ok].astype(np.float64), 6)
+        return pa.table({key: pa.array(g[key][ok], pa.int64()),
+                         "n_events": pa.array(g["n"][ok], pa.int64()),
+                         "slope": pa.array(slope, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -353,3 +353,36 @@ def test_empty_input_guards(ray_session):
                      "text": pa.array(["!!!"]),     # no 2+-char tokens
                      "source": pa.array(["s"])})
     assert distinctive_terms(rd.from_arrow(docs)).num_rows == 0
+
+
+def test_value_trend_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import value_trend
+    rng = np.random.default_rng(59)
+    n = 2500
+    ev = pa.table({
+        "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "ts": pa.array(rng.integers(788918400 * 10**6,
+                                    999918400 * 10**6, n),
+                       pa.timestamp("us")),
+        "value": pa.array(np.round(rng.uniform(0, 500, n), 2))})
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH z AS (SELECT user_id,
+                          (epoch_us(ts) - 788918400000000)
+                            // 3600000000 AS x,
+                          CAST(round(value*100,0) AS BIGINT) AS y
+                   FROM events),
+        m AS (SELECT user_id, count(*) n, sum(x) sx, sum(y) sy,
+                     sum(x*y) sxy, sum(x*x) sx2 FROM z GROUP BY user_id)
+        SELECT user_id, CAST(n AS BIGINT),
+               round(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sx2 - sx*sx AS DOUBLE), 6)
+        FROM m WHERE n*sx2 > sx*sx ORDER BY user_id""").fetchall()
+    out = value_trend(rd.from_arrow(ev).repartition(5))
+    got = sorted((r["user_id"], r["n_events"], r["slope"])
+                 for b in out.iter_batches(batch_format="pyarrow")
+                 for r in b.to_pylist())
+    assert got == [tuple(w) for w in want]
