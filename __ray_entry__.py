@@ -418,6 +418,17 @@ def _q_trigram_counts(sf_dir: str):
     return ngram_counts(_read_docs(sf_dir), n=3, min_count=5)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """Top-100 bigram collocations by PMI lift (text_analysis.py
+    pmi_collocations, Church & Hanks 1990): lift = n_ab*N/(c_a*c_b) over
+    adjacent bigrams with n_ab >= 5. Unigram/bigram counts come from the
+    shared shingle kernel + native groupby sums; the two count lookups
+    are hash joins (the vocabulary never broadcasts); lift is three IEEE
+    ops on exactly-representable integers, replayed verbatim in SQL."""
+    from ics_search_engine_ray.stages.text_analysis import pmi_collocations
+    return pmi_collocations(_read_docs(sf_dir), min_count=5, k=100)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table
     (similarity.py kmeans_fit / kmeans_assign): per-iteration streaming
@@ -2347,6 +2358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
         "gopher_filter": _q_gopher_filter,        # Gopher-rule keep/drop
         "bigram_counts": _q_bigram_counts,        # n-gram LM counts
+        "pmi_collocations": _q_pmi_collocations,  # PMI-lift collocations
         "trigram_counts": _q_trigram_counts,      # shingle-kernel n-grams
         "similar_docs": _q_similar_docs,          # more-like-this cosine
         "similar_docs_indexed": _q_similar_docs_indexed,  # df from index
@@ -3831,6 +3843,22 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "pmi_collocations": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),
+flat AS (SELECT unnest(l) AS term FROM toks),
+nn AS (SELECT count(*) AS n FROM flat),
+uni AS (SELECT term, count(*) AS c FROM flat GROUP BY term),
+big AS (SELECT z[1] AS a, z[2] AS b, count(*) AS n_ab FROM (
+          SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+          FROM toks WHERE len(l) >= 2)
+        GROUP BY a, b HAVING count(*) >= 5)
+SELECT big.a, big.b, CAST(big.n_ab AS BIGINT) AS n_ab,
+       (CAST(big.n_ab AS DOUBLE) * (SELECT n FROM nn))
+         / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+FROM big JOIN uni ua ON big.a = ua.term
+         JOIN uni ub ON big.b = ub.term
+ORDER BY lift DESC, big.a, big.b LIMIT 100""",
         "similar_docs": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
