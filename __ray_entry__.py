@@ -429,6 +429,24 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_read_docs(sf_dir), min_count=5, k=100)
 
 
+def _q_embedding_dim_stats(sf_dir: str):
+    """Exact per-dimension stats of the embedding column
+    (similarity.py embedding_dim_stats): coordinates quantized to
+    round(x*1e6) micro-units so every aggregate is an order-independent
+    integer sum; per batch only dim rows enter the native groupby —
+    vectors never shuffle."""
+    from ics_search_engine_ray.stages.similarity import embedding_dim_stats
+    return embedding_dim_stats(_read_emb(sf_dir))
+
+
+def _q_embedding_norm_topk(sf_dir: str):
+    """Embedding norm outliers (similarity.py embedding_norm_topk):
+    top-20 vectors by exact quantized squared L2 norm — per-batch local
+    top-k combiner, k-row global sort."""
+    from ics_search_engine_ray.stages.similarity import embedding_norm_topk
+    return embedding_norm_topk(_read_emb(sf_dir), k=20)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table
     (similarity.py kmeans_fit / kmeans_assign): per-iteration streaming
@@ -2369,6 +2387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_weights": _q_logreg_weights,      # distributed GD training
         "logreg_scores": _q_logreg_scores,        # trained-model scoring
         "kmeans_clusters": _q_kmeans_clusters,    # distributed Lloyd's
+        "embedding_dim_stats": _q_embedding_dim_stats,  # vector-col profile
+        "embedding_norm_topk": _q_embedding_norm_topk,  # norm outliers
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
         "value_histogram": _q_value_histogram,    # equal-width histogram
@@ -3843,6 +3863,25 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "embedding_dim_stats": """
+WITH e AS (SELECT unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS d FROM embeddings),
+q AS (SELECT CAST(d - 1 AS BIGINT) AS dim,
+             CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+      FROM e)
+SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+       min(q) AS min_q, max(q) AS max_q,
+       (CAST(sum(q) AS DOUBLE) / count(*)) / 1000000.0 AS mean
+FROM q GROUP BY dim ORDER BY dim""",
+        "embedding_norm_topk": """
+WITH e AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
+q AS (SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+      FROM e),
+n AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS normsq_q
+      FROM q GROUP BY vec_id)
+SELECT vec_id, normsq_q FROM n ORDER BY normsq_q DESC, vec_id LIMIT 20""",
         "pmi_collocations": """
 WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
               '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),

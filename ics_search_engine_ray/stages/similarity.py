@@ -598,3 +598,116 @@ def label_centroids(embeds, label_col: str = "label",
             batch_format="pyarrow") \
         .groupby("_g").map_groups(lambda g: finish(g.drop(["_g"])),
                                   batch_format="pyarrow")
+
+
+def embedding_dim_stats(embeds, vec_col: str = "embedding",
+                        scale: int = 1_000_000):
+    """Exact per-dimension statistics of a ``list<float>`` column —
+    the vector-column face of the table profiler: each coordinate is
+    quantized to ``round(x * scale)`` micro-units (half-away, int64) so
+    every aggregate is an order-independent integer sum the SQL oracle
+    reproduces bit-for-bit (float accumulation order would not be).
+
+    Per batch one (dim,)-row partial: n, sum(q), sum(q^2), min, max —
+    only ``dim`` rows per batch enter the native groupby, the vectors
+    themselves never shuffle. sum(q^2) per-batch stays < 2^63 for any
+    realistic batch (|q| <= ~scale for unit-normalized embeddings);
+    corpus-level overflow would need ~1e6 batches x 4e15 — flagged in
+    the docstring rather than guarded, same stance as the other
+    integer-moment ops (SCALE.md).
+
+    Output: dim, n, sum_q, sumsq_q, min_q, max_q, mean
+    (mean = (sum_q/n)/scale in two IEEE divisions, replayed in SQL).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .common import half_away_scaled_int
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"dim": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "ss": pa.array([], pa.int64()),
+                          "mn": pa.array([], pa.int64()),
+                          "mx": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        v = _list_col_np(b.column(vec_col))
+        if v.size == 0:
+            return empty
+        q = half_away_scaled_int(v, scale)
+        dim = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+            "n": pa.array(np.full(dim, q.shape[0], np.int64), pa.int64()),
+            "s": pa.array(q.sum(axis=0, dtype=np.int64), pa.int64()),
+            "ss": pa.array((q * q).sum(axis=0, dtype=np.int64), pa.int64()),
+            "mn": pa.array(q.min(axis=0), pa.int64()),
+            "mx": pa.array(q.max(axis=0), pa.int64())})
+
+    merged = embeds.select_columns([vec_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="sum_q"),
+            Sum("ss", alias_name="sumsq_q"), Min("mn", alias_name="min_q"),
+            Max("mx", alias_name="max_q"))
+
+    sc = float(scale)
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "dim": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+            "sum_q": pa.array([], pa.int64()),
+            "sumsq_q": pa.array([], pa.int64()),
+            "min_q": pa.array([], pa.int64()),
+            "max_q": pa.array([], pa.int64()),
+            "mean": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        n = b.column("n").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = b.column("sum_q").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mean = (s.astype(np.float64) / n.astype(np.float64)) / sc
+        return pa.table({
+            "dim": b.column("dim").cast(pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sum_q": pa.array(s, pa.int64()),
+            "sumsq_q": b.column("sumsq_q").cast(pa.int64()),
+            "min_q": b.column("min_q").cast(pa.int64()),
+            "max_q": b.column("max_q").cast(pa.int64()),
+            "mean": pa.array(mean, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow").sort("dim")
+
+
+def embedding_norm_topk(embeds, k: int = 20, largest: bool = True,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        scale: int = 1_000_000):
+    """Norm outliers: top-k vectors by exact quantized squared L2 norm
+    (``sum(round(x*scale)^2)`` int64) — the standard embedding-quality
+    diagnostic (near-zero or blown-up norms are collapsed/broken rows).
+    Per-batch local top-k combiner, then a k-row global sort; vectors
+    never shuffle. Ties break on ``id_col`` ascending, same in SQL.
+    """
+    from .common import half_away_scaled_int
+
+    sign = -1 if largest else 1
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "normsq_q": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        v = _list_col_np(b.column(vec_col))
+        if v.size == 0:
+            return empty
+        q = half_away_scaled_int(v, scale)
+        nsq = (q * q).sum(axis=1, dtype=np.int64)
+        ids = b.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sign * nsq))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "normsq_q": pa.array(nsq[order], pa.int64())})
+
+    return embeds.select_columns([id_col, vec_col]) \
+        .map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["normsq_q", id_col], descending=[largest, False]).limit(k)

@@ -54,3 +54,70 @@ def test_pmi_collocations_hand_computed(ray_session):
     assert got[("aa", "bb")] == (3, 3 * 12 / (4.0 * 4.0))
     assert got[("bb", "cc")] == (3, 3 * 12 / (4.0 * 4.0))
     assert ("aa", "cc") not in got  # n_ab=1 < min_count
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session, sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def test_embedding_dim_stats_matches_duckdb(emb_ds, sf_dir):
+    from ics_search_engine_ray.stages.similarity import embedding_dim_stats
+    got = sorted((r["dim"], r["n"], r["sum_q"], r["sumsq_q"], r["min_q"],
+                  r["max_q"], r["mean"])
+                 for r in embedding_dim_stats(emb_ds).take_all())
+    want = sorted(duckdb.sql(f"""
+WITH e AS (SELECT unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS d
+           FROM '{sf_dir}/embeddings.parquet'),
+q AS (SELECT CAST(d - 1 AS BIGINT) AS dim,
+             CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+      FROM e)
+SELECT dim, count(*), CAST(sum(q) AS BIGINT), CAST(sum(q * q) AS BIGINT),
+       min(q), max(q), (CAST(sum(q) AS DOUBLE) / count(*)) / 1000000.0
+FROM q GROUP BY dim""").fetchall())
+    assert got == want and len(got) == 64
+
+
+def test_embedding_dim_stats_hand_computed(ray_session):
+    """2 vectors, 2 dims: micro-unit quantization, sums/min/max exact."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.similarity import embedding_dim_stats
+    t = pa.table({"embedding": pa.array(
+        [[0.000001, 1.0], [-0.000003, 3.0]],
+        pa.list_(pa.float32()))})
+    got = {r["dim"]: r for r in
+           embedding_dim_stats(rd.from_arrow(t)).take_all()}
+    assert got[0]["sum_q"] == -2 and got[0]["min_q"] == -3 \
+        and got[0]["max_q"] == 1
+    assert got[1]["sum_q"] == 4_000_000 and got[1]["mean"] == 2.0
+
+
+def test_embedding_norm_topk_matches_duckdb(emb_ds, sf_dir):
+    from ics_search_engine_ray.stages.similarity import embedding_norm_topk
+    got = [(r["vec_id"], r["normsq_q"])
+           for r in embedding_norm_topk(emb_ds, k=15).take_all()]
+    want = duckdb.sql(f"""
+WITH e AS (SELECT vec_id, unnest(embedding) AS x
+           FROM '{sf_dir}/embeddings.parquet'),
+q AS (SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+      FROM e),
+n AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nsq FROM q
+      GROUP BY vec_id)
+SELECT vec_id, nsq FROM n ORDER BY nsq DESC, vec_id LIMIT 15""").fetchall()
+    assert got == want and len(got) == 15
+
+
+def test_embedding_norm_topk_smallest(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.similarity import embedding_norm_topk
+    t = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                  "embedding": pa.array([[2.0], [1.0], [3.0]],
+                                        pa.list_(pa.float32()))})
+    got = [r["vec_id"] for r in
+           embedding_norm_topk(rd.from_arrow(t), k=2,
+                               largest=False).take_all()]
+    assert got == [2, 1]
