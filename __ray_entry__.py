@@ -429,6 +429,18 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_read_docs(sf_dir), min_count=5, k=100)
 
 
+def _q_ks_per_source(sf_dir: str):
+    """Exact two-sample KS distance per source vs rest-of-corpus over
+    n_chars (text_analysis.py ks_per_source): corpus collapses to a
+    (source, value, count) relation in one native groupby; the global
+    value grid broadcasts under a gate; per-source evaluation is one
+    vectorized searchsorted. Every CDF term is exact-integer counts and
+    two IEEE divisions replayed in SQL."""
+    from ics_search_engine_ray.stages.text_analysis import ks_per_source
+    return ks_per_source(
+        _read_docs(sf_dir, columns=("source", "n_chars")))
+
+
 def _q_embedding_dim_stats(sf_dir: str):
     """Exact per-dimension stats of the embedding column
     (similarity.py embedding_dim_stats): coordinates quantized to
@@ -2388,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_scores": _q_logreg_scores,        # trained-model scoring
         "kmeans_clusters": _q_kmeans_clusters,    # distributed Lloyd's
         "embedding_dim_stats": _q_embedding_dim_stats,  # vector-col profile
+        "ks_per_source": _q_ks_per_source,        # KS drift per source
         "embedding_norm_topk": _q_embedding_norm_topk,  # norm outliers
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
@@ -3863,6 +3876,28 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "ks_per_source": """
+WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+           FROM documents GROUP BY source, v),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM c GROUP BY source),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n_g FROM c),
+grid AS (SELECT s.source, v.v
+         FROM (SELECT DISTINCT source FROM c) s
+         CROSS JOIN (SELECT DISTINCT v FROM c) v),
+cum AS (SELECT grid.source, grid.v,
+               CAST(sum(coalesce(c.c, 0)) OVER (
+                 PARTITION BY grid.source ORDER BY grid.v) AS BIGINT) AS cum_s
+        FROM grid LEFT JOIN c ON c.source = grid.source AND c.v = grid.v),
+gcum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum_g
+         FROM (SELECT v, sum(c) AS c FROM c GROUP BY v)),
+d AS (SELECT cum.source, t.n_s,
+             abs(CAST(cum_s AS DOUBLE) / t.n_s
+                 - CAST(cum_g - cum_s AS DOUBLE) / (nn.n_g - t.n_s)) AS dd
+      FROM cum JOIN gcum USING (v)
+      JOIN tot t ON t.source = cum.source CROSS JOIN nn
+      WHERE t.n_s < nn.n_g)
+SELECT source, any_value(n_s) AS n_s, max(dd) AS ks
+FROM d GROUP BY source ORDER BY source""",
         "embedding_dim_stats": """
 WITH e AS (SELECT unnest(embedding) AS x,
                   generate_subscripts(embedding, 1) AS d FROM embeddings),

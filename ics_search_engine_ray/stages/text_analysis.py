@@ -2156,3 +2156,81 @@ def pmi_collocations(docs, min_count: int = 5, k: int = 100):
     return j.map_batches(score_topk, batch_format="pyarrow") \
         .sort(["lift", "a", "b"], descending=[True, False, False]) \
         .limit(k)
+
+
+def ks_per_source(docs, val_col: str = "n_chars",
+                  source_col: str = "source", value_gate: int = 5_000_000):
+    """Exact two-sample Kolmogorov-Smirnov distance of each source's
+    ``val_col`` distribution against the REST of the corpus — the
+    standard drift diagnostic for "is this crawl slice length-shifted?".
+    ``ks = max over observed values v of
+    |cum_s(v)/n_s - (cum_g(v)-cum_s(v))/(n_g-n_s)|`` — every cumulative
+    count is an exact integer, each term is two IEEE divisions and a
+    subtraction replayed verbatim in SQL, so max() is hash-stable.
+
+    Scale shape: the corpus collapses to a (source, value, count)
+    relation via ONE native groupby (size = sources x distinct values,
+    not rows). The global value grid (distinct values + cumulative
+    counts) broadcasts under ``value_gate`` (doc-length domains are
+    bounded; above the gate, equi-width histogram compression is the
+    documented path — an approximation, so it refuses rather than
+    silently degrading). Per-source evaluation is one vectorized
+    searchsorted over the grid inside a groupby(source).map_groups.
+
+    Sources whose complement is empty (single-source corpus) are
+    excluded (the rest-CDF is undefined).
+    """
+    import ray
+
+    counts = docs.select_columns([source_col, val_col]) \
+        .groupby([source_col, val_col]).count()
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b.column(source_col).cast(pa.string()),
+            "v": b.column(val_col).cast(pa.int64()),
+            "c": b.column("count()").cast(pa.int64())})
+
+    counts = counts.map_batches(norm, batch_format="pyarrow").materialize()
+
+    gv = counts.groupby("v").sum("c")
+    g_rows = gv.take_all()
+    if len(g_rows) > value_gate:
+        raise ValueError(
+            f"ks_per_source: {len(g_rows)} distinct values exceeds the "
+            f"{value_gate} broadcast gate — compress to an equi-width "
+            "histogram first (SCALE.md)")
+    g_vals = np.array(sorted(r["v"] for r in g_rows), np.int64)
+    g_cnt = {r["v"]: r["sum(c)"] for r in g_rows}
+    g_cum = np.cumsum(np.array([g_cnt[v] for v in g_vals], np.int64))
+    n_g = int(g_cum[-1]) if g_cum.size else 0
+    grid_ref = ray.put((g_vals, g_cum))
+
+    def per_source(g: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_s": pa.array([], pa.int64()),
+                          "ks": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        vals_g, cum_g = ray.get(grid_ref)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        n_s = int(c.sum())
+        n_r = n_g - n_s
+        if n_r <= 0:
+            return empty
+        # cum_s at every global grid point: count of source values <= g
+        pos = np.searchsorted(v, vals_g, side="right")
+        cum_s = np.concatenate(([0], np.cumsum(c)))[pos]
+        d = np.abs(cum_s.astype(np.float64) / float(n_s)
+                   - (cum_g - cum_s).astype(np.float64) / float(n_r))
+        return pa.table({
+            "source": pa.array([g.column("source")[0].as_py()],
+                               pa.string()),
+            "n_s": pa.array([n_s], pa.int64()),
+            "ks": pa.array([float(d.max())], pa.float64())})
+
+    return counts.groupby("source").map_groups(
+        per_source, batch_format="pyarrow").sort("source")

@@ -121,3 +121,66 @@ def test_embedding_norm_topk_smallest(ray_session):
            embedding_norm_topk(rd.from_arrow(t), k=2,
                                largest=False).take_all()]
     assert got == [2, 1]
+
+
+def test_ks_per_source_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import ks_per_source
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    got = sorted((r["source"], r["n_s"], r["ks"])
+                 for r in ks_per_source(ds).take_all())
+    want = sorted(duckdb.sql(f"""
+WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+           FROM '{sf_dir}/documents.parquet' GROUP BY source, v),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM c GROUP BY source),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n_g FROM c),
+grid AS (SELECT s.source, v.v
+         FROM (SELECT DISTINCT source FROM c) s
+         CROSS JOIN (SELECT DISTINCT v FROM c) v),
+cum AS (SELECT grid.source, grid.v,
+               CAST(sum(coalesce(c.c, 0)) OVER (
+                 PARTITION BY grid.source ORDER BY grid.v) AS BIGINT) AS cum_s
+        FROM grid LEFT JOIN c ON c.source = grid.source AND c.v = grid.v),
+gcum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum_g
+         FROM (SELECT v, sum(c) AS c FROM c GROUP BY v)),
+d AS (SELECT cum.source, t.n_s,
+             abs(CAST(cum_s AS DOUBLE) / t.n_s
+                 - CAST(cum_g - cum_s AS DOUBLE) / (nn.n_g - t.n_s)) AS dd
+      FROM cum JOIN gcum USING (v)
+      JOIN tot t ON t.source = cum.source CROSS JOIN nn
+      WHERE t.n_s < nn.n_g)
+SELECT source, any_value(n_s), max(dd) FROM d GROUP BY source""").fetchall())
+    assert got == want and len(got) > 1
+
+
+def test_ks_per_source_hand_computed(ray_session):
+    """Two sources with disjoint supports have KS = 1; identical
+    distributions have KS ~ 0. Single-source input yields no rows."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import ks_per_source
+    t = pa.table({
+        "source": pa.array(["a"] * 4 + ["b"] * 4, pa.string()),
+        "n_chars": pa.array([1, 2, 1, 2, 9, 8, 9, 8], pa.int64())})
+    got = {r["source"]: r["ks"]
+           for r in ks_per_source(rd.from_arrow(t)).take_all()}
+    assert got == {"a": 1.0, "b": 1.0}
+    t2 = pa.table({
+        "source": pa.array(["a", "a", "b", "b"], pa.string()),
+        "n_chars": pa.array([1, 2, 1, 2], pa.int64())})
+    got2 = {r["source"]: r["ks"]
+            for r in ks_per_source(rd.from_arrow(t2)).take_all()}
+    assert got2 == {"a": 0.0, "b": 0.0}
+    t3 = pa.table({"source": pa.array(["a", "a"], pa.string()),
+                   "n_chars": pa.array([1, 2], pa.int64())})
+    assert ks_per_source(rd.from_arrow(t3)).count() == 0
+
+
+def test_ks_per_source_gate(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import ks_per_source
+    t = pa.table({
+        "source": pa.array(["a", "b", "a", "b"], pa.string()),
+        "n_chars": pa.array([1, 2, 3, 4], pa.int64())})
+    with pytest.raises(ValueError, match="broadcast gate"):
+        ks_per_source(rd.from_arrow(t), value_gate=2)
