@@ -429,6 +429,19 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_read_docs(sf_dir), min_count=5, k=100)
 
 
+def _q_gini_per_nation(sf_dir: str):
+    """Per-nation Gini coefficient of customer account balances
+    (relational.py gini_per_nation): rank formula over exact integer
+    cents — both moment sums exact integers, one IEEE division, 25
+    one-task groups (the one-key-one-task assumption; global_rank
+    machinery is the high-cardinality path)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import gini_per_nation
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_nationkey", "c_acctbal"])
+    return gini_per_nation(cust)
+
+
 def _q_ks_per_source(sf_dir: str):
     """Exact two-sample KS distance per source vs rest-of-corpus over
     n_chars (text_analysis.py ks_per_source): corpus collapses to a
@@ -2401,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,    # distributed Lloyd's
         "embedding_dim_stats": _q_embedding_dim_stats,  # vector-col profile
         "ks_per_source": _q_ks_per_source,        # KS drift per source
+        "gini_per_nation": _q_gini_per_nation,    # inequality metric
         "embedding_norm_topk": _q_embedding_norm_topk,  # norm outliers
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
@@ -3876,6 +3890,20 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "gini_per_nation": """
+WITH x AS (SELECT c_nationkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+           FROM customer),
+r AS (SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents) AS i,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM x)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(any_value(n) AS BIGINT) AS n_customers,
+       CAST(2 * sum(i * cents) - (any_value(n) + 1) * sum(cents) AS DOUBLE)
+         / (CAST(any_value(n) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) AS gini
+FROM r GROUP BY c_nationkey ORDER BY c_nationkey""",
         "ks_per_source": """
 WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
            FROM documents GROUP BY source, v),

@@ -1474,3 +1474,49 @@ def profile_table(ds, columns):
                      "n_rows": pa.array(out_rows, pa.int64()),
                      "n_nulls": pa.array(out_nulls, pa.int64()),
                      "n_distinct": pa.array(out_dist, pa.int64())})
+
+
+def gini_per_nation(customer):
+    """Gini coefficient of customer account balances per nation — the
+    standard inequality/concentration diagnostic (who holds the value in
+    each market segment), via the rank formula over exact integer cents:
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with x sorted ascending, i = 1..n. Both moment sums are exact
+    integers (ties in x contribute identically under any tie order, so
+    the value is tie-stable and hash-identical to SQL's row_number
+    form); the final division is one IEEE op replayed in the oracle.
+
+    Shape: groupby(nation).map_groups, one numpy sort per group — the
+    one-key-fits-one-task assumption (25 nations; for a high-cardinality
+    key use the global_rank equi-depth machinery per key instead, see
+    SCALE.md). int64 moment bound: sum(i*x) <= n^2 * max_cents, safe to
+    ~1e6 rows/group at 1e6-cent balances; beyond that promote the merge
+    to Python ints (documented, not guarded — same stance as the other
+    integer-moment ops).
+    """
+    def per_nation(g: pa.Table) -> pa.Table:
+        empty = pa.table({"c_nationkey": pa.array([], pa.int64()),
+                          "n_customers": pa.array([], pa.int64()),
+                          "gini": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        cents = half_away_scaled_int(
+            g.column("c_acctbal").to_numpy(zero_copy_only=False), 100)
+        cents = np.sort(cents)
+        n = cents.size
+        i = np.arange(1, n + 1, dtype=np.int64)
+        isum = int((i * cents).sum())
+        csum = int(cents.sum())
+        num = 2 * isum - (n + 1) * csum
+        gini = float(num) / (float(n) * float(csum))
+        return pa.table({
+            "c_nationkey": pa.array(
+                [int(g.column("c_nationkey")[0].as_py())], pa.int64()),
+            "n_customers": pa.array([n], pa.int64()),
+            "gini": pa.array([gini], pa.float64())})
+
+    return customer.select_columns(["c_nationkey", "c_acctbal"]) \
+        .groupby("c_nationkey").map_groups(
+            per_nation, batch_format="pyarrow").sort("c_nationkey")

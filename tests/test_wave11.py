@@ -184,3 +184,41 @@ def test_ks_per_source_gate(ray_session):
         "n_chars": pa.array([1, 2, 3, 4], pa.int64())})
     with pytest.raises(ValueError, match="broadcast gate"):
         ks_per_source(rd.from_arrow(t), value_gate=2)
+
+
+def test_gini_per_nation_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import gini_per_nation
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_acctbal"])
+    got = sorted((r["c_nationkey"], r["n_customers"], r["gini"])
+                 for r in gini_per_nation(cust).take_all())
+    want = sorted(duckdb.sql(f"""
+WITH x AS (SELECT c_nationkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+           FROM '{sf_dir}/customer.parquet'),
+r AS (SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents) AS i,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM x)
+SELECT CAST(c_nationkey AS BIGINT), CAST(any_value(n) AS BIGINT),
+       CAST(2 * sum(i * cents) - (any_value(n) + 1) * sum(cents) AS DOUBLE)
+         / (CAST(any_value(n) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+FROM r GROUP BY c_nationkey""").fetchall())
+    assert got == want and len(got) == 25
+
+
+def test_gini_hand_computed(ray_session):
+    """Perfect equality -> G = 0; one customer holds everything ->
+    G = (n-1)/n. Tie order does not change the value."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import gini_per_nation
+    t = pa.table({
+        "c_nationkey": pa.array([1] * 4 + [2] * 4, pa.int64()),
+        "c_acctbal": pa.array([5.0, 5.0, 5.0, 5.0,
+                               0.0, 0.0, 0.0, 8.0], pa.float64())})
+    got = {r["c_nationkey"]: r["gini"]
+           for r in gini_per_nation(rd.from_arrow(t)).take_all()}
+    assert got[1] == 0.0
+    assert got[2] == (4 - 1) / 4.0
