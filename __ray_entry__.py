@@ -429,6 +429,18 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_read_docs(sf_dir), min_count=5, k=100)
 
 
+_BLOCKLIST = ["slow", "broken", "panic"]
+
+
+def _q_blocklist_filter(sf_dir: str):
+    """LDNOOBW/C4-style bad-word filter (pii.py blocklist_filter): count
+    blocklisted tokens per doc, keep iff blocked fraction <= 0 (C4's
+    any-hit-drops rule). Pure vectorized map, no shuffle; the tiny
+    blocklist ships in the task closure."""
+    from ics_search_engine_ray.stages.pii import blocklist_filter
+    return blocklist_filter(_read_docs(sf_dir), blocklist=_BLOCKLIST)
+
+
 def _q_gini_per_nation(sf_dir: str):
     """Per-nation Gini coefficient of customer account balances
     (relational.py gini_per_nation): rank formula over exact integer
@@ -2415,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": _q_embedding_dim_stats,  # vector-col profile
         "ks_per_source": _q_ks_per_source,        # KS drift per source
         "gini_per_nation": _q_gini_per_nation,    # inequality metric
+        "blocklist_filter": _q_blocklist_filter,  # bad-word doc filter
         "embedding_norm_topk": _q_embedding_norm_topk,  # norm outliers
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
@@ -3890,6 +3903,20 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "blocklist_filter": f"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),
+c AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(l, x -> x IN
+               ({", ".join("'" + w + "'" for w in _BLOCKLIST)})))
+             AS BIGINT) AS n_blocked
+      FROM toks)
+SELECT doc_id, n_tokens, n_blocked,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(n_blocked AS DOUBLE) / n_tokens END AS blocked_frac,
+       (CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE CAST(n_blocked AS DOUBLE) / n_tokens END) <= 0.0 AS keep
+FROM c ORDER BY doc_id""",
         "gini_per_nation": """
 WITH x AS (SELECT c_nationkey,
                   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents

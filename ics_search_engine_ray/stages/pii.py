@@ -89,3 +89,62 @@ def pii_scrub(docs, text_col: str = "text", id_col: str = "doc_id"):
 
     return docs.select_columns([id_col, text_col]) \
         .map_batches(scrub, batch_format="pyarrow")
+
+
+def blocklist_filter(docs, blocklist: List[str], text_col: str = "text",
+                     id_col: str = "doc_id", max_frac: float = 0.0):
+    """LDNOOBW / C4-style bad-word document filter: count how many
+    tokens of each document are on ``blocklist`` and keep the document
+    iff the blocked fraction is <= ``max_frac`` (C4's rule is any-hit
+    drops, i.e. the default 0.0). Emits the counts alongside the verdict
+    so downstream policy can re-threshold without re-scanning.
+
+    Pure map — no shuffle, no state. Tokenization is the engine's
+    standard [a-z0-9]+ len>1 rule; membership is one vectorized
+    ``np.isin`` over the batch's flattened token array against the
+    sorted blocklist (blocklists are ~2k words, bound in the task
+    closure — small enough to ship with the function, the documented
+    exception to the broadcast gate).
+
+    Output: id, n_tokens, n_blocked, blocked_frac
+    (= n_blocked/n_tokens as one IEEE division, 0.0 for empty docs),
+    keep (bool).
+    """
+    import numpy as np
+
+    from ..functions.tokenizer import TOKEN_RE
+
+    block = np.array(sorted({w.lower() for w in blocklist}), dtype=object)
+    mf = float(max_frac)
+
+    def fn(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_blocked": pa.array([], pa.int64()),
+                          "blocked_frac": pa.array([], pa.float64()),
+                          "keep": pa.array([], pa.bool_())})
+        if b.num_rows == 0:
+            return empty
+        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+                 if len(t) > 1] for x in b.column(text_col).to_pylist()]
+        n_tok = np.array([len(t) for t in toks], np.int64)
+        flat = np.array([t for ts in toks for t in ts], dtype=object)
+        if flat.size:
+            hit = np.isin(flat, block)
+            bounds = np.concatenate(([0], np.cumsum(n_tok)))
+            n_blk = np.add.reduceat(
+                np.concatenate((hit.astype(np.int64), [0])),
+                bounds[:-1]) * (n_tok > 0)
+        else:
+            n_blk = np.zeros_like(n_tok)
+        frac = np.where(n_tok > 0,
+                        n_blk.astype(np.float64)
+                        / np.maximum(n_tok, 1).astype(np.float64), 0.0)
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_blocked": pa.array(n_blk, pa.int64()),
+            "blocked_frac": pa.array(frac, pa.float64()),
+            "keep": pa.array(frac <= mf)})
+
+    return docs.map_batches(fn, batch_format="pyarrow")

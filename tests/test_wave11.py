@@ -222,3 +222,45 @@ def test_gini_hand_computed(ray_session):
            for r in gini_per_nation(rd.from_arrow(t)).take_all()}
     assert got[1] == 0.0
     assert got[2] == (4 - 1) / 4.0
+
+
+def test_blocklist_filter_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.pii import blocklist_filter
+    bl = ["slow", "panic"]
+    got = sorted((r["doc_id"], r["n_tokens"], r["n_blocked"],
+                  r["blocked_frac"], r["keep"])
+                 for r in blocklist_filter(docs_ds, bl).take_all())
+    want = sorted(duckdb.sql(f"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l
+              FROM '{sf_dir}/documents.parquet'),
+c AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(l, x -> x IN ('slow', 'panic')))
+             AS BIGINT) AS n_blocked
+      FROM toks)
+SELECT doc_id, n_tokens, n_blocked,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(n_blocked AS DOUBLE) / n_tokens END,
+       (CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE CAST(n_blocked AS DOUBLE) / n_tokens END) <= 0.0
+FROM c""").fetchall())
+    assert got == want and len(got) > 0
+    assert any(not k for *_, k in got)  # the filter actually drops docs
+
+
+def test_blocklist_filter_edge_cases(ray_session):
+    """Empty docs keep; max_frac thresholding; single-char tokens are
+    not tokens; blocklist matching is case-insensitive both ways."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.pii import blocklist_filter
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["", "ok ok BAD ok", "bad bad ok ok", "b bad"],
+                         pa.string())})
+    rows = {r["doc_id"]: r for r in
+            blocklist_filter(rd.from_arrow(t), ["BAD"],
+                             max_frac=0.25).take_all()}
+    assert rows[1]["keep"] and rows[1]["n_tokens"] == 0
+    assert rows[2]["n_blocked"] == 1 and rows[2]["keep"]       # 1/4 <= .25
+    assert rows[3]["n_blocked"] == 2 and not rows[3]["keep"]   # 1/2 > .25
+    assert rows[4]["n_tokens"] == 1 and not rows[4]["keep"]    # 1/1 > .25
