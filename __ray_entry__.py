@@ -429,6 +429,18 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_read_docs(sf_dir), min_count=5, k=100)
 
 
+def _q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (text_analysis.py
+    source_vocab_jaccard): distinct (term, source) relation -> per-term
+    source BITMASK (groupby-sum of distinct bits == OR) -> only the
+    (mask, n_terms) histogram reaches the driver; all pair
+    intersections are popcount sums. No vocabulary self-join."""
+    from ics_search_engine_ray.stages.text_analysis import (
+        source_vocab_jaccard)
+    return source_vocab_jaccard(
+        _read_docs(sf_dir, columns=("text", "source")))
+
+
 _BLOCKLIST = ["slow", "broken", "panic"]
 
 
@@ -2428,6 +2440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_per_source": _q_ks_per_source,        # KS drift per source
         "gini_per_nation": _q_gini_per_nation,    # inequality metric
         "blocklist_filter": _q_blocklist_filter,  # bad-word doc filter
+        "source_vocab_jaccard": _q_source_vocab_jaccard,  # vocab overlap
         "embedding_norm_topk": _q_embedding_norm_topk,  # norm outliers
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
@@ -3903,6 +3916,25 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "source_vocab_jaccard": """
+WITH ts AS (SELECT DISTINCT source,
+  unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     x -> length(x) > 1)) AS term FROM documents),
+v AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM ts
+      GROUP BY source),
+p AS (SELECT a.source AS s1, b.source AS s2,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM ts a JOIN ts b ON a.term = b.term AND a.source < b.source
+      GROUP BY s1, s2),
+grid AS (SELECT a.source AS s1, b.source AS s2, a.nv AS v1, b.nv AS v2
+         FROM v a JOIN v b ON a.source < b.source)
+SELECT grid.s1, grid.s2, coalesce(p.inter, 0) AS inter,
+       grid.v1, grid.v2,
+       CASE WHEN grid.v1 + grid.v2 - coalesce(p.inter, 0) = 0 THEN 0.0
+            ELSE CAST(coalesce(p.inter, 0) AS DOUBLE)
+                 / (grid.v1 + grid.v2 - coalesce(p.inter, 0)) END AS jaccard
+FROM grid LEFT JOIN p ON p.s1 = grid.s1 AND p.s2 = grid.s2
+ORDER BY grid.s1, grid.s2""",
         "blocklist_filter": f"""
 WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
               '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),

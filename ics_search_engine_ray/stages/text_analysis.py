@@ -2234,3 +2234,79 @@ def ks_per_source(docs, val_col: str = "n_chars",
 
     return counts.groupby("source").map_groups(
         per_source, batch_format="pyarrow").sort("source")
+
+
+def source_vocab_jaccard(docs, source_gate: int = 20):
+    """Pairwise vocabulary Jaccard between sources — "how much do two
+    crawl slices share words?", the cross-source counterpart of
+    vocab_stats: ``J(i,j) = |V_i ∩ V_j| / (|V_i| + |V_j| - |V_i ∩ V_j|)``
+    over distinct token vocabularies. Exact integers + one IEEE division.
+
+    Scale shape: NO vocabulary self-join. The corpus collapses to the
+    distinct (term, source) relation (one native groupby), each term's
+    source set becomes a BITMASK via a second native groupby-sum (bits
+    are distinct per term, so sum == OR), and only the (mask, n_terms)
+    histogram — at most 2^S rows — reaches the driver, where all S²/2
+    pair intersections are numpy popcount sums. Gated at
+    ``source_gate`` sources (coarse source taxonomies; for domain-level
+    S the pair join over hot terms is the documented path, SCALE.md).
+    """
+    src_rows = docs.select_columns(["source"]).groupby("source").count() \
+        .take_all()
+    sources = sorted(r["source"] for r in src_rows)
+    if len(sources) > source_gate:
+        raise ValueError(
+            f"source_vocab_jaccard: {len(sources)} sources exceeds the "
+            f"2^S mask gate ({source_gate}) — use the pair-join path "
+            "(SCALE.md)")
+    sidx = {s: i for i, s in enumerate(sources)}
+
+    def term_source(b: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        terms, srcs = [], []
+        for x, s in zip(b.column("text").to_pylist(),
+                        b.column("source").to_pylist()):
+            seen = {t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1}
+            terms.extend(seen)
+            srcs.extend([s] * len(seen))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "source": pa.array(srcs, pa.string())})
+
+    ts = docs.select_columns(["text", "source"]) \
+        .map_batches(term_source, batch_format="pyarrow") \
+        .groupby(["term", "source"]).count()
+
+    def to_bit(b: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "bit": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        bits = np.array([1 << sidx[s]
+                         for s in b.column("source").to_pylist()], np.int64)
+        return pa.table({"term": b.column("term").cast(pa.string()),
+                         "bit": pa.array(bits, pa.int64())})
+
+    masks = ts.map_batches(to_bit, batch_format="pyarrow") \
+        .groupby("term").sum("bit").groupby("sum(bit)").count().take_all()
+
+    mask = np.array([r["sum(bit)"] for r in masks], np.int64)
+    cnt = np.array([r["count()"] for r in masks], np.int64)
+    s1l, s2l, inter_l, v1l, v2l, jac = [], [], [], [], [], []
+    v = [int(cnt[(mask >> i) & 1 == 1].sum()) for i in range(len(sources))]
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            both = ((mask >> i) & 1 == 1) & ((mask >> j) & 1 == 1)
+            inter = int(cnt[both].sum())
+            s1l.append(sources[i]); s2l.append(sources[j])
+            inter_l.append(inter); v1l.append(v[i]); v2l.append(v[j])
+            jac.append(float(inter) / float(v[i] + v[j] - inter)
+                       if (v[i] + v[j] - inter) else 0.0)
+    return pa.table({
+        "s1": pa.array(s1l, pa.string()), "s2": pa.array(s2l, pa.string()),
+        "inter": pa.array(inter_l, pa.int64()),
+        "v1": pa.array(v1l, pa.int64()), "v2": pa.array(v2l, pa.int64()),
+        "jaccard": pa.array(jac, pa.float64())})

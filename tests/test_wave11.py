@@ -264,3 +264,59 @@ def test_blocklist_filter_edge_cases(ray_session):
     assert rows[2]["n_blocked"] == 1 and rows[2]["keep"]       # 1/4 <= .25
     assert rows[3]["n_blocked"] == 2 and not rows[3]["keep"]   # 1/2 > .25
     assert rows[4]["n_tokens"] == 1 and not rows[4]["keep"]    # 1/1 > .25
+
+
+def test_source_vocab_jaccard_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import (
+        source_vocab_jaccard)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    got = sorted(map(tuple, source_vocab_jaccard(ds).to_pandas().values
+                     .tolist()))
+    want = sorted(duckdb.sql(f"""
+WITH ts AS (SELECT DISTINCT source,
+  unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     x -> length(x) > 1)) AS term
+  FROM '{sf_dir}/documents.parquet'),
+v AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM ts
+      GROUP BY source),
+p AS (SELECT a.source AS s1, b.source AS s2,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM ts a JOIN ts b ON a.term = b.term AND a.source < b.source
+      GROUP BY s1, s2),
+grid AS (SELECT a.source AS s1, b.source AS s2, a.nv AS v1, b.nv AS v2
+         FROM v a JOIN v b ON a.source < b.source)
+SELECT grid.s1, grid.s2, coalesce(p.inter, 0), grid.v1, grid.v2,
+       CASE WHEN grid.v1 + grid.v2 - coalesce(p.inter, 0) = 0 THEN 0.0
+            ELSE CAST(coalesce(p.inter, 0) AS DOUBLE)
+                 / (grid.v1 + grid.v2 - coalesce(p.inter, 0)) END
+FROM grid LEFT JOIN p ON p.s1 = grid.s1 AND p.s2 = grid.s2""").fetchall())
+    assert got == want and len(got) == 190
+
+
+def test_source_vocab_jaccard_hand_computed(ray_session):
+    """Disjoint vocabularies -> 0; identical -> 1; partial overlap
+    exact; zero-pair rows are emitted (unlike a bare inner join)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import (
+        source_vocab_jaccard)
+    t = pa.table({
+        "source": pa.array(["a", "b", "c"], pa.string()),
+        "text": pa.array(["aa bb", "aa bb", "xx yy"], pa.string())})
+    rows = {(r["s1"], r["s2"]): r
+            for r in source_vocab_jaccard(rd.from_arrow(t)).to_pylist()}
+    assert rows[("a", "b")]["jaccard"] == 1.0
+    assert rows[("a", "c")]["jaccard"] == 0.0
+    assert rows[("a", "c")]["inter"] == 0
+    assert len(rows) == 3
+
+
+def test_source_vocab_jaccard_gate(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import (
+        source_vocab_jaccard)
+    t = pa.table({"source": pa.array(["a", "b", "c"], pa.string()),
+                  "text": pa.array(["x"] * 3, pa.string())})
+    with pytest.raises(ValueError, match="mask gate"):
+        source_vocab_jaccard(rd.from_arrow(t), source_gate=2)
