@@ -981,25 +981,58 @@ def _q_customers_inactive(sf_dir: str):
                           right_on="o_custkey", join_type="left anti")
 
 
-def _q_dup_clusters(sf_dir: str):
-    """Near-duplicate CLUSTERS: ngram-Jaccard pair graph (>=0.8) fed to
-    distributed connected components; every document gets its cluster's
-    min doc_id (singletons label themselves). The cluster map is a
-    hot-subset broadcast (only docs with duplicates), left-joined back
-    over the full corpus with broadcast_join — the scale path above the
-    gate is hash_join on the same keys."""
+# shared by the dup_clusters / dup_cluster_canonical oracles: shingle
+# the corpus, build the >=0.8-Jaccard pair graph, min-label reachability
+# via a recursive CTE ("comp" maps node -> cluster label).
+_DUP_CLUSTERS_CTE = """w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
+  FROM w),
+edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+walk(node, label) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.d, wk.label FROM walk wk JOIN sym e ON e.s = wk.node
+   WHERE wk.label < e.d),
+comp AS (SELECT node, min(label) AS c FROM walk GROUP BY node)"""
+
+
+def _cluster_assign(sf_dir: str, extra_cols=()):
+    """(doc_id, cluster[, extra_cols]) near-duplicate cluster
+    assignments: ngram-Jaccard pair graph (>=0.8) fed to distributed
+    connected components; every document gets its cluster's min doc_id
+    (singletons label themselves). The cluster map is a hot-subset
+    broadcast (only docs with duplicates), left-joined back over the
+    full corpus with broadcast_join — the scale path above the gate is
+    hash_join on the same keys."""
     import ray.data as rd
     from ics_search_engine_ray.graph.concomp import connected_components
     from ics_search_engine_ray.stages.dedup_text import ngram_jaccard_pairs
     from ics_search_engine_ray.stages.joins import broadcast_join
 
     pairs = ngram_jaccard_pairs(_read_docs(sf_dir), n=3, threshold=0.8)
+    cols = ["doc_id"] + list(extra_cols)
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id"])
+                           columns=cols)
     if not pairs:
         return docs.map_batches(
             lambda b: pa.table({"doc_id": b.column("doc_id"),
-                                "cluster": b.column("doc_id")}),
+                                "cluster": b.column("doc_id"),
+                                **{c: b.column(c) for c in extra_cols}}),
             batch_format="pyarrow")
     edges = rd.from_arrow(pa.table({
         "src": pa.array([p[0] for p in pairs], pa.int64()),
@@ -1013,9 +1046,26 @@ def _q_dup_clusters(sf_dir: str):
         comp_col = pc.coalesce(b.column("component").cast(pa.int64()),
                                b.column("doc_id"))
         return pa.table({"doc_id": b.column("doc_id"),
-                         "cluster": comp_col})
+                         "cluster": comp_col,
+                         **{c: b.column(c) for c in extra_cols}})
 
     return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+def _q_dup_clusters(sf_dir: str):
+    """See _cluster_assign (the shared chain): pair graph -> distributed
+    CC -> per-doc cluster labels."""
+    return _cluster_assign(sf_dir)
+
+
+def _q_dup_cluster_canonical(sf_dir: str):
+    """Representative selection after clustering dedup (dedup_text.py
+    cluster_canonical): per cluster keep the member with max n_chars
+    (ties -> min doc_id). The argmax-with-tiebreak is ONE native groupby
+    Max over an order-encoding composite key (quality<<32 | ~id) — no
+    map_groups, no per-cluster task."""
+    from ics_search_engine_ray.stages.dedup_text import cluster_canonical
+    return cluster_canonical(_cluster_assign(sf_dir, ("n_chars",)))
 
 
 def _q_connected_components(sf_dir: str):
@@ -2412,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": _q_doc_tfidf_topk,      # per-doc top tf-idf
         "association_pairs": _q_association_pairs,  # co-occurrence mining
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
+        "dup_cluster_canonical": _q_dup_cluster_canonical,  # keep-best rep
         "split_assign": _q_split_assign,          # hash train/valid/test
         "stratified_sample": _q_stratified_sample,  # n-per-group sample
         "top_events_per_type": _q_top_events_per_type,  # group-wise top-k
@@ -3303,36 +3354,29 @@ WHERE NOT EXISTS (
     AND o.o_orderdate >= TIMESTAMP '1995-01-01'
     AND o.o_orderdate < TIMESTAMP '1995-07-01')
 ORDER BY c_custkey""",
-        "dup_clusters": """
+        "dup_clusters": f"""
 WITH RECURSIVE
-w AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS ws
-  FROM documents),
-s AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
-         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
-  FROM w),
-edges AS (
-  SELECT a.doc_id AS s, b.doc_id AS d
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
-walk(node, label) AS (
-  SELECT s, s FROM sym
-  UNION
-  SELECT e.d, wk.label FROM walk wk JOIN sym e ON e.s = wk.node
-   WHERE wk.label < e.d),
-comp AS (SELECT node, min(label) AS c FROM walk GROUP BY node)
+{_DUP_CLUSTERS_CTE}
 SELECT doc.doc_id, CAST(coalesce(comp.c, doc.doc_id) AS BIGINT) AS cluster
 FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.node
 ORDER BY doc.doc_id""",
+        "dup_cluster_canonical": f"""
+WITH RECURSIVE
+{_DUP_CLUSTERS_CTE},
+assign AS (
+  SELECT doc.doc_id,
+         CAST(coalesce(comp.c, doc.doc_id) AS BIGINT) AS cluster,
+         doc.n_chars
+  FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.node),
+sel AS (
+  SELECT cluster, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS nm
+  FROM assign)
+SELECT cluster, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS quality,
+       CAST(nm AS BIGINT) AS n_members
+FROM sel WHERE rn = 1 ORDER BY cluster""",
         "connected_components": """
 WITH RECURSIVE
 edges AS (

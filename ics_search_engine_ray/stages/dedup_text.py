@@ -1320,3 +1320,64 @@ def dup_rate_per_source(docs):
         "dup_rate": pa.array(
             round_half_away(1.0 - nuv.astype(np.float64) / ndv, 6),
             pa.float64())})
+
+
+def cluster_canonical(assign, quality_col: str = "n_chars",
+                      id_col: str = "doc_id",
+                      cluster_col: str = "cluster"):
+    """Representative selection after clustering dedup: per cluster keep
+    the member with the HIGHEST quality (ties -> lowest id) — the policy
+    step between dup_clusters and the training corpus ("keep the longest
+    copy, drop the mirrors").
+
+    Argmax-with-tiebreak distributes as ONE native groupby: each row
+    encodes ``key = quality * 2^32 + (2^32-1 - id)`` so integer Max is
+    exactly (quality desc, id asc) lexicographic order; the winner
+    decodes from the max key. Requires 0 <= quality < 2^30 and
+    0 <= id < 2^32 (asserted per batch — doc-length-class qualities and
+    dense doc ids; widen the limbs for larger domains).
+
+    Output: cluster, keep_id, quality, n_members.
+    """
+    from ray.data.aggregate import Count, Max
+
+    MASK = (1 << 32) - 1
+
+    def encode(b: pa.Table) -> pa.Table:
+        empty = pa.table({cluster_col: pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        q = b.column(quality_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        i = b.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        assert (q >= 0).all() and (q < (1 << 30)).all(), \
+            "quality out of the 2^30 limb"
+        assert (i >= 0).all() and (i <= MASK).all(), \
+            "id out of the 2^32 limb"
+        key = (q << 32) + (MASK - i)
+        return pa.table({
+            cluster_col: b.column(cluster_col).cast(pa.int64()),
+            "key": pa.array(key, pa.int64())})
+
+    agg = assign.map_batches(encode, batch_format="pyarrow") \
+        .groupby(cluster_col).aggregate(Max("key", alias_name="key"),
+                                        Count(alias_name="n_members"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        empty = pa.table({"cluster": pa.array([], pa.int64()),
+                          "keep_id": pa.array([], pa.int64()),
+                          "quality": pa.array([], pa.int64()),
+                          "n_members": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        key = b.column("key").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster": b.column(cluster_col).cast(pa.int64()),
+            "keep_id": pa.array(MASK - (key & MASK), pa.int64()),
+            "quality": pa.array(key >> 32, pa.int64()),
+            "n_members": b.column("n_members").cast(pa.int64())})
+
+    return agg.map_batches(decode, batch_format="pyarrow").sort("cluster")

@@ -320,3 +320,27 @@ def test_source_vocab_jaccard_gate(ray_session):
                   "text": pa.array(["x"] * 3, pa.string())})
     with pytest.raises(ValueError, match="mask gate"):
         source_vocab_jaccard(rd.from_arrow(t), source_gate=2)
+
+
+def test_cluster_canonical_hand_computed(ray_session):
+    """Max quality wins; ties break to the lowest id; singleton clusters
+    pass through; member counts exact."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import cluster_canonical
+    t = pa.table({
+        "cluster": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "doc_id": pa.array([10, 11, 12, 20, 31, 30], pa.int64()),
+        "n_chars": pa.array([5, 9, 9, 7, 4, 4], pa.int64())})
+    got = [(r["cluster"], r["keep_id"], r["quality"], r["n_members"])
+           for r in cluster_canonical(rd.from_arrow(t)).take_all()]
+    assert got == [(1, 11, 9, 3), (2, 20, 7, 1), (3, 30, 4, 2)]
+
+
+def test_cluster_canonical_limb_guard(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import cluster_canonical
+    t = pa.table({"cluster": pa.array([1], pa.int64()),
+                  "doc_id": pa.array([1 << 33], pa.int64()),
+                  "n_chars": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="limb"):
+        cluster_canonical(rd.from_arrow(t)).take_all()
