@@ -429,6 +429,18 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_read_docs(sf_dir), min_count=5, k=100)
 
 
+def _q_user_features(sf_dir: str):
+    """Per-user ML feature table (events.py user_features): each batch
+    pre-aggregates to one partial row per user (lexsort+reduceat), only
+    user-level partials shuffle; distinct-type count is a gated bitmask
+    OR merged in the co-partitioned merge. Exact integer cents/ts."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import user_features
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts", "value"])
+    return user_features(ev)
+
+
 def _q_source_vocab_jaccard(sf_dir: str):
     """Pairwise vocabulary Jaccard between sources (text_analysis.py
     source_vocab_jaccard): distinct (term, source) relation -> per-term
@@ -2492,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_per_nation": _q_gini_per_nation,    # inequality metric
         "blocklist_filter": _q_blocklist_filter,  # bad-word doc filter
         "source_vocab_jaccard": _q_source_vocab_jaccard,  # vocab overlap
+        "user_features": _q_user_features,        # ML feature table
         "embedding_norm_topk": _q_embedding_norm_topk,  # norm outliers
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
@@ -3960,6 +3973,18 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "user_features": """
+WITH q AS (SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  ts, event_type FROM events)
+SELECT user_id, count(*) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(sum(cents) AS BIGINT) AS total_value_cents,
+       max(cents) AS max_value_cents,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(date_diff('microsecond', min(ts), max(ts)) // 86400000000
+            AS BIGINT) AS span_days,
+       (CAST(sum(cents) AS DOUBLE) / count(*)) / 100.0 AS avg_value
+FROM q GROUP BY user_id ORDER BY user_id""",
         "source_vocab_jaccard": """
 WITH ts AS (SELECT DISTINCT source,
   unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),

@@ -2138,3 +2138,115 @@ def value_trend(events, key: str = "user_id", ts_col: str = "ts",
                          "slope": pa.array(slope, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def user_features(events, num_groups=None, type_gate: int = 62):
+    """Consolidated per-user ML feature table — the feature-engineering
+    pass a churn/quality model trains on: event count, distinct
+    event-type count, exact total/max value in cents, first/last
+    timestamps, whole-day activity span, and mean value.
+
+    Scale shape: each batch pre-aggregates to ONE partial row per user
+    seen in the batch (lexsort + reduceat), so the only shuffle moves
+    user-level partials, never events. Distinct-type counting is exact
+    without a second shuffle: the (small, gated <= ``type_gate``) type
+    set maps to bits and partial masks merge with bitwise OR in the
+    co-partitioned merge; n_types is the popcount. avg_value is
+    (sum_cents/n)/100 in two IEEE divisions replayed in SQL.
+    """
+    from .common import adaptive_groups
+
+    type_rows = events.select_columns(["event_type"]) \
+        .groupby("event_type").count().take_all()
+    types = sorted(r["event_type"] for r in type_rows)
+    if len(types) > type_gate:
+        raise ValueError(
+            f"user_features: {len(types)} event types exceeds the "
+            f"{type_gate}-bit mask gate — use a (user, type) distinct "
+            "pre-pass instead (SCALE.md)")
+    tbit = {t: 1 << i for i, t in enumerate(types)}
+
+    if num_groups is None:
+        num_groups = adaptive_groups(events.count(), 1_000_000, lo=32)
+
+    COLS = [("user_id", pa.int64()), ("n", pa.int64()),
+            ("sum_c", pa.int64()), ("max_c", pa.int64()),
+            ("min_ts", pa.int64()), ("max_ts", pa.int64()),
+            ("mask", pa.int64()), ("_g", pa.int64())]
+
+    def _empty(cols):
+        return pa.table({c: pa.array([], t) for c, t in cols})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty(COLS)
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = half_away_scaled_int(
+            b.column("value").to_numpy(zero_copy_only=False), 100)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bits = np.fromiter((tbit[t] for t in
+                            b.column("event_type").to_pylist()),
+                           np.int64, b.num_rows)
+        o = np.argsort(u, kind="stable")
+        u, cents, ts, bits = u[o], cents[o], ts[o], bits[o]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        uu = u[starts]
+        return pa.table({
+            "user_id": pa.array(uu, pa.int64()),
+            "n": pa.array(np.diff(np.append(starts, u.size)), pa.int64()),
+            "sum_c": pa.array(np.add.reduceat(cents, starts), pa.int64()),
+            "max_c": pa.array(np.maximum.reduceat(cents, starts),
+                              pa.int64()),
+            "min_ts": pa.array(np.minimum.reduceat(ts, starts), pa.int64()),
+            "max_ts": pa.array(np.maximum.reduceat(ts, starts), pa.int64()),
+            "mask": pa.array(np.bitwise_or.reduceat(bits, starts),
+                             pa.int64()),
+            "_g": pa.array((uu % num_groups + num_groups) % num_groups,
+                           pa.int64())})
+
+    OUT = [("user_id", pa.int64()), ("n_events", pa.int64()),
+           ("n_types", pa.int64()), ("total_value_cents", pa.int64()),
+           ("max_value_cents", pa.int64()),
+           ("first_ts", pa.timestamp("us")),
+           ("last_ts", pa.timestamp("us")), ("span_days", pa.int64()),
+           ("avg_value", pa.float64())]
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty(OUT)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        o = np.argsort(u, kind="stable")
+        u = u[o]
+        cols = {c: g.column(c).to_numpy(zero_copy_only=False)[o]
+                for c, _ in COLS[1:-1]}
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        n = np.add.reduceat(cols["n"], starts)
+        sum_c = np.add.reduceat(cols["sum_c"], starts)
+        max_c = np.maximum.reduceat(cols["max_c"], starts)
+        min_ts = np.minimum.reduceat(cols["min_ts"], starts)
+        max_ts = np.maximum.reduceat(cols["max_ts"], starts)
+        mask = np.bitwise_or.reduceat(cols["mask"], starts)
+        n_types = np.unpackbits(
+            mask.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1) \
+            .astype(np.int64)
+        avg = (sum_c.astype(np.float64) / n.astype(np.float64)) / 100.0
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "n_types": pa.array(n_types, pa.int64()),
+            "total_value_cents": pa.array(sum_c, pa.int64()),
+            "max_value_cents": pa.array(max_c, pa.int64()),
+            "first_ts": pa.array(min_ts, pa.int64()).cast(
+                pa.timestamp("us")),
+            "last_ts": pa.array(max_ts, pa.int64()).cast(
+                pa.timestamp("us")),
+            "span_days": pa.array((max_ts - min_ts) // 86_400_000_000,
+                                  pa.int64()),
+            "avg_value": pa.array(avg, pa.float64())})
+
+    return events.select_columns(["user_id", "event_type", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: merge(g.drop(["_g"])), batch_format="pyarrow") \
+        .sort("user_id")

@@ -344,3 +344,44 @@ def test_cluster_canonical_limb_guard(ray_session):
                   "n_chars": pa.array([1], pa.int64())})
     with pytest.raises(Exception, match="limb"):
         cluster_canonical(rd.from_arrow(t)).take_all()
+
+
+def test_user_features_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import user_features
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "value"])
+    got = sorted(map(tuple,
+                     user_features(ev).to_pandas().values.tolist()))
+    want = sorted(map(tuple, duckdb.sql(f"""
+WITH q AS (SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  ts, event_type FROM '{sf_dir}/events.parquet')
+SELECT user_id, count(*), CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(sum(cents) AS BIGINT), max(cents), min(ts), max(ts),
+       CAST(date_diff('microsecond', min(ts), max(ts)) // 86400000000
+            AS BIGINT),
+       (CAST(sum(cents) AS DOUBLE) / count(*)) / 100.0
+FROM q GROUP BY user_id""").df().values.tolist()))
+    assert got == want and len(got) > 0
+
+
+def test_user_features_mask_merges_across_batches(ray_session):
+    """A user whose events land in different partitions still gets an
+    exact distinct-type count (partial masks OR together)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import user_features
+    ts = pa.array([1_000_000 * i for i in range(6)], pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "c", "a", "a"],
+                               pa.string()),
+        "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 0.5, 0.125],
+                          pa.float64())})
+    ds = rd.from_arrow(t).repartition(4)
+    rows = {r["user_id"]: r for r in user_features(ds).take_all()}
+    assert rows[7]["n_types"] == 3 and rows[7]["n_events"] == 4
+    assert rows[7]["total_value_cents"] == 1000
+    # half-away: 0.125*100 = 12.5 -> 13 cents (not banker's 12)
+    assert rows[8]["total_value_cents"] == 50 + 13
+    assert rows[8]["span_days"] == 0
