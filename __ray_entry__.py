@@ -1298,6 +1298,22 @@ def _q_ngram_jaccard(sf_dir: str):
     })
 
 
+def _q_ngram_containment(sf_dir: str):
+    """One-sided near-dup: containment pairs c/min(|A|,|B|) >= 0.5
+    (dedup_text.py ngram_containment_pairs) — catches quotes/partial
+    mirrors that symmetric Jaccard misses. Same shingle pipeline with
+    the PPJoin length prune disabled (size-mismatched pairs are the
+    target)."""
+    from ics_search_engine_ray.stages.dedup_text import (
+        ngram_containment_pairs)
+    pairs = ngram_containment_pairs(_read_docs(sf_dir), n=3, threshold=0.5)
+    return pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+        "containment": pa.array([p[2] for p in pairs], pa.float64()),
+    })
+
+
 def _q_embedding_dedup(sf_dir: str):
     from ics_search_engine_ray.stages.dedup_text import embedding_dedup
     # testdata embeddings are near-orthogonal (max pairwise cos ~0.48), so the
@@ -2441,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_containment_pairs": _q_ngram_containment,
         "embedding_dedup": _q_embedding_dedup,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
@@ -3559,6 +3576,27 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
   AND len(list_intersect(a.sh, b.sh)) * 1.0 /
       len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+ORDER BY a, b""",
+        "ngram_containment_pairs": """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
+  FROM w)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0
+            / least(len(a.sh), len(b.sh)), 6) AS DOUBLE) AS containment
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND len(list_intersect(a.sh, b.sh)) * 1.0
+      / least(len(a.sh), len(b.sh)) >= 0.5 - 1e-12
 ORDER BY a, b""",
         "cosine_pairs_exact": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

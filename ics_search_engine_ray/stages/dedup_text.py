@@ -319,7 +319,8 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
                         est_shingles_per_doc: int = 256,  # unused (kept for API compat; exact count from the materialized relation)
                         hot_gate_rows: int = _NGRAM_LOCAL_ROWS,
                         chunk_rows: int = _NGRAM_CHUNK,
-                        sample_frac: float = 0.02):
+                        sample_frac: float = 0.02,
+                        measure: str = "jaccard"):
     """Exact word-n-gram Jaccard similar pairs, as a distributed pipeline:
 
     1. per batch: distinct-shingle hash rows (shingle_hash, doc_id,
@@ -507,14 +508,18 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
         b = np.concatenate(bb)
         sa = np.concatenate(sa_l)
         sb = np.concatenate(sb_l)
-        # exact length filter (Xiao et al., PPJoin): J <= min(|A|,|B|) /
-        # max(|A|,|B|), so size-mismatched pairs can never reach the
-        # threshold — prune them before they shuffle (epsilon matches the
-        # final jaccard_filter so no boundary pair is lost)
-        keep = np.minimum(sa, sb) >= (threshold - 1e-12) * np.maximum(sa, sb)
-        if not keep.any():
-            return empty
-        a, b, sa, sb = a[keep], b[keep], sa[keep], sb[keep]
+        if measure == "jaccard":
+            # exact length filter (Xiao et al., PPJoin): J <= min(|A|,|B|)
+            # / max(|A|,|B|), so size-mismatched pairs can never reach the
+            # threshold — prune them before they shuffle (epsilon matches
+            # the final jaccard_filter so no boundary pair is lost).
+            # Containment has NO length bound (a small doc fully inside a
+            # huge one is exactly the target), so the prune is skipped.
+            keep = np.minimum(sa, sb) >= (threshold - 1e-12) \
+                * np.maximum(sa, sb)
+            if not keep.any():
+                return empty
+            a, b, sa, sb = a[keep], b[keep], sa[keep], sb[keep]
         # in-task partial combine: one row per (a, b) with the local shared-
         # shingle count — pairs sharing many shingles inside this group
         # shuffle one row instead of one per shingle
@@ -536,23 +541,42 @@ def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.8,
             lambda g: emit_pairs(g.drop(["gkey"])), batch_format="pyarrow")
     agg = cand.groupby(["a", "b"]).aggregate(Sum("c"), Max("sa"), Max("sb"))
 
+    out_col = "jaccard" if measure == "jaccard" else "containment"
+
     def jaccard_filter(b: pa.Table) -> pa.Table:
         c = b.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.float64)
         sa = b.column("max(sa)").to_numpy(zero_copy_only=False).astype(np.float64)
         sb = b.column("max(sb)").to_numpy(zero_copy_only=False).astype(np.float64)
-        union = sa + sb - c
-        j = np.where(union > 0, c / np.maximum(union, 1e-300), 0.0)
+        if measure == "jaccard":
+            union = sa + sb - c
+            j = np.where(union > 0, c / np.maximum(union, 1e-300), 0.0)
+        else:
+            # max containment: the smaller set's coverage, c / min(|A|,|B|)
+            j = c / np.minimum(sa, sb)
         keep = j >= threshold - 1e-12
         return pa.table({"a": b.column("a").filter(pa.array(keep)),
                          "b": b.column("b").filter(pa.array(keep)),
-                         "jaccard": pa.array(np.round(j[keep], 6), pa.float64())})
+                         out_col: pa.array(np.round(j[keep], 6), pa.float64())})
 
     out = []
     for b in agg.map_batches(jaccard_filter, batch_format="pyarrow") \
                .iter_batches(batch_format="pyarrow"):
         out.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist(),
-                       b.column("jaccard").to_pylist()))
+                       b.column(out_col).to_pylist()))
     return sorted(out)
+
+
+def ngram_containment_pairs(docs, n: int = 3, threshold: float = 0.5,
+                            **kw):
+    """Exact word-n-gram CONTAINMENT pairs: (a, b, containment) with
+    ``c / min(|A|, |B|) >= threshold`` — one-sided near-duplication
+    (quotes, partial mirrors, doc-inside-doc) that symmetric Jaccard
+    misses by construction. Same distributed pipeline as
+    :func:`ngram_jaccard_pairs` (one shingle pass, co-occurrence counts,
+    native pair groupby) with the PPJoin length prune disabled: size-
+    mismatched pairs are the target, not noise."""
+    return ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                               measure="containment", **kw)
 
 
 # ---------------- embedding cosine near-dup ----------------

@@ -385,3 +385,46 @@ def test_user_features_mask_merges_across_batches(ray_session):
     # half-away: 0.125*100 = 12.5 -> 13 cents (not banker's 12)
     assert rows[8]["total_value_cents"] == 50 + 13
     assert rows[8]["span_days"] == 0
+
+
+def test_ngram_containment_asymmetric(ray_session):
+    """A small doc fully quoted inside a big one: containment = 1.0 even
+    though Jaccard is far below threshold (the PPJoin prune must NOT
+    fire for containment)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+    small = "alpha beta gamma delta"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([small, big], pa.string())}))
+    got = ngram_containment_pairs(ds, n=3, threshold=0.9)
+    assert got == [(1, 2, 1.0)]
+    assert ngram_jaccard_pairs(ds, n=3, threshold=0.9) == []
+
+
+def test_ngram_containment_matches_duckdb(docs_ds, sf_dir):
+    from ics_search_engine_ray.stages.dedup_text import (
+        ngram_containment_pairs)
+    got = ngram_containment_pairs(docs_ds, n=3, threshold=0.4)
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH w AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM '{sf_dir}/documents.parquet'),
+s AS (SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
+  FROM w)
+SELECT a.doc_id, b.doc_id,
+       CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / least(len(a.sh), len(b.sh)), 6) AS DOUBLE)
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND len(list_intersect(a.sh, b.sh)) * 1.0
+      / least(len(a.sh), len(b.sh)) >= 0.4
+ORDER BY 1, 2""").fetchall()]
+    assert got == want and len(got) > 0
