@@ -429,6 +429,21 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_read_docs(sf_dir), min_count=5, k=100)
 
 
+def _q_referential_integrity(sf_dir: str):
+    """Warehouse fsck (relational.py referential_integrity): four
+    NOT-EXISTS violation counts between lineitem/orders/customer, each a
+    co-partitioned anti-join over key columns only."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import referential_integrity
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"])
+    cu = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    return referential_integrity(li, od, cu)
+
+
 def _q_user_features(sf_dir: str):
     """Per-user ML feature table (events.py user_features): each batch
     pre-aggregates to one partial row per user (lexsort+reduceat), only
@@ -2522,6 +2537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": _q_blocklist_filter,  # bad-word doc filter
         "source_vocab_jaccard": _q_source_vocab_jaccard,  # vocab overlap
         "user_features": _q_user_features,        # ML feature table
+        "referential_integrity": _q_referential_integrity,  # fsck counts
         "embedding_norm_topk": _q_embedding_norm_topk,  # norm outliers
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
@@ -4011,6 +4027,20 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "referential_integrity": """
+SELECT 'customers_no_orders' AS check_name, CAST(count(*) AS BIGINT) AS n
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'lineitem_orphans', count(*) FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orders_childless', count(*) FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+UNION ALL
+SELECT 'orders_orphan_cust', count(*) FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+ORDER BY check_name""",
         "user_features": """
 WITH q AS (SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
                   ts, event_type FROM events)

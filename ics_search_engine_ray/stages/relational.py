@@ -1520,3 +1520,45 @@ def gini_per_nation(customer):
     return customer.select_columns(["c_nationkey", "c_acctbal"]) \
         .groupby("c_nationkey").map_groups(
             per_nation, batch_format="pyarrow").sort("c_nationkey")
+
+
+def referential_integrity(lineitem, orders, customer):
+    """Warehouse fsck: referential-integrity violation counts between
+    the fact tables — the data-quality gate a pipeline runs before
+    trusting a drop of new partitions.
+
+    Four NOT-EXISTS / EXISTS-complement counts, each a co-partitioned
+    anti-join (joins.anti_join_keys — broadcast under the gate, hash
+    co-partition above) over key columns only (pruned reads):
+
+    - lineitem_orphans: lineitems whose l_orderkey has no order
+    - orders_childless: orders with no lineitem
+    - orders_orphan_cust: orders whose o_custkey has no customer
+    - customers_no_orders: customers who never ordered
+
+    Output: (check_name, n) long-format summary, 4 rows.
+    """
+    from .joins import anti_join_keys
+
+    li_k = lineitem.select_columns(["l_orderkey"])
+    ord_k = orders.select_columns(["o_orderkey"])
+    ord_ck = orders.select_columns(["o_custkey"])
+    cust_k = customer.select_columns(["c_custkey"])
+
+    checks = [
+        ("customers_no_orders",
+         anti_join_keys(cust_k, ord_ck, on="c_custkey",
+                        right_on="o_custkey")),
+        ("lineitem_orphans",
+         anti_join_keys(li_k, ord_k, on="l_orderkey",
+                        right_on="o_orderkey")),
+        ("orders_childless",
+         anti_join_keys(ord_k, li_k, on="o_orderkey",
+                        right_on="l_orderkey")),
+        ("orders_orphan_cust",
+         anti_join_keys(ord_ck, cust_k, on="o_custkey",
+                        right_on="c_custkey")),
+    ]
+    return pa.table({
+        "check_name": pa.array([c for c, _ in checks], pa.string()),
+        "n": pa.array([ds.count() for _, ds in checks], pa.int64())})

@@ -428,3 +428,48 @@ WHERE len(a.sh) > 0 AND len(b.sh) > 0
       / least(len(a.sh), len(b.sh)) >= 0.4
 ORDER BY 1, 2""").fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_referential_integrity_detects_violations(ray_session):
+    """Each direction counts its own violation class exactly."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import referential_integrity
+    li = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 99], pa.int64())}))  # 99 orphan
+    od = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),        # 3 childless
+        "o_custkey": pa.array([10, 10, 77], pa.int64())}))    # 77 orphan
+    cu = rd.from_arrow(pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64())}))        # 20 inactive
+    got = {r["check_name"]: r["n"]
+           for r in referential_integrity(li, od, cu).to_pylist()}
+    assert got == {"customers_no_orders": 1, "lineitem_orphans": 1,
+                   "orders_childless": 1, "orders_orphan_cust": 1}
+
+
+def test_referential_integrity_clean(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import referential_integrity
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+    cu = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"])
+    got = {r["check_name"]: r["n"]
+           for r in referential_integrity(li, od, cu).to_pylist()}
+    want = {c: duckdb.sql(q).fetchone()[0] for c, q in {
+        "customers_no_orders": f"""SELECT count(*) FROM
+          '{sf_dir}/customer.parquet' WHERE NOT EXISTS (SELECT 1 FROM
+          '{sf_dir}/orders.parquet' WHERE o_custkey = c_custkey)""",
+        "lineitem_orphans": f"""SELECT count(*) FROM
+          '{sf_dir}/lineitem.parquet' WHERE NOT EXISTS (SELECT 1 FROM
+          '{sf_dir}/orders.parquet' WHERE o_orderkey = l_orderkey)""",
+        "orders_childless": f"""SELECT count(*) FROM
+          '{sf_dir}/orders.parquet' WHERE NOT EXISTS (SELECT 1 FROM
+          '{sf_dir}/lineitem.parquet' WHERE l_orderkey = o_orderkey)""",
+        "orders_orphan_cust": f"""SELECT count(*) FROM
+          '{sf_dir}/orders.parquet' WHERE NOT EXISTS (SELECT 1 FROM
+          '{sf_dir}/customer.parquet' WHERE c_custkey = o_custkey)""",
+    }.items()}
+    assert got == want
