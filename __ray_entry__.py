@@ -429,6 +429,48 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_read_docs(sf_dir), min_count=5, k=100)
 
 
+def _q_revenue_seasonality(sf_dir: str):
+    """Month-of-year revenue profile (relational.py revenue_seasonality):
+    Arrow month() kernel + exact integer revenue units; <= 12 partial
+    rows per batch into a tiny native groupby."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import revenue_seasonality
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount"])
+    return revenue_seasonality(li)
+
+
+def _q_hourly_activity(sf_dir: str):
+    """Hour-of-day behavioral clock (events.py hourly_activity): Arrow
+    hour() kernel, exact cents, per-batch pre-aggregation to
+    <= 24 x n_types partial rows."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import hourly_activity
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    return hourly_activity(ev)
+
+
+def _q_product_profit(sf_dir: str):
+    """TPC-H Q9 adaptation (relational.py product_profit): filtered
+    part-key broadcast semi-join + supplier-map broadcast, <= nations x
+    years packed-int partials, exact 1e-4 revenue units."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import product_profit
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    na = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name"])
+    return product_profit(li, pt, su, na, name_substr="red")
+
+
 def _q_referential_integrity(sf_dir: str):
     """Warehouse fsck (relational.py referential_integrity): four
     NOT-EXISTS violation counts between lineitem/orders/customer, each a
@@ -2231,6 +2273,16 @@ def _q_vocab_stats_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_hapax_ratio_per_source(sf_dir: str):
+    """Per-source hapax-legomena share (stages/text_analysis.py
+    hapax_ratio_per_source): same pair-groupby shuffle shape as
+    vocab_stats_per_source, finishing in (distinct, hapax) sums."""
+    from ics_search_engine_ray.stages.text_analysis import \
+        hapax_ratio_per_source
+    return hapax_ratio_per_source(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")))
+
+
 def _q_value_hour_corr(sf_dir: str):
     """Per-user value/hour-of-day Pearson correlation (stages/events.py
     value_hour_corr): exact integer second moments merged by one native
@@ -2538,6 +2590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_jaccard": _q_source_vocab_jaccard,  # vocab overlap
         "user_features": _q_user_features,        # ML feature table
         "referential_integrity": _q_referential_integrity,  # fsck counts
+        "revenue_seasonality": _q_revenue_seasonality,  # month-of-year
+        "product_profit": _q_product_profit,      # TPC-H Q9 adaptation
+        "hourly_activity": _q_hourly_activity,    # hour-of-day clock
         "embedding_norm_topk": _q_embedding_norm_topk,  # norm outliers
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
         "latest_event": _q_latest_event,          # latest-per-key compaction
@@ -2579,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_logweights": _q_dsir_logweights,    # DSIR importance weights
         "retention_cohorts": _q_retention_cohorts,  # cohort retention
         "vocab_stats_per_source": _q_vocab_stats_per_source,  # Heaps/TTR
+        "hapax_ratio_per_source": _q_hapax_ratio_per_source,  # hapax share
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
@@ -3057,6 +3113,17 @@ SELECT source, count(*) AS n_tokens,
        count(DISTINCT term) AS n_distinct,
        round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6) AS ttr
 FROM st GROUP BY source ORDER BY source""",
+        "hapax_ratio_per_source": f"""
+WITH toks AS ({_sql_tokens_cte()}),
+tc AS (SELECT d.source, t.term, count(*) AS ct
+       FROM toks t JOIN documents d USING (doc_id)
+       GROUP BY d.source, t.term)
+SELECT source, count(*) AS n_distinct,
+       CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       round(CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_ratio
+FROM tc GROUP BY source ORDER BY source""",
         "value_hour_corr": """
 WITH z AS (SELECT user_id,
                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
@@ -4027,6 +4094,33 @@ big AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
         FROM toks WHERE len(l) >= 2)
 SELECT z[1] AS a, z[2] AS b, count(*) AS n
 FROM big GROUP BY a, b HAVING count(*) >= 5""",
+        "revenue_seasonality": """
+WITH f AS (SELECT month(l_shipdate) AS month,
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS ru
+  FROM lineitem)
+SELECT CAST(month AS BIGINT) AS month, count(*) AS n_items,
+       CAST(CAST(sum(ru) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+FROM f GROUP BY month ORDER BY month""",
+        "product_profit": """
+WITH f AS (SELECT n_name AS nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS ru
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%red%')
+SELECT nation, l_year,
+       CAST(CAST(sum(ru) AS BIGINT) AS DOUBLE) / 10000.0 AS profit
+FROM f GROUP BY nation, l_year ORDER BY nation, l_year""",
+        "hourly_activity": """
+WITH q AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+SELECT event_type, hour, count(*) AS n_events,
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
+FROM q GROUP BY event_type, hour ORDER BY event_type, hour""",
         "referential_integrity": """
 SELECT 'customers_no_orders' AS check_name, CAST(count(*) AS BIGINT) AS n
 FROM customer

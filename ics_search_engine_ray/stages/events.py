@@ -2250,3 +2250,58 @@ def user_features(events, num_groups=None, type_gate: int = 62):
         .groupby("_g").map_groups(
             lambda g: merge(g.drop(["_g"])), batch_format="pyarrow") \
         .sort("user_id")
+
+
+def hourly_activity(events):
+    """Behavioral clock: event counts and exact total value by
+    (event_type, hour-of-day) — the load-shape / bot-detection profile.
+    Hour extraction is Arrow's C++ hour() kernel (same calendar math as
+    DuckDB hour()); value sums in exact cents. Each batch pre-aggregates
+    to <= 24 x n_types partial rows before the native groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "hour": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        h = pc.hour(b.column("ts")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = half_away_scaled_int(
+            b.column("value").to_numpy(zero_copy_only=False), 100)
+        t = np.asarray(b.column("event_type").to_pylist(), object)
+        o = np.lexsort((h, t))
+        t, h, cents = t[o], h[o], cents[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (t[1:] != t[:-1]) | (h[1:] != h[:-1]))))
+        return pa.table({
+            "event_type": pa.array(t[starts], pa.string()),
+            "hour": pa.array(h[starts], pa.int64()),
+            "n": pa.array(np.diff(np.append(starts, t.size)), pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents, starts), pa.int64())})
+
+    merged = events.select_columns(["event_type", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("cents", alias_name="c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "hour": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "total_value": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        c = b.column("c").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type").cast(pa.string()),
+            "hour": b.column("hour").cast(pa.int64()),
+            "n_events": b.column("n_events").cast(pa.int64()),
+            "total_value": pa.array(c.astype(np.float64) / 100.0,
+                                    pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow") \
+        .sort(["event_type", "hour"])

@@ -1562,3 +1562,146 @@ def referential_integrity(lineitem, orders, customer):
     return pa.table({
         "check_name": pa.array([c for c, _ in checks], pa.string()),
         "n": pa.array([ds.count() for _, ds in checks], pa.int64())})
+
+
+def revenue_seasonality(lineitem):
+    """Seasonality profile: discounted revenue and item counts by
+    calendar MONTH-OF-YEAR across all years — the warehouse "is December
+    always our peak?" query. Month extraction is Arrow's C++ month()
+    kernel (identical calendar math to DuckDB month()); revenue uses the
+    exact integer cent-basis-point identity (_rev_units), so sums are
+    order-independent. Each batch pre-aggregates to <= 12 partial rows
+    before the (tiny) native groupby."""
+    from ray.data.aggregate import Sum
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"month": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "rev_units": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        m = pc.month(b.column("l_shipdate")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        um, inv = np.unique(m, return_inverse=True)
+        return pa.table({
+            "month": pa.array(um, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "rev_units": pa.array(np.bincount(inv, weights=rev)
+                                  .astype(np.int64), pa.int64())})
+
+    merged = lineitem.select_columns(
+        ["l_shipdate", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("month").aggregate(Sum("n", alias_name="n_items"),
+                                    Sum("rev_units", alias_name="ru"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"month": pa.array([], pa.int64()),
+                          "n_items": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        ru = b.column("ru").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "month": b.column("month").cast(pa.int64()),
+            "n_items": b.column("n_items").cast(pa.int64()),
+            "revenue": pa.array(ru.astype(np.float64) / 10000.0,
+                                pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow").sort("month")
+
+
+def product_profit(lineitem, part, supplier, nation,
+                   name_substr: str = "red",
+                   max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q9 product-type profit, adapted to this schema (no
+    partsupp -> profit is discounted revenue; no o_orderdate -> year is
+    the ship year, so the orders join disappears entirely): revenue from
+    parts whose name contains ``name_substr``, by supplier nation and
+    ship year -> (nation, l_year, profit) sorted (nation, l_year).
+
+    Plan: the matching-part key set is a FILTERED dimension — parts
+    filter to the substring match (Arrow match_substring, identical
+    semantics to SQL LIKE '%s%') and semi-join onto lineitem as a
+    broadcast under the gate; above it, a co-partitioned hash semi-join
+    (tested). The supplier->nationkey map broadcasts the same way. Each
+    surviving batch collapses to <= nations x years packed-int partials
+    of exact 1e-4 revenue units, so the only shuffle after the semi-join
+    is a ~100-row groupby. Nation names resolve from the 25-row map at
+    the end; float division happens once, post-aggregate."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join, hash_join
+
+    pkeys = part.map_batches(
+        lambda b: b.filter(pc.match_substring(b.column("p_name"),
+                                              name_substr))
+        .select(["p_partkey"]), batch_format="pyarrow")
+    try:
+        li = broadcast_join(lineitem, pkeys, on="l_partkey",
+                            right_on="p_partkey", join_type="left semi",
+                            max_rows=max_bcast_rows)
+    except ValueError:
+        # scale path: part keys are unique (PK), so an inner hash join
+        # is an exact semi-join with no fanout
+        li = hash_join(lineitem, pkeys, on="l_partkey",
+                       right_on="p_partkey")
+
+    smap = supplier.select_columns(["s_suppkey", "s_nationkey"])
+    try:
+        li = broadcast_join(li, smap, on="l_suppkey",
+                            right_on="s_suppkey", max_rows=max_bcast_rows)
+    except ValueError:
+        li = hash_join(li, smap, on="l_suppkey", right_on="s_suppkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "units": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        nat = b.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        yr = pc.year(b.column("l_shipdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        uk, sums = _int_group_sums((nat << np.int64(13)) | (yr - 1900),
+                                   rev)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "units": pa.array(sums, pa.int64())})
+
+    merged = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("units", alias_name="units"))
+
+    # tiny nation map driver-side (25 rows by schema contract)
+    nat_tbl = pa.concat_tables(
+        [b for b in nation.select_columns(["n_nationkey", "n_name"])
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    name_of = dict(zip(
+        nat_tbl.column("n_nationkey").cast(pa.int64()).to_pylist(),
+        nat_tbl.column("n_name").to_pylist()))
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"nation": pa.array([], pa.string()),
+                          "l_year": pa.array([], pa.int64()),
+                          "profit": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        k = b.column("k").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = b.column("units").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nation": pa.array([name_of[int(x)] for x in
+                                (k >> np.int64(13))], pa.string()),
+            "l_year": pa.array((k & np.int64(0x1FFF)) + 1900, pa.int64()),
+            "profit": pa.array(u.astype(np.float64) / 10000.0,
+                               pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow") \
+        .sort(["nation", "l_year"])

@@ -2310,3 +2310,90 @@ def source_vocab_jaccard(docs, source_gate: int = 20):
         "inter": pa.array(inter_l, pa.int64()),
         "v1": pa.array(v1l, pa.int64()), "v2": pa.array(v2l, pa.int64()),
         "jaccard": pa.array(jac, pa.float64())})
+
+
+def hapax_ratio_per_source(docs):
+    """Per-source hapax-legomena profile -> (source, n_distinct, n_hapax,
+    hapax_ratio): the share of a source's vocabulary that occurs exactly
+    once there — the classic OCR-noise / boilerplate-vs-organic-text
+    diagnostic a curation report reads next to TTR (high hapax ratio =
+    noisy long tail; near-zero = templated text).
+
+    Plan mirrors vocab_stats_per_source: per-batch (source, term) counts
+    -> native groupby(source, term) Sum (the only corpus-sized shuffle,
+    O(distinct pairs) rows) -> per-batch per-source partials of
+    (distinct, hapax) counts -> tiny groupby Sum. Ratio rounds half-away
+    at 6 dp on both oracle sides."""
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "ct": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        agg: dict = {}
+        for s, x in zip(b.column("source").to_pylist(),
+                        b.column("text").to_pylist()):
+            for t in TOKEN_RE.findall((x or "").lower()):
+                if len(t) > 1:
+                    agg[(s, t)] = agg.get((s, t), 0) + 1
+        ks = sorted(agg)
+        return pa.table({
+            "source": pa.array([s for s, _ in ks], pa.string()),
+            "term": pa.array([t for _, t in ks], pa.string()),
+            "ct": pa.array([agg[k] for k in ks], pa.int64())})
+
+    pairs = docs.select_columns(["source", "text"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("ct", alias_name="ct"))
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "n_hapax": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        s = np.asarray(b.column("source").to_pylist(), object)
+        ct = b.column("ct").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.argsort(s, kind="stable")
+        ss, cs = s[o], ct[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ss[1:] != ss[:-1])))
+        return pa.table({
+            "source": pa.array(ss[starts], pa.string()),
+            "n_distinct": pa.array(
+                np.diff(np.append(starts, ss.size)).astype(np.int64),
+                pa.int64()),
+            "n_hapax": pa.array(
+                np.add.reduceat((cs == 1).astype(np.int64), starts),
+                pa.int64())})
+
+    merged = pairs.map_batches(src_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("n_hapax", alias_name="n_hapax"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "n_hapax": pa.array([], pa.int64()),
+                          "hapax_ratio": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        nd = b.column("n_distinct").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nh = b.column("n_hapax").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b.column("source").cast(pa.string()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "n_hapax": pa.array(nh, pa.int64()),
+            "hapax_ratio": pa.array(
+                round_half_away(nh.astype(np.float64) / nd, 6),
+                pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow") \
+        .sort("source")

@@ -473,3 +473,55 @@ def test_referential_integrity_clean(ray_session, sf_dir):
           '{sf_dir}/customer.parquet' WHERE c_custkey = o_custkey)""",
     }.items()}
     assert got == want
+
+
+def test_revenue_seasonality_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import revenue_seasonality
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_extendedprice",
+                                  "l_discount"])
+    got = [(r["month"], r["n_items"], r["revenue"])
+           for r in revenue_seasonality(li).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH f AS (SELECT month(l_shipdate) AS m,
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS ru
+  FROM '{sf_dir}/lineitem.parquet')
+SELECT CAST(m AS BIGINT), count(*),
+       CAST(CAST(sum(ru) AS BIGINT) AS DOUBLE) / 10000.0
+FROM f GROUP BY m ORDER BY m""").fetchall()]
+    assert got == want and len(got) == 12
+
+
+def test_hourly_activity_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import hourly_activity
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    got = [(r["event_type"], r["hour"], r["n_events"], r["total_value"])
+           for r in hourly_activity(ev).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH q AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+  CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM '{sf_dir}/events.parquet')
+SELECT event_type, h, count(*),
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+FROM q GROUP BY event_type, h ORDER BY event_type, h""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_hourly_activity_cross_partition_merge(ray_session):
+    """The same (type, hour) cell split across partitions merges exactly;
+    half-away cent rounding applies (0.125 -> 13)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import hourly_activity
+    ts = pa.array([3_600_000_000 * 5 + i for i in range(4)],
+                  pa.timestamp("us"))
+    t = pa.table({"event_type": pa.array(["a"] * 4, pa.string()),
+                  "ts": ts,
+                  "value": pa.array([1.0, 2.0, 0.125, 0.125],
+                                    pa.float64())})
+    got = hourly_activity(rd.from_arrow(t).repartition(4)).take_all()
+    assert got == [{"event_type": "a", "hour": 5, "n_events": 4,
+                    "total_value": (100 + 200 + 13 + 13) / 100.0}]
