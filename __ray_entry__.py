@@ -471,6 +471,44 @@ def _q_product_profit(sf_dir: str):
     return product_profit(li, pt, su, na, name_substr="red")
 
 
+def _q_important_suppliers(sf_dir: str):
+    """TPC-H Q11 adaptation (relational.py important_suppliers):
+    O(suppliers)-row groupby + ONE streaming global-total scalar; the
+    fraction threshold is an exact integer cross-multiplication."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import important_suppliers
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    return important_suppliers(li, per_mille=2)
+
+
+def _q_supplier_part_variety(sf_dir: str):
+    """TPC-H Q16 adaptation (relational.py supplier_part_variety):
+    distinct (part, supp) pair groupby, gated part-attribute broadcast,
+    distinct (class, supp) re-group before the per-class count."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import (
+        supplier_part_variety)
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey"])
+    pt = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    return supplier_part_variety(li, pt, exclude_brand="Brand#1")
+
+
+def _q_dau_wau(sf_dir: str):
+    """DAU/WAU stickiness (events.py dau_wau): distinct (day, user)
+    pair groupby; the trailing-7-day window is a bounded x7 fanout of
+    the deduplicated relation, never a range join."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import dau_wau
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+    return dau_wau(ev)
+
+
 def _q_referential_integrity(sf_dir: str):
     """Warehouse fsck (relational.py referential_integrity): four
     NOT-EXISTS violation counts between lineitem/orders/customer, each a
@@ -2592,6 +2630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity": _q_referential_integrity,  # fsck counts
         "revenue_seasonality": _q_revenue_seasonality,  # month-of-year
         "product_profit": _q_product_profit,      # TPC-H Q9 adaptation
+        "important_suppliers": _q_important_suppliers,  # Q11 adaptation
+        "supplier_part_variety": _q_supplier_part_variety,  # Q16 adapt.
+        "dau_wau": _q_dau_wau,                    # stickiness ratio
         "hourly_activity": _q_hourly_activity,    # hour-of-day clock
         "embedding_norm_topk": _q_embedding_norm_topk,  # norm outliers
         "prepare_corpus": _q_prepare_corpus,      # full composed prep chain
@@ -4115,6 +4156,34 @@ WITH f AS (SELECT n_name AS nation,
 SELECT nation, l_year,
        CAST(CAST(sum(ru) AS BIGINT) AS DOUBLE) / 10000.0 AS profit
 FROM f GROUP BY nation, l_year ORDER BY nation, l_year""",
+        "important_suppliers": """
+WITH f AS (SELECT l_suppkey,
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS ru
+  FROM lineitem),
+s AS (SELECT l_suppkey, CAST(sum(ru) AS BIGINT) AS u FROM f
+      GROUP BY l_suppkey)
+SELECT l_suppkey, CAST(u AS DOUBLE) / 10000.0 AS value
+FROM s WHERE u * 1000 > (SELECT sum(u) FROM s) * 2
+ORDER BY value DESC, l_suppkey""",
+        "supplier_part_variety": """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+      FROM pairs JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1')
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(*) AS supplier_cnt
+FROM j GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "dau_wau": """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+w AS (SELECT days.d, count(DISTINCT du.user_id) AS wau
+      FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d)
+SELECT days.d AS day, days.dau AS dau, w.wau AS wau,
+       round(CAST(days.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM days JOIN w ON days.d = w.d ORDER BY day""",
         "hourly_activity": """
 WITH q AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)

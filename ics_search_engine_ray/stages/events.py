@@ -2305,3 +2305,99 @@ def hourly_activity(events):
 
     return merged.map_batches(finish, batch_format="pyarrow") \
         .sort(["event_type", "hour"])
+
+
+def dau_wau(events):
+    """Product-health stickiness: per calendar day, distinct active users
+    (DAU), trailing-7-day distinct active users (WAU) and the DAU/WAU
+    stickiness ratio -> (day, dau, wau, stickiness) sorted by day.
+
+    Plan: the corpus collapses per batch to distinct (epoch-day, user)
+    pairs, then ONE native pair groupby makes them globally distinct —
+    the only corpus-sized shuffle, O(users x days) rows. DAU is a
+    per-day count over that relation. The trailing window never needs a
+    range join: each distinct (day, user) pair fans out to its <= 7
+    target days (a bounded x7 expansion of the ALREADY-deduplicated
+    relation), a second pair groupby re-distincts, and target days
+    filter to days actually present (broadcast of the tiny day set).
+    Ratio rounds half-away at 6 dp on both oracle sides."""
+    from ray.data.aggregate import Count
+
+    from .common import round_half_away
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64())})
+        d = pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                    pa.date32()).cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u = b.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if (u >= (1 << 40)).any() or (d >= (1 << 22)).any() or \
+                (d < 0).any() or (u < 0).any():
+            raise ValueError("dau_wau pack gate: user/day out of range")
+        packed = np.unique((d << np.int64(40)) | u)
+        return pa.table({
+            "d": pa.array(packed >> np.int64(40), pa.int64()),
+            "user_id": pa.array(packed & np.int64((1 << 40) - 1),
+                                pa.int64())})
+
+    du = events.select_columns(["ts", "user_id"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["d", "user_id"]).aggregate(Count(alias_name="_c")) \
+        .select_columns(["d", "user_id"]).materialize()  # consumed twice
+
+    dau = du.groupby("d").aggregate(Count(alias_name="dau"))
+
+    # tiny: the set of days that actually have events
+    day_set = frozenset(
+        r["d"] for b in dau.iter_batches(batch_format="pyarrow")
+        for r in b.select(["d"]).to_pylist())
+
+    def expand(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64())})
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        td = (d[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+        tu = np.repeat(u, 7)
+        keep = np.isin(td, np.fromiter(day_set, np.int64, len(day_set)))
+        td, tu = td[keep], tu[keep]
+        packed = np.unique((td << np.int64(40)) | tu)
+        return pa.table({
+            "d": pa.array(packed >> np.int64(40), pa.int64()),
+            "user_id": pa.array(packed & np.int64((1 << 40) - 1),
+                                pa.int64())})
+
+    wau = du.map_batches(expand, batch_format="pyarrow") \
+        .groupby(["d", "user_id"]).aggregate(Count(alias_name="_c")) \
+        .groupby("d").aggregate(Count(alias_name="wau"))
+
+    from .joins import hash_join
+    both = hash_join(dau.select_columns(["d", "dau"]),
+                     wau.select_columns(["d", "wau"]), on="d")
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.date32()),
+                          "dau": pa.array([], pa.int64()),
+                          "wau": pa.array([], pa.int64()),
+                          "stickiness": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        d = b.column("d").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        da = b.column("dau").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wa = b.column("wau").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": pa.array(d.astype(np.int32), pa.int32())
+                .cast(pa.date32()),
+            "dau": pa.array(da, pa.int64()),
+            "wau": pa.array(wa, pa.int64()),
+            "stickiness": pa.array(
+                round_half_away(da.astype(np.float64) / wa, 6),
+                pa.float64())})
+
+    return both.map_batches(finish, batch_format="pyarrow").sort("day")

@@ -1705,3 +1705,139 @@ def product_profit(lineitem, part, supplier, nation,
 
     return merged.map_batches(finish, batch_format="pyarrow") \
         .sort(["nation", "l_year"])
+
+
+def important_suppliers(lineitem, per_mille: int = 1):
+    """TPC-H Q11 value concentration, adapted to this schema (no
+    partsupp -> "value" is a supplier's discounted lineitem revenue):
+    suppliers whose revenue exceeds ``per_mille``/1000 of GLOBAL revenue
+    -> (l_suppkey, value) sorted by value desc, suppkey asc.
+
+    Plan: the correlated global-total subquery becomes ONE streaming
+    integer scalar (total 1e-4 revenue units); the threshold test is the
+    EXACT integer cross-multiplication ``units * 1000 > total *
+    per_mille``, so no float fraction ever exists to drift. Per-supplier
+    revenue is per-batch packed partials into one O(suppliers)-row
+    native groupby — lineitem itself never shuffles. The filtered
+    survivor set is tiny by construction (< 1000/per_mille rows)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "units": pa.array([], pa.int64())})
+        keys = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        uk, sums = _int_group_sums(keys, rev)
+        return pa.table({"l_suppkey": pa.array(uk, pa.int64()),
+                         "units": pa.array(sums, pa.int64())})
+
+    per_supp = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Sum("units", alias_name="units")) \
+        .map_batches(
+            lambda b: pa.table({
+                "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "units": b.column("units").cast(pa.int64())}),
+            batch_format="pyarrow").materialize()   # consumed twice
+    total = int(per_supp.aggregate(Sum("units", alias_name="t"))
+                .get("t") or 0)
+
+    def keep(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                          "value": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        u = b.column("units").to_numpy(zero_copy_only=False)
+        # exact: units/total > per_mille/1000  <=>  units*1000 > total*pm
+        m = u.astype(object) * 1000 > total * per_mille \
+            if total > (1 << 52) else u * np.int64(1000) > np.int64(
+                total * per_mille)
+        m = np.asarray(m, bool)
+        if not m.any():
+            return empty
+        return pa.table({
+            "l_suppkey": b.column("l_suppkey").filter(pa.array(m)),
+            "value": pa.array(u[m].astype(np.float64) / 10000.0,
+                              pa.float64())})
+
+    return per_supp.map_batches(keep, batch_format="pyarrow") \
+        .sort(["value", "l_suppkey"], descending=[True, False])
+
+
+def supplier_part_variety(lineitem, part, exclude_brand: str = "Brand#1",
+                          max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q16 parts/supplier relationship, adapted to this schema (no
+    partsupp -> supply evidence is a lineitem row; no p_container /
+    comment filters -> a brand exclusion): how many DISTINCT suppliers
+    ship each (p_brand, p_type, p_size) class, excluding one brand ->
+    (p_brand, p_type, p_size, supplier_cnt) sorted (cnt desc, brand,
+    type, size).
+
+    Plan: lineitem pre-dedups to distinct (partkey, suppkey) pairs per
+    batch, then ONE native pair groupby makes them globally distinct
+    (O(distinct pairs) rows — the Q16 shuffle). The brand-filtered part
+    attribute map broadcasts under the gate (hash join above it,
+    tested); a second groupby over (brand, type, size) counts suppliers
+    — exact because each (class, suppkey) combination survives exactly
+    once. p_partkey is the part PK, so the attribute join has no
+    fanout."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .joins import broadcast_join, hash_join
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64())})
+        pk = b.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if (pk >= (1 << 31)).any() or (sk >= (1 << 31)).any():
+            raise ValueError("key exceeds 31-bit pack gate")
+        packed = np.unique((pk << np.int64(31)) | sk)
+        return pa.table({
+            "l_partkey": pa.array(packed >> np.int64(31), pa.int64()),
+            "l_suppkey": pa.array(packed & np.int64((1 << 31) - 1),
+                                  pa.int64())})
+
+    pairs = lineitem.select_columns(["l_partkey", "l_suppkey"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["l_partkey", "l_suppkey"]).aggregate(
+            Count(alias_name="_c")) \
+        .select_columns(["l_partkey", "l_suppkey"])
+
+    pmap = part.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b.column("p_brand"),
+                                              exclude_brand)))
+        .select(["p_partkey", "p_brand", "p_type", "p_size"]),
+        batch_format="pyarrow")
+    try:
+        joined = broadcast_join(pairs, pmap, on="l_partkey",
+                                right_on="p_partkey",
+                                max_rows=max_bcast_rows)
+    except ValueError:
+        joined = hash_join(pairs, pmap, on="l_partkey",
+                           right_on="p_partkey")
+
+    # a supplier shipping several parts of the same class must count
+    # once: distinct (class, suppkey) first, then count per class
+    counted = joined \
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+        .aggregate(Count(alias_name="_d")) \
+        .groupby(["p_brand", "p_type", "p_size"]).aggregate(
+            Count(alias_name="supplier_cnt"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": b.column("p_brand").cast(pa.string()),
+            "p_type": b.column("p_type").cast(pa.string()),
+            "p_size": b.column("p_size").cast(pa.int64()),
+            "supplier_cnt": b.column("supplier_cnt").cast(pa.int64())})
+
+    return counted.map_batches(finish, batch_format="pyarrow") \
+        .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+              descending=[True, False, False, False])

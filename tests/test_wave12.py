@@ -102,3 +102,122 @@ SELECT source, count(*),
              / count(*), 6)
 FROM tc GROUP BY source ORDER BY source""").fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_important_suppliers_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import important_suppliers
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+    got = [(r["l_suppkey"], r["value"])
+           for r in important_suppliers(li, per_mille=2).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH f AS (SELECT l_suppkey,
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS ru
+  FROM '{sf_dir}/lineitem.parquet'),
+s AS (SELECT l_suppkey, CAST(sum(ru) AS BIGINT) AS u FROM f
+      GROUP BY l_suppkey)
+SELECT l_suppkey, CAST(u AS DOUBLE) / 10000.0
+FROM s WHERE u * 1000 > (SELECT sum(u) FROM s) * 2
+ORDER BY 2 DESC, l_suppkey""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_important_suppliers_threshold_is_strict(ray_session):
+    """Exactly-at-threshold suppliers are excluded (strict >), and the
+    cross-multiplication never materializes a float fraction."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import important_suppliers
+    # two suppliers at 499 and 501 per-mille of total revenue
+    t = pa.table({
+        "l_suppkey": pa.array([1, 2], pa.int64()),
+        "l_extendedprice": pa.array([499.0, 501.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64())})
+    got = important_suppliers(rd.from_arrow(t), per_mille=500).take_all()
+    assert [(r["l_suppkey"], r["value"]) for r in got] == [(2, 501.0)]
+
+
+def test_supplier_part_variety_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import (
+        supplier_part_variety)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    pt = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    got = sorted((r["p_brand"], r["p_type"], r["p_size"],
+                  r["supplier_cnt"])
+                 for r in supplier_part_variety(li, pt).take_all())
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey
+               FROM '{sf_dir}/lineitem.parquet'),
+j AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+      FROM pairs JOIN '{sf_dir}/part.parquet' ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1')
+SELECT p_brand, p_type, CAST(p_size AS BIGINT), count(*)
+FROM j GROUP BY p_brand, p_type, p_size""").fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_supplier_part_variety_dedups_multi_part_supplier(ray_session):
+    """One supplier shipping TWO different parts of the same class must
+    count once for that class."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import (
+        supplier_part_variety)
+    li = rd.from_arrow(pa.table({
+        "l_partkey": pa.array([1, 2, 1, 1], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 7, 9], pa.int64())}))
+    pt = rd.from_arrow(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["Brand#2", "Brand#2"], pa.string()),
+        "p_type": pa.array(["SMALL", "SMALL"], pa.string()),
+        "p_size": pa.array([5, 5], pa.int64())}))
+    got = supplier_part_variety(li, pt).take_all()
+    assert got == [{"p_brand": "Brand#2", "p_type": "SMALL", "p_size": 5,
+                    "supplier_cnt": 2}]
+
+
+def test_dau_wau_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import dau_wau
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    got = [(r["day"], r["dau"], r["wau"], r["stickiness"])
+           for r in dau_wau(ev).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+            FROM '{sf_dir}/events.parquet'),
+days AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+w AS (SELECT days.d, count(DISTINCT du.user_id) AS wau
+      FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d)
+SELECT days.d, days.dau, w.wau,
+       round(CAST(days.dau AS DOUBLE) / w.wau, 6)
+FROM days JOIN w ON days.d = w.d ORDER BY 1""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_dau_wau_window_excludes_future_and_gaps(ray_session):
+    """WAU for a day counts only users from THAT day and the 6 days
+    before; a user active only 7+ days earlier or any day later never
+    counts. Days with no events produce no row."""
+    import datetime
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import dau_wau
+    day = 86_400_000_000  # us
+    ts = pa.array([0, 6 * day, 7 * day, 20 * day], pa.timestamp("us"))
+    t = pa.table({"ts": ts,
+                  "user_id": pa.array([1, 2, 3, 4], pa.int64())})
+    rows = {r["day"]: r for r in
+            dau_wau(rd.from_arrow(t).repartition(3)).take_all()}
+    d = datetime.date
+    assert set(rows) == {d(1970, 1, 1), d(1970, 1, 7), d(1970, 1, 8),
+                         d(1970, 1, 21)}
+    assert rows[d(1970, 1, 7)]["wau"] == 2      # users 1 and 2
+    assert rows[d(1970, 1, 8)]["wau"] == 2      # users 2 and 3 (1 aged out)
+    assert rows[d(1970, 1, 21)]["wau"] == 1
+    assert rows[d(1970, 1, 7)]["stickiness"] == 0.5
