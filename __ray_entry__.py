@@ -2311,6 +2311,27 @@ def _q_vocab_stats_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_nb_lang_scores(sf_dir: str):
+    """Trained multinomial NB language ID (stages/classifier.py
+    nb_lang_scores): one (lang, term) pair groupby to train, gated
+    model broadcast, actor-pool scoring in integer micro-nats."""
+    from ics_search_engine_ray.stages.classifier import nb_lang_scores
+    return nb_lang_scores(
+        _read_docs(sf_dir, columns=("doc_id", "text", "lang")))
+
+
+def _nb_lang_sql_oracle() -> str:
+    from ics_search_engine_ray.stages.classifier import nb_lang_sql
+    return nb_lang_sql(_sql_tokens_cte())
+
+
+def _q_readability(sf_dir: str):
+    """Flesch reading ease (stages/text_analysis.py readability):
+    map-only, three Arrow RE2 count kernels per batch, no shuffle."""
+    from ics_search_engine_ray.stages.text_analysis import readability
+    return readability(_read_docs(sf_dir))
+
+
 def _q_hapax_ratio_per_source(sf_dir: str):
     """Per-source hapax-legomena share (stages/text_analysis.py
     hapax_ratio_per_source): same pair-groupby shuffle shape as
@@ -2676,6 +2697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,  # cohort retention
         "vocab_stats_per_source": _q_vocab_stats_per_source,  # Heaps/TTR
         "hapax_ratio_per_source": _q_hapax_ratio_per_source,  # hapax share
+        "readability": _q_readability,            # Flesch reading ease
+        "nb_lang_scores": _q_nb_lang_scores,      # trained NB lang ID
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
@@ -2968,6 +2991,7 @@ SELECT doc_id FROM novel
 WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
         "dsir_logweights": _dsir_sql_oracle(),
+        "nb_lang_scores": _nb_lang_sql_oracle(),
         "source_divergence": _source_divergence_sql_oracle(),
         "weighted_sample": _weighted_sample_sql_oracle(),
         "market_share": """
@@ -3165,6 +3189,18 @@ SELECT source, count(*) AS n_distinct,
        round(CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS hapax_ratio
 FROM tc GROUP BY source ORDER BY source""",
+        "readability": """
+WITH c AS (SELECT doc_id,
+  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+  greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS s,
+  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+             - 84.6 * (CAST(y AS DOUBLE) / w), 4) AS flesch
+FROM c WHERE w > 0""",
         "value_hour_corr": """
 WITH z AS (SELECT user_id,
                   CAST(round(value * 100, 0) AS BIGINT) AS cents,

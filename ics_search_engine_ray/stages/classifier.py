@@ -215,3 +215,198 @@ def logreg_sql(label_case: str, n_features: int = 64, iters: int = 5,
 FROM (SELECT x.doc_id, sum(x.v * {wfin}.v) AS z
       FROM x JOIN {wfin} USING (f) GROUP BY x.doc_id) zz"""
     return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+def nb_lang_scores(docs, vocab_gate: int = 2_000_000):
+    """Multinomial Naive Bayes language identifier TRAINED on the
+    corpus's own ``lang`` labels (add-one smoothing over SQL-form word
+    features) -> (doc_id, lang_pred, score): the classic supervised
+    langid.py / fasttext-lid shape (Lui & Baldwin 2012) as two Ray Data
+    passes, replacing heuristics with a real trained model.
+
+    - **train**: per-batch (lang, term) occurrence counts -> ONE native
+      pair groupby (O(langs x vocab) rows, the only corpus-sized
+      shuffle); per-lang token totals, doc-count priors and the distinct
+      vocabulary size V fold out of that relation.
+    - **model**: per-(lang, term) log-likelihoods and per-lang priors in
+      integer MICRO-NATS (half-away round of 1e6*ln, the dsir_logweights
+      trick) so per-doc sums are order-independent int64 adds that
+      hash-match the SQL oracle exactly. Unseen terms take the smoothed
+      floor ln(1/(tot_l+V)); languages labeled in documents but absent
+      from the pair relation train with tot=0 (pure smoothing).
+    - **predict**: the model (langs x vocab ints) broadcasts once via
+      ``ray.put`` into an actor-pool stage; each batch is one gather +
+      ``np.add.reduceat`` over token rows, argmax per doc with ties to
+      the lexicographically smallest language. Token-less docs score
+      prior-only.
+
+    The model relation is size-gated at ``vocab_gate`` rows (raises) —
+    the documented scale path above it re-expresses scoring as a
+    (doc, term, k) x model hash join plus a per-doc groupby sum instead
+    of a broadcast (see SCALE.md)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .common import half_away_scaled_int
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "ct": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        agg: dict = {}
+        for lg, x in zip(b.column("lang").to_pylist(),
+                         b.column("text").to_pylist()):
+            for t in TOKEN_RE.findall((x or "").lower()):
+                if len(t) > 1:
+                    agg[(lg, t)] = agg.get((lg, t), 0) + 1
+        ks = sorted(agg)
+        return pa.table({
+            "lang": pa.array([a for a, _ in ks], pa.string()),
+            "term": pa.array([t for _, t in ks], pa.string()),
+            "ct": pa.array([agg[k] for k in ks], pa.int64())})
+
+    pairs = docs.select_columns(["lang", "text"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["lang", "term"]).aggregate(Sum("ct", alias_name="ct"))
+
+    # priors: docs per lang (tiny — O(languages) rows)
+    nl_parts = [b for b in docs.groupby("lang")
+                .aggregate(Count(alias_name="nd"))
+                .iter_batches(batch_format="pyarrow") if b.num_rows]
+    nd_of: dict = {}
+    for b in nl_parts:
+        for lg, nd in zip(b.column("lang").to_pylist(),
+                          b.column("nd").to_pylist()):
+            nd_of[lg] = int(nd)
+    n_docs = sum(nd_of.values())
+    langs = sorted(nd_of)
+    if not langs:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang_pred": pa.array([], pa.string()),
+                         "score": pa.array([], pa.int64())})
+
+    # collect the model relation under the gate
+    rows = 0
+    parts = []
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        rows += b.num_rows
+        if rows > vocab_gate:
+            raise ValueError(
+                f"nb_lang_scores model gate: > {vocab_gate} (lang, term) "
+                f"rows; use the hash-join scoring path (SCALE.md)")
+        parts.append(b if isinstance(b, pa.Table)
+                     else pa.Table.from_batches([b]))
+    if parts:
+        m = pa.concat_tables(parts)
+        p_lang = m.column("lang").to_pylist()
+        p_term = m.column("term").to_pylist()
+        p_ct = m.column("ct").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+    else:
+        p_lang, p_term = [], []
+        p_ct = np.zeros(0, np.int64)
+
+    terms = sorted(set(p_term))
+    tid = {t: i for i, t in enumerate(terms)}
+    lid = {lg: i for i, lg in enumerate(langs)}
+    v = len(terms)
+    n_langs = len(langs)
+    tot = np.zeros(n_langs, np.int64)
+    cmat = np.zeros((v, n_langs), np.int64)
+    for lg, t, c in zip(p_lang, p_term, p_ct):
+        cmat[tid[t], lid[lg]] = c
+        tot[lid[lg]] += c
+
+    # LT rows 0..v-1: per-term log-liks; row v: unseen-term floor
+    lt = np.zeros((v + 1, n_langs), np.int64)
+    if v:
+        lt[:v] = half_away_scaled_int(
+            np.log((cmat + 1.0) / (tot + v)[None, :]), 1_000_000)
+        lt[v] = half_away_scaled_int(np.log(1.0 / (tot + v)), 1_000_000)
+    prior = half_away_scaled_int(
+        np.log(np.array([nd_of[lg] for lg in langs], np.float64)
+               / n_docs), 1_000_000)
+    model_ref = ray.put((tid, lt, prior, langs, v))
+
+    class Predict:
+        def __init__(self):
+            (self.tid, self.lt, self.prior, self.langs,
+             self.v) = ray.get(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "lang_pred": pa.array([], pa.string()),
+                              "score": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            n = b.num_rows
+            scores = np.tile(self.prior, (n, 1))
+            if self.v:
+                flat, lens = [], np.zeros(n, np.int64)
+                for i, x in enumerate(b.column("text").to_pylist()):
+                    toks = [t for t in TOKEN_RE.findall((x or "").lower())
+                            if len(t) > 1]
+                    lens[i] = len(toks)
+                    flat.extend(self.tid.get(t, self.v) for t in toks)
+                if flat:
+                    contrib = self.lt[np.asarray(flat, np.int64)]
+                    nz = lens > 0
+                    starts = np.concatenate(
+                        ([0], np.cumsum(lens[nz])[:-1])).astype(np.int64)
+                    scores[nz] += np.add.reduceat(contrib, starts, axis=0)
+            best = scores.argmax(axis=1)   # first max = lex-smallest lang
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang_pred": pa.array([self.langs[i] for i in best],
+                                      pa.string()),
+                "score": pa.array(scores[np.arange(n), best], pa.int64())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(Predict, batch_format="pyarrow",
+                     concurrency=(1, 8)).sort("doc_id")
+
+
+def nb_lang_sql(tokens_cte: str) -> str:
+    """The DuckDB mirror of :func:`nb_lang_scores` (shared so tests and
+    the driver oracle cannot drift apart)."""
+    return f"""
+WITH toks AS ({tokens_cte}),
+clt AS (SELECT d.lang, t.term, count(*) AS c
+        FROM toks t JOIN documents d USING (doc_id)
+        GROUP BY d.lang, t.term),
+cl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM clt GROUP BY lang),
+v AS (SELECT count(DISTINCT term) AS v FROM clt),
+nl AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+n AS (SELECT count(*) AS n FROM documents),
+prior AS (SELECT lang,
+          CAST(round(ln(CAST(nd AS DOUBLE) / n) * 1000000, 0) AS BIGINT)
+            AS p FROM nl, n),
+ll AS (SELECT c.lang, c.term,
+       CAST(round(ln((c.c + 1.0) / (cl.tot + v.v)) * 1000000, 0)
+            AS BIGINT) AS l
+       FROM clt c JOIN cl ON c.lang = cl.lang, v),
+l0 AS (SELECT nl.lang,
+       CAST(round(ln(1.0 / (coalesce(cl.tot, 0) + v.v)) * 1000000, 0)
+            AS BIGINT) AS l
+       FROM nl LEFT JOIN cl USING (lang), v),
+tokc AS (SELECT doc_id, term, count(*) AS k FROM toks
+         GROUP BY doc_id, term),
+contrib AS (SELECT tc.doc_id, l0.lang,
+            CAST(sum(tc.k * coalesce(ll.l, l0.l)) AS BIGINT) AS s
+            FROM tokc tc CROSS JOIN l0
+            LEFT JOIN ll ON ll.lang = l0.lang AND ll.term = tc.term
+            GROUP BY tc.doc_id, l0.lang),
+sc AS (SELECT d.doc_id, pr.lang, pr.p + coalesce(ct.s, 0) AS score
+       FROM documents d CROSS JOIN prior pr
+       LEFT JOIN contrib ct
+         ON ct.doc_id = d.doc_id AND ct.lang = pr.lang)
+SELECT doc_id, lang AS lang_pred, score FROM (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM sc) WHERE rn = 1 ORDER BY doc_id"""

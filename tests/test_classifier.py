@@ -99,3 +99,55 @@ def test_featurize_drops_tokenless_docs(ray_session):
     assert [r["doc_id"] for r in rows] == [2]
     x = np.asarray(rows[0]["x"])
     assert x[-1] == 1.0 and abs(x[:-1].sum() - 1.0) < 1e-12
+
+
+def test_nb_lang_learns_separable_vocab(ray_session):
+    """Two languages with disjoint vocabularies: the trained model must
+    classify every training doc correctly (NB is exact on disjoint
+    support), and token-less docs fall back to the majority prior."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.classifier import nb_lang_scores
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "lang": pa.array(["aa", "aa", "aa", "zz", "zz", "xx"],
+                         pa.string()),
+        "text": pa.array(["alpha apple", "apple arrow", "alpha alpha",
+                          "zebra zonal", "zonal zooms", ""],
+                         pa.string())})
+    rows = {r["doc_id"]: r for r in
+            nb_lang_scores(rd.from_arrow(t).repartition(3)).take_all()}
+    assert [rows[i]["lang_pred"] for i in (1, 2, 3)] == ["aa"] * 3
+    assert [rows[i]["lang_pred"] for i in (4, 5)] == ["zz"] * 2
+    # doc 6 has no tokens: argmax prior = 'aa' (3/6 docs)
+    assert rows[6]["lang_pred"] == "aa"
+
+
+def test_nb_lang_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    from ics_search_engine_ray.stages.classifier import (
+        nb_lang_scores, nb_lang_sql)
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    got = [(r["doc_id"], r["lang_pred"], r["score"])
+           for r in nb_lang_scores(docs).take_all()]
+    cte = ("SELECT doc_id, unnest(list_filter(regexp_extract_all("
+           "lower(text), '[a-z0-9]+'), x -> length(x) > 1)) AS term "
+           f"FROM '{sf_dir}/documents.parquet'")
+    sql = nb_lang_sql(cte).replace(
+        "FROM documents", f"FROM '{sf_dir}/documents.parquet'").replace(
+        "JOIN documents", f"JOIN '{sf_dir}/documents.parquet'")
+    want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_nb_lang_vocab_gate_raises(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.classifier import nb_lang_scores
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["aa", "zz"], pa.string()),
+        "text": pa.array(["alpha beta gamma", "delta epsilon"],
+                         pa.string())})
+    with pytest.raises(ValueError, match="model gate"):
+        nb_lang_scores(rd.from_arrow(t), vocab_gate=2)

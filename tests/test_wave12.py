@@ -221,3 +221,45 @@ def test_dau_wau_window_excludes_future_and_gaps(ray_session):
     assert rows[d(1970, 1, 8)]["wau"] == 2      # users 2 and 3 (1 aged out)
     assert rows[d(1970, 1, 21)]["wau"] == 1
     assert rows[d(1970, 1, 7)]["stickiness"] == 0.5
+
+
+def test_readability_hand_computed(ray_session):
+    """'Hello world. How are you?' -> 5 words, 2 sentences, 7 vowel
+    groups; fragment without punctuation floors sentences at 1; empty
+    doc drops."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import readability
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["Hello world. How are you?", "go go go",
+                          "   "], pa.string())})
+    rows = {r["doc_id"]: r for r in
+            readability(rd.from_arrow(t)).take_all()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) \
+        == (5, 2, 7)
+    assert r1["flesch"] == round(206.835 - 1.015 * (5 / 2)
+                                 - 84.6 * (7 / 5), 4)
+    assert rows[2]["n_sentences"] == 1
+
+
+def test_readability_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import readability
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = sorted((r["doc_id"], r["n_words"], r["n_sentences"],
+                  r["n_syllables"], r["flesch"])
+                 for r in readability(docs).take_all())
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+WITH c AS (SELECT doc_id,
+  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+  greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS s,
+  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM '{sf_dir}/documents.parquet')
+SELECT doc_id, CAST(w AS BIGINT), CAST(s AS BIGINT), CAST(y AS BIGINT),
+       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+             - 84.6 * (CAST(y AS DOUBLE) / w), 4)
+FROM c WHERE w > 0""").fetchall())
+    assert got == want and len(got) > 0
