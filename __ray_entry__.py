@@ -2311,6 +2311,29 @@ def _q_vocab_stats_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (stages/dedup_text.py semdedup): k-means partition +
+    exact within-cluster cosine greedy keep — no_oracle (iterative
+    clustering is not SQL-expressible); pytest verifies against a
+    driver-side brute-force reference and partition invariance."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import semdedup
+    em = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return semdedup(em, k=8, iters=5, threshold=0.9)
+
+
+def _q_order_intervals(sf_dir: str):
+    """Per-customer reorder cadence (relational.py order_intervals):
+    adaptive key-hash co-partition, vectorized lexsort + diff +
+    reduceat per group, integer-day gaps."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import order_intervals
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderdate"])
+    return order_intervals(od)
+
+
 def _q_nb_lang_scores(sf_dir: str):
     """Trained multinomial NB language ID (stages/classifier.py
     nb_lang_scores): one (lang, term) pair groupby to train, gated
@@ -2699,6 +2722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio_per_source": _q_hapax_ratio_per_source,  # hapax share
         "readability": _q_readability,            # Flesch reading ease
         "nb_lang_scores": _q_nb_lang_scores,      # trained NB lang ID
+        "order_intervals": _q_order_intervals,    # reorder cadence
+        "semdedup": _q_semdedup,                  # semantic dedup
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
@@ -4211,6 +4236,15 @@ SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
        count(*) AS supplier_cnt
 FROM j GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "order_intervals": """
+WITH g AS (SELECT o_custkey,
+  date_diff('day', lag(o_orderdate) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate), o_orderdate) AS gap
+  FROM orders)
+SELECT o_custkey, count(gap) AS n_gaps,
+       round(CAST(sum(gap) AS DOUBLE) / count(gap), 6) AS avg_gap_days,
+       CAST(max(gap) AS BIGINT) AS max_gap_days
+FROM g WHERE gap IS NOT NULL GROUP BY o_custkey ORDER BY o_custkey""",
         "dau_wau": """
 WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
 days AS (SELECT d, count(*) AS dau FROM du GROUP BY d),

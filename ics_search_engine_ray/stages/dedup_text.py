@@ -1405,3 +1405,89 @@ def cluster_canonical(assign, quality_col: str = "n_chars",
             "n_members": b.column("n_members").cast(pa.int64())})
 
     return agg.map_batches(decode, batch_format="pyarrow").sort("cluster")
+
+
+def semdedup(embeds, k: int = 8, iters: int = 5, threshold: float = 0.95,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) -> (vec_id,
+    cluster, keep): semantic dedup by k-means partition + EXACT
+    within-cluster cosine, the published recipe for web-scale corpora —
+    clustering makes the quadratic verify local, so no global pair
+    shuffle ever exists.
+
+    - **cluster**: distributed spherical k-means
+      (:func:`~.similarity.kmeans_fit` — streaming passes, centroids
+      broadcast, vectors never shuffle during training).
+    - **partition**: one assignment pass tags each vector with its
+      cluster; the ONLY corpus-sized shuffle is the groupby(cluster)
+      that co-locates each cluster in one task. Partitioning
+      assumption (documented per the custom-operator contract): a
+      cluster fits one worker — size k so corpus/k vectors fit memory;
+      split oversized clusters by re-running semdedup inside them.
+    - **verify**: per cluster, one normalize + matmul; the greedy scan
+      visits items in keep-priority order (centroid-cosine ASC, id ASC
+      — the paper keeps LOW-centroid-similarity examples) and keeps an
+      item iff it is not within ``threshold`` of any already-kept item.
+      Deterministic for any partition layout: assignment is a pure
+      function of the (deterministic) centroids and the scan order is a
+      pure function of cluster contents."""
+    from .similarity import kmeans_fit
+
+    cent = kmeans_fit(embeds, k=k, iters=iters, vec_col=vec_col,
+                      id_col=id_col)
+    if cent.size == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "keep": pa.array([], pa.bool_())})
+    dim = cent.shape[1]
+
+    def assign(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64()),
+                          "vec": pa.array([], pa.list_(pa.float64()))})
+        if b.num_rows == 0:
+            return empty
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        emb = b.column(vec_col).combine_chunks()
+        vecs = np.asarray(emb.flatten(), np.float64).reshape(-1, dim)
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        vn = vecs / norm
+        cl = np.argmax(vn @ cent.T, axis=1).astype(np.int64)
+        flat = pa.array(vn.ravel(), pa.float64())
+        offs = pa.array(np.arange(b.num_rows + 1, dtype=np.int32) * dim)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "vec": pa.ListArray.from_arrays(offs, flat)})
+
+    tagged = embeds.select_columns([id_col, vec_col]) \
+        .map_batches(assign, batch_format="pyarrow")
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64()),
+                          "keep": pa.array([], pa.bool_())})
+        m = g.num_rows
+        if m == 0:
+            return empty
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        cl = int(g.column("cluster")[0].as_py())
+        vc = g.column("vec").combine_chunks()
+        vn = np.asarray(vc.flatten(), np.float64).reshape(m, dim)
+        csim = vn @ cent[cl]
+        order = np.lexsort((ids, csim))   # centroid-cos ASC, id ASC
+        sim = vn[order] @ vn[order].T
+        oids = ids[order]
+        kept = np.zeros(m, bool)
+        for i in range(m):
+            prev = kept[:i]
+            kept[i] = not (sim[i, :i][prev] >= threshold - 1e-12).any()
+        keep_sorted = np.argsort(oids, kind="stable")
+        return pa.table({
+            id_col: pa.array(oids[keep_sorted], pa.int64()),
+            "cluster": pa.array(np.full(m, cl, np.int64), pa.int64()),
+            "keep": pa.array(kept[keep_sorted], pa.bool_())})
+
+    return tagged.groupby("cluster") \
+        .map_groups(resolve, batch_format="pyarrow").sort(id_col)

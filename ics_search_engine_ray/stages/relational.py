@@ -1841,3 +1841,69 @@ def supplier_part_variety(lineitem, part, exclude_brand: str = "Brand#1",
     return counted.map_batches(finish, batch_format="pyarrow") \
         .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
               descending=[True, False, False, False])
+
+
+def order_intervals(orders, num_groups=None):
+    """Per-customer reorder cadence -> (o_custkey, n_gaps, avg_gap_days,
+    max_gap_days) over orders sorted by date: the repeat-purchase /
+    churn-risk profile (SQL: LAG + datediff + avg/max). Customers with a
+    single order emit nothing (no gaps). Same-day repeat orders
+    contribute zero-day gaps; because consecutive-diff multisets over a
+    sorted column are tie-order invariant, the result is deterministic
+    without a tie-break column.
+
+    Co-partitions by customer into adaptive integer-hash groups (the
+    event_gaps contract) and resolves each partition vectorized: one
+    lexsort, one diff, reduceat segment sums/maxima. Gap arithmetic is
+    integer days end-to-end; only the final avg divides into float with
+    the oracle's expression order."""
+    from .common import adaptive_groups, round_half_away
+
+    if num_groups is None:
+        num_groups = adaptive_groups(orders.count(), 1_000_000, lo=32)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        u = b.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_g", pa.array((u % num_groups + num_groups) % num_groups,
+                           pa.int64()))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "avg_gap_days": pa.array([], pa.float64()),
+                          "max_gap_days": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        u = g.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = g.column("o_orderdate").cast(pa.date32()).cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((d, u))
+        us, ds = u[o], d[o]
+        same = us[1:] == us[:-1]
+        if not same.any():
+            return empty
+        gaps = (ds[1:] - ds[:-1])[same]
+        gu = us[1:][same]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], gu[1:] != gu[:-1])))
+        ends = np.append(starts[1:], gu.size)
+        sums = np.add.reduceat(gaps, starts)
+        maxs = np.maximum.reduceat(gaps, starts)
+        n = (ends - starts).astype(np.int64)
+        return pa.table({
+            "o_custkey": pa.array(gu[starts], pa.int64()),
+            "n_gaps": pa.array(n, pa.int64()),
+            "avg_gap_days": pa.array(
+                round_half_away(sums.astype(np.float64) / n, 6),
+                pa.float64()),
+            "max_gap_days": pa.array(maxs, pa.int64())})
+
+    return (orders.select_columns(["o_custkey", "o_orderdate"])
+            .map_batches(add_g, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: resolve(g.drop(["_g"])),
+                        batch_format="pyarrow")
+            .sort("o_custkey"))

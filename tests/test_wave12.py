@@ -263,3 +263,85 @@ SELECT doc_id, CAST(w AS BIGINT), CAST(s AS BIGINT), CAST(y AS BIGINT),
              - 84.6 * (CAST(y AS DOUBLE) / w), 4)
 FROM c WHERE w > 0""").fetchall())
     assert got == want and len(got) > 0
+
+
+def test_order_intervals_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import order_intervals
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+    got = [(r["o_custkey"], r["n_gaps"], r["avg_gap_days"],
+            r["max_gap_days"])
+           for r in order_intervals(od).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH g AS (SELECT o_custkey,
+  date_diff('day', lag(o_orderdate) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate), o_orderdate) AS gap
+  FROM '{sf_dir}/orders.parquet')
+SELECT o_custkey, count(gap),
+       round(CAST(sum(gap) AS DOUBLE) / count(gap), 6),
+       CAST(max(gap) AS BIGINT)
+FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+ORDER BY o_custkey""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def _brute_semdedup(ids, vecs, cent, threshold):
+    """Driver-side reference: identical semantics, plain numpy."""
+    norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    vn = vecs / norm
+    cl = np.argmax(vn @ cent.T, axis=1)
+    out = {}
+    for c in np.unique(cl):
+        m = cl == c
+        cids, cvn = ids[m], vn[m]
+        order = np.lexsort((cids, cvn @ cent[c]))
+        kept_idx = []
+        for i in order:
+            if all(float(cvn[i] @ cvn[j]) < threshold - 1e-12
+                   for j in kept_idx):
+                kept_idx.append(i)
+        for i in range(cids.size):
+            out[int(cids[i])] = (int(c), i in kept_idx)
+    return out
+
+
+def test_semdedup_matches_brute_reference(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import semdedup
+    from ics_search_engine_ray.stages.similarity import kmeans_fit
+    em = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in semdedup(em, k=4, iters=3, threshold=0.9).take_all()}
+    tbl = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"'{sf_dir}/embeddings.parquet'").arrow()
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    vecs = np.array(tbl.column("embedding").to_pylist(), np.float64)
+    cent = kmeans_fit(em, k=4, iters=3)
+    want = _brute_semdedup(ids, vecs, cent, 0.9)
+    assert got == want and len(got) == ids.size
+    assert any(not keep for _, keep in got.values()) or \
+        all(keep for _, keep in got.values())
+
+
+def test_semdedup_drops_near_duplicate(ray_session):
+    """Two near-identical vectors: exactly one survives, and the
+    survivor is the one FURTHER from its centroid (lower centroid
+    cosine wins keep priority), per the SemDeDup recipe."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import semdedup
+    base = np.array([1.0, 0.0, 0.0])
+    nearly = np.array([0.999, 0.01, 0.0])
+    other = np.array([0.0, 1.0, 0.0])
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([list(base), list(nearly), list(other)],
+                              pa.list_(pa.float64()))})
+    rows = {r["vec_id"]: r["keep"] for r in
+            semdedup(rd.from_arrow(t).repartition(3), k=2, iters=2,
+                     threshold=0.98).take_all()}
+    assert sum(rows[i] for i in (1, 2)) == 1
+    assert rows[3] is True
