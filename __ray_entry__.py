@@ -2311,6 +2311,29 @@ def _q_vocab_stats_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_daily_anomaly(sf_dir: str):
+    """Per-type daily volume z-scores (events.py daily_anomaly): one
+    (type, day) pair groupby + O(types) exact integer moments."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import daily_anomaly
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+    return daily_anomaly(ev)
+
+
+def _q_basket_affinity(sf_dir: str):
+    """Market-basket type pairs (relational.py basket_affinity): gated
+    part-map broadcast, distinct (order, type) rows, orderkey-hash
+    co-location, size-bucketed vectorized pair expansion."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import basket_affinity
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    return basket_affinity(li, pt)
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup (stages/dedup_text.py semdedup): k-means partition +
     exact within-cluster cosine greedy keep — no_oracle (iterative
@@ -2724,6 +2747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_scores": _q_nb_lang_scores,      # trained NB lang ID
         "order_intervals": _q_order_intervals,    # reorder cadence
         "semdedup": _q_semdedup,                  # semantic dedup
+        "basket_affinity": _q_basket_affinity,    # co-purchase pairs
+        "daily_anomaly": _q_daily_anomaly,        # volume z-scores
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
@@ -4236,6 +4261,33 @@ SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
        count(*) AS supplier_cnt
 FROM j GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "daily_anomaly": """
+WITH pd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n_events FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, count(*) AS d,
+             CAST(sum(n_events) AS BIGINT) AS s1,
+             CAST(sum(n_events * n_events) AS BIGINT) AS s2
+      FROM pd GROUP BY event_type),
+mm AS (SELECT event_type, CAST(s1 AS DOUBLE) / d AS mean,
+       sqrt(greatest(CAST(s2 AS DOUBLE) / d
+            - (CAST(s1 AS DOUBLE) / d) * (CAST(s1 AS DOUBLE) / d),
+            0.0)) AS sd
+       FROM m),
+zz AS (SELECT pd.event_type, pd.day,
+       CAST(pd.n_events AS BIGINT) AS n_events,
+       round(CASE WHEN mm.sd > 0
+                  THEN (CAST(pd.n_events AS DOUBLE) - mm.mean) / mm.sd
+                  ELSE 0.0 END, 6) AS z
+       FROM pd JOIN mm USING (event_type))
+SELECT event_type, day, n_events, z, (abs(z) > 2.0) AS anomaly
+FROM zz ORDER BY event_type, day""",
+        "basket_affinity": """
+WITH dt AS (SELECT DISTINCT l_orderkey, p_type
+            FROM lineitem JOIN part ON p_partkey = l_partkey)
+SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_orders
+FROM dt a JOIN dt b ON a.l_orderkey = b.l_orderkey
+                   AND a.p_type < b.p_type
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "order_intervals": """
 WITH g AS (SELECT o_custkey,
   date_diff('day', lag(o_orderdate) OVER (

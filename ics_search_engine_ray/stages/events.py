@@ -2401,3 +2401,112 @@ def dau_wau(events):
                 pa.float64())})
 
     return both.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+def daily_anomaly(events, z_flag: float = 2.0):
+    """Volume-anomaly monitor -> (event_type, day, n_events, z,
+    anomaly): per-type daily event counts scored against that type's
+    own distribution over its observed days (population z-score) — the
+    pipeline-health dashboard that catches a broken producer or a bot
+    burst. Types with zero variance score z = 0.
+
+    Plan: per-batch (type, day) count partials -> ONE native pair
+    groupby (O(types x days) rows, the only corpus-sized shuffle, kept
+    hot for two consumers) -> per-type moment partials (d, sum, sum of
+    squares — exact int64) -> tiny groupby -> O(types) moments dict in
+    the scoring closure. Mean/std evaluate in the oracle's exact
+    float expression order; z rounds half-away at 6 dp."""
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "day": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        d = pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                    pa.date32()).cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = np.asarray(b.column("event_type").to_pylist(), object)
+        o = np.lexsort((d, t))
+        t, d = t[o], d[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (t[1:] != t[:-1]) | (d[1:] != d[:-1]))))
+        return pa.table({
+            "event_type": pa.array(t[starts], pa.string()),
+            "day": pa.array(d[starts], pa.int64()),
+            "n": pa.array(np.diff(np.append(starts, t.size)), pa.int64())})
+
+    per_day = events.select_columns(["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(Sum("n", alias_name="n_events")) \
+        .map_batches(
+            lambda b: pa.table({
+                "event_type": b.column("event_type").cast(pa.string()),
+                "day": b.column("day").cast(pa.int64()),
+                "n_events": b.column("n_events").cast(pa.int64())}),
+            batch_format="pyarrow").materialize()   # consumed twice
+
+    def mom_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "d": pa.array([], pa.int64()),
+                          "s1": pa.array([], pa.int64()),
+                          "s2": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        t = np.asarray(b.column("event_type").to_pylist(), object)
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        o = np.argsort(t, kind="stable")
+        t, n = t[o], n[o]
+        starts = np.flatnonzero(np.concatenate(([True], t[1:] != t[:-1])))
+        return pa.table({
+            "event_type": pa.array(t[starts], pa.string()),
+            "d": pa.array(np.diff(np.append(starts, t.size)), pa.int64()),
+            "s1": pa.array(np.add.reduceat(n, starts), pa.int64()),
+            "s2": pa.array(np.add.reduceat(n * n, starts), pa.int64())})
+
+    mparts = [b for b in per_day.map_batches(
+        mom_partial, batch_format="pyarrow")
+        .groupby("event_type").aggregate(
+            Sum("d", alias_name="d"), Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"))
+        .iter_batches(batch_format="pyarrow") if b.num_rows]
+    moments: dict = {}
+    for b in mparts:
+        for t, d, s1, s2 in zip(b.column("event_type").to_pylist(),
+                                b.column("d").to_pylist(),
+                                b.column("s1").to_pylist(),
+                                b.column("s2").to_pylist()):
+            moments[t] = (int(d), int(s1), int(s2))
+
+    def score(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "day": pa.array([], pa.date32()),
+                          "n_events": pa.array([], pa.int64()),
+                          "z": pa.array([], pa.float64()),
+                          "anomaly": pa.array([], pa.bool_())})
+        if b.num_rows == 0:
+            return empty
+        t = b.column("event_type").to_pylist()
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        dd = np.array([moments[x][0] for x in t], np.float64)
+        s1 = np.array([moments[x][1] for x in t], np.float64)
+        s2 = np.array([moments[x][2] for x in t], np.float64)
+        mean = s1 / dd
+        var = s2 / dd - mean * mean
+        sd = np.sqrt(np.maximum(var, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0.0, (n - mean) / sd, 0.0)
+        z = round_half_away(z, 6)
+        return pa.table({
+            "event_type": pa.array(t, pa.string()),
+            "day": pa.array(d.astype(np.int32), pa.int32())
+                .cast(pa.date32()),
+            "n_events": pa.array(n, pa.int64()),
+            "z": pa.array(z, pa.float64()),
+            "anomaly": pa.array(np.abs(z) > z_flag, pa.bool_())})
+
+    return per_day.map_batches(score, batch_format="pyarrow") \
+        .sort(["event_type", "day"])

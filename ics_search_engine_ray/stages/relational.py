@@ -1907,3 +1907,122 @@ def order_intervals(orders, num_groups=None):
             .map_groups(lambda g: resolve(g.drop(["_g"])),
                         batch_format="pyarrow")
             .sort("o_custkey"))
+
+
+def basket_affinity(lineitem, part, min_count: int = 1,
+                    max_bcast_rows=_BCAST_JOIN_ROWS, num_groups=None):
+    """Market-basket affinity -> (type_a, type_b, n_orders): how many
+    orders contain BOTH part types, for every unordered type pair
+    (type_a < type_b) — the co-purchase signal behind "customers also
+    bought" (classic Apriori 1-level pair counting, SIGMOD '93 shape).
+
+    Plan: lineitem keeps (orderkey, partkey), the part->type map
+    broadcasts under the gate (hash join above it); per batch the pairs
+    collapse to distinct (orderkey, type-id) rows (orders are the
+    natural co-location key); ONE adaptive orderkey-hash groupby
+    co-locates each order, where a vectorized lexsort + run expansion
+    emits that order's type pairs — baskets are small (TPC-H <= 7
+    lineitems), so the quadratic step is bounded per order and the pair
+    relation is tiny (<= types^2 rows) going into the final groupby
+    Sum."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .common import adaptive_groups
+    from .joins import broadcast_join, hash_join
+
+    if num_groups is None:
+        num_groups = adaptive_groups(lineitem.count(), 1_000_000, lo=32)
+
+    pmap = part.select_columns(["p_partkey", "p_type"])
+    li = lineitem.select_columns(["l_orderkey", "l_partkey"])
+    try:
+        joined = broadcast_join(li, pmap, on="l_partkey",
+                                right_on="p_partkey",
+                                max_rows=max_bcast_rows)
+    except ValueError:
+        joined = hash_join(li, pmap, on="l_partkey",
+                           right_on="p_partkey")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "p_type": pa.array([], pa.string()),
+                          "_g": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ok = b.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ty = np.asarray(b.column("p_type").to_pylist(), object)
+        o = np.lexsort((ty, ok))
+        ok, ty = ok[o], ty[o]
+        keep = np.concatenate(
+            ([True], (ok[1:] != ok[:-1]) | (ty[1:] != ty[:-1])))
+        ok, ty = ok[keep], ty[keep]
+        return pa.table({
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "p_type": pa.array(ty, pa.string()),
+            "_g": pa.array((ok % num_groups + num_groups) % num_groups,
+                           pa.int64())})
+
+    tagged = joined.map_batches(pair_partial, batch_format="pyarrow")
+
+    def expand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ty = np.asarray(g.column("p_type").to_pylist(), object)
+        o = np.lexsort((ty, ok))
+        ok, ty = ok[o], ty[o]
+        # global re-distinct (the same (order, type) row can arrive
+        # from several upstream batches)
+        keep = np.concatenate(
+            ([True], (ok[1:] != ok[:-1]) | (ty[1:] != ty[:-1])))
+        ok, ty = ok[keep], ty[keep]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ok[1:] != ok[:-1])))
+        lens = np.diff(np.append(starts, ok.size))
+        # vectorize the quadratic step by basket SIZE: all orders with s
+        # distinct types become one (n_s, s) matrix; each of the
+        # s(s-1)/2 column pairs is a vectorized bincount over packed
+        # int type-id pairs (types within an order are sorted, so
+        # column i < column j already means type_a < type_b)
+        utypes, tyi = np.unique(ty, return_inverse=True)
+        nt = utypes.size
+        keys = []
+        for s in range(2, int(lens.max()) + 1 if lens.size else 2):
+            sel = starts[lens == s]
+            if sel.size == 0:
+                continue
+            idx = sel[:, None] + np.arange(s)[None, :]
+            mat = tyi[idx]
+            for i in range(s - 1):
+                for j in range(i + 1, s):
+                    keys.append(mat[:, i] * nt + mat[:, j])
+        if not keys:
+            return empty
+        counts = np.bincount(np.concatenate(keys), minlength=nt * nt)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "type_a": pa.array(utypes[nz // nt], pa.string()),
+            "type_b": pa.array(utypes[nz % nt], pa.string()),
+            "n": pa.array(counts[nz], pa.int64())})
+
+    counted = tagged.groupby("_g") \
+        .map_groups(lambda g: expand(g.drop(["_g"])),
+                    batch_format="pyarrow") \
+        .groupby(["type_a", "type_b"]).aggregate(
+            Sum("n", alias_name="n_orders"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        out = pa.table({
+            "type_a": b.column("type_a").cast(pa.string()),
+            "type_b": b.column("type_b").cast(pa.string()),
+            "n_orders": b.column("n_orders").cast(pa.int64())})
+        return out.filter(pc.greater_equal(out.column("n_orders"),
+                                           min_count))
+
+    return counted.map_batches(finish, batch_format="pyarrow") \
+        .sort(["type_a", "type_b"])

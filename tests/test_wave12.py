@@ -345,3 +345,97 @@ def test_semdedup_drops_near_duplicate(ray_session):
                      threshold=0.98).take_all()}
     assert sum(rows[i] for i in (1, 2)) == 1
     assert rows[3] is True
+
+
+def test_basket_affinity_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import basket_affinity
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pt = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    got = [(r["type_a"], r["type_b"], r["n_orders"])
+           for r in basket_affinity(li, pt).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH dt AS (SELECT DISTINCT l_orderkey, p_type
+            FROM '{sf_dir}/lineitem.parquet'
+            JOIN '{sf_dir}/part.parquet' ON p_partkey = l_partkey)
+SELECT a.p_type, b.p_type, count(*)
+FROM dt a JOIN dt b ON a.l_orderkey = b.l_orderkey
+                   AND a.p_type < b.p_type
+GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_basket_affinity_counts_orders_not_items(ray_session):
+    """Duplicate (order, type) lineitems collapse before pairing; a
+    3-type basket yields all three unordered pairs once."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import basket_affinity
+    li = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([10, 10, 20, 30, 10], pa.int64())}))
+    pt = rd.from_arrow(pa.table({
+        "p_partkey": pa.array([10, 20, 30], pa.int64()),
+        "p_type": pa.array(["A", "B", "C"], pa.string())}))
+    got = [(r["type_a"], r["type_b"], r["n_orders"])
+           for r in basket_affinity(li.repartition(3), pt).take_all()]
+    assert got == [("A", "B", 1), ("A", "C", 1), ("B", "C", 1)]
+
+
+def test_daily_anomaly_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import daily_anomaly
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    got = [(r["event_type"], r["day"], r["n_events"], r["z"],
+            r["anomaly"])
+           for r in daily_anomaly(ev).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH pd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n_events
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2),
+m AS (SELECT event_type, count(*) AS d,
+             CAST(sum(n_events) AS BIGINT) AS s1,
+             CAST(sum(n_events * n_events) AS BIGINT) AS s2
+      FROM pd GROUP BY event_type),
+mm AS (SELECT event_type, CAST(s1 AS DOUBLE) / d AS mean,
+       sqrt(greatest(CAST(s2 AS DOUBLE) / d
+            - (CAST(s1 AS DOUBLE) / d) * (CAST(s1 AS DOUBLE) / d),
+            0.0)) AS sd
+       FROM m),
+zz AS (SELECT pd.event_type, pd.day,
+       CAST(pd.n_events AS BIGINT) AS n_events,
+       round(CASE WHEN mm.sd > 0
+                  THEN (CAST(pd.n_events AS DOUBLE) - mm.mean) / mm.sd
+                  ELSE 0.0 END, 6) AS z
+       FROM pd JOIN mm USING (event_type))
+SELECT event_type, day, n_events, z, (abs(z) > 2.0)
+FROM zz ORDER BY event_type, day""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_daily_anomaly_flags_spike_and_zero_variance(ray_session):
+    """A 10x spike day flags; a type with identical daily counts has
+    sd = 0 and scores z = 0 everywhere (never flags)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import daily_anomaly
+    day = 86_400_000_000
+    ts, ty = [], []
+    for d in range(6):                 # 'a': 5 quiet days then a spike
+        for _ in range(2 if d < 5 else 40):
+            ts.append(d * day)
+            ty.append("a")
+    for d in range(3):                 # 'b': constant
+        ts.append(d * day)
+        ty.append("b")
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": pa.array(ty, pa.string())})
+    rows = [(r["event_type"], r["n_events"], r["anomaly"], r["z"])
+            for r in daily_anomaly(
+                rd.from_arrow(t).repartition(4)).take_all()]
+    spikes = [r for r in rows if r[0] == "a" and r[1] == 40]
+    assert len(spikes) == 1 and spikes[0][2] is True
+    bs = [r for r in rows if r[0] == "b"]
+    assert len(bs) == 3 and all(r[3] == 0.0 and r[2] is False
+                                for r in bs)
