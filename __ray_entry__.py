@@ -2311,6 +2311,97 @@ def _q_vocab_stats_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_trade_balance(sf_dir: str):
+    """Per-nation two-sided revenue ledger (relational.py
+    trade_balance): broadcast dimension maps, per-order lineitem
+    pre-aggregation before the one large-large hash join."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import trade_balance
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"])
+    cu = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    na = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name"])
+    return trade_balance(li, od, cu, su, na)
+
+
+def _q_rfm(sf_dir: str):
+    """Customer RFM profile (relational.py rfm): join-free packed
+    partials + one O(customers) groupby + a streaming Max anchor."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import rfm
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    return rfm(od)
+
+
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 local supplier volume (relational.py
+    local_supplier_volume): broadcast dimension maps, per-order
+    pre-aggregation, ONE large-large hash join; date window pushed
+    into the orders scan."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import \
+        local_supplier_volume
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"],
+                         filter=(pc.field("o_orderdate") >= lo)
+                                & (pc.field("o_orderdate") < hi))
+    cu = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    na = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    re = rd.read_parquet(os.path.join(sf_dir, "region.parquet"),
+                         columns=["r_regionkey", "r_name"])
+    return local_supplier_volume(li, od, cu, su, na, re,
+                                 region_name="ASIA")
+
+
+def _q_banded_revenue(sf_dir: str):
+    """TPC-H Q19 banded discounted revenue (relational.py
+    banded_revenue): gated part-attribute broadcast, one vectorized
+    multi-band OR mask per batch, streaming scalar sum."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import banded_revenue
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    return banded_revenue(li, pt)
+
+
+def _q_priority_returns(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS report (relational.py priority_returns):
+    distinct returned-orderkey collapse + joins.semi_join membership,
+    <= 5 priority cells out."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import priority_returns
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_returnflag"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderpriority"])
+    return priority_returns(li, od)
+
+
 def _q_daily_anomaly(sf_dir: str):
     """Per-type daily volume z-scores (events.py daily_anomaly): one
     (type, day) pair groupby + O(types) exact integer moments."""
@@ -2749,6 +2840,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,                  # semantic dedup
         "basket_affinity": _q_basket_affinity,    # co-purchase pairs
         "daily_anomaly": _q_daily_anomaly,        # volume z-scores
+        "trade_balance": _q_trade_balance,        # two-sided ledger
+        "rfm": _q_rfm,                            # customer RFM
+        "local_supplier_volume": _q_local_supplier_volume,  # TPC-H Q5
+        "banded_revenue": _q_banded_revenue,      # TPC-H Q19 bands
+        "priority_returns": _q_priority_returns,  # TPC-H Q4 EXISTS
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
@@ -4261,6 +4357,69 @@ SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
        count(*) AS supplier_cnt
 FROM j GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "trade_balance": """
+WITH s AS (SELECT n_name AS nation, CAST(sum(
+    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      AS su
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey GROUP BY n_name),
+c AS (SELECT n_name AS nation, CAST(sum(
+    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      AS cu
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey GROUP BY n_name)
+SELECT coalesce(s.nation, c.nation) AS nation,
+       CAST(coalesce(s.su, 0) AS DOUBLE) / 10000.0 AS supp_revenue,
+       CAST(coalesce(c.cu, 0) AS DOUBLE) / 10000.0 AS cust_revenue,
+       CAST(coalesce(s.su, 0) - coalesce(c.cu, 0) AS DOUBLE) / 10000.0
+         AS balance
+FROM s FULL OUTER JOIN c ON s.nation = c.nation ORDER BY nation""",
+        "local_supplier_volume": """
+SELECT n_name AS nation,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, nation""",
+        "banded_revenue": """
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))), 0)
+       AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)""",
+        "priority_returns": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "rfm": """
+WITH pc AS (SELECT o_custkey,
+    max(o_orderdate) AS last_d, count(*) AS frequency,
+    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey),
+a AS (SELECT max(last_d) AS anchor FROM pc)
+SELECT o_custkey,
+       CAST(date_diff('day', last_d, anchor) AS BIGINT) AS recency_days,
+       frequency, CAST(cents AS DOUBLE) / 100.0 AS monetary
+FROM pc, a ORDER BY o_custkey""",
         "daily_anomaly": """
 WITH pd AS (SELECT event_type, CAST(ts AS DATE) AS day,
                    count(*) AS n_events FROM events GROUP BY 1, 2),

@@ -2026,3 +2026,440 @@ def basket_affinity(lineitem, part, min_count: int = 1,
 
     return counted.map_batches(finish, batch_format="pyarrow") \
         .sort(["type_a", "type_b"])
+
+
+def trade_balance(lineitem, orders, customer, supplier, nation,
+                  max_bcast_rows=_BCAST_JOIN_ROWS):
+    """Per-nation trade balance -> (nation, supp_revenue, cust_revenue,
+    balance): revenue each nation EARNS as the supplying side vs revenue
+    it SPENDS as the buying side of every lineitem, and the difference —
+    the Q5/Q7 machinery recomposed into a two-sided ledger.
+
+    Plan: the supplier side never joins large-large — the
+    supplier->nationkey map broadcasts (hash join above the gate) and
+    lineitem collapses per batch to <= 25 nation partials. The customer
+    side pre-aggregates lineitem to (orderkey, rev) partials BEFORE the
+    single large-large hash join with orders (the revenue_by_nation
+    plan), then the customer->nationkey map broadcasts. Both sides are
+    exact 1e-4 integer units; two O(nations) relations merge
+    driver-side."""
+    import pyarrow.compute as pc  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join, hash_join
+
+    # tiny nation map driver-side (25 rows by schema contract)
+    nat_tbl = pa.concat_tables(
+        [b for b in nation.select_columns(["n_nationkey", "n_name"])
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    name_of = dict(zip(
+        nat_tbl.column("n_nationkey").cast(pa.int64()).to_pylist(),
+        nat_tbl.column("n_name").to_pylist()))
+
+    def nat_partial(key_col):
+        def fn(b: pa.Table) -> pa.Table:
+            empty = pa.table({"nat": pa.array([], pa.int64()),
+                              "units": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            nat = b.column(key_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            rev = b.column("rev").to_numpy(zero_copy_only=False) \
+                if "rev" in b.column_names else _rev_units(
+                    b.column("l_extendedprice").to_numpy(
+                        zero_copy_only=False),
+                    b.column("l_discount").to_numpy(zero_copy_only=False))
+            uk, sums = _int_group_sums(nat, rev)
+            return pa.table({"nat": pa.array(uk, pa.int64()),
+                             "units": pa.array(sums, pa.int64())})
+        return fn
+
+    # --- supplier side: broadcast map onto the fact scan
+    smap = supplier.select_columns(["s_suppkey", "s_nationkey"])
+    li_s = lineitem.select_columns(
+        ["l_suppkey", "l_extendedprice", "l_discount"])
+    try:
+        li_s = broadcast_join(li_s, smap, on="l_suppkey",
+                              right_on="s_suppkey",
+                              max_rows=max_bcast_rows)
+    except ValueError:
+        li_s = hash_join(li_s, smap, on="l_suppkey", right_on="s_suppkey")
+    supp = li_s.map_batches(nat_partial("s_nationkey"),
+                            batch_format="pyarrow") \
+        .groupby("nat").aggregate(Sum("units", alias_name="supp_units"))
+
+    # --- customer side: pre-aggregate lineitem per order FIRST
+    def order_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ok = b.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        uk, sums = _int_group_sums(ok, rev)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "rev": pa.array(sums, pa.int64())})
+
+    li_o = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(order_partial, batch_format="pyarrow")
+    ordj = hash_join(li_o, orders.select_columns(
+        ["o_orderkey", "o_custkey"]), on="l_orderkey",
+        right_on="o_orderkey")
+    cmap = customer.select_columns(["c_custkey", "c_nationkey"])
+    try:
+        ordj = broadcast_join(ordj, cmap, on="o_custkey",
+                              right_on="c_custkey",
+                              max_rows=max_bcast_rows)
+    except ValueError:
+        ordj = hash_join(ordj, cmap, on="o_custkey", right_on="c_custkey")
+    cust = ordj.map_batches(nat_partial("c_nationkey"),
+                            batch_format="pyarrow") \
+        .groupby("nat").aggregate(Sum("units", alias_name="cust_units"))
+
+    # --- two O(nations) relations merge driver-side
+    def tiny(ds, col):
+        out: dict = {}
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            for k, v in zip(b.column("nat").to_pylist(),
+                            b.column(col).to_pylist()):
+                out[int(k)] = int(v)
+        return out
+
+    su, cu = tiny(supp, "supp_units"), tiny(cust, "cust_units")
+    nats = sorted(set(su) | set(cu))
+    names = [name_of[k] for k in nats]
+    order = np.argsort(np.asarray(names, object), kind="stable")
+    s_arr = np.array([su.get(nats[i], 0) for i in order], np.int64)
+    c_arr = np.array([cu.get(nats[i], 0) for i in order], np.int64)
+    return pa.table({
+        "nation": pa.array([names[i] for i in order], pa.string()),
+        "supp_revenue": pa.array(s_arr.astype(np.float64) / 10000.0,
+                                 pa.float64()),
+        "cust_revenue": pa.array(c_arr.astype(np.float64) / 10000.0,
+                                 pa.float64()),
+        "balance": pa.array((s_arr - c_arr).astype(np.float64) / 10000.0,
+                            pa.float64())})
+
+
+def rfm(orders):
+    """Customer RFM profile -> (o_custkey, recency_days, frequency,
+    monetary): days since the customer's last order (relative to the
+    GLOBAL latest order date), order count, and exact total spend — the
+    classic segmentation input (Hughes 1994), computed without any join.
+
+    Plan: per-batch packed partials (max date, count, cent sum per
+    customer) -> ONE native groupby over O(customers) rows; the global
+    anchor date is a streaming Max scalar. All arithmetic integer."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                          "last_d": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ck = b.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = b.column("o_orderdate").cast(pa.date32()).cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = half_away_scaled_int(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False), 100)
+        o = np.argsort(ck, kind="stable")
+        ck, d, cents = ck[o], d[o], cents[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ck[1:] != ck[:-1])))
+        return pa.table({
+            "o_custkey": pa.array(ck[starts], pa.int64()),
+            "last_d": pa.array(np.maximum.reduceat(d, starts), pa.int64()),
+            "n": pa.array(np.diff(np.append(starts, ck.size)), pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents, starts), pa.int64())})
+
+    per_cust = orders.select_columns(
+        ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            Max("last_d", alias_name="last_d"),
+            Sum("n", alias_name="frequency"),
+            Sum("cents", alias_name="cents")).materialize()
+    anchor = per_cust.aggregate(Max("last_d", alias_name="m")).get("m")
+    if anchor is None:
+        return pa.table({"o_custkey": pa.array([], pa.int64()),
+                         "recency_days": pa.array([], pa.int64()),
+                         "frequency": pa.array([], pa.int64()),
+                         "monetary": pa.array([], pa.float64())})
+    anchor = int(anchor)
+
+    def finish(b: pa.Table) -> pa.Table:
+        last = b.column("last_d").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = b.column("cents").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "recency_days": pa.array(anchor - last, pa.int64()),
+            "frequency": b.column("frequency").cast(pa.int64()),
+            "monetary": pa.array(cents.astype(np.float64) / 100.0,
+                                 pa.float64())})
+
+    return per_cust.map_batches(finish, batch_format="pyarrow") \
+        .sort("o_custkey")
+
+
+def local_supplier_volume(lineitem, orders, customer, supplier, nation,
+                          region, region_name: str = "ASIA",
+                          max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q5 local supplier volume -> (nation, revenue): revenue from
+    lineitems where the CUSTOMER and the SUPPLIER sit in the same nation,
+    restricted to one region (the classic "local fulfilment" report).
+    The date window is the caller's concern (push it into the orders
+    scan — see read_revenue_inputs).
+
+    Plan: nation x region resolve driver-side (25 x 5 rows by schema
+    contract) to the in-region nation set. The supplier->nationkey map
+    broadcasts onto lineitem (hash join above the gate), which filters
+    to in-region supplier nations and collapses per batch to
+    (orderkey, supp-nation) revenue partials — the only rows that cross
+    the ONE large-large hash join with the date-filtered orders side
+    (customer map broadcast the same way). The local condition
+    c_nationkey == s_nationkey applies per batch after the join; the
+    final groupby sees <= 5 nation cells. Exact 1e-4 integer units."""
+    import pyarrow.compute as pc  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    def _tiny(ds, cols):
+        tbl = pa.concat_tables(
+            [b for b in ds.select_columns(list(cols))
+             .iter_batches(batch_format="pyarrow") if b.num_rows])
+        return {int(k): v for k, v in zip(
+            tbl.column(cols[0]).cast(pa.int64()).to_pylist(),
+            tbl.column(cols[1]).to_pylist())}
+
+    rname_of = _tiny(region, ("r_regionkey", "r_name"))
+    rkey = next((k for k, v in rname_of.items() if v == region_name),
+                None)
+    if rkey is None:
+        raise ValueError(f"unknown region {region_name!r}")
+    name_of = _tiny(nation, ("n_nationkey", "n_name"))
+    reg_of = _tiny(nation, ("n_nationkey", "n_regionkey"))
+    nats = np.array(sorted(k for k, r in reg_of.items() if r == rkey),
+                    np.int64)
+    # <=25 nations by contract: 5-bit packed index
+    idx_of = np.full(int(nats.max()) + 1 if nats.size else 1, -1,
+                     np.int64)
+    idx_of[nats] = np.arange(nats.size, dtype=np.int64)
+
+    smap = supplier.select_columns(["s_suppkey", "s_nationkey"])
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    try:
+        li = broadcast_join(li, smap, on="l_suppkey",
+                            right_on="s_suppkey", max_rows=max_bcast_rows)
+    except ValueError:
+        li = hash_join(li, smap, on="l_suppkey", right_on="s_suppkey")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "snat": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        snat = b.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = np.isin(snat, nats)
+        if not m.any():
+            return empty
+        ok = b.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[m],
+            b.column("l_discount").to_numpy(zero_copy_only=False)[m])
+        packed = (ok << np.int64(5)) | idx_of[snat[m]]
+        uk, sums = _int_group_sums(packed, rev)
+        return pa.table({
+            "l_orderkey": pa.array(uk >> np.int64(5), pa.int64()),
+            "snat": pa.array(nats[uk & np.int64(0x1F)], pa.int64()),
+            "rev": pa.array(sums, pa.int64())})
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow")
+
+    cmap = customer.select_columns(["c_custkey", "c_nationkey"])
+    ords = orders.select_columns(["o_orderkey", "o_custkey"])
+    try:
+        ords = broadcast_join(ords, cmap, on="o_custkey",
+                              right_on="c_custkey",
+                              max_rows=max_bcast_rows)
+    except ValueError:
+        ords = hash_join(ords, cmap, on="o_custkey", right_on="c_custkey")
+
+    joined = hash_join(li_agg, ords, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def local_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"nat": pa.array([], pa.int64()),
+                          "units": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        snat = b.column("snat").to_numpy(zero_copy_only=False)
+        cnat = b.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = snat == cnat
+        if not m.any():
+            return empty
+        rev = b.column("rev").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[m]
+        uk, sums = _int_group_sums(snat[m], rev)
+        return pa.table({"nat": pa.array(uk, pa.int64()),
+                         "units": pa.array(sums, pa.int64())})
+
+    per_nat = joined.map_batches(local_partial, batch_format="pyarrow") \
+        .groupby("nat").aggregate(Sum("units", alias_name="units"))
+
+    # O(region nations) relation: finish + order driver-side on the
+    # exact INTEGER units (never the derived float), then name asc
+    rows = []
+    for b in per_nat.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(b.column("nat").to_pylist(),
+                        b.column("units").to_pylist()))
+    rows.sort(key=lambda r: (-int(r[1]), name_of[int(r[0])]))
+    return pa.table({
+        "nation": pa.array([name_of[int(k)] for k, _ in rows],
+                           pa.string()),
+        "revenue": pa.array([int(u) / 10000.0 for _, u in rows],
+                            pa.float64())})
+
+
+#: Q19-style (brand, size_lo, size_hi, qty_lo, qty_hi) revenue bands.
+_DEFAULT_BANDS = (("Brand#12", 1, 15, 1, 21),
+                  ("Brand#23", 1, 25, 10, 30),
+                  ("Brand#34", 1, 35, 20, 40))
+
+
+def banded_revenue(lineitem, part, bands=_DEFAULT_BANDS,
+                   max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q19 discounted-revenue-in-bands -> one (revenue) row: sum of
+    discounted revenue over lineitems whose part matches ANY
+    (brand, size range, quantity range) band — the classic multi-predicate
+    OR that a warehouse pushes into one scan.
+
+    Plan: the part attribute map (partkey -> brand id, size) broadcasts
+    (hash join above the gate); each batch evaluates all bands as one
+    vectorized OR mask and emits a single integer-unit partial; the
+    final sum is a streaming scalar. Nothing but 1-row partials ever
+    crosses a wire."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    brands = sorted({b[0] for b in bands})
+    bid_of = {br: i for i, br in enumerate(brands)}
+
+    def attr_map(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        bid = np.full(b.num_rows, -1, np.int64)
+        br = b.column("p_brand").to_pylist()
+        for i, v in enumerate(br):
+            if v in bid_of:
+                bid[i] = bid_of[v]
+        return pa.table({
+            "p_partkey": pc.cast(b.column("p_partkey"), pa.int64()),
+            "bid": pa.array(bid, pa.int64()),
+            "p_size": pc.cast(b.column("p_size"), pa.int64())})
+
+    pmap = part.select_columns(["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(attr_map, batch_format="pyarrow")
+    li = lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    try:
+        li = broadcast_join(li, pmap, on="l_partkey",
+                            right_on="p_partkey", max_rows=max_bcast_rows)
+    except ValueError:
+        li = hash_join(li, pmap, on="l_partkey", right_on="p_partkey")
+
+    band_arr = [(bid_of[br], s_lo, s_hi, q_lo, q_hi)
+                for br, s_lo, s_hi, q_lo, q_hi in bands]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"units": pa.array([], pa.int64())})
+        bid = b.column("bid").to_numpy(zero_copy_only=False)
+        size = b.column("p_size").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = np.zeros(b.num_rows, bool)
+        for bi, s_lo, s_hi, q_lo, q_hi in band_arr:
+            m |= ((bid == bi) & (size >= s_lo) & (size <= s_hi)
+                  & (qty >= q_lo) & (qty <= q_hi))
+        if not m.any():
+            return pa.table({"units": pa.array([], pa.int64())})
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[m],
+            b.column("l_discount").to_numpy(zero_copy_only=False)[m])
+        return pa.table({"units": pa.array([int(rev.sum())], pa.int64())})
+
+    total = li.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("units", alias_name="units"))
+    units = int(total.get("units") or 0)
+    return pa.table({"revenue": pa.array([units / 10000.0],
+                                         pa.float64())})
+
+
+def priority_returns(lineitem, orders,
+                     max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q4-shaped priority report -> (o_orderpriority, order_count):
+    how many orders of each priority had AT LEAST ONE returned lineitem
+    (l_returnflag = 'R') — an EXISTS semi-join counted per category.
+
+    Plan: lineitem filters to returns and collapses per batch to
+    distinct orderkeys; joins.semi_join emits each qualifying order
+    exactly ONCE regardless of how many lines were returned (gated
+    broadcast of the distinct-key relation, co-partitioned membership
+    scan above it); per-batch (priority, n) partials collapse to <= 5
+    cells before the final tiny groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import semi_join
+
+    def returned_keys(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        m = pc.equal(b.column("l_returnflag"), "R")
+        ok = b.filter(m).column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if ok.size == 0:
+            return empty
+        return pa.table({"l_orderkey": pa.array(np.unique(ok),
+                                                pa.int64())})
+
+    keys = lineitem.select_columns(["l_orderkey", "l_returnflag"]) \
+        .map_batches(returned_keys, batch_format="pyarrow")
+    hit = semi_join(orders.select_columns(
+        ["o_orderkey", "o_orderpriority"]), keys,
+        on="o_orderkey", right_on="l_orderkey",
+        max_bcast_rows=max_bcast_rows)
+
+    def prio_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        enc = b.column("o_orderpriority").dictionary_encode()
+        codes = np.asarray(enc.combine_chunks().indices.to_numpy(
+            zero_copy_only=False), np.int64)
+        cats = enc.combine_chunks().dictionary.to_pylist()
+        cnt = np.bincount(codes, minlength=len(cats))
+        return pa.table({
+            "o_orderpriority": pa.array(cats, pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return hit.map_batches(prio_partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("n", alias_name="order_count")) \
+        .sort("o_orderpriority")

@@ -439,3 +439,190 @@ def test_daily_anomaly_flags_spike_and_zero_variance(ray_session):
     bs = [r for r in rows if r[0] == "b"]
     assert len(bs) == 3 and all(r[3] == 0.0 and r[2] is False
                                 for r in bs)
+
+
+def test_trade_balance_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import trade_balance
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+    cu = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    na = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    t = trade_balance(li, od, cu, su, na)
+    got = list(zip(t.column("nation").to_pylist(),
+                   t.column("supp_revenue").to_pylist(),
+                   t.column("cust_revenue").to_pylist(),
+                   t.column("balance").to_pylist()))
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH s AS (SELECT n_name AS nation, CAST(sum(
+    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      AS su
+    FROM '{sf_dir}/lineitem.parquet'
+    JOIN '{sf_dir}/supplier.parquet' ON s_suppkey = l_suppkey
+    JOIN '{sf_dir}/nation.parquet' ON n_nationkey = s_nationkey
+    GROUP BY n_name),
+c AS (SELECT n_name AS nation, CAST(sum(
+    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      AS cu
+    FROM '{sf_dir}/lineitem.parquet'
+    JOIN '{sf_dir}/orders.parquet' ON o_orderkey = l_orderkey
+    JOIN '{sf_dir}/customer.parquet' ON c_custkey = o_custkey
+    JOIN '{sf_dir}/nation.parquet' ON n_nationkey = c_nationkey
+    GROUP BY n_name)
+SELECT coalesce(s.nation, c.nation),
+       CAST(coalesce(s.su, 0) AS DOUBLE) / 10000.0,
+       CAST(coalesce(c.cu, 0) AS DOUBLE) / 10000.0,
+       CAST(coalesce(s.su, 0) - coalesce(c.cu, 0) AS DOUBLE) / 10000.0
+FROM s FULL OUTER JOIN c ON s.nation = c.nation
+ORDER BY 1""").fetchall()]
+    assert got == want and len(got) > 0
+    assert abs(sum(r[3] for r in got)) < 1e-6   # ledger sums to zero
+
+
+def test_rfm_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import rfm
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    got = [(r["o_custkey"], r["recency_days"], r["frequency"],
+            r["monetary"]) for r in rfm(od).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH pc AS (SELECT o_custkey,
+    max(o_orderdate) AS last_d, count(*) AS frequency,
+    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey),
+a AS (SELECT max(last_d) AS anchor FROM pc)
+SELECT o_custkey, CAST(date_diff('day', last_d, anchor) AS BIGINT),
+       frequency, CAST(cents AS DOUBLE) / 100.0
+FROM pc, a ORDER BY o_custkey""").fetchall()]
+    assert got == want and len(got) > 0
+    assert min(r[1] for r in got) == 0    # someone ordered on anchor day
+
+
+def test_local_supplier_volume_matches_duckdb(ray_session, sf_dir):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import \
+        local_supplier_volume
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"],
+                         filter=(pc.field("o_orderdate") >= lo)
+                                & (pc.field("o_orderdate") < hi))
+    cu = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    na = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    re = rd.read_parquet(f"{sf_dir}/region.parquet",
+                         columns=["r_regionkey", "r_name"])
+    t = local_supplier_volume(li, od, cu, su, na, re, region_name="ASIA")
+    got = list(zip(t.column("nation").to_pylist(),
+                   t.column("revenue").to_pylist()))
+    want = [tuple(r) for r in duckdb.sql(f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM '{sf_dir}/lineitem.parquet'
+JOIN '{sf_dir}/orders.parquet' ON o_orderkey = l_orderkey
+JOIN '{sf_dir}/customer.parquet' ON c_custkey = o_custkey
+JOIN '{sf_dir}/supplier.parquet' ON s_suppkey = l_suppkey
+JOIN '{sf_dir}/nation.parquet' ON n_nationkey = s_nationkey
+JOIN '{sf_dir}/region.parquet' ON r_regionkey = n_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_banded_revenue_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import banded_revenue
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    pt = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    t = banded_revenue(li, pt)
+    got = t.column("revenue").to_pylist()
+    want = duckdb.sql(f"""
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))), 0)
+       AS DOUBLE) / 10000.0
+FROM '{sf_dir}/lineitem.parquet'
+JOIN '{sf_dir}/part.parquet' ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)""").fetchall()[0][0]
+    assert got == [want] and want > 0
+
+
+def test_banded_revenue_no_match_is_zero(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import banded_revenue
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    pt = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    t = banded_revenue(li, pt, bands=(("Brand#99", 1, 1, 1, 1),))
+    assert t.column("revenue").to_pylist() == [0.0]
+
+
+def test_priority_returns_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import priority_returns
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority"])
+    got = [(r["o_orderpriority"], r["order_count"])
+           for r in priority_returns(li, od).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+SELECT o_orderpriority, count(*)
+FROM '{sf_dir}/orders.parquet'
+WHERE EXISTS (SELECT 1 FROM '{sf_dir}/lineitem.parquet'
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_priority_returns_forced_hash_path(ray_session, sf_dir):
+    # max_bcast_rows=0 forces the co-partitioned membership scan
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import priority_returns
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority"])
+    a = [(r["o_orderpriority"], r["order_count"])
+         for r in priority_returns(li, od).take_all()]
+    li2 = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_returnflag"])
+    od2 = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_orderpriority"])
+    b = [(r["o_orderpriority"], r["order_count"])
+         for r in priority_returns(li2, od2,
+                                   max_bcast_rows=0).take_all()]
+    assert a == b
