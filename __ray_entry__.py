@@ -27,6 +27,12 @@ if _REPO_DIR not in sys.path:
 
 from ics_search_engine_ray.config import DEFAULT_CONFIG, STOP_WORDS
 
+#: config.STOP_WORDS as a SQL IN-list (apostrophes doubled). The
+#: apostrophe-bearing entries can never match a [a-z0-9]+ regex token —
+#: consistently inert on both the Ray and the DuckDB side.
+_SQL_STOPLIST = ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in sorted(STOP_WORDS))
+
 
 def _register_by_value() -> None:
     """Ship the package to Ray workers by value.
@@ -601,6 +607,34 @@ def _q_embedding_norm_topk(sf_dir: str):
     top-k combiner, k-row global sort."""
     from ics_search_engine_ray.stages.similarity import embedding_norm_topk
     return embedding_norm_topk(_read_emb(sf_dir), k=20)
+
+
+def _q_embed_covariance(sf_dir: str):
+    """Exact sample covariance of the embedding column (similarity.py
+    embed_covariance): one int64 matmul per batch, <= d^2+d+1 keyed
+    integer partials into a native groupby, O(d^2) driver finish with
+    arbitrary-precision ints."""
+    from ics_search_engine_ray.stages.similarity import embed_covariance
+    return embed_covariance(_read_emb(sf_dir))
+
+
+def _q_quantize_embeddings(sf_dir: str):
+    """Min-max int8-style scalar quantization (similarity.py
+    quantize_embeddings): O(dim) range table from one streaming pass,
+    then a pure code map — every float op replayed verbatim in SQL."""
+    from ics_search_engine_ray.stages.similarity import \
+        quantize_embeddings
+    return quantize_embeddings(_read_emb(sf_dir))
+
+
+def _q_stopword_density(sf_dir: str):
+    """Per-source stopword density (text_analysis.py stopword_density):
+    regex-alphabet tokens, per-batch (source, tok, stop) integer
+    partials, one IEEE division at the end."""
+    from ics_search_engine_ray.stages.text_analysis import \
+        stopword_density
+    return stopword_density(
+        _read_docs(sf_dir, columns=("source", "text")))
 
 
 def _q_kmeans_clusters(sf_dir: str):
@@ -2780,6 +2814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_scores": _q_logreg_scores,        # trained-model scoring
         "kmeans_clusters": _q_kmeans_clusters,    # distributed Lloyd's
         "embedding_dim_stats": _q_embedding_dim_stats,  # vector-col profile
+        "embed_covariance": _q_embed_covariance,  # exact cov matrix
+        "quantize_embeddings": _q_quantize_embeddings,  # min-max codes
+        "stopword_density": _q_stopword_density,  # per-source density
         "ks_per_source": _q_ks_per_source,        # KS drift per source
         "gini_per_nation": _q_gini_per_nation,    # inequality metric
         "blocklist_filter": _q_blocklist_filter,  # bad-word doc filter
@@ -4577,6 +4614,46 @@ SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
        min(q) AS min_q, max(q) AS max_q,
        (CAST(sum(q) AS DOUBLE) / count(*)) / 1000000.0 AS mean
 FROM q GROUP BY dim ORDER BY dim""",
+        "embed_covariance": """
+WITH v AS (SELECT vec_id,
+        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+             AS BIGINT) AS u
+    FROM embeddings),
+nn AS (SELECT count(DISTINCT vec_id) AS n FROM v),
+sx AS (SELECT i, sum(u) AS s FROM v GROUP BY i),
+sxy AS (SELECT a.i AS i, b.i AS j, sum(a.u * b.u) AS s
+        FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i)
+SELECT sxy.i, sxy.j, nn.n AS n,
+       CAST(nn.n * sxy.s - sa.s * sb.s AS DOUBLE)
+         / CAST(nn.n * (nn.n - 1) AS DOUBLE) / 1000000000000.0 AS cov
+FROM sxy, nn
+JOIN sx sa ON sa.i = sxy.i
+JOIN sx sb ON sb.i = sxy.j
+ORDER BY sxy.i, sxy.j""",
+        "quantize_embeddings": """
+WITH v AS (SELECT vec_id,
+        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings),
+r AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM v GROUP BY dim)
+SELECT v.vec_id, v.dim,
+       CASE WHEN r.mx > r.mn
+            THEN CAST(round((v.x - r.mn) / (r.mx - r.mn) * 255, 0)
+                      AS BIGINT)
+            ELSE 0 END AS code
+FROM v JOIN r ON v.dim = r.dim ORDER BY v.vec_id, v.dim""",
+        "stopword_density": f"""
+WITH toks AS (SELECT source,
+        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents)
+SELECT source, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN term IN ({_SQL_STOPLIST}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stop,
+       CAST(sum(CASE WHEN term IN ({_SQL_STOPLIST}) THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS stop_frac
+FROM toks GROUP BY source ORDER BY source""",
         "embedding_norm_topk": """
 WITH e AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
 q AS (SELECT vec_id,

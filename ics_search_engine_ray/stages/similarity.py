@@ -711,3 +711,168 @@ def embedding_norm_topk(embeds, k: int = 20, largest: bool = True,
     return embeds.select_columns([id_col, vec_col]) \
         .map_batches(local_topk, batch_format="pyarrow") \
         .sort(["normsq_q", id_col], descending=[largest, False]).limit(k)
+
+
+def embed_covariance(embeds, vec_col: str = "embedding",
+                     scale: int = 1_000_000):
+    """Exact sample covariance matrix of the embedding column ->
+    (i, j, n, cov) for every upper-triangle dim pair i <= j — the input
+    to whitening / PCA-style diagnostics over a vector corpus.
+
+    Exactness contract: coordinates quantize to ``round(x*scale)``
+    micro-units (half-away int64, same as embedding_dim_stats), so the
+    cross-moment matrix is an order-independent INTEGER sum; the only
+    floats are the final ``cov = f64(n*Sxy - Sx*Sy) / f64(n*(n-1)) /
+    scale^2`` — three IEEE ops replayed verbatim in the SQL oracle.
+
+    Scale shape: per batch ONE int64 matmul (``q.T @ q``, d x d) plus
+    column sums and a row count ride as <= d^2 + d + 1 keyed integer
+    partials into a native groupby — the vectors themselves never
+    shuffle, and the merged relation is O(d^2) regardless of corpus
+    size. The d^2-cell finish runs driver-side with arbitrary-precision
+    Python ints (``n*Sxy - Sx*Sy`` overflows int64 around 1e6 rows; the
+    int64 partial sums themselves hold to ~1e7 rows x unit-norm vectors
+    — the embedding_dim_stats overflow stance, documented not guarded).
+    """
+    from ray.data.aggregate import Sum
+
+    from .common import half_away_scaled_int
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        q = half_away_scaled_int(_list_col_np(b.column(vec_col)), scale)
+        if q.size == 0:
+            return empty
+        d = q.shape[1]
+        xtx = q.T @ q                      # (d, d) int64 exact
+        iu, ju = np.triu_indices(d)
+        keys = np.concatenate([
+            iu.astype(np.int64) * d + ju,                  # pair cells
+            np.int64(d) * d + np.arange(d, dtype=np.int64),  # col sums
+            np.array([d * d + d], np.int64)])              # row count
+        vals = np.concatenate([
+            xtx[iu, ju],
+            q.sum(axis=0, dtype=np.int64),
+            np.array([q.shape[0]], np.int64)])
+        return pa.table({"k": pa.array(keys, pa.int64()),
+                         "v": pa.array(vals, pa.int64())})
+
+    merged = embeds.select_columns([vec_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("v", alias_name="v"))
+
+    cells: dict = {}
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b.column("k").to_pylist(),
+                        b.column("v").to_pylist()):
+            cells[int(k)] = int(v)
+    empty = pa.table({"i": pa.array([], pa.int64()),
+                      "j": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "cov": pa.array([], pa.float64())})
+    if not cells:
+        return empty
+    # d decodes from the largest key: n's key is d^2 + d
+    mk = max(cells)
+    d = int((-1 + (1 + 4 * mk) ** 0.5) / 2 + 0.5)
+    assert d * d + d == mk, "inconsistent key space"
+    n = cells[mk]
+    if n < 2:
+        return empty
+    sx = [cells.get(d * d + i, 0) for i in range(d)]
+    ii, jj, cov = [], [], []
+    den = float(n * (n - 1))
+    sc2 = float(scale) * float(scale)
+    for i in range(d):
+        for j in range(i, d):
+            sxy = cells.get(i * d + j, 0)
+            ii.append(i)
+            jj.append(j)
+            cov.append(float(n * sxy - sx[i] * sx[j]) / den / sc2)
+    return pa.table({"i": pa.array(ii, pa.int64()),
+                     "j": pa.array(jj, pa.int64()),
+                     "n": pa.array([n] * len(ii), pa.int64()),
+                     "cov": pa.array(cov, pa.float64())})
+
+
+def quantize_embeddings(embeds, vec_col: str = "embedding",
+                        id_col: str = "vec_id", levels: int = 255):
+    """Per-dimension min-max scalar quantization of the embedding column
+    -> (id, dim, code) with ``code = round((x - mn_d)/(mx_d - mn_d) *
+    levels)`` — the standard int8-codebook compression pass before an
+    ANN index ships to storage.
+
+    Two streaming passes: (1) per-batch per-dim (min, max) float
+    partials -> native groupby -> an O(dim) range table that rides the
+    task closure; (2) a pure map emitting codes. Every arithmetic step
+    is the same IEEE double expression the SQL oracle runs (float32
+    coordinates widen exactly; min/max are exact elements; one
+    subtraction, one division, one multiply, half-away round), so codes
+    hash-match bit-for-bit. Constant dimensions (mx == mn) code to 0.
+
+    The exploded (id, dim, code) layout is the oracle-comparable face;
+    a production sink would re-pack to one ``list<int8>`` per row in
+    the same batch map (no extra pass) — layout choice, not plan.
+    """
+    from ray.data.aggregate import Max, Min, Sum  # noqa: F401
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"dim": pa.array([], pa.int64()),
+                          "mn": pa.array([], pa.float64()),
+                          "mx": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        v = _list_col_np(b.column(vec_col))
+        if v.size == 0:
+            return empty
+        d = v.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "mn": pa.array(v.min(axis=0), pa.float64()),
+            "mx": pa.array(v.max(axis=0), pa.float64())})
+
+    rng = embeds.select_columns([vec_col]) \
+        .map_batches(mm_partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(Min("mn", alias_name="mn"),
+                                  Max("mx", alias_name="mx"))
+    dims, mns, mxs = [], [], []
+    for b in rng.iter_batches(batch_format="pyarrow"):
+        dims.extend(b.column("dim").to_pylist())
+        mns.extend(b.column("mn").to_pylist())
+        mxs.extend(b.column("mx").to_pylist())
+    if not dims:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "code": pa.array([], pa.int64())})
+    order = np.argsort(np.asarray(dims))
+    mn = np.asarray(mns, np.float64)[order]
+    mx = np.asarray(mxs, np.float64)[order]
+    span_ok = mx > mn
+    lv = float(levels)
+
+    from .common import half_away_scaled_int
+
+    def codes(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "code": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ids = b.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = _list_col_np(b.column(vec_col))
+        nrm = np.where(span_ok, (v - mn) / np.where(span_ok, mx - mn, 1.0)
+                       * lv, 0.0)
+        c = half_away_scaled_int(nrm, 1)
+        n, d = v.shape
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n),
+                            pa.int64()),
+            "code": pa.array(c.ravel(), pa.int64())})
+
+    return embeds.select_columns([id_col, vec_col]) \
+        .map_batches(codes, batch_format="pyarrow")

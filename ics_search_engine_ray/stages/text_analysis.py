@@ -2445,3 +2445,73 @@ def readability(docs):
 
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def stopword_density(docs, source_col: str = "source",
+                     text_col: str = "text"):
+    """Per-source stopword density -> (source, n_tokens, n_stop,
+    stop_frac): what fraction of a source's token mass is function
+    words — a cheap corpus-quality / language-drift signal (machine-
+    generated and keyword-stuffed sources sit far from natural prose).
+
+    Tokens are the oracle-replayable regex alphabet (``[a-z0-9]+`` over
+    lowercased text — the pmi_collocations contract, NOT the Porter
+    pipeline tokenizer); the stopword list is config.STOP_WORDS inlined
+    into the SQL. Per batch one (source, n_tok, n_stop) integer partial
+    per distinct source -> native groupby Sum -> one IEEE division.
+    Apostrophe-bearing stopwords can never match a regex token on
+    either side — consistently dead weight, not a divergence."""
+    from ray.data.aggregate import Sum
+
+    stop = frozenset(STOP_WORDS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "tok": pa.array([], pa.int64()),
+                          "stp": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        srcs = b.column(source_col).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        agg: dict = {}
+        for s, x in zip(srcs, texts):
+            toks = TOKEN_RE.findall((x or "").lower())
+            t, p = agg.get(s, (0, 0))
+            agg[s] = (t + len(toks),
+                      p + sum(1 for w in toks if w in stop))
+        keys = sorted(agg)
+        return pa.table({
+            "source": pa.array(keys, pa.string()),
+            "tok": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "stp": pa.array([agg[k][1] for k in keys], pa.int64())})
+
+    merged = docs.select_columns([source_col, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("tok", alias_name="n_tokens"),
+                                     Sum("stp", alias_name="n_stop"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_stop": pa.array([], pa.int64()),
+                          "stop_frac": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        nt = b.column("n_tokens").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ns = b.column("n_stop").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # a source whose docs tokenize to nothing has no rows in the
+        # SQL unnest — drop it here too rather than invent a 0/0 row
+        m = nt > 0
+        nt, ns = nt[m], ns[m]
+        frac = ns.astype(np.float64) / nt.astype(np.float64)
+        return pa.table({
+            "source": b.column("source").cast(pa.string())
+            .filter(pa.array(m)),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_stop": pa.array(ns, pa.int64()),
+            "stop_frac": pa.array(frac, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow") \
+        .sort("source")

@@ -1,0 +1,117 @@
+"""Wave-13 operators: exact embedding covariance, min-max scalar
+quantization, per-source stopword density."""
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+
+def _emb(sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def test_embed_covariance_matches_duckdb(ray_session, sf_dir):
+    from ics_search_engine_ray.stages.similarity import embed_covariance
+    t = embed_covariance(_emb(sf_dir))
+    got = list(zip(t.column("i").to_pylist(), t.column("j").to_pylist(),
+                   t.column("n").to_pylist(),
+                   t.column("cov").to_pylist()))
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH v AS (SELECT vec_id,
+        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+             AS BIGINT) AS u
+    FROM '{sf_dir}/embeddings.parquet'),
+nn AS (SELECT count(DISTINCT vec_id) AS n FROM v),
+sx AS (SELECT i, sum(u) AS s FROM v GROUP BY i),
+sxy AS (SELECT a.i AS i, b.i AS j, sum(a.u * b.u) AS s
+        FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i)
+SELECT sxy.i, sxy.j, nn.n,
+       CAST(nn.n * sxy.s - sa.s * sb.s AS DOUBLE)
+         / CAST(nn.n * (nn.n - 1) AS DOUBLE) / 1000000000000.0
+FROM sxy, nn
+JOIN sx sa ON sa.i = sxy.i
+JOIN sx sb ON sb.i = sxy.j
+ORDER BY sxy.i, sxy.j""").fetchall()]
+    assert got == want and len(got) == 64 * 65 // 2
+    # diagonal is a variance: strictly positive for real data
+    assert all(c > 0 for i, j, _, c in got if i == j)
+
+
+def test_embed_covariance_agrees_with_numpy(ray_session, sf_dir):
+    from ics_search_engine_ray.stages.similarity import embed_covariance
+    import pyarrow.parquet as pq
+    t = embed_covariance(_emb(sf_dir))
+    x = np.array(pq.read_table(f"{sf_dir}/embeddings.parquet")
+                 .column("embedding").to_pylist(), np.float64)
+    q = (np.floor(np.abs(x * 1e6) + 0.5) * np.sign(x * 1e6))
+    ref = np.cov(q.T, ddof=1) / 1e12
+    for i, j, _, c in zip(t.column("i").to_pylist(),
+                          t.column("j").to_pylist(),
+                          t.column("n").to_pylist(),
+                          t.column("cov").to_pylist()):
+        assert abs(c - ref[i, j]) < 1e-9
+
+
+def test_quantize_embeddings_matches_duckdb(ray_session, sf_dir):
+    from ics_search_engine_ray.stages.similarity import quantize_embeddings
+    rows = quantize_embeddings(_emb(sf_dir)).take_all()
+    got = sorted((r["vec_id"], r["dim"], r["code"]) for r in rows)
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH v AS (SELECT vec_id,
+        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM '{sf_dir}/embeddings.parquet'),
+r AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM v GROUP BY dim)
+SELECT v.vec_id, v.dim,
+       CASE WHEN r.mx > r.mn
+            THEN CAST(round((v.x - r.mn) / (r.mx - r.mn) * 255, 0)
+                      AS BIGINT)
+            ELSE 0 END
+FROM v JOIN r ON v.dim = r.dim ORDER BY v.vec_id, v.dim""").fetchall()]
+    assert got == want and len(got) > 0
+    codes = [c for _, _, c in got]
+    assert min(codes) == 0 and max(codes) == 255
+
+
+def test_quantize_constant_dim_codes_zero(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.similarity import quantize_embeddings
+    tbl = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array(
+                        [[1.0, 0.0], [1.0, 0.5], [1.0, 1.0]],
+                        pa.list_(pa.float32()))})
+    rows = quantize_embeddings(rd.from_arrow(tbl)).take_all()
+    got = {(r["vec_id"], r["dim"]): r["code"] for r in rows}
+    assert got[(0, 0)] == got[(1, 0)] == got[(2, 0)] == 0  # constant dim
+    assert got[(0, 1)] == 0 and got[(1, 1)] == 128 and got[(2, 1)] == 255
+
+
+def test_stopword_density_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import stopword_density
+    from __ray_entry__ import _SQL_STOPLIST
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    t = pa.concat_tables([pa.Table.from_batches([b]) if not
+                          isinstance(b, pa.Table) else b
+                          for b in stopword_density(docs)
+                          .iter_batches(batch_format="pyarrow")])
+    got = list(zip(t.column("source").to_pylist(),
+                   t.column("n_tokens").to_pylist(),
+                   t.column("n_stop").to_pylist(),
+                   t.column("stop_frac").to_pylist()))
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH toks AS (SELECT source,
+        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM '{sf_dir}/documents.parquet')
+SELECT source, count(*),
+       CAST(sum(CASE WHEN term IN ({_SQL_STOPLIST}) THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(sum(CASE WHEN term IN ({_SQL_STOPLIST}) THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE)
+FROM toks GROUP BY source ORDER BY source""").fetchall()]
+    assert got == want and len(got) > 0
+    assert all(0.0 <= f <= 1.0 for _, _, _, f in got)
