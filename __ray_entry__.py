@@ -2436,6 +2436,39 @@ def _q_priority_returns(sf_dir: str):
     return priority_returns(li, od)
 
 
+def _q_pareto_share(sf_dir: str):
+    """Top-1%-user value concentration (events.py pareto_share):
+    O(users) groupby + rank.global_rank (no global sort, no driver
+    top-k) + two streaming sums."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import pareto_share
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    return pareto_share(ev)
+
+
+def _q_char_frequency_per_source(sf_dir: str):
+    """Per-source character distribution (text_analysis.py
+    char_frequency_per_source): one bincount(256) per (batch, source),
+    O(sources x 36) cells shuffle."""
+    from ics_search_engine_ray.stages.text_analysis import \
+        char_frequency_per_source
+    return char_frequency_per_source(
+        _read_docs(sf_dir, columns=("source", "text")))
+
+
+def _q_customer_value_deciles(sf_dir: str):
+    """Customer spend deciles (relational.py customer_value_deciles):
+    exact global rank via equi-depth bins + prefix offsets, decile is a
+    pure map, ten integer cells aggregate."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import \
+        customer_value_deciles
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+    return customer_value_deciles(od)
+
+
 def _q_daily_anomaly(sf_dir: str):
     """Per-type daily volume z-scores (events.py daily_anomaly): one
     (type, day) pair groupby + O(types) exact integer moments."""
@@ -2882,6 +2915,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,  # TPC-H Q5
         "banded_revenue": _q_banded_revenue,      # TPC-H Q19 bands
         "priority_returns": _q_priority_returns,  # TPC-H Q4 EXISTS
+        "pareto_share": _q_pareto_share,          # top-1% concentration
+        "char_frequency_per_source": _q_char_frequency_per_source,
+        "customer_value_deciles": _q_customer_value_deciles,
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
@@ -4446,6 +4482,48 @@ FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "pareto_share": """
+WITH pu AS (SELECT user_id, CAST(sum(CAST(round(value * 100, 0)
+                AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY user_id),
+st AS (SELECT count(*) AS n,
+              greatest(1, (count(*) + 99) // 100) AS k,
+              CAST(sum(cents) AS BIGINT) AS tt FROM pu),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS rn FROM pu),
+tp AS (SELECT CAST(coalesce(sum(r.cents), 0) AS BIGINT) AS tc
+       FROM r, st WHERE r.rn > st.n - st.k)
+SELECT st.n AS n_users, CAST(st.k AS BIGINT) AS k_users,
+       CAST(tp.tc AS DOUBLE) / 100.0 AS top_value,
+       CAST(st.tt AS DOUBLE) / 100.0 AS total_value,
+       CAST(tp.tc AS DOUBLE) / CAST(st.tt AS DOUBLE) AS share
+FROM st, tp""",
+        "char_frequency_per_source": """
+WITH ch AS (SELECT source,
+        unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS symbol
+    FROM documents),
+c AS (SELECT source, symbol, count(*) AS n FROM ch
+      GROUP BY source, symbol)
+SELECT source, symbol, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS frac
+FROM c ORDER BY source, symbol""",
+        "customer_value_deciles": """
+WITH pc AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0)
+                AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey),
+nn AS (SELECT count(*) AS n FROM pc),
+r AS (SELECT cents,
+             CAST((row_number() OVER (ORDER BY cents, o_custkey) - 1)
+                  * 10 // (SELECT n FROM nn) AS BIGINT) AS decile
+      FROM pc)
+SELECT decile, count(*) AS n_customers,
+       CAST(min(cents) AS DOUBLE) / 100.0 AS min_spend,
+       CAST(max(cents) AS DOUBLE) / 100.0 AS max_spend,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total_spend,
+       (CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 100.0
+         AS avg_spend
+FROM r GROUP BY decile ORDER BY decile""",
         "rfm": """
 WITH pc AS (SELECT o_custkey,
     max(o_orderdate) AS last_d, count(*) AS frequency,

@@ -2510,3 +2510,77 @@ def daily_anomaly(events, z_flag: float = 2.0):
 
     return per_day.map_batches(score, batch_format="pyarrow") \
         .sort(["event_type", "day"])
+
+
+def pareto_share(events, key: str = "user_id", val_col: str = "value",
+                 top_ppm: int = 10_000):
+    """Value concentration -> ONE row (n_users, k_users, top_value,
+    total_value, share): what fraction of total event value the top
+    ``top_ppm``/1e6 of users generate (the 80/20 diagnostic that
+    decides whether per-user skew salting is worth wiring).
+
+    Plan: per-user exact cent totals (per-batch partials -> ONE
+    O(users) groupby), then the top set resolves WITHOUT any driver
+    top-k: rank.global_rank assigns every user its exact global
+    position by (cents, user_id) ascending (equi-depth bins + prefix
+    offsets — no global sort), the top-k filter is
+    ``rank > n - k``, and the two survivors-side sums stream. Driver
+    holds O(1) scalars. Ties at the boundary resolve to the HIGHER
+    user_id (descending-rank convention), replayed in SQL as
+    ``row_number() OVER (ORDER BY cents, user_id)``."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+    from .rank import global_rank
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        k = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = half_away_scaled_int(
+            b.column(val_col).to_numpy(zero_copy_only=False), 100)
+        o = np.argsort(k, kind="stable")
+        k, c = k[o], c[o]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        return pa.table({
+            key: pa.array(k[starts], pa.int64()),
+            "cents": pa.array(np.add.reduceat(c, starts), pa.int64())})
+
+    per_user = events.select_columns([key, val_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("cents", alias_name="cents")) \
+        .materialize()
+    n = per_user.count()
+    empty = pa.table({"n_users": pa.array([], pa.int64()),
+                      "k_users": pa.array([], pa.int64()),
+                      "top_value": pa.array([], pa.float64()),
+                      "total_value": pa.array([], pa.float64()),
+                      "share": pa.array([], pa.float64())})
+    if n == 0:
+        return empty
+    k_top = max(1, -(-n * top_ppm // 1_000_000))
+    total = int(per_user.aggregate(Sum("cents", alias_name="s"))["s"])
+    ranks = global_rank(per_user, value_col="cents", id_col=key)
+    joined = hash_join(ranks, per_user, on=key)
+
+    def top_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c": pa.array([], pa.int64())})
+        r = b.column("rank").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        c = b.column("cents").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = r > (n - k_top)
+        return pa.table({"c": pa.array([int(c[m].sum())], pa.int64())})
+
+    top = int(joined.map_batches(top_partial, batch_format="pyarrow")
+              .aggregate(Sum("c", alias_name="s"))["s"] or 0)
+    share = (float(top) / float(total)) if total else 0.0
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "k_users": pa.array([int(k_top)], pa.int64()),
+        "top_value": pa.array([top / 100.0], pa.float64()),
+        "total_value": pa.array([total / 100.0], pa.float64()),
+        "share": pa.array([share], pa.float64())})

@@ -2463,3 +2463,110 @@ def priority_returns(lineitem, orders,
         .groupby("o_orderpriority") \
         .aggregate(Sum("n", alias_name="order_count")) \
         .sort("o_orderpriority")
+
+
+def customer_value_deciles(orders):
+    """Customer lifetime-spend deciles -> (decile, n_customers,
+    min_spend, max_spend, total_spend, avg_spend): the classic value
+    segmentation — rank every customer by exact total spend and cut the
+    ranking into ten equal-width rank bands (decile 0 = lowest spenders).
+
+    Plan: per-customer cent totals (per-batch packed partials -> ONE
+    O(customers) groupby), then rank.global_rank assigns exact 1-based
+    positions by (cents, custkey) ascending WITHOUT a global sort
+    (equi-depth bins + prefix offsets); decile = (rank-1)*10 // n is a
+    pure map, and ten integer cells aggregate natively. SQL replays the
+    rank as row_number() OVER (ORDER BY cents, o_custkey)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .joins import hash_join
+    from .rank import global_rank
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ck = b.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = half_away_scaled_int(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False), 100)
+        o = np.argsort(ck, kind="stable")
+        ck, c = ck[o], c[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ck[1:] != ck[:-1])))
+        return pa.table({
+            "o_custkey": pa.array(ck[starts], pa.int64()),
+            "cents": pa.array(np.add.reduceat(c, starts), pa.int64())})
+
+    per_cust = orders.select_columns(["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("cents", alias_name="cents")) \
+        .materialize()
+    n = per_cust.count()
+    empty = pa.table({"decile": pa.array([], pa.int64()),
+                      "n_customers": pa.array([], pa.int64()),
+                      "min_spend": pa.array([], pa.float64()),
+                      "max_spend": pa.array([], pa.float64()),
+                      "total_spend": pa.array([], pa.float64()),
+                      "avg_spend": pa.array([], pa.float64())})
+    if n == 0:
+        return empty
+
+    ranks = global_rank(per_cust, value_col="cents", id_col="o_custkey")
+    joined = hash_join(ranks, per_cust, on="o_custkey")
+
+    def dec_partial(b: pa.Table) -> pa.Table:
+        e = pa.table({"decile": pa.array([], pa.int64()),
+                      "nc": pa.array([], pa.int64()),
+                      "mn": pa.array([], pa.int64()),
+                      "mx": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return e
+        r = b.column("rank").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        c = b.column("cents").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = (r - 1) * 10 // n
+        o = np.argsort(d, kind="stable")
+        d, c = d[o], c[o]
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        return pa.table({
+            "decile": pa.array(d[starts], pa.int64()),
+            "nc": pa.array(np.diff(np.append(starts, d.size)), pa.int64()),
+            "mn": pa.array(np.minimum.reduceat(c, starts), pa.int64()),
+            "mx": pa.array(np.maximum.reduceat(c, starts), pa.int64()),
+            "s": pa.array(np.add.reduceat(c, starts), pa.int64())})
+
+    merged = joined.map_batches(dec_partial, batch_format="pyarrow") \
+        .groupby("decile").aggregate(
+            Sum("nc", alias_name="n_customers"),
+            Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+            Sum("s", alias_name="s"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        nc = b.column("n_customers").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = b.column("s").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "decile": b.column("decile").cast(pa.int64()),
+            "n_customers": pa.array(nc, pa.int64()),
+            "min_spend": pa.array(
+                b.column("mn").cast(pa.int64())
+                .to_numpy(zero_copy_only=False).astype(np.float64) / 100.0,
+                pa.float64()),
+            "max_spend": pa.array(
+                b.column("mx").cast(pa.int64())
+                .to_numpy(zero_copy_only=False).astype(np.float64) / 100.0,
+                pa.float64()),
+            "total_spend": pa.array(s.astype(np.float64) / 100.0,
+                                    pa.float64()),
+            "avg_spend": pa.array(
+                (s.astype(np.float64) / nc.astype(np.float64)) / 100.0,
+                pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow") \
+        .sort("decile")

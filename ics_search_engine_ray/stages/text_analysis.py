@@ -2515,3 +2515,73 @@ def stopword_density(docs, source_col: str = "source",
 
     return merged.map_batches(finish, batch_format="pyarrow") \
         .sort("source")
+
+
+#: the 36-symbol alphabet char_frequency_per_source counts, in byte order
+_CHAR_FREQ_SYMS = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def char_frequency_per_source(docs, source_col: str = "source",
+                              text_col: str = "text"):
+    """Per-source character distribution -> (source, symbol, n, frac)
+    over the ``[a-z0-9]`` alphabet of lowercased text — the
+    distribution-drift fingerprint one level below tokens (encoding
+    bugs, language shifts and template injection move it before any
+    token statistic reacts).
+
+    Per batch the texts of each source concatenate once, lower+encode
+    to UTF-8 bytes, and ONE ``np.bincount(256)`` counts every symbol —
+    multi-byte sequences can never alias into the ASCII alnum range, so
+    byte counting equals the SQL oracle's per-character unnest exactly.
+    O(sources x 36) integer cells cross the wire; frac is one IEEE
+    division against the window total, driver-side over the tiny merged
+    relation."""
+    from ray.data.aggregate import Sum
+
+    codes = np.frombuffer(_CHAR_FREQ_SYMS.encode("ascii"), np.uint8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "symbol": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        agg: dict = {}
+        for s, x in zip(b.column(source_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            agg.setdefault(s, []).append(x or "")
+        srcs, syms, ns = [], [], []
+        for s, texts in sorted(agg.items()):
+            raw = np.frombuffer("".join(texts).lower().encode("utf-8"),
+                                np.uint8)
+            if raw.size == 0:
+                continue
+            cnt = np.bincount(raw, minlength=256)[codes]
+            nz = np.flatnonzero(cnt)
+            srcs.extend([s] * nz.size)
+            syms.extend(_CHAR_FREQ_SYMS[i] for i in nz)
+            ns.extend(int(c) for c in cnt[nz])
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "symbol": pa.array(syms, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    merged = docs.select_columns([source_col, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "symbol"]).aggregate(Sum("n", alias_name="n"))
+
+    # O(sources x 36) relation: totals + frac driver-side
+    rows = []
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(b.column("source").to_pylist(),
+                        b.column("symbol").to_pylist(),
+                        b.column("n").to_pylist()))
+    tot: dict = {}
+    for s, _, c in rows:
+        tot[s] = tot.get(s, 0) + int(c)
+    rows.sort()
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "symbol": pa.array([r[1] for r in rows], pa.string()),
+        "n": pa.array([int(r[2]) for r in rows], pa.int64()),
+        "frac": pa.array([float(r[2]) / float(tot[r[0]]) for r in rows],
+                         pa.float64())})

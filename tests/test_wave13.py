@@ -115,3 +115,104 @@ SELECT source, count(*),
 FROM toks GROUP BY source ORDER BY source""").fetchall()]
     assert got == want and len(got) > 0
     assert all(0.0 <= f <= 1.0 for _, _, _, f in got)
+
+
+def test_pareto_share_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import pareto_share
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    t = pareto_share(ev)
+    got = (t.column("n_users").to_pylist()[0],
+           t.column("k_users").to_pylist()[0],
+           t.column("top_value").to_pylist()[0],
+           t.column("total_value").to_pylist()[0],
+           t.column("share").to_pylist()[0])
+    want = duckdb.sql(f"""
+WITH pu AS (SELECT user_id, CAST(sum(CAST(round(value * 100, 0)
+                AS BIGINT)) AS BIGINT) AS cents
+            FROM '{sf_dir}/events.parquet' GROUP BY user_id),
+st AS (SELECT count(*) AS n,
+              greatest(1, (count(*) + 99) // 100) AS k,
+              CAST(sum(cents) AS BIGINT) AS tt FROM pu),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS rn FROM pu),
+tp AS (SELECT CAST(coalesce(sum(r.cents), 0) AS BIGINT) AS tc
+       FROM r, st WHERE r.rn > st.n - st.k)
+SELECT st.n, CAST(st.k AS BIGINT),
+       CAST(tp.tc AS DOUBLE) / 100.0,
+       CAST(st.tt AS DOUBLE) / 100.0,
+       CAST(tp.tc AS DOUBLE) / CAST(st.tt AS DOUBLE)
+FROM st, tp""").fetchall()[0]
+    assert got == tuple(want)
+    assert 0.0 < got[4] <= 1.0 and got[1] >= 1
+
+
+def test_pareto_share_single_user(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import pareto_share
+    tbl = pa.table({"user_id": pa.array([7, 7, 7], pa.int64()),
+                    "value": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    t = pareto_share(rd.from_arrow(tbl))
+    assert t.column("n_users").to_pylist() == [1]
+    assert t.column("k_users").to_pylist() == [1]
+    assert t.column("share").to_pylist() == [1.0]
+
+
+def test_char_frequency_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import \
+        char_frequency_per_source
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    t = char_frequency_per_source(docs)
+    got = list(zip(t.column("source").to_pylist(),
+                   t.column("symbol").to_pylist(),
+                   t.column("n").to_pylist(),
+                   t.column("frac").to_pylist()))
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH ch AS (SELECT source,
+        unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS symbol
+    FROM '{sf_dir}/documents.parquet'),
+c AS (SELECT source, symbol, count(*) AS n FROM ch
+      GROUP BY source, symbol)
+SELECT source, symbol, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
+FROM c ORDER BY source, symbol""").fetchall()]
+    assert got == want and len(got) > 0
+    # fracs per source sum to ~1
+    tot = {}
+    for s, _, _, f in got:
+        tot[s] = tot.get(s, 0.0) + f
+    assert all(abs(v - 1.0) < 1e-9 for v in tot.values())
+
+
+def test_customer_value_deciles_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import \
+        customer_value_deciles
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    got = [(r["decile"], r["n_customers"], r["min_spend"],
+            r["max_spend"], r["total_spend"], r["avg_spend"])
+           for r in customer_value_deciles(od).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH pc AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0)
+                AS BIGINT)) AS BIGINT) AS cents
+            FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey),
+nn AS (SELECT count(*) AS n FROM pc),
+r AS (SELECT cents,
+             CAST((row_number() OVER (ORDER BY cents, o_custkey) - 1)
+                  * 10 // (SELECT n FROM nn) AS BIGINT) AS decile
+      FROM pc)
+SELECT decile, count(*),
+       CAST(min(cents) AS DOUBLE) / 100.0,
+       CAST(max(cents) AS DOUBLE) / 100.0,
+       CAST(sum(cents) AS DOUBLE) / 100.0,
+       (CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 100.0
+FROM r GROUP BY decile ORDER BY decile""").fetchall()]
+    assert got == want and len(got) == 10
+    # deciles are rank bands: monotone min/max across bands
+    for a, b in zip(got, got[1:]):
+        assert a[3] <= b[2] or abs(a[3] - b[2]) < 1e-9
