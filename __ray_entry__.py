@@ -1276,6 +1276,45 @@ def _q_revenue_rollup(sf_dir: str):
     return revenue_rollup(*read_rollup_inputs(sf_dir))
 
 
+def _q_revenue_cube(sf_dir: str):
+    """CUBE(n_name, o_year) revenue (relational.py revenue_cube): all
+    four grouping levels derived from the bounded integer cell relation
+    in one tiny merge, sharing the rollup's join plan."""
+    from ics_search_engine_ray.stages.relational import (
+        read_rollup_inputs, revenue_cube)
+
+    return revenue_cube(*read_rollup_inputs(sf_dir))
+
+
+def _q_excess_suppliers(sf_dir: str):
+    """Q20-shaped over-weighted suppliers (relational.py
+    excess_suppliers): part-key semi-join, O(suppliers) groupby,
+    exact integer cross-multiplied mean threshold."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import excess_suppliers
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    return excess_suppliers(li, pt, su)
+
+
+def _q_dominant_suppliers(sf_dir: str):
+    """Q21-shaped shared-order dominance (relational.py
+    dominant_suppliers): distinct (order, supplier) revenue pairs,
+    orderkey co-partition, vectorized majority mask, O(suppliers) out."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import dominant_suppliers
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    return dominant_suppliers(li, su)
+
+
 def _q_top_events_per_type(sf_dir: str):
     """Top-3 events by value per type (per-batch combiner + tiny merge;
     row_number() window oracle)."""
@@ -2915,6 +2954,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,  # TPC-H Q5
         "banded_revenue": _q_banded_revenue,      # TPC-H Q19 bands
         "priority_returns": _q_priority_returns,  # TPC-H Q4 EXISTS
+        "revenue_cube": _q_revenue_cube,          # CUBE all four levels
+        "excess_suppliers": _q_excess_suppliers,  # TPC-H Q20 shape
+        "dominant_suppliers": _q_dominant_suppliers,  # TPC-H Q21 shape
         "pareto_share": _q_pareto_share,          # top-1% concentration
         "char_frequency_per_source": _q_char_frequency_per_source,
         "customer_value_deciles": _q_customer_value_deciles,
@@ -3654,6 +3696,42 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, year(o_orderdate))
 ORDER BY n_name NULLS LAST, o_year NULLS LAST""",
+        "revenue_cube": """
+SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) *
+                (100 - CAST(round(l_discount*100,0) AS BIGINT))) / 10000.0
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE(n_name, year(o_orderdate))
+ORDER BY n_name NULLS LAST, o_year NULLS LAST""",
+        "excess_suppliers": """
+WITH m AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+q AS (SELECT l_suppkey,
+             CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                  AS BIGINT) AS qc
+      FROM lineitem JOIN m ON p_partkey = l_partkey GROUP BY l_suppkey),
+t AS (SELECT CAST(sum(qc) AS BIGINT) AS tt, count(*) AS ns FROM q)
+SELECT s_name, CAST(q.qc AS DOUBLE) / 100.0 AS qty
+FROM q JOIN supplier ON supplier.s_suppkey = q.l_suppkey, t
+WHERE q.qc * t.ns * 10 > 11 * t.tt
+ORDER BY s_name""",
+        "dominant_suppliers": """
+WITH os AS (SELECT l_orderkey, l_suppkey, CAST(sum(
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        AS BIGINT) AS u
+    FROM lineitem GROUP BY l_orderkey, l_suppkey),
+tot AS (SELECT l_orderkey, CAST(sum(u) AS BIGINT) AS t,
+               count(*) AS ns FROM os GROUP BY l_orderkey)
+SELECT s_name, count(*) AS n_orders
+FROM os JOIN tot ON os.l_orderkey = tot.l_orderkey
+JOIN supplier ON s_suppkey = os.l_suppkey
+WHERE tot.ns >= 2 AND 2 * os.u > tot.t
+GROUP BY s_name ORDER BY n_orders DESC, s_name""",
         "association_pairs": f"""
 WITH t AS (SELECT DISTINCT doc_id, term FROM ({_sql_tokens_cte()})),
 nn AS (SELECT count(DISTINCT doc_id) AS nd FROM t),

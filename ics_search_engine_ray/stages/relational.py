@@ -179,16 +179,15 @@ def revenue_by_nation(lineitem, orders, customer, nation,
     return out.sort(["revenue", "n_name"], descending=[True, False])
 
 
-def revenue_rollup(lineitem, orders, customer, nation,
-                   num_partitions: Optional[int] = None,
-                   bcast_max_rows: int = _BCAST_JOIN_ROWS):
-    """``GROUP BY ROLLUP(n_name, o_year)`` revenue: per (nation, order
-    year), per-nation subtotal, grand total — the two upper levels are
-    derived from the base aggregate inside the final tiny merge, never by
-    re-scanning the inputs. Same join plan as :func:`revenue_by_nation`;
-    the per-batch partial agg keys on (nationkey, year), still <=
-    25 x |years| rows per batch. Orders rows carry ``o_year`` computed at
-    the scan. Output: (n_name, o_year, revenue) with SQL-ROLLUP nulls."""
+def _nation_year_cells(lineitem, orders, customer, nation,
+                       num_partitions: Optional[int] = None,
+                       bcast_max_rows: int = _BCAST_JOIN_ROWS):
+    """Shared cell machinery for :func:`revenue_rollup` /
+    :func:`revenue_cube`: the revenue_by_nation join plan reduced to a
+    bounded (n_nationkey, o_year, rev_units) integer cell Dataset
+    (<= 25 x |years| rows per batch) plus the driver-side nation-name
+    map. Upper grouping levels derive from these cells — never from a
+    re-scan."""
     import ray
 
     def li_partial(b: pa.Table) -> pa.Table:
@@ -268,6 +267,23 @@ def revenue_rollup(lineitem, orders, customer, nation,
     nt = pa.concat_tables(ray.get(nation.to_arrow_refs()))
     names = dict(zip(nt.column("n_nationkey").to_pylist(),
                      nt.column("n_name").to_pylist()))
+    return per_cell, names
+
+
+def revenue_rollup(lineitem, orders, customer, nation,
+                   num_partitions: Optional[int] = None,
+                   bcast_max_rows: int = _BCAST_JOIN_ROWS):
+    """``GROUP BY ROLLUP(n_name, o_year)`` revenue: per (nation, order
+    year), per-nation subtotal, grand total — the two upper levels are
+    derived from the base aggregate inside the final tiny merge, never by
+    re-scanning the inputs. Same join plan as :func:`revenue_by_nation`
+    (shared via :func:`_nation_year_cells`); the per-batch partial agg
+    keys on (nationkey, year), still <= 25 x |years| rows per batch.
+    Orders rows carry ``o_year`` computed at the scan. Output: (n_name,
+    o_year, revenue) with SQL-ROLLUP nulls."""
+    per_cell, names = _nation_year_cells(
+        lineitem, orders, customer, nation,
+        num_partitions=num_partitions, bcast_max_rows=bcast_max_rows)
 
     def finish(g: pa.Table) -> pa.Table:
         nat = g.column("n_nationkey").to_numpy(zero_copy_only=False)
@@ -2570,3 +2586,240 @@ def customer_value_deciles(orders):
 
     return merged.map_batches(finish, batch_format="pyarrow") \
         .sort("decile")
+
+
+def revenue_cube(lineitem, orders, customer, nation,
+                 num_partitions: Optional[int] = None,
+                 bcast_max_rows: int = _BCAST_JOIN_ROWS):
+    """``GROUP BY CUBE(n_name, o_year)`` revenue — all four grouping
+    levels: (nation, year) base cells, per-nation totals, per-YEAR
+    totals (the level ROLLUP lacks), and the grand total. Every upper
+    level derives from the bounded integer cell relation inside one
+    tiny merge (the cells are <= 25 x |years| rows — the merge input is
+    O(batches x cells), never the corpus), sharing
+    :func:`_nation_year_cells` with :func:`revenue_rollup`.
+    Output: (n_name, o_year, revenue) with SQL-CUBE nulls."""
+    per_cell, names = _nation_year_cells(
+        lineitem, orders, customer, nation,
+        num_partitions=num_partitions, bcast_max_rows=bcast_max_rows)
+
+    def finish(g: pa.Table) -> pa.Table:
+        nat = g.column("n_nationkey").to_numpy(zero_copy_only=False)
+        yr = g.column("o_year").to_numpy(zero_copy_only=False)
+        rev = g.column("rev_units").to_numpy(zero_copy_only=False)
+        combo = nat * 10_000 + yr
+        uk, sums = _int_group_sums(combo, rev)
+        base_n = uk // 10_000
+        base_y = uk % 10_000
+        un, nsums = _int_group_sums(base_n, sums)    # per-nation
+        uy, ysums = _int_group_sums(base_y, sums)    # per-year
+        out_name = ([names[k] for k in base_n] + [names[k] for k in un]
+                    + [None] * uy.size + [None])
+        out_year = (list(base_y) + [None] * un.size
+                    + list(uy) + [None])
+        out_rev = np.concatenate([sums, nsums, ysums, [sums.sum()]])
+        return pa.table({
+            "n_name": pa.array(out_name, pa.string()),
+            "o_year": pa.array(out_year, pa.int64()),
+            "revenue": pa.array(out_rev.astype(np.float64) / 10000.0,
+                                pa.float64())})
+
+    return per_cell.map_batches(
+        lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                 pa.int8())),
+        batch_format="pyarrow") \
+        .groupby("_g").map_groups(lambda g: finish(g.drop(["_g"])),
+                                  batch_format="pyarrow")
+
+
+def excess_suppliers(lineitem, part, supplier,
+                     name_like: str = "widget",
+                     mult_num: int = 11, mult_den: int = 10,
+                     max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q20-shaped excess-stock report -> (s_name, qty): suppliers
+    who shipped MORE than ``mult_num/mult_den`` x the mean per-supplier
+    quantity of parts whose name contains ``name_like`` — who is
+    over-weighted on a product family.
+
+    Plan: the matching part-key set collapses once and semi-joins
+    lineitem (gated broadcast, co-partitioned membership above);
+    per-batch (suppkey, qty-cents) partials -> ONE O(suppliers)
+    groupby; the mean threshold is two streaming scalars compared by
+    exact integer cross-multiplication (qty * n_supp * den >
+    num * total); names resolve via the gated supplier map. No float
+    enters the predicate."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join, semi_join
+
+    keys = part.select_columns(["p_partkey", "p_name"]).map_batches(
+        lambda b: pa.table({"p_partkey": pc.cast(
+            b.filter(pc.match_substring(b.column("p_name"), name_like))
+            .column("p_partkey"), pa.int64())}),
+        batch_format="pyarrow")
+    li = semi_join(lineitem.select_columns(["l_partkey", "l_suppkey",
+                                            "l_quantity"]),
+                   keys, on="l_partkey", right_on="p_partkey",
+                   max_bcast_rows=max_bcast_rows)
+
+    def sup_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                          "qc": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        sk = b.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qc = half_away_scaled_int(
+            b.column("l_quantity").to_numpy(zero_copy_only=False), 100)
+        uk, sums = _int_group_sums(sk, qc)
+        return pa.table({"s_suppkey": pa.array(uk, pa.int64()),
+                         "qc": pa.array(sums, pa.int64())})
+
+    per_supp = li.map_batches(sup_partial, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Sum("qc", alias_name="qc")) \
+        .materialize()
+    ns = per_supp.count()
+    empty = pa.table({"s_name": pa.array([], pa.string()),
+                      "qty": pa.array([], pa.float64())})
+    if ns == 0:
+        return empty
+    total = int(per_supp.aggregate(Sum("qc", alias_name="s"))["s"])
+
+    def thresh(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "qc": pa.array([], pa.int64())})
+        qc = b.column("qc").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rhs = mult_num * total
+        if (qc.size and int(qc.max()) * ns * mult_den < 2 ** 63
+                and rhs < 2 ** 63):
+            keep = qc * np.int64(ns * mult_den) > np.int64(rhs)
+        else:  # exact object-int compare past 2^63
+            keep = np.array([int(q) * ns * mult_den > rhs
+                             for q in qc], bool)
+        return pa.table({
+            "s_suppkey": b.column("s_suppkey").cast(pa.int64())
+            .filter(pa.array(keep)),
+            "qc": pa.array(qc[keep], pa.int64())})
+
+    hot = per_supp.map_batches(thresh, batch_format="pyarrow")
+    named = broadcast_join(
+        hot, supplier.select_columns(["s_suppkey", "s_name"]),
+        on="s_suppkey", max_rows=max_bcast_rows)
+
+    rows = []
+    for b in named.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(b.column("s_name").to_pylist(),
+                        b.column("qc").to_pylist()))
+    rows.sort()
+    return pa.table({
+        "s_name": pa.array([r[0] for r in rows], pa.string()),
+        "qty": pa.array([int(r[1]) / 100.0 for r in rows],
+                        pa.float64())})
+
+
+def dominant_suppliers(lineitem, supplier, num_groups=None,
+                       max_bcast_rows=_BCAST_JOIN_ROWS):
+    """TPC-H Q21-shaped dominance report -> (s_name, n_orders): on
+    orders served by AT LEAST TWO suppliers, count per supplier the
+    orders where that supplier alone billed a strict revenue majority
+    (2 x supplier-revenue > order-revenue) — who monopolizes shared
+    orders.
+
+    Plan: per-batch (orderkey, suppkey) revenue partials -> orderkey
+    co-partition into adaptive hash groups -> per task one
+    lexsort/reduceat computes order totals, supplier-distinct counts
+    and the majority mask with NO per-order loop -> O(suppliers)
+    groupby -> gated name broadcast. The dominance predicate is exact
+    integer arithmetic."""
+    from ray.data.aggregate import Sum
+
+    from .common import adaptive_groups
+    from .joins import broadcast_join
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "l_suppkey": pa.array([], pa.int64()),
+                          "u": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ok = b.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rev = _rev_units(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            b.column("l_discount").to_numpy(zero_copy_only=False))
+        o = np.lexsort((sk, ok))
+        ok, sk, rev = ok[o], sk[o], rev[o]
+        new = np.concatenate(([True], (ok[1:] != ok[:-1])
+                              | (sk[1:] != sk[:-1])))
+        starts = np.flatnonzero(new)
+        return pa.table({
+            "l_orderkey": pa.array(ok[starts], pa.int64()),
+            "l_suppkey": pa.array(sk[starts], pa.int64()),
+            "u": pa.array(np.add.reduceat(rev, starts), pa.int64())})
+
+    pairs = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "l_suppkey"]) \
+        .aggregate(Sum("u", alias_name="u")).materialize()
+
+    if num_groups is None:
+        num_groups = adaptive_groups(max(pairs.count(), 1), 500_000,
+                                     lo=8)
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        g = (ok % num_groups + num_groups) % num_groups
+        return pa.table({
+            "gkey": pa.array(g, pa.int64()),
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+            "u": b.column("u").cast(pa.int64())})
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = g.column("l_suppkey").to_numpy(zero_copy_only=False)
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        o = np.lexsort((sk, ok))
+        ok, sk, u = ok[o], sk[o], u[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ok[1:] != ok[:-1])))
+        sizes = np.diff(np.append(starts, ok.size))
+        totals = np.add.reduceat(u, starts)
+        # broadcast per-order stats back to pair rows
+        rep_tot = np.repeat(totals, sizes)
+        rep_n = np.repeat(sizes, sizes)
+        dom = (rep_n >= 2) & (2 * u > rep_tot)
+        if not dom.any():
+            return empty
+        uk, sums = _int_group_sums(sk[dom],
+                                   np.ones(int(dom.sum()), np.int64))
+        return pa.table({"s_suppkey": pa.array(uk, pa.int64()),
+                         "n": pa.array(sums, pa.int64())})
+
+    per_supp = pairs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(
+            lambda t: resolve(t.drop(["gkey"])), batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Sum("n", alias_name="n_orders"))
+
+    named = broadcast_join(
+        per_supp, supplier.select_columns(["s_suppkey", "s_name"]),
+        on="s_suppkey", max_rows=max_bcast_rows)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_name": b.column("s_name").cast(pa.string()),
+            "n_orders": b.column("n_orders").cast(pa.int64())})
+
+    return named.map_batches(finish, batch_format="pyarrow") \
+        .sort(["n_orders", "s_name"], descending=[True, False])

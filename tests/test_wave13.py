@@ -216,3 +216,104 @@ FROM r GROUP BY decile ORDER BY decile""").fetchall()]
     # deciles are rank bands: monotone min/max across bands
     for a, b in zip(got, got[1:]):
         assert a[3] <= b[2] or abs(a[3] - b[2]) < 1e-9
+
+
+def test_revenue_cube_matches_duckdb(ray_session, sf_dir):
+    from ics_search_engine_ray.stages.relational import (
+        read_rollup_inputs, revenue_cube)
+    t = pa.concat_tables(
+        [b for b in revenue_cube(*read_rollup_inputs(sf_dir))
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    got = sorted(zip(t.column("n_name").to_pylist(),
+                     t.column("o_year").to_pylist(),
+                     t.column("revenue").to_pylist()),
+                 key=lambda r: (r[0] is None, r[0], r[1] is None, r[1]))
+    want = [tuple(r) for r in duckdb.sql(f"""
+SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) *
+                (100 - CAST(round(l_discount*100,0) AS BIGINT))) / 10000.0
+            AS DOUBLE) AS revenue
+FROM '{sf_dir}/lineitem.parquet'
+JOIN '{sf_dir}/orders.parquet' ON l_orderkey = o_orderkey
+JOIN '{sf_dir}/customer.parquet' ON o_custkey = c_custkey
+JOIN '{sf_dir}/nation.parquet' ON c_nationkey = n_nationkey
+GROUP BY CUBE(n_name, year(o_orderdate))
+ORDER BY n_name NULLS LAST, o_year NULLS LAST""").fetchall()]
+    want = sorted(want, key=lambda r: (r[0] is None, r[0] or "",
+                                       r[1] is None, r[1] or 0))
+    got = sorted(got, key=lambda r: (r[0] is None, r[0] or "",
+                                     r[1] is None, r[1] or 0))
+    assert got == want and len(got) > 0
+    # cube ⊃ rollup: must contain year-only rows
+    assert any(n is None and y is not None for n, y, _ in got)
+
+
+def test_excess_suppliers_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import excess_suppliers
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+    pt = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    t = excess_suppliers(li, pt, su)
+    got = list(zip(t.column("s_name").to_pylist(),
+                   t.column("qty").to_pylist()))
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH m AS (SELECT p_partkey FROM '{sf_dir}/part.parquet'
+           WHERE p_name LIKE '%widget%'),
+q AS (SELECT l_suppkey,
+             CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                  AS BIGINT) AS qc
+      FROM '{sf_dir}/lineitem.parquet'
+      JOIN m ON p_partkey = l_partkey GROUP BY l_suppkey),
+t AS (SELECT CAST(sum(qc) AS BIGINT) AS tt, count(*) AS ns FROM q)
+SELECT s_name, CAST(q.qc AS DOUBLE) / 100.0
+FROM q JOIN '{sf_dir}/supplier.parquet' s ON s.s_suppkey = q.l_suppkey, t
+WHERE q.qc * t.ns * 10 > 11 * t.tt
+ORDER BY s_name""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_dominant_suppliers_matches_duckdb(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import dominant_suppliers
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    got = [(r["s_name"], r["n_orders"])
+           for r in dominant_suppliers(li, su).take_all()]
+    want = [tuple(r) for r in duckdb.sql(f"""
+WITH os AS (SELECT l_orderkey, l_suppkey, CAST(sum(
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        AS BIGINT) AS u
+    FROM '{sf_dir}/lineitem.parquet' GROUP BY l_orderkey, l_suppkey),
+tot AS (SELECT l_orderkey, CAST(sum(u) AS BIGINT) AS t,
+               count(*) AS ns FROM os GROUP BY l_orderkey)
+SELECT s_name, count(*) AS n_orders
+FROM os JOIN tot ON os.l_orderkey = tot.l_orderkey
+JOIN '{sf_dir}/supplier.parquet' ON s_suppkey = os.l_suppkey
+WHERE tot.ns >= 2 AND 2 * os.u > tot.t
+GROUP BY s_name ORDER BY n_orders DESC, s_name""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_dominant_suppliers_group_count_invariant(ray_session, sf_dir):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import dominant_suppliers
+
+    def run(g):
+        li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey", "l_suppkey",
+                                      "l_extendedprice", "l_discount"])
+        su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_name"])
+        return [(r["s_name"], r["n_orders"])
+                for r in dominant_suppliers(li, su,
+                                            num_groups=g).take_all()]
+    assert run(3) == run(17)
