@@ -2475,6 +2475,43 @@ def _q_priority_returns(sf_dir: str):
     return priority_returns(li, od)
 
 
+def _q_lexical_diversity(sf_dir: str):
+    """Per-doc type-token ratio (text_analysis.py lexical_diversity):
+    pure map, no shuffle; zero-token docs dropped on both sides."""
+    from ics_search_engine_ray.stages.text_analysis import \
+        lexical_diversity
+    return lexical_diversity(
+        _read_docs(sf_dir, columns=("doc_id", "text")))
+
+
+def _q_ngram_coverage(sf_dir: str):
+    """Top-100 4-gram occurrence share (text_analysis.py
+    ngram_coverage): ngram_counts spine + per-batch k-candidate
+    forward; one row out."""
+    from ics_search_engine_ray.stages.text_analysis import ngram_coverage
+    return ngram_coverage(
+        _read_docs(sf_dir, columns=("doc_id", "text")), n=4, k=100)
+
+
+def _q_term_stats(sf_dir: str):
+    """cf/df head terms (text_analysis.py term_stats): per-batch dict
+    partials (df exact under disjoint doc partitioning), one native
+    groupby, k-candidate forward."""
+    from ics_search_engine_ray.stages.text_analysis import term_stats
+    return term_stats(_read_docs(sf_dir, columns=("doc_id", "text")),
+                      k=100)
+
+
+def _q_active_days_histogram(sf_dir: str):
+    """Distinct-active-day histogram (events.py active_days_histogram):
+    dau_wau pair spine + per-user Count + O(day-counts) cells."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import active_days_histogram
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+    return active_days_histogram(ev)
+
+
 def _q_pareto_share(sf_dir: str):
     """Top-1%-user value concentration (events.py pareto_share):
     O(users) groupby + rank.global_rank (no global sort, no driver
@@ -2960,6 +2997,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_share": _q_pareto_share,          # top-1% concentration
         "char_frequency_per_source": _q_char_frequency_per_source,
         "customer_value_deciles": _q_customer_value_deciles,
+        "lexical_diversity": _q_lexical_diversity,  # per-doc TTR
+        "ngram_coverage": _q_ngram_coverage,      # template mass
+        "term_stats": _q_term_stats,              # cf/df head
+        "active_days_histogram": _q_active_days_histogram,
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
@@ -4560,6 +4601,43 @@ FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "lexical_diversity": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents)
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(l)) AS BIGINT) AS n_types,
+       CAST(len(list_distinct(l)) AS DOUBLE)
+         / CAST(len(l) AS DOUBLE) AS ttr
+FROM toks WHERE len(l) > 0 ORDER BY doc_id""",
+        "ngram_coverage": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),
+g AS (SELECT unnest(list_transform(range(1, len(l) - 2),
+      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))
+        AS gram
+      FROM toks WHERE len(l) >= 4),
+c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+tot AS (SELECT count(*) AS d, CAST(sum(n) AS BIGINT) AS t FROM c),
+top AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS s FROM
+        (SELECT n FROM c ORDER BY n DESC, gram LIMIT 100))
+SELECT tot.d AS distinct_grams, tot.t AS total_occurrences,
+       top.s AS top_occurrences,
+       CAST(top.s AS DOUBLE) / CAST(tot.t AS DOUBLE) AS coverage
+FROM tot, top""",
+        "term_stats": """
+WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS term FROM toks),
+s AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+      FROM flat GROUP BY term)
+SELECT term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df
+FROM s ORDER BY cf DESC, term LIMIT 100""",
+        "active_days_histogram": """
+WITH pd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+pu AS (SELECT user_id, count(*) AS nd FROM pd GROUP BY user_id)
+SELECT CAST(nd AS BIGINT) AS n_active_days, count(*) AS n_users
+FROM pu GROUP BY nd ORDER BY nd""",
         "pareto_share": """
 WITH pu AS (SELECT user_id, CAST(sum(CAST(round(value * 100, 0)
                 AS BIGINT)) AS BIGINT) AS cents

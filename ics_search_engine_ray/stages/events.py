@@ -2584,3 +2584,56 @@ def pareto_share(events, key: str = "user_id", val_col: str = "value",
         "top_value": pa.array([top / 100.0], pa.float64()),
         "total_value": pa.array([total / 100.0], pa.float64()),
         "share": pa.array([share], pa.float64())})
+
+
+def active_days_histogram(events):
+    """Engagement-depth distribution -> (n_active_days, n_users): how
+    many users were active on exactly k distinct calendar days — the
+    histogram retention models are fit against.
+
+    Plan: the dau_wau pair spine — per-batch distinct (epoch-day, user)
+    packed pairs, ONE native pair groupby to global-distinct (the only
+    corpus-sized shuffle, O(users x days) rows), a per-user Count over
+    that relation, then per-batch histogram partials collapse to
+    O(distinct day-counts) cells before the final tiny groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64())})
+        d = pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                    pa.date32()).cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u = b.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if (u >= (1 << 40)).any() or (d >= (1 << 22)).any() or \
+                (d < 0).any() or (u < 0).any():
+            raise ValueError(
+                "active_days pack gate: user/day out of range")
+        packed = np.unique((d << np.int64(40)) | u)
+        return pa.table({
+            "d": pa.array(packed >> np.int64(40), pa.int64()),
+            "user_id": pa.array(packed & np.int64((1 << 40) - 1),
+                                pa.int64())})
+
+    per_user = events.select_columns(["ts", "user_id"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["d", "user_id"]).aggregate(Count(alias_name="_c")) \
+        .groupby("user_id").aggregate(Count(alias_name="nd"))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"n_active_days": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        nd = b.column("nd").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uk, cnt = np.unique(nd, return_counts=True)
+        return pa.table({"n_active_days": pa.array(uk, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return per_user.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("n_active_days") \
+        .aggregate(Sum("c", alias_name="n_users")) \
+        .sort("n_active_days")

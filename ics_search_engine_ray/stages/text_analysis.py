@@ -2585,3 +2585,165 @@ def char_frequency_per_source(docs, source_col: str = "source",
         "n": pa.array([int(r[2]) for r in rows], pa.int64()),
         "frac": pa.array([float(r[2]) / float(tot[r[0]]) for r in rows],
                          pa.float64())})
+
+
+def lexical_diversity(docs, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Per-document type-token ratio -> (doc_id, n_tokens, n_types,
+    ttr) over the SQL-replayable token alphabet (lowercase ``[a-z0-9]+``,
+    length > 1 — the vocab_stats_per_source convention): the standard
+    lexical-diversity filter input (template/boilerplate docs sit at
+    the low end, keyword spam at the high end at equal length).
+
+    Pure map — one set() per doc inside the batch, no shuffle at all;
+    docs whose text tokenizes to nothing are dropped on both sides
+    (they have no unnest rows in SQL). ttr is one IEEE division."""
+
+    def score(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_types": pa.array([], pa.int64()),
+                          "ttr": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        ids, ntok, ntyp = [], [], []
+        for i, x in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            toks = [t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1]
+            if not toks:
+                continue
+            ids.append(int(i))
+            ntok.append(len(toks))
+            ntyp.append(len(set(toks)))
+        nt = np.asarray(ntok, np.int64)
+        ty = np.asarray(ntyp, np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_types": pa.array(ty, pa.int64()),
+            "ttr": pa.array(ty.astype(np.float64)
+                            / nt.astype(np.float64), pa.float64())})
+
+    return docs.select_columns([id_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+def ngram_coverage(docs, n: int = 4, k: int = 100):
+    """Template-mass diagnostic -> ONE row (distinct_grams,
+    total_occurrences, top_occurrences, coverage): what fraction of all
+    n-gram occurrences the ``k`` most frequent n-grams account for —
+    high coverage means the corpus is dominated by repeated templates
+    (the signal substring-dedup acts on, one number instead of a span
+    list).
+
+    Plan: the :func:`ngram_counts` spine (vectorized shingle hashes ->
+    native groupby Sum) produces the O(distinct grams) relation; totals
+    are streaming sums and the top set is a per-batch (k)-candidate
+    forward + one k-row driver merge — each gram appears exactly once
+    after the groupby, so local top-k is globally sound. Ties rank by
+    gram ascending, replayed in SQL."""
+    from ray.data.aggregate import Sum
+
+    cnts = ngram_counts(docs, n=n, min_count=1).materialize()
+    empty = pa.table({"distinct_grams": pa.array([], pa.int64()),
+                      "total_occurrences": pa.array([], pa.int64()),
+                      "top_occurrences": pa.array([], pa.int64()),
+                      "coverage": pa.array([], pa.float64())})
+    d = cnts.count()
+    if d == 0:
+        return empty
+    total = int(cnts.aggregate(Sum("n", alias_name="s"))["s"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        nv = b.column("n").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        gv = np.asarray(b.column("gram").to_pylist(), object)
+        order = np.lexsort((gv, -nv))[:k]
+        return pa.table({"gram": pa.array(gv[order], pa.string()),
+                         "n": pa.array(nv[order], pa.int64())})
+
+    cand = []
+    for b in cnts.map_batches(local_topk, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cand.extend(zip(b.column("gram").to_pylist(),
+                        b.column("n").to_pylist()))
+    cand.sort(key=lambda r: (-int(r[1]), r[0]))
+    top = sum(int(c) for _, c in cand[:k])
+    return pa.table({
+        "distinct_grams": pa.array([d], pa.int64()),
+        "total_occurrences": pa.array([total], pa.int64()),
+        "top_occurrences": pa.array([top], pa.int64()),
+        "coverage": pa.array([float(top) / float(total)], pa.float64())})
+
+
+def term_stats(docs, k: int = 100):
+    """Collection-vs-document frequency head -> (term, cf, df) for the
+    ``k`` highest-cf terms: the cf/df ratio separates bursty terms
+    (high cf, low df — topical or template) from background vocabulary
+    (cf ≈ df), the first thing an index-tuning pass inspects.
+
+    Plan: per batch one dict pass emits (term, cf-partial, df-partial)
+    — df partials are exact because docs partition disjointly across
+    batches — ONE native groupby sums both, and the head resolves by
+    per-batch k-candidate forward + k-row driver merge (each term
+    appears once post-groupby). Ties rank by term ascending in SQL and
+    here."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "cf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        cf: dict = {}
+        df: dict = {}
+        for x in b.column("text").to_pylist():
+            toks = [t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1]
+            for t in toks:
+                cf[t] = cf.get(t, 0) + 1
+            for t in set(toks):
+                df[t] = df.get(t, 0) + 1
+        keys = sorted(cf)
+        return pa.table({
+            "term": pa.array(keys, pa.string()),
+            "cf": pa.array([cf[t] for t in keys], pa.int64()),
+            "df": pa.array([df[t] for t in keys], pa.int64())})
+
+    merged = docs.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("cf", alias_name="cf"),
+                                   Sum("df", alias_name="df"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        cfv = b.column("cf").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dfv = b.column("df").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tv = np.asarray(b.column("term").to_pylist(), object)
+        order = np.lexsort((tv, -cfv))[:k]
+        return pa.table({"term": pa.array(tv[order], pa.string()),
+                         "cf": pa.array(cfv[order], pa.int64()),
+                         "df": pa.array(dfv[order], pa.int64())})
+
+    cand = []
+    for b in merged.map_batches(local_topk, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cand.extend(zip(b.column("term").to_pylist(),
+                        b.column("cf").to_pylist(),
+                        b.column("df").to_pylist()))
+    cand.sort(key=lambda r: (-int(r[1]), r[0]))
+    cand = cand[:k]
+    return pa.table({
+        "term": pa.array([r[0] for r in cand], pa.string()),
+        "cf": pa.array([int(r[1]) for r in cand], pa.int64()),
+        "df": pa.array([int(r[2]) for r in cand], pa.int64())})
