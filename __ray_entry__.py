@@ -999,6 +999,16 @@ def _q_unigram_surprisal(sf_dir: str):
     return unigram_surprisal(_read_docs(sf_dir))
 
 
+def _q_bigram_surprisal(sf_dir: str):
+    """Per-doc mean NLL under an add-one smoothed corpus BIGRAM LM
+    (stages/text_analysis.py bigram_surprisal — the CCNet-style
+    perplexity quality filter). One corpus pass merges unigram+bigram
+    partials in a native groupby; integer nano-nat contributions make
+    the per-doc sums order-independent on both oracle sides."""
+    from ics_search_engine_ray.stages.text_analysis import bigram_surprisal
+    return bigram_surprisal(_read_docs(sf_dir))
+
+
 def _q_quantile_agg_sketch(sf_dir: str):
     """Mergeable per-key quantile SKETCH (stages/sketch.py) — the scale
     path for quantile_agg's exact whole-group form: <=64 weighted points
@@ -2894,6 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_type": _q_pivot_user_type,    # wide CASE-WHEN pivot
         "quantile_agg_sketch": _q_quantile_agg_sketch,  # mergeable sketch
         "unigram_surprisal": _q_unigram_surprisal,  # LM quality signal
+        "bigram_surprisal": _q_bigram_surprisal,  # bigram-LM perplexity
         "doc_tfidf_topk": _q_doc_tfidf_topk,      # per-doc top tf-idf
         "association_pairs": _q_association_pairs,  # co-occurrence mining
         "dup_clusters": _q_dup_clusters,          # pair graph -> clusters
@@ -3813,6 +3824,29 @@ tok AS (SELECT doc_id, unnest(toks) AS t FROM w)
 SELECT doc_id,
        CAST(round(avg(-ln(c * 1.0 / n)), 6) AS DOUBLE) AS avg_nll
 FROM tok JOIN cnt USING (t), tot
+GROUP BY doc_id ORDER BY doc_id""",
+        "bigram_surprisal": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     x -> length(x) > 1) AS l
+  FROM documents),
+vocab AS (SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(l) AS t FROM w)),
+big AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        FROM w WHERE len(l) >= 2),
+bc AS (SELECT z[1] AS a, z[2] AS b, count(*) AS c
+       FROM big GROUP BY a, b),
+ctx AS (SELECT a, sum(c) AS ca FROM bc GROUP BY a),
+nn AS (SELECT a, b,
+       CAST(round(-ln((c + 1.0) / (ca + v)) * 1000000000, 0) AS BIGINT)
+         AS nn
+       FROM bc JOIN ctx USING (a) CROSS JOIN vocab),
+doc AS (SELECT doc_id, z[1] AS a, z[2] AS b FROM big)
+SELECT doc_id,
+       CAST(round(sum(nn) / 1000000000.0 / count(*), 6) AS DOUBLE)
+         AS avg_nll
+FROM doc JOIN nn USING (a, b)
 GROUP BY doc_id ORDER BY doc_id""",
         "pivot_user_type": """
 SELECT user_id,

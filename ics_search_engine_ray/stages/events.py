@@ -987,8 +987,9 @@ def value_histogram(events, key: str = "event_type", value: str = "value",
     stats = events.aggregate(Min(value), Max(value))
     if not stats or stats.get(f"min({value})") is None:   # empty input
         import ray.data as rd
+        ktype = events.schema().base_schema.field(key).type
         return rd.from_arrow(pa.table({
-            key: pa.array([], pa.string()),
+            key: pa.array([], ktype),
             "bin": pa.array([], pa.int64()),
             "n": pa.array([], pa.int64())}))
     lo, hi = float(stats[f"min({value})"]), float(stats[f"max({value})"])

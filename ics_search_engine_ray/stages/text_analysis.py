@@ -463,6 +463,205 @@ def unigram_surprisal(docs, vocab_gate: int = 2_000_000):
     return src.map_batches(score, batch_format="pyarrow")
 
 
+def bigram_surprisal(docs, vocab_gate: int = 2_000_000):
+    """Per-document mean negative log-likelihood under an add-one
+    (Laplace) smoothed corpus BIGRAM LM — the KenLM/CCNet-style
+    perplexity quality filter one model order up from
+    :func:`unigram_surprisal` (Wenzek et al. 2020 filter corpora by LM
+    perplexity; a bigram model is the cheapest order that catches
+    shuffled-word spam a unigram model scores as normal).
+
+    Model: ``P(b|a) = (c(a,b) + 1) / (ctx(a) + V)`` with
+    ``ctx(a) = sum_b c(a,b)`` and ``V`` the distinct corpus vocabulary
+    size. Per-bigram contributions are INTEGER nano-nats
+    (``round(-ln(p) * 1e9)``, half-away on both the Ray and SQL sides)
+    so per-doc sums are order-independent and the oracle hash is
+    bit-stable regardless of reduction order. Docs with < 2 tokens are
+    excluded (no bigrams).
+
+    One corpus pass emits unigram AND bigram partials into ONE native
+    ``groupby("term")`` Sum (bigram keys pack as ``"a b"`` — tokens
+    contain no whitespace, the :func:`bigram_counts` convention). Below
+    ``vocab_gate`` (counted over the merged relation) the (key, nn)
+    table broadcasts once via ``ray.put`` and scoring is one
+    searchsorted + reduceat per batch; ABOVE the gate the exploded
+    per-doc bigram relation hash-joins against the nn relation on the
+    packed key — no driver-side vocabulary at any size (SCALE.md).
+
+    Returns (doc_id, avg_nll DOUBLE rounded 6).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    src = docs.select_columns(["doc_id", "text"])
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64()),
+                          "cu": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        per_doc = [[t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1] for x in b.column("text").to_pylist()]
+        toks = [t for p in per_doc for t in p]
+        bigs = [f"{p[i]} {p[i + 1]}" for p in per_doc
+                for i in range(len(p) - 1)]
+        if not toks:
+            return empty
+        uu, uc = np.unique(np.asarray(toks, object), return_counts=True)
+        parts = [pa.table({"term": pa.array(uu, pa.string()),
+                           "c": pa.array(np.zeros(uu.size, np.int64)),
+                           "cu": pa.array(uc.astype(np.int64))})]
+        if bigs:
+            bu, bc = np.unique(np.asarray(bigs, object),
+                               return_counts=True)
+            parts.append(pa.table({
+                "term": pa.array(bu, pa.string()),
+                "c": pa.array(bc.astype(np.int64)),
+                "cu": pa.array(np.zeros(bu.size, np.int64))}))
+        return pa.concat_tables(parts)
+
+    merged = _merged_counts(src, local_counts, ["c", "cu"])
+    vocab_size = int(merged.map_batches(
+        lambda b: pa.table({"v": pa.array(
+            [pc.sum(pc.greater(b.column("cu"), 0)).as_py() or 0],
+            pa.int64())}),
+        batch_format="pyarrow").sum("v") or 0)
+    if vocab_size == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "avg_nll": pa.array([], pa.float64())}))
+
+    def _doc_bigrams(b: pa.Table) -> pa.Table:
+        """Exploded (doc_id, key, tf) distinct-bigram relation."""
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        texts = b.column("text").to_pylist()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        per_doc = [[t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1] for x in texts]
+        nbig = np.array([max(len(p) - 1, 0) for p in per_doc], np.int64)
+        if not nbig.sum():
+            return empty
+        flat = np.asarray([f"{p[i]} {p[i + 1]}" for p in per_doc
+                           for i in range(len(p) - 1)], object)
+        di = np.repeat(np.arange(len(per_doc)), nbig)
+        o = np.lexsort((flat, di))
+        di, flat = di[o], flat[o]
+        newseg = np.concatenate(
+            ([True], (di[1:] != di[:-1]) | (flat[1:] != flat[:-1])))
+        starts = np.flatnonzero(newseg)
+        tf = np.diff(np.append(starts, di.size)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[di[starts]].astype(np.int64),
+                               pa.int64()),
+            "key": pa.array(flat[starts], pa.string()),
+            "tf": pa.array(tf, pa.int64())})
+
+    def _nn_from(keys: np.ndarray, c: np.ndarray,
+                 ctx_of: np.ndarray) -> np.ndarray:
+        """Integer nano-nat -ln P per bigram key (half-away rounding;
+        the argument of ln is strictly < 1 so -ln > 0 and floor(x+.5)
+        IS DuckDB round(x, 0))."""
+        p = (c.astype(np.float64) + 1.0) / (ctx_of + float(vocab_size))
+        return np.floor(-np.log(p) * 1e9 + 0.5).astype(np.int64)
+
+    if merged.count() > vocab_gate:
+        # ---- hash-join scale path: counts never leave the cluster
+        from .joins import hash_join
+
+        def split_big(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.greater(b.column("c"), 0))
+            parts = pc.split_pattern(t.column("term"), " ")
+            return pa.table({"key": t.column("term"),
+                             "a": pc.list_element(parts, 0),
+                             "c": t.column("c").cast(pa.int64())})
+
+        big_rel = merged.map_batches(split_big, batch_format="pyarrow")
+        ctx_rel = big_rel.groupby("a").aggregate(
+            Sum("c", alias_name="ca"))
+        with_ctx = hash_join(big_rel, ctx_rel, on="a")
+
+        def to_nn(b: pa.Table) -> pa.Table:
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            ca = b.column("ca").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            return pa.table({
+                "key": b.column("key"),
+                "nn": pa.array(_nn_from(None, c, ca), pa.int64())})
+
+        nn_rel = with_ctx.map_batches(to_nn, batch_format="pyarrow")
+        joined = hash_join(
+            src.map_batches(_doc_bigrams, batch_format="pyarrow"),
+            nn_rel, on="key")
+
+        def weight(b: pa.Table) -> pa.Table:
+            tf = b.column("tf").to_numpy(zero_copy_only=False)
+            nn = b.column("nn").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "s": pa.array(tf * nn, pa.int64()),
+                "n": pa.array(tf, pa.int64())})
+
+        agg = joined.map_batches(weight, batch_format="pyarrow") \
+            .groupby("doc_id").aggregate(Sum("s", alias_name="s"),
+                                         Sum("n", alias_name="n"))
+
+        def fin(b: pa.Table) -> pa.Table:
+            s = b.column("s").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            n = b.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            return pa.table({
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "avg_nll": pa.array(np.round(s / 1e9 / n, 6),
+                                    pa.float64())})
+
+        return agg.map_batches(fin, batch_format="pyarrow")
+
+    # ---- broadcast path
+    rows = merged.take_all()
+    bkeys = np.asarray([r["term"] for r in rows if r["c"] > 0], object)
+    bc = np.asarray([r["c"] for r in rows if r["c"] > 0], np.int64)
+    if bkeys.size == 0:          # no doc has >= 2 tokens
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "avg_nll": pa.array([], pa.float64())}))
+    lefts = np.asarray([k.split(" ", 1)[0] for k in bkeys], object)
+    ul, inv = np.unique(lefts, return_inverse=True)
+    ctx = np.zeros(ul.size, np.int64)
+    np.add.at(ctx, inv, bc)
+    nn = _nn_from(bkeys, bc, ctx[inv].astype(np.float64))
+    order = np.argsort(bkeys)
+    lm_ref = ray.put((bkeys[order], nn[order]))
+
+    def score(b: pa.Table) -> pa.Table:
+        keys, nnv = ray.get(lm_ref)
+        texts = b.column("text").to_pylist()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        per_doc = [[t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1] for x in texts]
+        nbig = np.array([max(len(p) - 1, 0) for p in per_doc], np.int64)
+        keep = nbig > 0
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "avg_nll": pa.array([], pa.float64())})
+        flat = np.asarray([f"{p[i]} {p[i + 1]}" for p in per_doc
+                           for i in range(len(p) - 1)], object)
+        pos = np.searchsorted(keys, flat)
+        vals = nnv[np.clip(pos, 0, keys.size - 1)].astype(np.float64)
+        offs = np.concatenate(([0], np.cumsum(nbig)))[:-1][keep]
+        sums = np.add.reduceat(vals, offs)
+        means = np.round(sums / 1e9 / nbig[keep], 6)
+        return pa.table({
+            "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+            "avg_nll": pa.array(means, pa.float64())})
+
+    return src.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------- per-doc top-k tf-idf terms ----------------
 
 

@@ -36,7 +36,8 @@ def _df(ds, keys):
     return t.to_pandas().sort_values(keys).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("op", ["unigram_surprisal", "doc_tfidf_topk",
+@pytest.mark.parametrize("op", ["unigram_surprisal", "bigram_surprisal",
+                                "doc_tfidf_topk",
                                 "similar_docs", "association_pairs"])
 def test_hash_join_path_equals_broadcast(ray_session, op):
     import pandas as pd
@@ -46,12 +47,14 @@ def test_hash_join_path_equals_broadcast(ray_session, op):
     docs = _docs(ray_session)
     fns = {
         "unigram_surprisal": lambda g: ta.unigram_surprisal(docs, vocab_gate=g),
+        "bigram_surprisal": lambda g: ta.bigram_surprisal(docs, vocab_gate=g),
         "doc_tfidf_topk": lambda g: ta.doc_tfidf_topk(docs, vocab_gate=g),
         "similar_docs": lambda g: ta.similar_docs(docs, 3, vocab_gate=g),
         "association_pairs": lambda g: ta.association_pairs(
             docs, min_count=3, vocab_gate=g),
     }
     keys = {"unigram_surprisal": ["doc_id"],
+            "bigram_surprisal": ["doc_id"],
             "doc_tfidf_topk": ["doc_id", "rank"],
             "similar_docs": ["doc_id"],
             "association_pairs": ["a", "b"]}[op]
