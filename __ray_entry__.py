@@ -1063,6 +1063,21 @@ def _q_global_rank(sf_dir: str):
     return global_rank(ev, "value", "event_id")
 
 
+def _q_attribution(sf_dir: str):
+    """Last-touch conversion attribution (stages/events.py attribution):
+    user co-partition -> one lexsort + maximum.accumulate per group ->
+    <= |sources|+1 cells per group -> tiny groupby Sum. Hot users route
+    through the (user, day)-salted two-stage fold. Oracle: IGNORE-NULLS
+    last_value window over (user, ts, event_id)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import attribution
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return attribution(ev)
+
+
 def _q_funnel(sf_dir: str):
     """Ordered 3-step funnel signup->view->purchase (stages/events.py):
     co-partitioned on user, per-bucket cascade fully vectorized via
@@ -2394,6 +2409,17 @@ def _q_vocab_stats_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_zipf_slope(sf_dir: str):
+    """Per-source Zipf slope (stages/text_analysis.py
+    zipf_slope_per_source): one pair groupby -> per-batch local top-100
+    -> per-source exact integer-micro-nat OLS. Oracle: row_number
+    ranks + HUGEINT sums, float only in the final division."""
+    from ics_search_engine_ray.stages.text_analysis import \
+        zipf_slope_per_source
+    return zipf_slope_per_source(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")))
+
+
 def _q_trade_balance(sf_dir: str):
     """Per-nation two-sided revenue ledger (relational.py
     trade_balance): broadcast dimension maps, per-order lineitem
@@ -2483,6 +2509,22 @@ def _q_priority_returns(sf_dir: str):
     od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                          columns=["o_orderkey", "o_orderpriority"])
     return priority_returns(li, od)
+
+
+def _q_linestatus_priority(sf_dir: str):
+    """TPC-H Q12-shaped high/low priority line counts per
+    (returnflag, linestatus) (relational.py linestatus_priority):
+    windowed lineitem pre-aggregate -> ONE hash join with the orders
+    priority flag -> <= 12 cells."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import linestatus_priority
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_linestatus",
+                 "l_shipdate"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderpriority"])
+    return linestatus_priority(li, od)
 
 
 def _q_lexical_diversity(sf_dir: str):
@@ -2899,6 +2941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,        # 2-pass exact top terms
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,  # SymSpell edit<=1 join
         "funnel": _q_funnel,                      # ordered 3-step funnel
+        "attribution": _q_attribution,            # last-touch credit
         "global_rank": _q_global_rank,            # exact distributed rank
         "label_centroids": _q_label_centroids,    # vector groupby mean
         "pivot_user_type": _q_pivot_user_type,    # wide CASE-WHEN pivot
@@ -2990,6 +3033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_logweights": _q_dsir_logweights,    # DSIR importance weights
         "retention_cohorts": _q_retention_cohorts,  # cohort retention
         "vocab_stats_per_source": _q_vocab_stats_per_source,  # Heaps/TTR
+        "zipf_slope_per_source": _q_zipf_slope,  # rank-freq shape
         "hapax_ratio_per_source": _q_hapax_ratio_per_source,  # hapax share
         "readability": _q_readability,            # Flesch reading ease
         "nb_lang_scores": _q_nb_lang_scores,      # trained NB lang ID
@@ -3002,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,  # TPC-H Q5
         "banded_revenue": _q_banded_revenue,      # TPC-H Q19 bands
         "priority_returns": _q_priority_returns,  # TPC-H Q4 EXISTS
+        "linestatus_priority": _q_linestatus_priority,  # TPC-H Q12 shape
         "revenue_cube": _q_revenue_cube,          # CUBE all four levels
         "excess_suppliers": _q_excess_suppliers,  # TPC-H Q20 shape
         "dominant_suppliers": _q_dominant_suppliers,  # TPC-H Q21 shape
@@ -3635,6 +3680,39 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM s GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""",
+        "attribution": """
+WITH m AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+  FROM events)
+SELECT coalesce(attr, 'none') AS attributed_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM m WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1""",
+        "zipf_slope_per_source": """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                x -> length(x) > 1)) AS term
+  FROM documents),
+cnt AS (SELECT source, term, count(*) AS c
+        FROM toks GROUP BY source, term),
+rk AS (SELECT source, c,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, term) AS r
+       FROM cnt),
+f AS (SELECT source,
+             CAST(round(ln(r) * 1000000, 0) AS BIGINT) AS x,
+             CAST(round(ln(c) * 1000000, 0) AS BIGINT) AS y
+      FROM rk WHERE r <= 100)
+SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+                / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE),
+            6) AS DOUBLE) AS slope
+FROM f GROUP BY source HAVING count(*) >= 2 ORDER BY source""",
         "bool_search": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
@@ -4255,6 +4333,50 @@ FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "linestatus_priority": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "attribution": """
+WITH m AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+  FROM events)
+SELECT coalesce(attr, 'none') AS attributed_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM m WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1""",
+        "zipf_slope_per_source": """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                x -> length(x) > 1)) AS term
+  FROM documents),
+cnt AS (SELECT source, term, count(*) AS c
+        FROM toks GROUP BY source, term),
+rk AS (SELECT source, c,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, term) AS r
+       FROM cnt),
+f AS (SELECT source,
+             CAST(round(ln(r) * 1000000, 0) AS BIGINT) AS x,
+             CAST(round(ln(c) * 1000000, 0) AS BIGINT) AS y
+      FROM rk WHERE r <= 100)
+SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+                / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE),
+            6) AS DOUBLE) AS slope
+FROM f GROUP BY source HAVING count(*) >= 2 ORDER BY source""",
         "customer_order_counts": """
 SELECT c_custkey,
        CAST(coalesce(n, 0) AS BIGINT) AS n_orders
@@ -4635,6 +4757,50 @@ FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "linestatus_priority": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "attribution": """
+WITH m AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+  FROM events)
+SELECT coalesce(attr, 'none') AS attributed_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM m WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1""",
+        "zipf_slope_per_source": """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                x -> length(x) > 1)) AS term
+  FROM documents),
+cnt AS (SELECT source, term, count(*) AS c
+        FROM toks GROUP BY source, term),
+rk AS (SELECT source, c,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, term) AS r
+       FROM cnt),
+f AS (SELECT source,
+             CAST(round(ln(r) * 1000000, 0) AS BIGINT) AS x,
+             CAST(round(ln(c) * 1000000, 0) AS BIGINT) AS y
+      FROM rk WHERE r <= 100)
+SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+                / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE),
+            6) AS DOUBLE) AS slope
+FROM f GROUP BY source HAVING count(*) >= 2 ORDER BY source""",
         "lexical_diversity": """
 WITH toks AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text),
               '[a-z0-9]+'), x -> length(x) > 1) AS l FROM documents)

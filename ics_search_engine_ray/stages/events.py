@@ -463,6 +463,204 @@ def pivot_sum(ds, by: str, pivot_col: str, value_col: str, categories,
             lambda t: widen(t.drop(["gkey"])), batch_format="pyarrow")
 
 
+def attribution(events, conversion: str = "purchase",
+                sources=("click", "view"), num_groups: int = None,
+                hot_frac: float = _HOT_BATCH_FRAC,
+                salt_secs: int = 86_400):
+    """Last-touch conversion attribution -> (attributed_type, n): every
+    ``conversion`` event credits the same user's most recent PRIOR event
+    whose type is in ``sources`` (order (ts, event_id) within user);
+    conversions with no prior source credit ``'none'``. The standard
+    marketing-analytics attribution table.
+
+    Plan: user co-partition (``user_id % G``, ONE shuffle), then per
+    group a single lexsort + GLOBAL ``np.maximum.accumulate`` over
+    source indices — leakage from the previous user cancels via a
+    segment-start comparison, so there is no Python loop over rows.
+    Each group emits <= len(sources)+1 count cells; one tiny native
+    groupby Sum finishes.
+
+    Skew: hot users (pigeonhole-detected, like sessionize/funnel) route
+    through a (user, day)-salted path: per salt the kernel also reports
+    how many conversions preceded the day's first source and the day's
+    LAST source type; a second, days-sized groupby composes the days in
+    (salt) order — exact, because last-touch state is a prefix property
+    of the (ts, id) order that day boundaries preserve.
+    """
+    from .common import adaptive_groups
+
+    src_set = sorted(set(sources))
+    src = events.select_columns(["event_id", "ts", "user_id",
+                                 "event_type"])
+
+    if num_groups is None:
+        num_groups = adaptive_groups(max(src.count(), 1), 1_000_000,
+                                     lo=16)
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("_g", pa.array(u % num_groups, pa.int64()))
+
+    def _kernel(uid, et, idx_conv_mask, is_src):
+        """attributed-type object array for conversion rows, given the
+        (user, ts, id)-sorted columns."""
+        n = uid.size
+        idx = np.arange(n, dtype=np.int64)
+        src_idx = np.where(is_src, idx, -1)
+        acc = np.maximum.accumulate(src_idx)
+        seg_new = np.empty(n, dtype=bool)
+        seg_new[0] = True
+        seg_new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(seg_new)
+        seg_start = starts[np.cumsum(seg_new) - 1]
+        valid = acc >= seg_start
+        attr = np.where(valid & idx_conv_mask,
+                        et[np.clip(acc, 0, n - 1)], "none")
+        return attr[idx_conv_mask]
+
+    def counts_partial(g: pa.Table) -> pa.Table:
+        empty = pa.table({"attributed_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        is_conv = et == conversion
+        if not is_conv.any():
+            return empty
+        is_src = np.isin(et, src_set)
+        attr = _kernel(uid, et, is_conv, is_src)
+        ua, cnt = np.unique(attr, return_counts=True)
+        return pa.table({
+            "attributed_type": pa.array(ua.astype(object), pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    hot = _hot_users(src, hot_frac)
+    if not hot:
+        partials = (src.map_batches(add_gkey, batch_format="pyarrow")
+                    .groupby("_g")
+                    .map_groups(lambda g: counts_partial(g.drop(["_g"])),
+                                batch_format="pyarrow"))
+    else:
+        rest, hotds = _split_hot(src, hot)
+        base = (rest.map_batches(add_gkey, batch_format="pyarrow")
+                .groupby("_g")
+                .map_groups(lambda g: counts_partial(g.drop(["_g"])),
+                            batch_format="pyarrow"))
+        salted = _attribution_salted(hotds, conversion, src_set,
+                                     int(salt_secs) * 1_000_000)
+        partials = base.union(salted)
+
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby("attributed_type") \
+        .aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "attributed_type": b.column("attributed_type"),
+            "n": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow").sort("attributed_type")
+
+
+def _attribution_salted(hotds, conversion: str, src_set, salt_us: int):
+    """Salted last-touch for hot users: stage 1 groups by (user, day)
+    and emits per-day resolved counts + (pending-conversion count,
+    day's last source type); stage 2 is a days-sized per-user fold in
+    salt order (O(hot users x days), driver never sees raw events)."""
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return b.append_column(
+            "_salt", pa.array(ts // salt_us, pa.int64()))
+
+    def day_partial(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "salt": pa.array([], pa.int64()),
+                          "attributed_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "pending": pa.array([], pa.int64()),
+                          "last_src": pa.array([], pa.string())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        uid = int(g.column("user_id")[0].as_py())
+        salt = int(g.column("_salt")[0].as_py())
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        is_conv = et == conversion
+        is_src = np.isin(et, src_set)
+        idx = np.arange(et.size, dtype=np.int64)
+        src_idx = np.where(is_src, idx, -1)
+        acc = np.maximum.accumulate(src_idx)
+        conv_rows = np.flatnonzero(is_conv)
+        resolved = conv_rows[acc[conv_rows] >= 0]
+        pending = int(conv_rows.size - resolved.size)
+        last_src = str(et[acc[-1]]) if acc.size and acc[-1] >= 0 else ""
+        rows = {"user_id": [], "salt": [], "attributed_type": [],
+                "n": [], "pending": [], "last_src": []}
+        if resolved.size:
+            ua, cnt = np.unique(et[acc[resolved]], return_counts=True)
+            for a, c in zip(ua.tolist(), cnt.tolist()):
+                rows["user_id"].append(uid)
+                rows["salt"].append(salt)
+                rows["attributed_type"].append(str(a))
+                rows["n"].append(int(c))
+                rows["pending"].append(0)
+                rows["last_src"].append("")
+        # one summary row per (user, day) carries pending + last_src
+        rows["user_id"].append(uid)
+        rows["salt"].append(salt)
+        rows["attributed_type"].append("")
+        rows["n"].append(0)
+        rows["pending"].append(pending)
+        rows["last_src"].append(last_src)
+        return pa.table({
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "salt": pa.array(rows["salt"], pa.int64()),
+            "attributed_type": pa.array(rows["attributed_type"],
+                                        pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "pending": pa.array(rows["pending"], pa.int64()),
+            "last_src": pa.array(rows["last_src"], pa.string())})
+
+    def fold_user(g: pa.Table) -> pa.Table:
+        empty = pa.table({"attributed_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("salt", "ascending")])
+        at = g.column("attributed_type").to_pylist()
+        n = g.column("n").to_pylist()
+        pend = g.column("pending").to_pylist()
+        lsrc = g.column("last_src").to_pylist()
+        out: dict = {}
+        for a, c in zip(at, n):
+            if a:
+                out[a] = out.get(a, 0) + c
+        carry = ""
+        # walk day-summary rows (attributed_type == "") in salt order
+        for a, c, p, ls in zip(at, n, pend, lsrc):
+            if a:
+                continue
+            if p:
+                who = carry if carry else "none"
+                out[who] = out.get(who, 0) + p
+            if ls:
+                carry = ls
+        return pa.table({
+            "attributed_type": pa.array(sorted(out), pa.string()),
+            "n": pa.array([out[k] for k in sorted(out)], pa.int64())})
+
+    return (hotds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["user_id", "_salt"])
+            .map_groups(day_partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(lambda g: fold_user(g.drop(["user_id"])),
+                        batch_format="pyarrow"))
+
+
 def funnel(events, steps, by: str = "user_id", ts: str = "ts",
            id_col: str = "event_id", type_col: str = "event_type",
            num_groups: int = None, hot_frac: float = _HOT_BATCH_FRAC,

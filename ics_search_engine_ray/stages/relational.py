@@ -2481,6 +2481,130 @@ def priority_returns(lineitem, orders,
         .sort("o_orderpriority")
 
 
+def linestatus_priority(lineitem, orders, date_lo: str = "1996-01-01",
+                        date_hi: str = "1998-01-01"):
+    """TPC-H Q12-shaped priority-by-category report -> one row per
+    (l_returnflag, l_linestatus) with ``high_line_count`` /
+    ``low_line_count``: of the lines shipped inside the date window,
+    how many belong to critical-priority orders ('1-URGENT'/'2-HIGH')
+    vs everything else. (The reference Q12 groups by l_shipmode and
+    windows on receipt/commit dates; this corpus carries neither, so
+    the category is (returnflag, linestatus) and the window is on
+    l_shipdate — the join/aggregate PLAN is Q12's.)
+
+    Plan: lineitem filters the window per batch and PRE-AGGREGATES to
+    (l_orderkey, category-code, n) — per-order line counts — so the
+    join input is the distinct (order, category) relation, not raw
+    lines. Orders reduces to (o_orderkey, is_high int8). The two
+    shuffle once through :func:`joins.hash_join`; after the join every
+    batch collapses to <= 12 (category, is_high, n) cells before ONE
+    tiny native groupby Sum. Nothing wider than the category table
+    ever materializes.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    lo = np.datetime64(date_lo)
+    hi = np.datetime64(date_hi)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "cat": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        sd = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        m = (sd >= lo) & (sd < hi)
+        if not m.any():
+            return empty
+        ok = b.column("l_orderkey").to_numpy(
+            zero_copy_only=False)[m].astype(np.int64)
+        rf = b.column("l_returnflag").to_numpy(zero_copy_only=False)[m]
+        ls = b.column("l_linestatus").to_numpy(zero_copy_only=False)[m]
+        cat = np.asarray([f"{a}|{c}" for a, c in zip(rf, ls)], object)
+        o = np.lexsort((cat, ok))
+        ok, cat = ok[o], cat[o]
+        newseg = np.concatenate(
+            ([True], (ok[1:] != ok[:-1]) | (cat[1:] != cat[:-1])))
+        starts = np.flatnonzero(newseg)
+        n = np.diff(np.append(starts, ok.size)).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(ok[starts], pa.int64()),
+            "cat": pa.array(cat[starts], pa.string()),
+            "n": pa.array(n, pa.int64())})
+
+    def ord_flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "is_high": pa.array([], pa.int8())})
+        hi_m = pc.is_in(b.column("o_orderpriority"),
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "is_high": hi_m.cast(pa.int8())})
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    od = orders.select_columns(["o_orderkey", "o_orderpriority"]) \
+        .map_batches(ord_flag, batch_format="pyarrow")
+    joined = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+
+    def cells(b: pa.Table) -> pa.Table:
+        empty = pa.table({"cat": pa.array([], pa.string()),
+                          "is_high": pa.array([], pa.int8()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        cat = b.column("cat").to_numpy(zero_copy_only=False)
+        ih = b.column("is_high").to_numpy(zero_copy_only=False) \
+            .astype(np.int8)
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = np.asarray([f"{c}|{int(h)}" for c, h in zip(cat, ih)],
+                         object)
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(uk.size, np.int64)
+        np.add.at(sums, inv, n)
+        parts = [k.rsplit("|", 1) for k in uk.tolist()]
+        return pa.table({
+            "cat": pa.array([p[0] for p in parts], pa.string()),
+            "is_high": pa.array([int(p[1]) for p in parts], pa.int8()),
+            "n": pa.array(sums, pa.int64())})
+
+    agg = joined.map_batches(cells, batch_format="pyarrow") \
+        .groupby(["cat", "is_high"]).aggregate(Sum("n", alias_name="n"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "high_line_count": pa.array([], pa.int64()),
+                "low_line_count": pa.array([], pa.int64())})
+        cat = b.column("cat").to_numpy(zero_copy_only=False)
+        ih = b.column("is_high").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uc, inv = np.unique(cat, return_inverse=True)
+        high = np.zeros(uc.size, np.int64)
+        low = np.zeros(uc.size, np.int64)
+        np.add.at(high, inv[ih == 1], n[ih == 1])
+        np.add.at(low, inv[ih == 0], n[ih == 0])
+        parts = [c.split("|", 1) for c in uc.tolist()]
+        return pa.table({
+            "l_returnflag": pa.array([p[0] for p in parts], pa.string()),
+            "l_linestatus": pa.array([p[1] for p in parts], pa.string()),
+            "high_line_count": pa.array(high, pa.int64()),
+            "low_line_count": pa.array(low, pa.int64())})
+
+    # the (category, is_high) table is <= 12 rows — one final combine
+    return agg.repartition(1).map_batches(fin, batch_format="pyarrow") \
+        .sort(["l_returnflag", "l_linestatus"])
+
+
 def customer_value_deciles(orders):
     """Customer lifetime-spend deciles -> (decile, n_customers,
     min_spend, max_spend, total_spend, avg_spend): the classic value

@@ -2030,6 +2030,107 @@ def vocab_stats_per_source(docs):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def zipf_slope_per_source(docs, top_n: int = 100):
+    """Per-source Zipf slope -> (source, n_terms, slope): the OLS slope
+    of ln(term count) on ln(rank) over each source's ``top_n`` terms
+    (rank = count desc, term asc). Natural corpora track slope ~= -1
+    (Zipf 1949); template/spam sources flatten (head terms equally
+    stamped) or steepen (one boilerplate token dominates) — a standard
+    distribution-shape curation diagnostic next to [[ttr]] and KL
+    divergence.
+
+    Plan: the (source, term, count) relation is ONE native pair groupby
+    (the vocab_stats_per_source shuffle); a per-batch local top-n then
+    cuts every block to <= sources x top_n rows before a final tiny
+    ``groupby(source)`` resolve. The regression itself is EXACT integer
+    arithmetic: x = round(ln r * 1e6), y = round(ln c * 1e6) micro-nats
+    (half-away, both oracle sides), all four OLS sums taken over Python
+    ints (DuckDB HUGEINT), and only the final num/den division happens
+    in floating point — so summation order cannot drift the hash.
+    Sources with < 2 ranked terms are dropped (slope undefined).
+    """
+    from ray.data.aggregate import Sum
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "ct": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        agg: dict = {}
+        for s, x in zip(b.column("source").to_pylist(),
+                        b.column("text").to_pylist()):
+            for t in TOKEN_RE.findall((x or "").lower()):
+                if len(t) > 1:
+                    agg[(s, t)] = agg.get((s, t), 0) + 1
+        if not agg:
+            return empty
+        ks = list(agg)
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "term": pa.array([k[1] for k in ks], pa.string()),
+            "ct": pa.array([agg[k] for k in ks], pa.int64())})
+
+    pairs = docs.select_columns(["source", "text"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("ct", alias_name="ct"))
+
+    def local_topn(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "ct": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        s = np.asarray(b.column("source").to_pylist(), object)
+        t = np.asarray(b.column("term").to_pylist(), object)
+        c = b.column("ct").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((t, -c, s))     # source asc, count desc, term asc
+        s, t, c = s[o], t[o], c[o]
+        seg = np.concatenate(([True], s[1:] != s[:-1]))
+        # rank within source = position since segment start
+        pos = np.arange(s.size) - np.maximum.accumulate(
+            np.where(seg, np.arange(s.size), 0))
+        keep = pos < top_n
+        return pa.table({"source": pa.array(s[keep], pa.string()),
+                         "term": pa.array(t[keep], pa.string()),
+                         "ct": pa.array(c[keep], pa.int64())})
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_terms": pa.array([], pa.int64()),
+                          "slope": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        src = str(g.column("source")[0].as_py())
+        t = np.asarray(g.column("term").to_pylist(), object)
+        c = g.column("ct").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((t, -c))[:top_n]
+        c = c[o]
+        n = int(c.size)
+        if n < 2:
+            return empty
+        r = np.arange(1, n + 1, dtype=np.float64)
+        x = np.floor(np.log(r) * 1e6 + 0.5).astype(np.int64)
+        y = np.floor(np.log(c.astype(np.float64)) * 1e6 + 0.5) \
+            .astype(np.int64)
+        sx = int(x.sum())
+        sy = int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = float(np.round(float(num) / float(den), 6))
+        return pa.table({"source": pa.array([src], pa.string()),
+                         "n_terms": pa.array([n], pa.int64()),
+                         "slope": pa.array([slope], pa.float64())})
+
+    return pairs.map_batches(local_topn, batch_format="pyarrow") \
+        .groupby("source").map_groups(resolve, batch_format="pyarrow") \
+        .sort("source")
+
+
 def overlap_topk(docs, query_terms, k: int = 10):
     """Top-k set-overlap search (the Koios / set-similarity-search shape,
     ICDE 2023, as an exact batch operator) -> (doc_id, overlap): the k

@@ -130,3 +130,53 @@ def test_funnel_salted_crosses_days(ray_session):
                          num_groups=8, salt_us=day)
     got = out.take_all()
     assert got == [{"user_id": 7, "view_id": 0, "click_id": 2, "buy_id": 4}]
+
+
+def test_attribution_salted_identity(skewed):
+    import pandas as pd
+    from ics_search_engine_ray.stages.events import attribution
+
+    salted = _rows(attribution(skewed, conversion="buy",
+                               sources=("click", "view")),
+                   ["attributed_type"])
+    plain = _rows(attribution(skewed, conversion="buy",
+                              sources=("click", "view"), hot_frac=2.0),
+                  ["attributed_type"])
+    assert len(plain) > 0
+    pd.testing.assert_frame_equal(salted, plain)   # exact integer counts
+
+
+def test_attribution_crosses_days(ray_session):
+    """A conversion that is the FIRST event of its day must credit the
+    previous day's last source through the salted fold (and a no-prior
+    conversion must credit 'none')."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import attribution
+
+    day = 86_400 * 1_000_000
+    rows = [
+        # user 1: day0 click (last source), day1 starts with buy
+        {"event_id": 0, "user_id": 1, "ts": 1000, "event_type": "click"},
+        {"event_id": 1, "user_id": 1, "ts": day + 10, "event_type": "buy"},
+        # user 1 again: view later day1, buy day3 (gap day skipped)
+        {"event_id": 2, "user_id": 1, "ts": day + 20, "event_type": "view"},
+        {"event_id": 3, "user_id": 1, "ts": 3 * day + 5, "event_type": "buy"},
+        # user 2: buy with NO prior source at all
+        {"event_id": 4, "user_id": 2, "ts": 500, "event_type": "buy"},
+        {"event_id": 5, "user_id": 2, "ts": 600, "event_type": "click"},
+    ]
+    ds = rd.from_items(rows).repartition(1)
+    # user 1 holds 4/6 rows -> pigeonhole-hot at frac=0.5 (verify it
+    # IS detected, so the salted fold below is actually exercised)
+    from ics_search_engine_ray.stages.events import _hot_users
+    assert 1 in _hot_users(ds.select_columns(["user_id"]), 0.5)
+    got = _rows(attribution(ds, conversion="buy",
+                            sources=("click", "view"), hot_frac=0.5),
+                ["attributed_type"])
+    want = {"click": 1, "view": 1, "none": 1}
+    assert dict(zip(got["attributed_type"], got["n"])) == want
+    # and the unsalted kernel agrees
+    got2 = _rows(attribution(ds, conversion="buy",
+                             sources=("click", "view"), hot_frac=2.0),
+                 ["attributed_type"])
+    assert dict(zip(got2["attributed_type"], got2["n"])) == want
