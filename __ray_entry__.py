@@ -1391,6 +1391,19 @@ def _q_distinct_users_kmv(sf_dir: str):
     return distinct_count_kmv(ev, key="event_type", value="user_id", k=256)
 
 
+def _q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-user estimate per event type (rows-only:
+    approximate by design; accuracy + partition invariance pinned vs
+    exact in pytest). Sparse registers, native groupby Max IS the HLL
+    merge."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import distinct_count_hll
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return distinct_count_hll(ev, key="event_type", value="user_id", p=12)
+
+
 def _q_curate(sf_dir: str):
     """Composed curation pipeline (pipelines/curate.py): quality-rule filter
     + exact dedup of survivors, signals per kept doc. Oracle re-derives the
@@ -2409,6 +2422,18 @@ def _q_vocab_stats_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_faceted_match_counts(sf_dir: str):
+    """Faceted-search count table (stages/text_analysis.py
+    faceted_match_counts) for the three serving bench queries: per
+    (query, source) OR- and AND-match document counts, one corpus pass,
+    O(batches x queries x sources) partial rows."""
+    from ics_search_engine_ray.stages.text_analysis import \
+        faceted_match_counts
+    return faceted_match_counts(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")),
+        _SEARCH_ORACLE_QUERIES)
+
+
 def _q_zipf_slope(sf_dir: str):
     """Per-source Zipf slope (stages/text_analysis.py
     zipf_slope_per_source): one pair groupby -> per-batch local top-100
@@ -2958,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_agg": _q_quantile_agg,          # per-key exact quantiles
         "distinct_users_exact": _q_distinct_users_exact,  # 2-stage groupby
         "distinct_users_kmv": _q_distinct_users_kmv,      # KMV sketch
+        "distinct_users_hll": _q_distinct_users_hll,      # HLL sketch
         "decontaminate": _q_decontaminate,        # eval n-gram overlap
         "chunk_tokens": _q_chunk_tokens,          # context-window chunking
         "pack_assign": _q_pack_assign,            # concat-and-chunk packing
@@ -3034,6 +3060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,  # cohort retention
         "vocab_stats_per_source": _q_vocab_stats_per_source,  # Heaps/TTR
         "zipf_slope_per_source": _q_zipf_slope,  # rank-freq shape
+        "faceted_match_counts": _q_faceted_match_counts,  # facet table
         "hapax_ratio_per_source": _q_hapax_ratio_per_source,  # hapax share
         "readability": _q_readability,            # Flesch reading ease
         "nb_lang_scores": _q_nb_lang_scores,      # trained NB lang ID
@@ -3128,6 +3155,26 @@ FROM (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
       FROM sc{qi}) WHERE rn <= 10""")
     return ("WITH " + ",\n".join(parts) + "\n"
             + "\nUNION ALL\n".join(selects) + "\nORDER BY query, rank")
+
+
+def _faceted_sql(queries) -> str:
+    """UNION ALL facet blocks: per query, per source, OR-match and
+    AND-match doc counts over the SQL-form token sets."""
+    selects = []
+    for q in queries:
+        terms = sorted({t for t in q.lower().split() if len(t) > 1})
+        lst = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+        selects.append(f"""SELECT '{q}' AS query, source,
+       CAST(count(*) AS BIGINT) AS n_any,
+       CAST(sum(CASE WHEN list_has_all(l, {lst}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_all
+FROM w WHERE list_has_any(l, {lst})
+GROUP BY source""")
+    return ("WITH w AS (SELECT source, "
+            "list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+            "x -> length(x) > 1) AS l FROM documents)\n"
+            + "\nUNION ALL\n".join(selects)
+            + "\nORDER BY query, source")
 
 
 def _tfidf_ref_multi_sql(queries) -> str:
@@ -4276,6 +4323,7 @@ FROM allfp x JOIN allfp y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.fp::BIT, y.fp::BIT)) <= {DEFAULT_CONFIG.max_hamming}
 ORDER BY a, b""",
         "search_bm25_oracle": _bm25_multi_sql(_SEARCH_ORACLE_QUERIES, k1, b),
+        "faceted_match_counts": _faceted_sql(_SEARCH_ORACLE_QUERIES),
         "search_tfidf_ref_oracle": _tfidf_ref_multi_sql(_SEARCH_ORACLE_QUERIES),
         "embed_docs": _embed_docs_sql("emit"),
         "knn_text": _embed_docs_sql("knn"),

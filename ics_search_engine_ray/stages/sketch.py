@@ -94,6 +94,91 @@ def distinct_count_exact(ds, key: str, value: str):
         batch_format="pyarrow")
 
 
+def _bitlen64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 values — exact (binary-reduction
+    shifts, no float log2, whose rounding misclassifies values just
+    below a power of two once they exceed 53 bits)."""
+    v = w.copy()
+    bl = np.zeros(v.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << s)
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    return bl + (v > 0)
+
+
+def distinct_count_hll(ds, key: str, value: str, p: int = 12):
+    """Per-key HyperLogLog distinct estimate -> (key, estimate)
+    [Flajolet et al. 2007], the constant-memory companion to
+    :func:`distinct_count_kmv` (KMV keeps k hashes; HLL keeps
+    m = 2**p <= 4096 one-byte registers regardless of cardinality — the
+    sketch every warehouse ships as approx_count_distinct).
+
+    Distribution shape: the register table is kept SPARSE — each batch
+    pre-aggregates to (key, bucket, max rho) rows, a native
+    ``groupby(key, bucket).max`` IS the HLL merge (register-wise max is
+    associative/commutative, so the estimate is independent of block
+    layout), and a final per-key fold of <= m rows applies the
+    harmonic-mean estimator with the standard linear-counting
+    small-range correction. The raw value column never shuffles; at
+    most ``batches x keys x m`` partial rows move.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def partial(b: pa.Table) -> pa.Table:
+        kt = b.schema.field(key).type
+        empty = pa.table({key: pa.array([], kt),
+                          "bucket": pa.array([], pa.int64()),
+                          "rho": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+        vals = b.column(value).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = _splitmix(vals.astype(np.uint64))
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)          # low 64-p bits, left-aligned
+        rho = (64 - p) - _bitlen64(w) + 1   # w==0 -> 64-p+1 (correct)
+        codes = pc.dictionary_encode(b.column(key)).combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # per (key, bucket) max rho within the batch
+        order = np.lexsort((-rho, bucket, idx))
+        gi, bu, rh = idx[order], bucket[order], rho[order]
+        first = np.concatenate(
+            ([True], (gi[1:] != gi[:-1]) | (bu[1:] != bu[:-1])))
+        gi, bu, rh = gi[first], bu[first], rh[first]
+        return pa.table({
+            key: codes.dictionary.take(pa.array(gi, pa.int64())),
+            "bucket": pa.array(bu, pa.int64()),
+            "rho": pa.array(rh, pa.int64())})
+
+    from ray.data.aggregate import Max
+
+    regs = ds.select_columns([key, value]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, "bucket"]).aggregate(Max("rho", alias_name="rho"))
+
+    def estimate(g: pa.Table) -> pa.Table:
+        kt = g.schema.field(key).type
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             "estimate": pa.array([], pa.float64())})
+        rho = g.column("rho").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        zeros = m - rho.size            # buckets never hit stay at 0
+        denom = zeros + np.power(2.0, -rho.astype(np.float64)).sum()
+        est = alpha * m * m / denom
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / float(zeros))   # linear counting
+        return pa.table({key: g.column(key).slice(0, 1),
+                         "estimate": pa.array([round(float(est), 6)],
+                                              pa.float64())})
+
+    return regs.groupby(key).map_groups(estimate, batch_format="pyarrow")
+
+
 def quantile_sketch(ds, key: str, value: str, qs=(0.5, 0.95),
                     k_per_batch: int = 64):
     """Mergeable per-key approximate quantiles — the scale path for

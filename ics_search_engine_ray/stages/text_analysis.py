@@ -2169,6 +2169,70 @@ def overlap_topk(docs, query_terms, k: int = 10):
         .sort(["overlap", "doc_id"], descending=[True, False]).limit(k)
 
 
+def faceted_match_counts(docs, queries):
+    """Facet table for a query set -> (query, source, n_any, n_all):
+    per query and corpus source, how many documents match AT LEAST ONE
+    query term (OR semantics — what a search UI shows next to each
+    facet) and how many match ALL terms (AND semantics). The
+    aggregation layer of faceted search, expressed as the corpus-scale
+    shape: at serving time the counts come from the index's postings,
+    but REBUILDING the facet table is a corpus scan, and that scan is
+    this operator.
+
+    The tiny query set broadcasts inside the closure; each batch is one
+    tokenize pass reused across all queries (per-doc DISTINCT token
+    sets built once), then per (query, source) partial counts — only
+    O(batches x queries x sources) rows reach the final native Sum
+    groupby. No corpus shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    qterms = {q: frozenset(t for t in q.lower().split() if len(t) > 1)
+              for q in queries}
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"query": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string()),
+                          "a": pa.array([], pa.int64()),
+                          "l": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        srcs = b.column("source").to_pylist()
+        sets = [frozenset(t for t in
+                          TOKEN_RE.findall((x or "").lower())
+                          if len(t) > 1)
+                for x in b.column("text").to_pylist()]
+        agg: dict = {}
+        for s, ts in zip(srcs, sets):
+            for q, qs in qterms.items():
+                hit = len(qs & ts)
+                if hit:
+                    c = agg.setdefault((q, s), [0, 0])
+                    c[0] += 1
+                    if hit == len(qs):
+                        c[1] += 1
+        if not agg:
+            return empty
+        ks = list(agg)
+        return pa.table({
+            "query": pa.array([k[0] for k in ks], pa.string()),
+            "source": pa.array([k[1] for k in ks], pa.string()),
+            "a": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "l": pa.array([agg[k][1] for k in ks], pa.int64())})
+
+    agg = docs.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["query", "source"]).aggregate(
+            Sum("a", alias_name="n_any"), Sum("l", alias_name="n_all"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "query": b.column("query"),
+            "source": b.column("source"),
+            "n_any": b.column("n_any").cast(pa.int64()),
+            "n_all": b.column("n_all").cast(pa.int64())}),
+        batch_format="pyarrow").sort(["query", "source"])
+
+
 def distinctive_terms(docs, k: int = 5, alpha0: float = 100.0):
     """Per-source distinctive vocabulary -> (source, rank, term, z):
     the top-k terms most over-represented in each source vs the rest of

@@ -97,3 +97,47 @@ def test_quantile_sketch_int_key_with_empty_batches(ray_session):
     out = quantile_sketch(ds, "k", "value", qs=(0.5,)).take_all()
     assert sorted({r["k"] for r in out}) == [0, 1, 2]
     assert all(0.3 < r["value"] < 0.7 for r in out)
+
+
+def test_hll_estimate_and_partition_invariance(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import (
+        distinct_count_exact, distinct_count_hll)
+    ds = _make_ds(rd, n_keys=2, vals_per_key=20_000, n_distinct=5_000,
+                  parts=6)
+    exact = {r["key"]: r["n_distinct"]
+             for r in distinct_count_exact(ds, "key", "val").take_all()}
+    est = {r["key"]: r["estimate"]
+           for r in distinct_count_hll(ds, "key", "val", p=12).take_all()}
+    for k in exact:
+        # m=4096 -> std error 1.04/sqrt(m) ~ 1.6%; assert a loose 8%
+        assert est[k] == pytest.approx(exact[k], rel=0.08)
+    # register-wise max is associative/commutative: block layout is
+    # irrelevant to the estimate
+    est2 = {r["key"]: r["estimate"]
+            for r in distinct_count_hll(ds.repartition(13), "key", "val",
+                                        p=12).take_all()}
+    assert est == est2
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import (
+        distinct_count_exact, distinct_count_hll)
+    ds = _make_ds(rd, n_keys=3, vals_per_key=500, n_distinct=100, parts=4)
+    exact = {r["key"]: r["n_distinct"]
+             for r in distinct_count_exact(ds, "key", "val").take_all()}
+    est = {r["key"]: r["estimate"]
+           for r in distinct_count_hll(ds, "key", "val", p=12).take_all()}
+    for k in exact:
+        # far below 2.5m with empty registers -> linear counting, which
+        # is near-exact at this load factor
+        assert est[k] == pytest.approx(exact[k], rel=0.05)
+
+
+def test_hll_bitlen64_exact():
+    from ics_search_engine_ray.stages.sketch import _bitlen64
+    w = np.array([0, 1, 2, 3, (1 << 53) - 1, 1 << 53, (1 << 63) - 1,
+                  1 << 63, (1 << 64) - 1], np.uint64)
+    want = np.array([0, 1, 2, 2, 53, 54, 63, 64, 64], np.int64)
+    assert (_bitlen64(w) == want).all()
