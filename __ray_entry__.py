@@ -1746,6 +1746,32 @@ _PRD_ITERS_PR = 6    # fixed iteration counts (threshold=0.0 disables the
 _PRD_ITERS_HITS = 4  # break-before-assign quirk so SQL can replicate exactly)
 
 
+def _q_triangles(sf_dir: str):
+    """Exact triangle enumeration (graph/concomp.py triangles): degree-
+    oriented node-iterator (Suri & Vassilvitskii 2011) over a
+    deterministic arithmetic doc graph i -> {i+1, 2i, 5i+2} mod n —
+    wedges generated once from the lower-(deg, id) endpoint, closed by
+    one packed-key hash join. Oracle: the canonical three-way self-join
+    (u < v < w appears exactly once)."""
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import triangles
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(b):
+        i = b.column("doc_id").to_numpy(zero_copy_only=False)             .astype(np.int64)
+        srcs = np.concatenate([i, i, i])
+        dsts = np.concatenate([(i + 1) % n, (2 * i) % n,
+                               (5 * i + 2) % n])
+        return pa.table({"src": pa.array(srcs, pa.int64()),
+                         "dst": pa.array(dsts, pa.int64())})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return triangles(edges)
+
+
 def _q_pagerank_docs(sf_dir: str):
     """G1/G2 kernels with a DRIVER-CHECKABLE oracle (r3 verdict item 4):
     the quirk-compatible PageRank (mass-leak: out-degree counts a phantom
@@ -2699,6 +2725,17 @@ def _q_hapax_ratio_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_decay_score(sf_dir: str):
+    """Per-user exponentially decayed value (stages/events.py
+    decay_score): exact half-away cents x libm exp, rounded to integer
+    micro-units per event so the groupby Sum is order-independent."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import decay_score
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return decay_score(ev)
+
+
 def _q_value_hour_corr(sf_dir: str):
     """Per-user value/hour-of-day Pearson correlation (stages/events.py
     value_hour_corr): exact integer second moments merged by one native
@@ -2931,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tfidf_ref": _q_search_tfidf_ref,  # Q3-Q5 parity scorer
         "pagerank_hits": _q_pagerank,             # G1/G2 (rows-only)
         "pagerank_docs": _q_pagerank_docs,        # G1/G2 kernels (SQL oracle)
+        "triangles": _q_triangles,                # degree-oriented enumeration
         "index_stats": _q_index_stats,            # S4/S5 manifest (rows-only)
         "index_stats_oracle": _q_index_stats_oracle,  # A4 invariants (SQL)
         "source_stats": _q_source_stats,          # per-source curation report
@@ -3085,6 +3123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": _q_term_stats,              # cf/df head
         "active_days_histogram": _q_active_days_histogram,
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
+        "decay_score": _q_decay_score,            # recency-weighted value
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
         "weighted_sample": _q_weighted_sample,    # ES06 weighted top-k
@@ -3739,6 +3778,34 @@ SELECT coalesce(attr, 'none') AS attributed_type,
        CAST(count(*) AS BIGINT) AS n
 FROM m WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY 1""",
+        "decay_score": """
+WITH c AS (
+  SELECT user_id,
+         CAST(round(abs(CAST(round(value * 100, 0) AS BIGINT)
+                * exp(-(date_diff('microsecond', ts,
+                                  TIMESTAMP '2024-02-01'))
+                      / (30.0 * 86400 * 1000000)) * 1000000), 0)
+              AS BIGINT)
+         * CASE WHEN CAST(round(value * 100, 0) AS BIGINT) < 0
+                THEN -1 ELSE 1 END AS u
+  FROM events)
+SELECT user_id,
+       CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
+FROM c GROUP BY user_id ORDER BY user_id""",
+        "triangles": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id AS i FROM documents),
+e0 AS (
+  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
+  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
+  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM e0 WHERE a <> b)
+SELECT CAST(e1.u AS BIGINT) AS u, CAST(e1.v AS BIGINT) AS v,
+       CAST(e2.v AS BIGINT) AS w
+FROM e e1 JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+ORDER BY u, v, w""",
         "zipf_slope_per_source": """
 WITH toks AS (
   SELECT source,
@@ -4404,6 +4471,34 @@ SELECT coalesce(attr, 'none') AS attributed_type,
        CAST(count(*) AS BIGINT) AS n
 FROM m WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY 1""",
+        "decay_score": """
+WITH c AS (
+  SELECT user_id,
+         CAST(round(abs(CAST(round(value * 100, 0) AS BIGINT)
+                * exp(-(date_diff('microsecond', ts,
+                                  TIMESTAMP '2024-02-01'))
+                      / (30.0 * 86400 * 1000000)) * 1000000), 0)
+              AS BIGINT)
+         * CASE WHEN CAST(round(value * 100, 0) AS BIGINT) < 0
+                THEN -1 ELSE 1 END AS u
+  FROM events)
+SELECT user_id,
+       CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
+FROM c GROUP BY user_id ORDER BY user_id""",
+        "triangles": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id AS i FROM documents),
+e0 AS (
+  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
+  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
+  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM e0 WHERE a <> b)
+SELECT CAST(e1.u AS BIGINT) AS u, CAST(e1.v AS BIGINT) AS v,
+       CAST(e2.v AS BIGINT) AS w
+FROM e e1 JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+ORDER BY u, v, w""",
         "zipf_slope_per_source": """
 WITH toks AS (
   SELECT source,
@@ -4828,6 +4923,34 @@ SELECT coalesce(attr, 'none') AS attributed_type,
        CAST(count(*) AS BIGINT) AS n
 FROM m WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY 1""",
+        "decay_score": """
+WITH c AS (
+  SELECT user_id,
+         CAST(round(abs(CAST(round(value * 100, 0) AS BIGINT)
+                * exp(-(date_diff('microsecond', ts,
+                                  TIMESTAMP '2024-02-01'))
+                      / (30.0 * 86400 * 1000000)) * 1000000), 0)
+              AS BIGINT)
+         * CASE WHEN CAST(round(value * 100, 0) AS BIGINT) < 0
+                THEN -1 ELSE 1 END AS u
+  FROM events)
+SELECT user_id,
+       CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
+FROM c GROUP BY user_id ORDER BY user_id""",
+        "triangles": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id AS i FROM documents),
+e0 AS (
+  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
+  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
+  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM e0 WHERE a <> b)
+SELECT CAST(e1.u AS BIGINT) AS u, CAST(e1.v AS BIGINT) AS v,
+       CAST(e2.v AS BIGINT) AS w
+FROM e e1 JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+ORDER BY u, v, w""",
         "zipf_slope_per_source": """
 WITH toks AS (
   SELECT source,

@@ -241,3 +241,182 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst",
         batch_format="pyarrow") \
         .groupby("gkey").map_groups(
             lambda t: dedup(t.drop(["gkey"])), batch_format="pyarrow")
+
+
+def triangles(edges_ds, src: str = "src", dst: str = "dst",
+              num_groups: Optional[int] = None):
+    """Exact triangle enumeration -> (u, v, w) with u < v < w, one row
+    per triangle — the node-iterator / compact-forward MapReduce shape
+    (Suri & Vassilvitskii, WWW 2011 "Counting triangles and the curse
+    of the last reducer"; public).
+
+    Why this shape at scale: enumerating wedges from RAW adjacency puts
+    sum(deg^2) pairs on the wire and the highest-degree node in one
+    task. Orienting every edge from its lower-(degree, id) endpoint to
+    the higher one makes each wedge/triangle generated EXACTLY once and
+    bounds every node's out-degree by O(sqrt(|E|)), so the wedge volume
+    is O(|E|^1.5) worst-case and hub nodes never own their full
+    neighborhood.
+
+    Plan: dedup/canonicalize edges (one bucketed groupby), degree
+    relation (native groupby count over the stacked endpoints), orient
+    via ONE hash join of edges against degrees-of-both-endpoints,
+    wedge-generate per src bucket (vectorized pair expansion), then ONE
+    hash join of wedges against the canonical edge set on a packed
+    (lo << 32 | hi) int64 key. Every step is a Dataset op; the driver
+    never sees edges.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    def canon(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_edges()
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        k = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+        k = np.unique(k)
+        return pa.table({
+            "u": pa.array((k >> np.uint64(32)).astype(np.int64),
+                          pa.int64()),
+            "v": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                          pa.int64())})
+
+    raw = edges_ds.map_batches(canon, batch_format="pyarrow")
+    if num_groups is None:
+        num_groups = adaptive_groups(max(raw.count(), 1), 1_000_000,
+                                     lo=16)
+
+    def bucket_dedup(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        k = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+        k = np.unique(k)
+        return pa.table({
+            "u": pa.array((k >> np.uint64(32)).astype(np.int64),
+                          pa.int64()),
+            "v": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                          pa.int64())})
+
+    edges = raw.map_batches(
+        lambda b: b.append_column(
+            "_g", pa.array((b.column("u").to_numpy(zero_copy_only=False)
+                            % num_groups).astype(np.int64), pa.int64())),
+        batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: bucket_dedup(g.drop(["_g"])),
+            batch_format="pyarrow").materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        ends = np.concatenate([
+            b.column("u").to_numpy(zero_copy_only=False),
+            b.column("v").to_numpy(zero_copy_only=False)]).astype(np.int64)
+        nn, c = np.unique(ends, return_counts=True)
+        return pa.table({"node": pa.array(nn, pa.int64()),
+                         "d": pa.array(c.astype(np.int64), pa.int64())})
+
+    degs = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("d", alias_name="deg"))
+
+    # orient: join u-degree then v-degree (two co-partitioned joins of
+    # the edge relation against the degree relation)
+    j1 = hash_join(edges, degs, on="u", right_on="node")
+    j1 = j1.map_batches(
+        lambda b: pa.table({"u": b.column("u"), "v": b.column("v"),
+                            "du": b.column("deg").cast(pa.int64())}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, degs, on="v", right_on="node")
+
+    def orient(b: pa.Table) -> pa.Table:
+        empty = pa.table({"s": pa.array([], pa.int64()),
+                          "t": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        du = b.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = b.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(u_first, u, v)
+        t = np.where(u_first, v, u)
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "t": pa.array(t, pa.int64())})
+
+    oriented = j2.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pa.Table) -> pa.Table:
+        """All out-neighbor pairs per src node (canonical a < b)."""
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
+                          "key": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        o = np.lexsort((t, s))
+        s, t = s[o], t[o]
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        lens = np.diff(np.append(starts, s.size))
+        out_a, out_b, out_c = [], [], []
+        for st, ln in zip(starts.tolist(), lens.tolist()):
+            if ln < 2:
+                continue
+            nb = t[st:st + ln]           # sorted ascending
+            ii, jj = np.triu_indices(ln, k=1)
+            out_a.append(nb[ii])
+            out_b.append(nb[jj])
+            out_c.append(np.full(ii.size, s[st], np.int64))
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
+        c = np.concatenate(out_c)
+        key = ((a.astype(np.uint64) << np.uint64(32))
+               | bb.astype(np.uint64)).astype(np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(bb, pa.int64()),
+                         "c": pa.array(c, pa.int64()),
+                         "key": pa.array(key, pa.int64())})
+
+    wedge_ds = oriented.map_batches(
+        lambda b: b.append_column(
+            "_g", pa.array((b.column("s").to_numpy(zero_copy_only=False)
+                            % num_groups).astype(np.int64), pa.int64())),
+        batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: wedges(g.drop(["_g"])), batch_format="pyarrow")
+
+    ekeys = edges.map_batches(
+        lambda b: pa.table({"key": pa.array(
+            ((b.column("u").to_numpy(zero_copy_only=False)
+              .astype(np.uint64) << np.uint64(32))
+             | b.column("v").to_numpy(zero_copy_only=False)
+             .astype(np.uint64)).astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")
+
+    closed = hash_join(wedge_ds, ekeys, on="key")
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        tri = np.sort(np.stack([a, bb, c], axis=1), axis=1)
+        return pa.table({"u": pa.array(tri[:, 0], pa.int64()),
+                         "v": pa.array(tri[:, 1], pa.int64()),
+                         "w": pa.array(tri[:, 2], pa.int64())})
+
+    return closed.map_batches(fin, batch_format="pyarrow") \
+        .sort(["u", "v", "w"])

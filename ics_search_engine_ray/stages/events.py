@@ -1728,6 +1728,65 @@ def retention_cohorts(events, key: str = "user_id", ts_col: str = "ts",
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def decay_score(events, tau_days: float = 30.0,
+                ref_ts: str = "2024-02-01"):
+    """Per-user exponentially time-decayed value score -> (user_id,
+    decay_score): sum of value x exp(-(T_ref - ts)/tau) — the standard
+    recency-weighted engagement feature (a half-life'd RFM monetary
+    term; every churn/LTV feature table carries one).
+
+    Determinism: value enters as EXACT half-away cents; each event's
+    contribution is then rounded half-away to an INTEGER micro-unit
+    (cents x 1e6) so the per-user sums are order-independent — the
+    repo's integer-moments pattern. The exp() itself is evaluated by
+    libm on both oracle sides; the 1e-6-unit rounding absorbs any
+    last-ulp divergence. No shuffle wider than the per-batch
+    (user, partial-sum) relation.
+    """
+    from ray.data.aggregate import Sum
+
+    from .common import half_away_scaled_int, round_half_away
+
+    tau_us = float(tau_days) * 86_400.0 * 1e6
+    ref_us = int(np.datetime64(ref_ts).astype("datetime64[us]")
+                 .astype(np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        cents = half_away_scaled_int(val, 100).astype(np.float64)
+        w = np.exp(-(ref_us - ts).astype(np.float64) / tau_us)
+        contrib = cents * w * 1e6
+        micro = (np.floor(np.abs(contrib) + 0.5)
+                 * np.sign(contrib)).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        sums = np.zeros(uu.size, np.int64)
+        np.add.at(sums, inv, micro)
+        return pa.table({"user_id": pa.array(uu, pa.int64()),
+                         "s": pa.array(sums, pa.int64())})
+
+    agg = events.select_columns(["user_id", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("s", alias_name="s"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "decay_score": pa.array(round_half_away(s / 1e8, 6),
+                                    pa.float64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("user_id")
+
+
 def value_hour_corr(events, key: str = "user_id", ts_col: str = "ts",
                     val_col: str = "value"):
     """Per-key Pearson correlation between event value and hour-of-day
