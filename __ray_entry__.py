@@ -1669,6 +1669,52 @@ def _q_search_bm25_oracle(sf_dir: str):
     })
 
 
+def _q_search_diverse(sf_dir: str):
+    """Per-source diversified serving (the '2 per domain' SERP rule):
+    WAND top-k with a per-source cap of 2 applied in rank order —
+    progressive overfetch (double k until 10 survive the cap or the
+    match set is exhausted; at 10^12 docs the same loop reads one extra
+    block range per round instead of re-scoring). doc -> source resolves
+    through a predicate-pushdown parquet read over ONLY the candidate
+    ids (the _meta_of pattern — no O(corpus) driver table). Oracle: the
+    bm25 CTEs + per-source row_number <= 2 + global re-rank."""
+    import pyarrow.parquet as _pq
+    si = _text_index(sf_dir)
+    cap, want = 2, 10
+    rows = []
+    for q in _SEARCH_ORACLE_QUERIES:
+        kf = 50
+        while True:
+            res = si.search(q, k=kf, scorer="bm25", algo="wand")
+            cand = [r.doc_id for r in res]
+            stbl = _pq.read_table(
+                _docs_path(sf_dir), columns=["doc_id", "source"],
+                filters=[("doc_id", "in", cand or [0])])
+            smap = dict(zip(stbl.column("doc_id").to_pylist(),
+                            stbl.column("source").to_pylist()))
+            seen: dict = {}
+            kept = []
+            for r in res:
+                s = smap[r.doc_id]
+                if seen.get(s, 0) < cap:
+                    seen[s] = seen.get(s, 0) + 1
+                    kept.append((r, s))
+                    if len(kept) == want:
+                        break
+            if len(kept) == want or len(res) < kf:
+                break
+            kf *= 4
+        for rank, (r, s) in enumerate(kept, 1):
+            rows.append((q, rank, r.doc_id, s, round(r.score, 6)))
+    return pa.table({
+        "query": pa.array([r[0] for r in rows], pa.string()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "score": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
 def _q_search_tfidf_ref_oracle(sf_dir: str):
     """The reference's combined tf-idf scorer (search.py:141-198 parity
     math: per-term tf/dl * log10(N/df), shared-scalar cosine quirk,
@@ -2965,6 +3011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": _q_search_bm25,            # full pipeline (rows-only)
         "search_bm25_oracle": _q_search_bm25_oracle,  # serving path (SQL oracle)
         "search_tfidf_ref_oracle": _q_search_tfidf_ref_oracle,  # Q3-Q5 math
+        "search_diverse": _q_search_diverse,      # per-source SERP cap
         "search_tfidf_ref": _q_search_tfidf_ref,  # Q3-Q5 parity scorer
         "pagerank_hits": _q_pagerank,             # G1/G2 (rows-only)
         "pagerank_docs": _q_pagerank_docs,        # G1/G2 kernels (SQL oracle)
@@ -3214,6 +3261,46 @@ GROUP BY source""")
             "x -> length(x) > 1) AS l FROM documents)\n"
             + "\nUNION ALL\n".join(selects)
             + "\nORDER BY query, source")
+
+
+def _bm25_diverse_sql(queries, k1: float, b: float, cap: int = 2,
+                      k: int = 10) -> str:
+    """The _bm25_multi_sql CTEs + per-source row_number <= cap + global
+    re-rank: SQL replica of the diversified serving walk (keeping a doc
+    iff fewer than ``cap`` higher-ranked docs share its source is
+    exactly per-source rank <= cap under the same total order)."""
+    parts = [
+        f"toks AS ({_sql_tokens_cte()})",
+        "dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id)",
+        "stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl)",
+    ]
+    selects = []
+    for qi, q in enumerate(queries):
+        terms_in = ", ".join(f"'{t}'" for t in sorted(set(q.split())))
+        parts.append(
+            f"tf{qi} AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            f"WHERE term IN ({terms_in}) GROUP BY doc_id, term)")
+        parts.append(
+            f"df{qi} AS (SELECT term, count(*) AS df FROM tf{qi} GROUP BY term)")
+        parts.append(f"""sc{qi} AS (
+  SELECT tf{qi}.doc_id,
+         sum( ln((stats.n_docs - df{qi}.df + 0.5) / (df{qi}.df + 0.5) + 1.0)
+              * tf{qi}.tf * ({k1} + 1.0)
+              / (tf{qi}.tf + {k1} * (1.0 - {b} + {b} * dl.doclen / stats.avgdl)) ) AS s
+  FROM tf{qi} JOIN df{qi} USING (term) JOIN dl ON tf{qi}.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf{qi}.doc_id)""")
+        parts.append(f"""dv{qi} AS (
+  SELECT sc{qi}.doc_id, d.source, s,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s DESC, sc{qi}.doc_id) AS srn
+  FROM sc{qi} JOIN documents d ON d.doc_id = sc{qi}.doc_id)""")
+        selects.append(f"""SELECT '{q}' AS query, CAST(rn AS BIGINT) AS rank, doc_id, source,
+       CAST(round(s, 6) AS DOUBLE) AS score
+FROM (SELECT doc_id, source, s,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+      FROM dv{qi} WHERE srn <= {cap}) WHERE rn <= {k}""")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY query, rank")
 
 
 def _tfidf_ref_multi_sql(queries) -> str:
@@ -4390,6 +4477,7 @@ FROM allfp x JOIN allfp y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.fp::BIT, y.fp::BIT)) <= {DEFAULT_CONFIG.max_hamming}
 ORDER BY a, b""",
         "search_bm25_oracle": _bm25_multi_sql(_SEARCH_ORACLE_QUERIES, k1, b),
+        "search_diverse": _bm25_diverse_sql(_SEARCH_ORACLE_QUERIES, k1, b),
         "faceted_match_counts": _faceted_sql(_SEARCH_ORACLE_QUERIES),
         "search_tfidf_ref_oracle": _tfidf_ref_multi_sql(_SEARCH_ORACLE_QUERIES),
         "embed_docs": _embed_docs_sql("emit"),
