@@ -2771,6 +2771,18 @@ def _q_hapax_ratio_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_peak_concurrency(sf_dir: str):
+    """Max concurrent active users per day (stages/events.py
+    peak_concurrency): native (user, day) min/max groupby -> per
+    (day, hour) endpoint sweeps -> days-sized associative (total, max)
+    fold. Oracle: window running sum over ORDER BY t, d DESC."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import peak_concurrency
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return peak_concurrency(ev)
+
+
 def _q_decay_score(sf_dir: str):
     """Per-user exponentially decayed value (stages/events.py
     decay_score): exact half-away cents x libm exp, rounded to integer
@@ -3171,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_days_histogram": _q_active_days_histogram,
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "decay_score": _q_decay_score,            # recency-weighted value
+        "peak_concurrency": _q_peak_concurrency,  # interval sweep peak
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
         "weighted_sample": _q_weighted_sample,    # ES06 weighted top-k
@@ -3701,6 +3714,20 @@ WITH c AS (SELECT user_id,
            FROM events)
 SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "peak_concurrency": """
+WITH iv AS (SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   min(ts) AS lo, max(ts) AS hi
+            FROM events GROUP BY user_id, day),
+pts AS (SELECT day, lo AS t, 1 AS d FROM iv
+        UNION ALL SELECT day, hi AS t, -1 AS d FROM iv),
+sw AS (SELECT day,
+              sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c
+       FROM pts)
+SELECT day, CAST(max(c) AS BIGINT) AS peak
+FROM sw GROUP BY day ORDER BY day""",
         "vocab_stats_per_source": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 st AS (SELECT d.source, t.term
@@ -3879,6 +3906,20 @@ WITH c AS (
 SELECT user_id,
        CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "peak_concurrency": """
+WITH iv AS (SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   min(ts) AS lo, max(ts) AS hi
+            FROM events GROUP BY user_id, day),
+pts AS (SELECT day, lo AS t, 1 AS d FROM iv
+        UNION ALL SELECT day, hi AS t, -1 AS d FROM iv),
+sw AS (SELECT day,
+              sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c
+       FROM pts)
+SELECT day, CAST(max(c) AS BIGINT) AS peak
+FROM sw GROUP BY day ORDER BY day""",
         "triangles": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 base AS (SELECT doc_id AS i FROM documents),
@@ -4573,6 +4614,20 @@ WITH c AS (
 SELECT user_id,
        CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "peak_concurrency": """
+WITH iv AS (SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   min(ts) AS lo, max(ts) AS hi
+            FROM events GROUP BY user_id, day),
+pts AS (SELECT day, lo AS t, 1 AS d FROM iv
+        UNION ALL SELECT day, hi AS t, -1 AS d FROM iv),
+sw AS (SELECT day,
+              sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c
+       FROM pts)
+SELECT day, CAST(max(c) AS BIGINT) AS peak
+FROM sw GROUP BY day ORDER BY day""",
         "triangles": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 base AS (SELECT doc_id AS i FROM documents),
@@ -5025,6 +5080,20 @@ WITH c AS (
 SELECT user_id,
        CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "peak_concurrency": """
+WITH iv AS (SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   min(ts) AS lo, max(ts) AS hi
+            FROM events GROUP BY user_id, day),
+pts AS (SELECT day, lo AS t, 1 AS d FROM iv
+        UNION ALL SELECT day, hi AS t, -1 AS d FROM iv),
+sw AS (SELECT day,
+              sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c
+       FROM pts)
+SELECT day, CAST(max(c) AS BIGINT) AS peak
+FROM sw GROUP BY day ORDER BY day""",
         "triangles": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 base AS (SELECT doc_id AS i FROM documents),

@@ -1728,6 +1728,121 @@ def retention_cohorts(events, key: str = "user_id", ts_col: str = "ts",
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def peak_concurrency(events):
+    """Max concurrent active users per day -> (day, peak): a user is
+    "active" from their first to their last event of the day
+    (inclusive interval), and the peak is the classic +1/-1 sweep over
+    interval endpoints — the load-planning number (peak simultaneous
+    sessions) every capacity dashboard shows.
+
+    Scale shape: the interval relation is ONE native (user, day)
+    min/max groupby (distinct-pairs-sized); the sweep is then
+    TWO-LEVEL — each (day, hour) bucket sorts only its own endpoints
+    and emits (sum of deltas, max prefix), and a days-sized fold
+    composes the 24 hour segments in order via the associative
+    (total, max) monoid: ``max(maxA, totalA + maxB)``. No day ever
+    lands in one task as a whole point list, so a day with 10^8 active
+    users still splits 24 ways (finer salts — minutes — drop in the
+    same fold).
+
+    Tie rule: at equal timestamps +1 applies before -1 (inclusive
+    intervals; SQL replays it as ``ORDER BY t, d DESC``).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    day_us = 86_400 * 1_000_000
+    hour_us = 3_600 * 1_000_000
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "day": pa.array([], pa.int64()),
+                          "lo": pa.array([], pa.int64()),
+                          "hi": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = ts // day_us
+        o = np.lexsort((ts, d, u))
+        u, d, ts = u[o], d[o], ts[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (d[1:] != d[:-1]))))
+        ends = np.append(starts[1:], u.size) - 1
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "day": pa.array(d[starts], pa.int64()),
+            "lo": pa.array(ts[starts], pa.int64()),
+            "hi": pa.array(ts[ends], pa.int64())})
+
+    iv = events.select_columns(["user_id", "ts"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(
+            Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+
+    def points(b: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "hour": pa.array([], pa.int64()),
+                          "t": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        day = b.column("day").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lo = b.column("lo").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hi = b.column("hi").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = np.concatenate([lo, hi])
+        dd = np.concatenate([day, day])
+        delta = np.concatenate([np.ones(lo.size, np.int64),
+                                -np.ones(hi.size, np.int64)])
+        return pa.table({
+            "day": pa.array(dd, pa.int64()),
+            "hour": pa.array((t % day_us) // hour_us, pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "d": pa.array(delta, pa.int64())})
+
+    def hour_sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "hour": pa.array([], pa.int64()),
+                          "total": pa.array([], pa.int64()),
+                          "maxp": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        o = np.lexsort((-d, t))        # +1 before -1 at equal t
+        run = np.cumsum(d[o])
+        return pa.table({
+            "day": g.column("day").slice(0, 1),
+            "hour": g.column("hour").slice(0, 1),
+            "total": pa.array([int(run[-1])], pa.int64()),
+            "maxp": pa.array([int(run.max())], pa.int64())})
+
+    def day_fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                          "peak": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        o = np.argsort(g.column("hour").to_numpy(zero_copy_only=False))
+        tot = g.column("total").to_numpy(zero_copy_only=False)[o]
+        mx = g.column("maxp").to_numpy(zero_copy_only=False)[o]
+        prefix = np.concatenate(([0], np.cumsum(tot)))[:-1]
+        peak = int((prefix + mx).max())
+        day = int(g.column("day")[0].as_py()) * day_us
+        return pa.table({
+            "day": pa.array([day], pa.int64()).cast(pa.timestamp("us")),
+            "peak": pa.array([peak], pa.int64())})
+
+    return iv.map_batches(points, batch_format="pyarrow") \
+        .groupby(["day", "hour"]).map_groups(hour_sweep,
+                                             batch_format="pyarrow") \
+        .groupby("day").map_groups(day_fold, batch_format="pyarrow") \
+        .sort("day")
+
+
 def decay_score(events, tau_days: float = 30.0,
                 ref_ts: str = "2024-02-01"):
     """Per-user exponentially time-decayed value score -> (user_id,
