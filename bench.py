@@ -225,6 +225,21 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
         k=10).count()
     tops["top_unshipped_orders"] = round(time.time() - t, 2)
 
+    # this-session round-4 operators: bigram-LM perplexity (one corpus
+    # pass + groupby + broadcast score) and last-touch attribution
+    from ics_search_engine_ray.stages.events import attribution
+    from ics_search_engine_ray.stages.text_analysis import bigram_surprisal
+    t = time.time()
+    bigram_surprisal(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
+    tops["bigram_surprisal"] = round(time.time() - t, 2)
+    t = time.time()
+    attribution(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_id", "ts", "user_id",
+                                 "event_type"])).count()
+    tops["attribution"] = round(time.time() - t, 2)
+
     # concurrent query throughput through the partition-sharded actor pool
     from concurrent.futures import ThreadPoolExecutor
     from ics_search_engine_ray.query.actors import ShardedSearchIndex
