@@ -897,6 +897,20 @@ def _q_media_features(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_decode(sf_dir: str):
+    """REAL media decode (stages/multimodal.py PpmWavDecoder /
+    RealMediaDigest): the corpus synthesizes VALID P6 PPM images and
+    mono PCM16 WAV files (library-free standard formats), the actor
+    pool parses the actual containers with numpy, and the oracle
+    recomputes the decoded-essence sha plus integer-micro feature
+    digests from the same bytes in SQL — a mis-read header offset or
+    wrong raster slice flips the hash."""
+    from ics_search_engine_ray.stages.multimodal import (
+        media_decode_digest_dataset, synth_real_media_from_documents)
+    media = synth_real_media_from_documents(_read_docs(sf_dir))
+    return media_decode_digest_dataset(media).sort("media_id")
+
+
 def _q_frame_sample(sf_dir: str):
     """Sampled frames of the synthetic video table (oracle: blob repeat +
     slice + sha256 in SQL; exact because the testdata texts are ASCII, so
@@ -3051,6 +3065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "media_decode": _q_media_decode,          # REAL PPM/WAV decode
         "simhash_fingerprint": _q_simhash_fingerprint,  # T1 (SQL oracle)
         "curate": _q_curate,                      # composed curation pipeline
         "curate_full": _q_curate_full,            # curate + split, one oracle
@@ -3714,6 +3729,78 @@ WITH c AS (SELECT user_id,
            FROM events)
 SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "media_decode": """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         coalesce(nullif(text, ''), ' ') AS t
+  FROM documents),
+ess AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'image'
+              THEN substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
+                             1, 192)
+              ELSE substring(repeat(t, CAST(200 // length(t) AS INT) + 1),
+                             1, 200)
+         END AS e
+  FROM base),
+img AS (
+  SELECT doc_id,
+         ascii(substring(e, 3*i.i + 1, 1)) AS r,
+         ascii(substring(e, 3*i.i + 2, 1)) AS g,
+         ascii(substring(e, 3*i.i + 3, 1)) AS b
+  FROM ess, range(64) i(i) WHERE kind = 'image'),
+imgbin AS (
+  SELECT doc_id, ((r + g + b) // 3) * 26 // 256 AS bin, count(*) AS c
+  FROM img GROUP BY doc_id, bin),
+imgsum AS (
+  SELECT doc_id,
+         sum(CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hist_sum,
+         sum(bin * CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hm
+  FROM imgbin GROUP BY doc_id),
+imgch AS (
+  SELECT doc_id,
+         CAST(round(sum(r) * 1000000.0 / 16320, 0) AS BIGINT) AS fr,
+         CAST(round(sum(g) * 1000000.0 / 16320, 0) AS BIGINT) AS fg,
+         CAST(round(sum(b) * 1000000.0 / 16320, 0) AS BIGINT) AS fb
+  FROM img GROUP BY doc_id),
+imgout AS (
+  SELECT doc_id, 'image' AS kind, 203 AS n_bytes,
+         hist_sum + fr + fg + fb + 125000 + 125000 + 15625 AS fsm,
+         hm, fr AS mm
+  FROM imgsum JOIN imgch USING (doc_id)),
+aud AS (
+  SELECT doc_id,
+         ascii(substring(e, 2*i.i + 1, 1))
+         + 256 * ascii(substring(e, 2*i.i + 2, 1)) AS s
+  FROM ess, range(100) i(i) WHERE kind = 'audio'),
+audbin AS (
+  SELECT doc_id, s * 26 // 32768 AS bin, count(*) AS c
+  FROM aud GROUP BY doc_id, bin),
+audsum AS (
+  SELECT doc_id,
+         sum(CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hist_sum,
+         sum(bin * CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hm
+  FROM audbin GROUP BY doc_id),
+audst AS (
+  SELECT doc_id,
+         CAST(round(sum(s) * 1000000.0 / 3276800, 0) AS BIGINT) AS fmean,
+         CAST(round(max(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmax,
+         CAST(round(min(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmin
+  FROM aud GROUP BY doc_id),
+audout AS (
+  SELECT doc_id, 'audio' AS kind, 244 AS n_bytes,
+         hist_sum + fmean + fmax + fmin + 500000 + 100000 AS fsm,
+         hm, fmean AS mm
+  FROM audsum JOIN audst USING (doc_id)),
+sha AS (SELECT doc_id, substring(sha256(e), 1, 16) AS sha16 FROM ess)
+SELECT u.doc_id AS media_id, u.kind, CAST(u.n_bytes AS BIGINT) AS n_bytes,
+       sha.sha16, CAST(u.fsm AS BIGINT) AS feat_sum_micro,
+       CAST(u.hm AS BIGINT) AS hist_moment_micro,
+       CAST(u.mm AS BIGINT) AS mean_micro
+FROM (SELECT * FROM imgout UNION ALL SELECT * FROM audout) u
+JOIN sha ON sha.doc_id = u.doc_id
+ORDER BY media_id""",
         "peak_concurrency": """
 WITH iv AS (SELECT user_id,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -3906,6 +3993,78 @@ WITH c AS (
 SELECT user_id,
        CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "media_decode": """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         coalesce(nullif(text, ''), ' ') AS t
+  FROM documents),
+ess AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'image'
+              THEN substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
+                             1, 192)
+              ELSE substring(repeat(t, CAST(200 // length(t) AS INT) + 1),
+                             1, 200)
+         END AS e
+  FROM base),
+img AS (
+  SELECT doc_id,
+         ascii(substring(e, 3*i.i + 1, 1)) AS r,
+         ascii(substring(e, 3*i.i + 2, 1)) AS g,
+         ascii(substring(e, 3*i.i + 3, 1)) AS b
+  FROM ess, range(64) i(i) WHERE kind = 'image'),
+imgbin AS (
+  SELECT doc_id, ((r + g + b) // 3) * 26 // 256 AS bin, count(*) AS c
+  FROM img GROUP BY doc_id, bin),
+imgsum AS (
+  SELECT doc_id,
+         sum(CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hist_sum,
+         sum(bin * CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hm
+  FROM imgbin GROUP BY doc_id),
+imgch AS (
+  SELECT doc_id,
+         CAST(round(sum(r) * 1000000.0 / 16320, 0) AS BIGINT) AS fr,
+         CAST(round(sum(g) * 1000000.0 / 16320, 0) AS BIGINT) AS fg,
+         CAST(round(sum(b) * 1000000.0 / 16320, 0) AS BIGINT) AS fb
+  FROM img GROUP BY doc_id),
+imgout AS (
+  SELECT doc_id, 'image' AS kind, 203 AS n_bytes,
+         hist_sum + fr + fg + fb + 125000 + 125000 + 15625 AS fsm,
+         hm, fr AS mm
+  FROM imgsum JOIN imgch USING (doc_id)),
+aud AS (
+  SELECT doc_id,
+         ascii(substring(e, 2*i.i + 1, 1))
+         + 256 * ascii(substring(e, 2*i.i + 2, 1)) AS s
+  FROM ess, range(100) i(i) WHERE kind = 'audio'),
+audbin AS (
+  SELECT doc_id, s * 26 // 32768 AS bin, count(*) AS c
+  FROM aud GROUP BY doc_id, bin),
+audsum AS (
+  SELECT doc_id,
+         sum(CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hist_sum,
+         sum(bin * CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hm
+  FROM audbin GROUP BY doc_id),
+audst AS (
+  SELECT doc_id,
+         CAST(round(sum(s) * 1000000.0 / 3276800, 0) AS BIGINT) AS fmean,
+         CAST(round(max(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmax,
+         CAST(round(min(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmin
+  FROM aud GROUP BY doc_id),
+audout AS (
+  SELECT doc_id, 'audio' AS kind, 244 AS n_bytes,
+         hist_sum + fmean + fmax + fmin + 500000 + 100000 AS fsm,
+         hm, fmean AS mm
+  FROM audsum JOIN audst USING (doc_id)),
+sha AS (SELECT doc_id, substring(sha256(e), 1, 16) AS sha16 FROM ess)
+SELECT u.doc_id AS media_id, u.kind, CAST(u.n_bytes AS BIGINT) AS n_bytes,
+       sha.sha16, CAST(u.fsm AS BIGINT) AS feat_sum_micro,
+       CAST(u.hm AS BIGINT) AS hist_moment_micro,
+       CAST(u.mm AS BIGINT) AS mean_micro
+FROM (SELECT * FROM imgout UNION ALL SELECT * FROM audout) u
+JOIN sha ON sha.doc_id = u.doc_id
+ORDER BY media_id""",
         "peak_concurrency": """
 WITH iv AS (SELECT user_id,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -4614,6 +4773,78 @@ WITH c AS (
 SELECT user_id,
        CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "media_decode": """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         coalesce(nullif(text, ''), ' ') AS t
+  FROM documents),
+ess AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'image'
+              THEN substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
+                             1, 192)
+              ELSE substring(repeat(t, CAST(200 // length(t) AS INT) + 1),
+                             1, 200)
+         END AS e
+  FROM base),
+img AS (
+  SELECT doc_id,
+         ascii(substring(e, 3*i.i + 1, 1)) AS r,
+         ascii(substring(e, 3*i.i + 2, 1)) AS g,
+         ascii(substring(e, 3*i.i + 3, 1)) AS b
+  FROM ess, range(64) i(i) WHERE kind = 'image'),
+imgbin AS (
+  SELECT doc_id, ((r + g + b) // 3) * 26 // 256 AS bin, count(*) AS c
+  FROM img GROUP BY doc_id, bin),
+imgsum AS (
+  SELECT doc_id,
+         sum(CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hist_sum,
+         sum(bin * CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hm
+  FROM imgbin GROUP BY doc_id),
+imgch AS (
+  SELECT doc_id,
+         CAST(round(sum(r) * 1000000.0 / 16320, 0) AS BIGINT) AS fr,
+         CAST(round(sum(g) * 1000000.0 / 16320, 0) AS BIGINT) AS fg,
+         CAST(round(sum(b) * 1000000.0 / 16320, 0) AS BIGINT) AS fb
+  FROM img GROUP BY doc_id),
+imgout AS (
+  SELECT doc_id, 'image' AS kind, 203 AS n_bytes,
+         hist_sum + fr + fg + fb + 125000 + 125000 + 15625 AS fsm,
+         hm, fr AS mm
+  FROM imgsum JOIN imgch USING (doc_id)),
+aud AS (
+  SELECT doc_id,
+         ascii(substring(e, 2*i.i + 1, 1))
+         + 256 * ascii(substring(e, 2*i.i + 2, 1)) AS s
+  FROM ess, range(100) i(i) WHERE kind = 'audio'),
+audbin AS (
+  SELECT doc_id, s * 26 // 32768 AS bin, count(*) AS c
+  FROM aud GROUP BY doc_id, bin),
+audsum AS (
+  SELECT doc_id,
+         sum(CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hist_sum,
+         sum(bin * CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hm
+  FROM audbin GROUP BY doc_id),
+audst AS (
+  SELECT doc_id,
+         CAST(round(sum(s) * 1000000.0 / 3276800, 0) AS BIGINT) AS fmean,
+         CAST(round(max(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmax,
+         CAST(round(min(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmin
+  FROM aud GROUP BY doc_id),
+audout AS (
+  SELECT doc_id, 'audio' AS kind, 244 AS n_bytes,
+         hist_sum + fmean + fmax + fmin + 500000 + 100000 AS fsm,
+         hm, fmean AS mm
+  FROM audsum JOIN audst USING (doc_id)),
+sha AS (SELECT doc_id, substring(sha256(e), 1, 16) AS sha16 FROM ess)
+SELECT u.doc_id AS media_id, u.kind, CAST(u.n_bytes AS BIGINT) AS n_bytes,
+       sha.sha16, CAST(u.fsm AS BIGINT) AS feat_sum_micro,
+       CAST(u.hm AS BIGINT) AS hist_moment_micro,
+       CAST(u.mm AS BIGINT) AS mean_micro
+FROM (SELECT * FROM imgout UNION ALL SELECT * FROM audout) u
+JOIN sha ON sha.doc_id = u.doc_id
+ORDER BY media_id""",
         "peak_concurrency": """
 WITH iv AS (SELECT user_id,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -5080,6 +5311,78 @@ WITH c AS (
 SELECT user_id,
        CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "media_decode": """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         coalesce(nullif(text, ''), ' ') AS t
+  FROM documents),
+ess AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'image'
+              THEN substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
+                             1, 192)
+              ELSE substring(repeat(t, CAST(200 // length(t) AS INT) + 1),
+                             1, 200)
+         END AS e
+  FROM base),
+img AS (
+  SELECT doc_id,
+         ascii(substring(e, 3*i.i + 1, 1)) AS r,
+         ascii(substring(e, 3*i.i + 2, 1)) AS g,
+         ascii(substring(e, 3*i.i + 3, 1)) AS b
+  FROM ess, range(64) i(i) WHERE kind = 'image'),
+imgbin AS (
+  SELECT doc_id, ((r + g + b) // 3) * 26 // 256 AS bin, count(*) AS c
+  FROM img GROUP BY doc_id, bin),
+imgsum AS (
+  SELECT doc_id,
+         sum(CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hist_sum,
+         sum(bin * CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hm
+  FROM imgbin GROUP BY doc_id),
+imgch AS (
+  SELECT doc_id,
+         CAST(round(sum(r) * 1000000.0 / 16320, 0) AS BIGINT) AS fr,
+         CAST(round(sum(g) * 1000000.0 / 16320, 0) AS BIGINT) AS fg,
+         CAST(round(sum(b) * 1000000.0 / 16320, 0) AS BIGINT) AS fb
+  FROM img GROUP BY doc_id),
+imgout AS (
+  SELECT doc_id, 'image' AS kind, 203 AS n_bytes,
+         hist_sum + fr + fg + fb + 125000 + 125000 + 15625 AS fsm,
+         hm, fr AS mm
+  FROM imgsum JOIN imgch USING (doc_id)),
+aud AS (
+  SELECT doc_id,
+         ascii(substring(e, 2*i.i + 1, 1))
+         + 256 * ascii(substring(e, 2*i.i + 2, 1)) AS s
+  FROM ess, range(100) i(i) WHERE kind = 'audio'),
+audbin AS (
+  SELECT doc_id, s * 26 // 32768 AS bin, count(*) AS c
+  FROM aud GROUP BY doc_id, bin),
+audsum AS (
+  SELECT doc_id,
+         sum(CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hist_sum,
+         sum(bin * CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hm
+  FROM audbin GROUP BY doc_id),
+audst AS (
+  SELECT doc_id,
+         CAST(round(sum(s) * 1000000.0 / 3276800, 0) AS BIGINT) AS fmean,
+         CAST(round(max(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmax,
+         CAST(round(min(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmin
+  FROM aud GROUP BY doc_id),
+audout AS (
+  SELECT doc_id, 'audio' AS kind, 244 AS n_bytes,
+         hist_sum + fmean + fmax + fmin + 500000 + 100000 AS fsm,
+         hm, fmean AS mm
+  FROM audsum JOIN audst USING (doc_id)),
+sha AS (SELECT doc_id, substring(sha256(e), 1, 16) AS sha16 FROM ess)
+SELECT u.doc_id AS media_id, u.kind, CAST(u.n_bytes AS BIGINT) AS n_bytes,
+       sha.sha16, CAST(u.fsm AS BIGINT) AS feat_sum_micro,
+       CAST(u.hm AS BIGINT) AS hist_moment_micro,
+       CAST(u.mm AS BIGINT) AS mean_micro
+FROM (SELECT * FROM imgout UNION ALL SELECT * FROM audout) u
+JOIN sha ON sha.doc_id = u.doc_id
+ORDER BY media_id""",
         "peak_concurrency": """
 WITH iv AS (SELECT user_id,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
