@@ -911,6 +911,34 @@ def _q_media_decode(sf_dir: str):
     return media_decode_digest_dataset(media).sort("media_id")
 
 
+def _q_resize_ppm(sf_dir: str):
+    """REAL image resize (stages/multimodal.py ImageResizer real path):
+    parse the valid P6 containers, nearest-neighbour the RGB raster
+    8x8 -> 4x4, re-emit valid PPM. Oracle reselects the identical 48
+    raster bytes by position in SQL and hashes them."""
+    import hashlib as _hl
+    from ics_search_engine_ray.stages.multimodal import (
+        ImageResizer, synth_real_media_from_documents)
+    media = synth_real_media_from_documents(_read_docs(sf_dir))
+    resized = media.map_batches(
+        ImageResizer, fn_constructor_args=(4, 4, True),
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+    def digest(b: pa.Table) -> pa.Table:
+        ids, nb, sha = [], [], []
+        for mid, p in zip(b.column("media_id").to_pylist(),
+                          b.column("payload").to_pylist()):
+            ids.append(mid)
+            nb.append(len(p))
+            sha.append(_hl.sha256(p[11:]).hexdigest()[:16])  # essence
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "n_bytes": pa.array(nb, pa.int64()),
+                         "sha16": pa.array(sha, pa.string())})
+
+    return resized.map_batches(digest, batch_format="pyarrow") \
+        .sort("media_id")
+
+
 def _q_frame_sample(sf_dir: str):
     """Sampled frames of the synthetic video table (oracle: blob repeat +
     slice + sha256 in SQL; exact because the testdata texts are ASCII, so
@@ -3066,6 +3094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "media_decode": _q_media_decode,          # REAL PPM/WAV decode
+        "resize_ppm": _q_resize_ppm,              # REAL nearest resize
         "simhash_fingerprint": _q_simhash_fingerprint,  # T1 (SQL oracle)
         "curate": _q_curate,                      # composed curation pipeline
         "curate_full": _q_curate_full,            # curate + split, one oracle
@@ -3729,6 +3758,25 @@ WITH c AS (SELECT user_id,
            FROM events)
 SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "resize_ppm": """
+WITH base AS (
+  SELECT doc_id, coalesce(nullif(text, ''), ' ') AS t
+  FROM documents WHERE doc_id % 2 = 0),
+ess AS (
+  SELECT doc_id,
+         substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
+                   1, 192) AS e
+  FROM base),
+idx AS (SELECT j.j AS j,
+               ((j.j // 4) * 2) * 8 + (j.j % 4) * 2 AS pos
+        FROM range(16) j(j)),
+res AS (
+  SELECT doc_id,
+         string_agg(substring(e, 3 * pos + 1, 3), '' ORDER BY j) AS re
+  FROM ess, idx GROUP BY doc_id)
+SELECT doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
+       substring(sha256(re), 1, 16) AS sha16
+FROM res ORDER BY media_id""",
         "media_decode": """
 WITH base AS (
   SELECT doc_id,
@@ -3993,6 +4041,25 @@ WITH c AS (
 SELECT user_id,
        CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "resize_ppm": """
+WITH base AS (
+  SELECT doc_id, coalesce(nullif(text, ''), ' ') AS t
+  FROM documents WHERE doc_id % 2 = 0),
+ess AS (
+  SELECT doc_id,
+         substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
+                   1, 192) AS e
+  FROM base),
+idx AS (SELECT j.j AS j,
+               ((j.j // 4) * 2) * 8 + (j.j % 4) * 2 AS pos
+        FROM range(16) j(j)),
+res AS (
+  SELECT doc_id,
+         string_agg(substring(e, 3 * pos + 1, 3), '' ORDER BY j) AS re
+  FROM ess, idx GROUP BY doc_id)
+SELECT doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
+       substring(sha256(re), 1, 16) AS sha16
+FROM res ORDER BY media_id""",
         "media_decode": """
 WITH base AS (
   SELECT doc_id,
@@ -4773,6 +4840,25 @@ WITH c AS (
 SELECT user_id,
        CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "resize_ppm": """
+WITH base AS (
+  SELECT doc_id, coalesce(nullif(text, ''), ' ') AS t
+  FROM documents WHERE doc_id % 2 = 0),
+ess AS (
+  SELECT doc_id,
+         substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
+                   1, 192) AS e
+  FROM base),
+idx AS (SELECT j.j AS j,
+               ((j.j // 4) * 2) * 8 + (j.j % 4) * 2 AS pos
+        FROM range(16) j(j)),
+res AS (
+  SELECT doc_id,
+         string_agg(substring(e, 3 * pos + 1, 3), '' ORDER BY j) AS re
+  FROM ess, idx GROUP BY doc_id)
+SELECT doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
+       substring(sha256(re), 1, 16) AS sha16
+FROM res ORDER BY media_id""",
         "media_decode": """
 WITH base AS (
   SELECT doc_id,
@@ -5311,6 +5397,25 @@ WITH c AS (
 SELECT user_id,
        CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "resize_ppm": """
+WITH base AS (
+  SELECT doc_id, coalesce(nullif(text, ''), ' ') AS t
+  FROM documents WHERE doc_id % 2 = 0),
+ess AS (
+  SELECT doc_id,
+         substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
+                   1, 192) AS e
+  FROM base),
+idx AS (SELECT j.j AS j,
+               ((j.j // 4) * 2) * 8 + (j.j % 4) * 2 AS pos
+        FROM range(16) j(j)),
+res AS (
+  SELECT doc_id,
+         string_agg(substring(e, 3 * pos + 1, 3), '' ORDER BY j) AS re
+  FROM ess, idx GROUP BY doc_id)
+SELECT doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
+       substring(sha256(re), 1, 16) AS sha16
+FROM res ORDER BY media_id""",
         "media_decode": """
 WITH base AS (
   SELECT doc_id,

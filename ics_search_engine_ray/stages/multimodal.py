@@ -359,7 +359,7 @@ class ImageResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real:
-            raise NotImplementedError("image resize requires PIL")
+            return self._resize_ppm(batch)
         out_pay, out_w, out_h = [], [], []
         for payload, w, h in zip(batch.column("payload").to_pylist(),
                                  batch.column("width").to_pylist(),
@@ -381,6 +381,42 @@ class ImageResizer:
             "height": pa.array(out_h, pa.int32()),
         })
         return out
+
+    def _resize_ppm(self, batch: pa.Table) -> pa.Table:
+        """REAL path: parse the PPM container, nearest-neighbour
+        resample the RGB raster (yi = (y*h)//out_h — PIL NEAREST's
+        index rule), re-emit a VALID P6 payload. Non-PPM image codecs
+        still raise (they need PIL)."""
+        dec = PpmWavDecoder()
+        hdr = f"P6\n{self.out_w} {self.out_h}\n255\n".encode()
+        ids, kinds, pays, ws, hs = [], [], [], [], []
+        for mid, kind, payload in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("kind").to_pylist(),
+                batch.column("payload").to_pylist()):
+            if kind != "image":
+                continue
+            p = payload or b""
+            if not p.startswith(b"P6"):
+                raise NotImplementedError(
+                    "real resize of non-PPM image codecs requires PIL")
+            px = dec.parse_ppm(p)
+            h, w = px.shape[0], px.shape[1]
+            yi = (np.arange(self.out_h) * h) // self.out_h
+            xi = (np.arange(self.out_w) * w) // self.out_w
+            out = px[np.ix_(yi, xi)]
+            ids.append(mid)
+            kinds.append(kind)
+            pays.append(hdr + out.tobytes())
+            ws.append(self.out_w)
+            hs.append(self.out_h)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(pays, pa.binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+        })
 
 
 def resize_images_dataset(media, out_w: int = 16, out_h: int = 16,

@@ -374,8 +374,25 @@ def test_frame_sampling_and_resize_plumbing(docs_ds):
     small = resize_images_dataset(media, out_w=4, out_h=4)
     rrows = small.take(10)
     assert all(len(r["payload"]) == 16 and r["width"] == 4 for r in rrows)
+    # the real path resizes PPM containers for real now; non-PPM image
+    # codecs still raise (they need PIL)
+    import pyarrow as _pa
+    jpeg_like = _pa.table({
+        "media_id": _pa.array([1], _pa.int64()),
+        "kind": _pa.array(["image"], _pa.string()),
+        "payload": _pa.array([b"\xff\xd8\xff\xe0JFIF"], _pa.binary())})
     with pytest.raises(NotImplementedError):
-        ImageResizer(real=True)(None)
+        ImageResizer(real=True)(jpeg_like)
+    from ics_search_engine_ray.stages.multimodal import PpmWavDecoder
+    ppm = _pa.table({
+        "media_id": _pa.array([2], _pa.int64()),
+        "kind": _pa.array(["image"], _pa.string()),
+        "payload": _pa.array(
+            [b"P6\n8 8\n255\n" + bytes(range(192))], _pa.binary())})
+    out = ImageResizer(4, 4, real=True)(ppm)
+    px = PpmWavDecoder().parse_ppm(out.column("payload")[0].as_py())
+    src = PpmWavDecoder().parse_ppm(ppm.column("payload")[0].as_py())
+    assert (px == src[::2, ::2]).all()      # nearest-neighbour 8->4
 
 
 def test_exact_dedup_min_doc_id_by_fingerprint(ray_session):
