@@ -1860,6 +1860,30 @@ def _q_triangles(sf_dir: str):
     return triangles(edges)
 
 
+def _q_bfs_levels(sf_dir: str):
+    """Single-source BFS hop distances (graph/concomp.py bfs_levels)
+    over the same arithmetic doc graph as `triangles`: O(diameter)
+    frontier rounds, each one hash join + one membership anti-join.
+    Oracle: recursive-CTE min-distance walk."""
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import bfs_levels
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(b):
+        i = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([i, i, i]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [(i + 1) % n, (2 * i) % n, (5 * i + 2) % n]), pa.int64())})
+
+    return bfs_levels(docs.map_batches(mk_edges, batch_format="pyarrow"),
+                      source=0)
+
+
 def _q_pagerank_docs(sf_dir: str):
     """G1/G2 kernels with a DRIVER-CHECKABLE oracle (r3 verdict item 4):
     the quirk-compatible PageRank (mass-leak: out-degree counts a phantom
@@ -3070,6 +3094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hits": _q_pagerank,             # G1/G2 (rows-only)
         "pagerank_docs": _q_pagerank_docs,        # G1/G2 kernels (SQL oracle)
         "triangles": _q_triangles,                # degree-oriented enumeration
+        "bfs_levels": _q_bfs_levels,              # frontier supersteps
         "index_stats": _q_index_stats,            # S4/S5 manifest (rows-only)
         "index_stats_oracle": _q_index_stats_oracle,  # A4 invariants (SQL)
         "source_stats": _q_source_stats,          # per-source curation report
@@ -4160,6 +4185,23 @@ SELECT CAST(e1.u AS BIGINT) AS u, CAST(e1.v AS BIGINT) AS v,
 FROM e e1 JOIN e e2 ON e2.u = e1.v
           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 ORDER BY u, v, w""",
+        "bfs_levels": """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id AS i FROM documents),
+e0 AS (
+  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
+  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
+  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
+sym AS (SELECT a AS s, b AS d FROM e0 WHERE a <> b
+        UNION SELECT b, a FROM e0 WHERE a <> b),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.d, w.dist + 1 FROM walk w JOIN sym e ON e.s = w.node
+   WHERE w.dist < 15)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node""",
         "zipf_slope_per_source": """
 WITH toks AS (
   SELECT source,
@@ -4959,6 +5001,23 @@ SELECT CAST(e1.u AS BIGINT) AS u, CAST(e1.v AS BIGINT) AS v,
 FROM e e1 JOIN e e2 ON e2.u = e1.v
           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 ORDER BY u, v, w""",
+        "bfs_levels": """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id AS i FROM documents),
+e0 AS (
+  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
+  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
+  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
+sym AS (SELECT a AS s, b AS d FROM e0 WHERE a <> b
+        UNION SELECT b, a FROM e0 WHERE a <> b),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.d, w.dist + 1 FROM walk w JOIN sym e ON e.s = w.node
+   WHERE w.dist < 15)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node""",
         "zipf_slope_per_source": """
 WITH toks AS (
   SELECT source,
@@ -5516,6 +5575,23 @@ SELECT CAST(e1.u AS BIGINT) AS u, CAST(e1.v AS BIGINT) AS v,
 FROM e e1 JOIN e e2 ON e2.u = e1.v
           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 ORDER BY u, v, w""",
+        "bfs_levels": """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id AS i FROM documents),
+e0 AS (
+  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
+  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
+  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
+sym AS (SELECT a AS s, b AS d FROM e0 WHERE a <> b
+        UNION SELECT b, a FROM e0 WHERE a <> b),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.d, w.dist + 1 FROM walk w JOIN sym e ON e.s = w.node
+   WHERE w.dist < 15)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node""",
         "zipf_slope_per_source": """
 WITH toks AS (
   SELECT source,

@@ -420,3 +420,89 @@ def triangles(edges_ds, src: str = "src", dst: str = "dst",
 
     return closed.map_batches(fin, batch_format="pyarrow") \
         .sort(["u", "v", "w"])
+
+
+def bfs_levels(edges_ds, source: int = 0, src: str = "src",
+               dst: str = "dst", max_rounds: int = 15):
+    """Single-source BFS hop distances -> (node, dist) for every node
+    reachable from ``source`` within ``max_rounds`` (undirected; edges
+    are symmetrized). The frontier-expansion shape every distributed
+    graph framework uses (Pregel/GraphX supersteps): O(diameter)
+    rounds, and each round is ONE co-partitioned hash join of the
+    frontier against the edge relation plus ONE membership anti-join
+    against the visited set — the frontier and visited relations are
+    Datasets end-to-end, the driver sees only per-round counts.
+
+    At 10^12 edges: the edge relation shuffles once per round by
+    frontier key (the join partitions both sides), visited membership
+    is the joins.anti_join_keys gated-broadcast / co-partitioned scan,
+    and the O(diameter) round count is the textbook lower bound for
+    unweighted distance (cf. connected_components above, which trades
+    exact distances for O(log^2 n) rounds).
+    """
+    import ray.data as rd
+
+    from ..stages.joins import anti_join_keys, semi_join
+
+    def canon(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({
+            "s": pa.array(np.concatenate([s, d]), pa.int64()),
+            "d": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    sym = edges_ds.map_batches(canon, batch_format="pyarrow") \
+        .materialize()
+
+    seed = pa.table({"node": pa.array([int(source)], pa.int64()),
+                     "dist": pa.array([0], pa.int64())})
+    visited = rd.from_arrow(seed).materialize()
+    frontier = rd.from_arrow(seed.select(["node"])).materialize()
+
+    for r in range(1, int(max_rounds) + 1):
+        # frontier expansion as a membership SEMI-join (edge rows whose
+        # source is in the frontier): small frontiers broadcast per
+        # batch with zero edge shuffle; huge frontiers co-partition —
+        # and unlike a native keyed join it tolerates near-empty
+        # frontier partitions (the joins.py schema-less-empty pitfall)
+        hop = semi_join(sym, frontier, on="s", right_on="node")
+
+        def nbrs(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64())})
+            d = np.unique(b.column("d").to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            return pa.table({"node": pa.array(d, pa.int64())})
+
+        # per-batch unique only (nbrs): cross-batch duplicate frontier
+        # nodes are tolerated — they carry the SAME dist, cost at most
+        # one redundant expansion, and collapse in the final min-dist
+        # groupby. Skipping the per-round global dedup removes one full
+        # shuffle per round.
+        cand = hop.map_batches(nbrs, batch_format="pyarrow")
+        new = anti_join_keys(cand, visited.select_columns(["node"]),
+                             on="node").materialize()
+        if new.count() == 0:
+            break
+        new_dist = new.map_batches(
+            lambda b, _r=r: pa.table({
+                "node": b.column("node").cast(pa.int64()),
+                "dist": pa.array(np.full(b.num_rows, _r, np.int64),
+                                 pa.int64())}),
+            batch_format="pyarrow")
+        visited = visited.union(new_dist).materialize()
+        frontier = new
+
+    from ray.data.aggregate import Min
+
+    final = visited.groupby("node").aggregate(Min("dist",
+                                                  alias_name="dist"))
+    return final.map_batches(
+        lambda b: pa.table({"node": b.column("node").cast(pa.int64()),
+                            "dist": b.column("dist").cast(pa.int64())}),
+        batch_format="pyarrow").sort("node")
