@@ -2661,6 +2661,21 @@ def _q_banded_revenue(sf_dir: str):
     return banded_revenue(li, pt)
 
 
+def _q_order_reconcile(sf_dir: str):
+    """FULL OUTER ledger reconcile (relational.py order_reconcile):
+    tagged-union co-partition of pre-aggregated (key, cents) rows from
+    both sides; each bucket merges two arrays vectorized. Oracle: FULL
+    OUTER JOIN with integer cents."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import order_reconcile
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_totalprice",
+                                  "o_orderdate"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice"])
+    return order_reconcile(od, li)
+
+
 def _q_priority_returns(sf_dir: str):
     """TPC-H Q4-shaped EXISTS report (relational.py priority_returns):
     distinct returned-orderkey collapse + joins.semi_join membership,
@@ -3240,6 +3255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banded_revenue": _q_banded_revenue,      # TPC-H Q19 bands
         "priority_returns": _q_priority_returns,  # TPC-H Q4 EXISTS
         "linestatus_priority": _q_linestatus_priority,  # TPC-H Q12 shape
+        "order_reconcile": _q_order_reconcile,    # FULL OUTER audit
         "revenue_cube": _q_revenue_cube,          # CUBE all four levels
         "excess_suppliers": _q_excess_suppliers,  # TPC-H Q20 shape
         "dominant_suppliers": _q_dominant_suppliers,  # TPC-H Q21 shape
@@ -4040,6 +4056,23 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM s GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""",
+        "order_reconcile": """
+WITH o AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS oc
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+l AS (SELECT l_orderkey AS k,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS lc
+      FROM lineitem GROUP BY l_orderkey)
+SELECT coalesce(o.k, l.k) AS o_orderkey,
+       CAST(oc AS DOUBLE) / 100.0 AS order_total,
+       CAST(lc AS DOUBLE) / 100.0 AS line_total,
+       CASE WHEN o.k IS NOT NULL AND l.k IS NOT NULL THEN 'both'
+            WHEN o.k IS NOT NULL THEN 'orders_only'
+            ELSE 'lines_only' END AS status
+FROM o FULL OUTER JOIN l ON o.k = l.k
+ORDER BY o_orderkey""",
         "attribution": """
 WITH m AS (
   SELECT event_type,
@@ -4856,6 +4889,23 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""",
+        "order_reconcile": """
+WITH o AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS oc
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+l AS (SELECT l_orderkey AS k,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS lc
+      FROM lineitem GROUP BY l_orderkey)
+SELECT coalesce(o.k, l.k) AS o_orderkey,
+       CAST(oc AS DOUBLE) / 100.0 AS order_total,
+       CAST(lc AS DOUBLE) / 100.0 AS line_total,
+       CASE WHEN o.k IS NOT NULL AND l.k IS NOT NULL THEN 'both'
+            WHEN o.k IS NOT NULL THEN 'orders_only'
+            ELSE 'lines_only' END AS status
+FROM o FULL OUTER JOIN l ON o.k = l.k
+ORDER BY o_orderkey""",
         "attribution": """
 WITH m AS (
   SELECT event_type,
@@ -5430,6 +5480,23 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""",
+        "order_reconcile": """
+WITH o AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS oc
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+l AS (SELECT l_orderkey AS k,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS lc
+      FROM lineitem GROUP BY l_orderkey)
+SELECT coalesce(o.k, l.k) AS o_orderkey,
+       CAST(oc AS DOUBLE) / 100.0 AS order_total,
+       CAST(lc AS DOUBLE) / 100.0 AS line_total,
+       CASE WHEN o.k IS NOT NULL AND l.k IS NOT NULL THEN 'both'
+            WHEN o.k IS NOT NULL THEN 'orders_only'
+            ELSE 'lines_only' END AS status
+FROM o FULL OUTER JOIN l ON o.k = l.k
+ORDER BY o_orderkey""",
         "attribution": """
 WITH m AS (
   SELECT event_type,

@@ -2605,6 +2605,133 @@ def linestatus_priority(lineitem, orders, date_lo: str = "1996-01-01",
         .sort(["l_returnflag", "l_linestatus"])
 
 
+def order_reconcile(orders, lineitem, date_lo: str = "1998-01-01"):
+    """FULL OUTER ledger reconciliation -> (o_orderkey, order_total,
+    line_total, status): recent orders (o_orderdate >= ``date_lo``)
+    against per-order shipment revenue from the FULL lineitem relation
+    — the two-sided audit every warehouse runs (status 'both' /
+    'orders_only' / 'lines_only'). This is the repo's full-outer join
+    shape: every other join family (inner/left/semi/anti/asof/interval)
+    exists elsewhere; full outer needs BOTH unmatched sides, which a
+    per-batch broadcast can never emit correctly, so it runs as the
+    tagged-union co-partition (both sides hash by key into one groupby;
+    each bucket does a vectorized two-array merge).
+
+    Both sides PRE-AGGREGATE before the shuffle (orders to (key, cents),
+    lineitem to per-batch (key, cents-sum partials) merged by the same
+    bucket pass), so the wide step moves O(distinct orderkeys), never
+    raw lines. Money stays integer cents end-to-end; floats only in the
+    final /100 columns.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .common import half_away_scaled_int
+    from ..stages.common import adaptive_groups
+
+    lo = np.datetime64(date_lo)
+
+    def ord_side(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "oc": pa.array([], pa.int64()),
+                          "lc": pa.array([], pa.int64()),
+                          "side": pa.array([], pa.int8())})
+        if b.num_rows == 0:
+            return empty
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        m = od >= lo
+        if not m.any():
+            return empty
+        k = b.column("o_orderkey").to_numpy(
+            zero_copy_only=False)[m].astype(np.int64)
+        cents = half_away_scaled_int(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False)[m],
+            100)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "oc": pa.array(cents, pa.int64()),
+                         "lc": pa.array(np.zeros(k.size, np.int64)),
+                         "side": pa.array(np.zeros(k.size, np.int8),
+                                          pa.int8())})
+
+    def li_side(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "oc": pa.array([], pa.int64()),
+                          "lc": pa.array([], pa.int64()),
+                          "side": pa.array([], pa.int8())})
+        if b.num_rows == 0:
+            return empty
+        k = b.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = half_away_scaled_int(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            100)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(uk.size, np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "oc": pa.array(np.zeros(uk.size, np.int64)),
+                         "lc": pa.array(sums, pa.int64()),
+                         "side": pa.array(np.ones(uk.size, np.int8),
+                                          pa.int8())})
+
+    o_rel = orders.select_columns(
+        ["o_orderkey", "o_totalprice", "o_orderdate"]) \
+        .map_batches(ord_side, batch_format="pyarrow")
+    l_rel = lineitem.select_columns(["l_orderkey", "l_extendedprice"]) \
+        .map_batches(li_side, batch_format="pyarrow")
+    both = o_rel.union(l_rel)
+    num_groups = adaptive_groups(max(orders.count(), 1), 1_000_000,
+                                 lo=16)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_g", pa.array(k % num_groups, pa.int64()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "order_total": pa.array([], pa.float64()),
+            "line_total": pa.array([], pa.float64()),
+            "status": pa.array([], pa.string())})
+        if g.num_rows == 0:
+            return empty
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        oc = g.column("oc").to_numpy(zero_copy_only=False)
+        lc = g.column("lc").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        ocs = np.zeros(uk.size, np.int64)
+        lcs = np.zeros(uk.size, np.int64)
+        has_o = np.zeros(uk.size, bool)
+        has_l = np.zeros(uk.size, bool)
+        np.add.at(ocs, inv, oc)
+        np.add.at(lcs, inv, lc)
+        has_o[inv[side == 0]] = True
+        has_l[inv[side == 1]] = True
+        status = np.where(has_o & has_l, "both",
+                          np.where(has_o, "orders_only", "lines_only"))
+        ot = pa.array(np.where(has_o, ocs / 100.0, np.nan),
+                      pa.float64())
+        lt = pa.array(np.where(has_l, lcs / 100.0, np.nan),
+                      pa.float64())
+        # NaN -> null so the schema matches SQL's outer-join NULLs
+        ot = pc.if_else(pc.is_nan(ot), pa.nulls(uk.size, pa.float64()),
+                        ot)
+        lt = pc.if_else(pc.is_nan(lt), pa.nulls(uk.size, pa.float64()),
+                        lt)
+        return pa.table({
+            "o_orderkey": pa.array(uk, pa.int64()),
+            "order_total": ot,
+            "line_total": lt,
+            "status": pa.array(status.astype(object), pa.string())})
+
+    return both.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: merge(g.drop(["_g"])), batch_format="pyarrow") \
+        .sort("o_orderkey")
+
+
 def customer_value_deciles(orders):
     """Customer lifetime-spend deciles -> (decile, n_customers,
     min_spend, max_spend, total_spend, avg_spend): the classic value
