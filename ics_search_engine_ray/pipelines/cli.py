@@ -361,6 +361,66 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_op(args) -> int:
+    """Run any registered pipeline from the __ray_entry__ queries()
+    registry over an sf-style table directory; write the result as
+    parquet (or print a head). This makes every operator a first-class
+    CLI citizen — the registry IS the product surface, not just the
+    correctness harness."""
+    import importlib.util
+    import os as _os
+
+    import pyarrow as _pa
+
+    here = _os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))))
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", _os.path.join(here, "__ray_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    registry = entry.queries()
+    if args.list or not args.name:
+        for name in sorted(registry):
+            print(name)
+        return 0
+    if args.name not in registry:
+        print(f"unknown op {args.name!r}; `op --list` shows all "
+              f"{len(registry)}", file=sys.stderr)
+        return 2
+    _ray_up(args.num_cpus)
+    import ray
+
+    res = registry[args.name](args.sf_dir)
+    if hasattr(res, "iter_batches"):          # Dataset
+        if args.out:
+            # clear first: Ray write_parquet APPENDS (CLAUDE.md rule)
+            import shutil
+            shutil.rmtree(args.out, ignore_errors=True)
+            res.write_parquet(args.out)
+            print(json.dumps({"op": args.name, "out": args.out,
+                              "rows": res.count()}))
+        else:
+            tbl = _pa.concat_tables(
+                [b for b in res.iter_batches(batch_format="pyarrow")
+                 if b.num_rows] or [_pa.table({})])
+            print(tbl.slice(0, args.head).to_pandas().to_string())
+            print(json.dumps({"op": args.name, "rows": tbl.num_rows}))
+    else:                                      # pa.Table / DataFrame
+        tbl = res if isinstance(res, _pa.Table) \
+            else _pa.Table.from_pandas(res)
+        if args.out:
+            import pyarrow.parquet as _pq
+            _os.makedirs(args.out, exist_ok=True)
+            _pq.write_table(tbl, _os.path.join(args.out, "part-0.parquet"))
+            print(json.dumps({"op": args.name, "out": args.out,
+                              "rows": tbl.num_rows}))
+        else:
+            print(tbl.slice(0, args.head).to_pandas().to_string())
+            print(json.dumps({"op": args.name, "rows": tbl.num_rows}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ics_search_engine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -496,6 +556,20 @@ def main(argv=None) -> int:
     p.add_argument("--budget", type=int, default=2048)
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_prep)
+
+    op = sub.add_parser("op", help="run any registered pipeline "
+                        "operator over an sf-style table dir (the "
+                        "__ray_entry__ queries() registry); writes "
+                        "parquet with --out, prints a head otherwise")
+    op.add_argument("name", nargs="?", default=None,
+                    help="operator name (see --list)")
+    op.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    op.add_argument("--out", default=None,
+                    help="output parquet dir (cleared first)")
+    op.add_argument("--head", type=int, default=20)
+    op.add_argument("--list", action="store_true")
+    op.add_argument("--num-cpus", type=int, default=None)
+    op.set_defaults(fn=cmd_op)
 
     args = ap.parse_args(argv)
     return args.fn(args)
