@@ -2852,6 +2852,18 @@ def _q_hapax_ratio_per_source(sf_dir: str):
         _read_docs(sf_dir, columns=("doc_id", "text", "source")))
 
 
+def _q_validity_intervals(sf_dir: str):
+    """SCD2 validity windows from the event change log (stages/events.py
+    validity_intervals): user co-partition, lexsort + shifted compare,
+    open-ended last interval. Oracle: LEAD window over (ts, event_id)."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import validity_intervals
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    return validity_intervals(ev)
+
+
 def _q_peak_concurrency(sf_dir: str):
     """Max concurrent active users per day (stages/events.py
     peak_concurrency): native (user, day) min/max groupby -> per
@@ -3269,6 +3281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_corr": _q_value_hour_corr,    # exact moments corr
         "decay_score": _q_decay_score,            # recency-weighted value
         "peak_concurrency": _q_peak_concurrency,  # interval sweep peak
+        "validity_intervals": _q_validity_intervals,  # SCD2 windows
         "burst_max": _q_burst_max,                # rolling-window peak
         "source_divergence": _q_source_divergence,  # per-source KL
         "weighted_sample": _q_weighted_sample,    # ES06 weighted top-k
@@ -3904,6 +3917,12 @@ sw AS (SELECT day,
        FROM pts)
 SELECT day, CAST(max(c) AS BIGINT) AS peak
 FROM sw GROUP BY day ORDER BY day""",
+        "validity_intervals": """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to
+FROM events ORDER BY user_id, valid_from, event_id""",
         "vocab_stats_per_source": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 st AS (SELECT d.source, t.term
@@ -4204,6 +4223,12 @@ sw AS (SELECT day,
        FROM pts)
 SELECT day, CAST(max(c) AS BIGINT) AS peak
 FROM sw GROUP BY day ORDER BY day""",
+        "validity_intervals": """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to
+FROM events ORDER BY user_id, valid_from, event_id""",
         "triangles": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 base AS (SELECT doc_id AS i FROM documents),
@@ -5037,6 +5062,12 @@ sw AS (SELECT day,
        FROM pts)
 SELECT day, CAST(max(c) AS BIGINT) AS peak
 FROM sw GROUP BY day ORDER BY day""",
+        "validity_intervals": """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to
+FROM events ORDER BY user_id, valid_from, event_id""",
         "triangles": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 base AS (SELECT doc_id AS i FROM documents),
@@ -5628,6 +5659,12 @@ sw AS (SELECT day,
        FROM pts)
 SELECT day, CAST(max(c) AS BIGINT) AS peak
 FROM sw GROUP BY day ORDER BY day""",
+        "validity_intervals": """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to
+FROM events ORDER BY user_id, valid_from, event_id""",
         "triangles": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 base AS (SELECT doc_id AS i FROM documents),

@@ -1728,6 +1728,75 @@ def retention_cohorts(events, key: str = "user_id", ts_col: str = "ts",
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def validity_intervals(events, num_groups: int = None):
+    """SCD2 history build -> (user_id, event_id, event_type,
+    valid_from, valid_to): each event in a user's change log is valid
+    from its own timestamp until the user's NEXT event ((ts, event_id)
+    order), the last one open-ended (NULL) — the
+    slowly-changing-dimension type-2 table every warehouse derives
+    from a CDC stream.
+
+    Same co-partitioned contract as sessionize (user_id % G, ONE
+    shuffle); within a group one lexsort + shifted compare emits every
+    interval — no per-row loop, no window function. The hot-user note
+    from `sessionize` applies; an interval depends only on the NEXT
+    row, so a (user, day)-salt needs just one boundary row carried
+    between salts (cheap to add if a user exceeds a worker).
+    """
+    from .common import adaptive_groups
+
+    if num_groups is None:
+        num_groups = adaptive_groups(max(events.count(), 1), 1_000_000,
+                                     lo=16)
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_g", pa.array(u % num_groups, pa.int64()))
+
+    def intervals(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "valid_from": pa.array([], pa.timestamp("us")),
+            "valid_to": pa.array([], pa.timestamp("us"))})
+        n = g.num_rows
+        if n == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        nxt = np.empty(n, np.int64)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = 0
+        same = np.empty(n, bool)
+        same[:-1] = uid[1:] == uid[:-1]
+        same[-1] = False
+        vto = pa.array(np.where(same, nxt, 0), pa.int64()) \
+            .cast(pa.timestamp("us"))
+        vto = pc.if_else(pa.array(same), vto,
+                         pa.nulls(n, pa.timestamp("us")))
+        return pa.table({
+            "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+            "event_id": pa.array(eid.astype(np.int64), pa.int64()),
+            "event_type": pa.array(et.astype(object), pa.string()),
+            "valid_from": pa.array(ts, pa.int64())
+            .cast(pa.timestamp("us")),
+            "valid_to": vto})
+
+    return (events.select_columns(["user_id", "event_id", "ts",
+                                   "event_type"])
+            .map_batches(add_gkey, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: intervals(g.drop(["_g"])),
+                        batch_format="pyarrow"))
+
+
 def peak_concurrency(events):
     """Max concurrent active users per day -> (day, peak): a user is
     "active" from their first to their last event of the day
