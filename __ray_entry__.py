@@ -133,6 +133,24 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(_read_docs(sf_dir))
 
 
+def _q_soft_dedup_weights(sf_dir: str):
+    """Soft dedup (stages/dedup_text.py soft_dedup_weights): per-doc
+    training weight = 1/|exact-dup cluster|, one hash groupby."""
+    from ics_search_engine_ray.stages.dedup_text import soft_dedup_weights
+    return soft_dedup_weights(_read_docs(sf_dir))
+
+
+def _q_cross_source_dup_pairs(sf_dir: str):
+    """Cross-source syndication pairs (stages/dedup_text.py
+    cross_source_dup_pairs): NEAR-dup pairs (n-gram Jaccard >= 0.8)
+    whose docs live in different sources — the ngram pair machinery
+    plus a candidate-only source lookup."""
+    from ics_search_engine_ray.stages.dedup_text import \
+        cross_source_dup_pairs
+    return cross_source_dup_pairs(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source")))
+
+
 def _q_token_count(sf_dir: str):
     from ics_search_engine_ray.stages.text_analysis import token_count_dataset
     return token_count_dataset(_read_docs(sf_dir))
@@ -3129,6 +3147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,        # T2 pair rule (SQL oracle)
         # training-data operators (task brief)
         "exact_dedup": _q_exact_dedup,
+        "soft_dedup_weights": _q_soft_dedup_weights,  # 1/cluster weight
+        "cross_source_dup_pairs": _q_cross_source_dup_pairs,  # syndication
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_containment_pairs": _q_ngram_containment,
@@ -3917,6 +3937,41 @@ sw AS (SELECT day,
        FROM pts)
 SELECT day, CAST(max(c) AS BIGINT) AS peak
 FROM sw GROUP BY day ORDER BY day""",
+        "soft_dedup_weights": """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+c AS (SELECT h, count(*) AS n FROM h GROUP BY h)
+SELECT doc_id,
+       CAST(round(floor(1000000.0 / n + 0.5) / 1000000.0, 6) AS DOUBLE)
+         AS weight
+FROM h JOIN c USING (h) ORDER BY doc_id""",
+        "cross_source_dup_pairs": """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
+  FROM w),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
+           AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b,
+       jaccard
+FROM p JOIN documents da ON da.doc_id = doc_a
+       JOIN documents db ON db.doc_id = doc_b
+WHERE da.source <> db.source
+ORDER BY doc_a, doc_b""",
         "validity_intervals": """
 SELECT user_id, event_id, event_type,
        ts AS valid_from,
@@ -4223,6 +4278,41 @@ sw AS (SELECT day,
        FROM pts)
 SELECT day, CAST(max(c) AS BIGINT) AS peak
 FROM sw GROUP BY day ORDER BY day""",
+        "soft_dedup_weights": """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+c AS (SELECT h, count(*) AS n FROM h GROUP BY h)
+SELECT doc_id,
+       CAST(round(floor(1000000.0 / n + 0.5) / 1000000.0, 6) AS DOUBLE)
+         AS weight
+FROM h JOIN c USING (h) ORDER BY doc_id""",
+        "cross_source_dup_pairs": """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
+  FROM w),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
+           AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b,
+       jaccard
+FROM p JOIN documents da ON da.doc_id = doc_a
+       JOIN documents db ON db.doc_id = doc_b
+WHERE da.source <> db.source
+ORDER BY doc_a, doc_b""",
         "validity_intervals": """
 SELECT user_id, event_id, event_type,
        ts AS valid_from,
@@ -5062,6 +5152,41 @@ sw AS (SELECT day,
        FROM pts)
 SELECT day, CAST(max(c) AS BIGINT) AS peak
 FROM sw GROUP BY day ORDER BY day""",
+        "soft_dedup_weights": """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+c AS (SELECT h, count(*) AS n FROM h GROUP BY h)
+SELECT doc_id,
+       CAST(round(floor(1000000.0 / n + 0.5) / 1000000.0, 6) AS DOUBLE)
+         AS weight
+FROM h JOIN c USING (h) ORDER BY doc_id""",
+        "cross_source_dup_pairs": """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
+  FROM w),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
+           AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b,
+       jaccard
+FROM p JOIN documents da ON da.doc_id = doc_a
+       JOIN documents db ON db.doc_id = doc_b
+WHERE da.source <> db.source
+ORDER BY doc_a, doc_b""",
         "validity_intervals": """
 SELECT user_id, event_id, event_type,
        ts AS valid_from,
@@ -5659,6 +5784,41 @@ sw AS (SELECT day,
        FROM pts)
 SELECT day, CAST(max(c) AS BIGINT) AS peak
 FROM sw GROUP BY day ORDER BY day""",
+        "soft_dedup_weights": """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+c AS (SELECT h, count(*) AS n FROM h GROUP BY h)
+SELECT doc_id,
+       CAST(round(floor(1000000.0 / n + 0.5) / 1000000.0, 6) AS DOUBLE)
+         AS weight
+FROM h JOIN c USING (h) ORDER BY doc_id""",
+        "cross_source_dup_pairs": """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
+  FROM w),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
+           AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b,
+       jaccard
+FROM p JOIN documents da ON da.doc_id = doc_a
+       JOIN documents db ON db.doc_id = doc_b
+WHERE da.source <> db.source
+ORDER BY doc_a, doc_b""",
         "validity_intervals": """
 SELECT user_id, event_id, event_type,
        ts AS valid_from,

@@ -1491,3 +1491,94 @@ def semdedup(embeds, k: int = 8, iters: int = 5, threshold: float = 0.95,
 
     return tagged.groupby("cluster") \
         .map_groups(resolve, batch_format="pyarrow").sort(id_col)
+
+
+def soft_dedup_weights(docs):
+    """Soft deduplication -> (doc_id, weight): instead of DROPPING exact
+    duplicates, every document gets training weight 1/|its exact-dup
+    cluster| so each distinct text contributes unit mass to the loss —
+    the modern alternative to hard dedup (down-weighting preserves
+    natural distribution shape while killing memorization pressure;
+    cf. SlimPajama/D4-style soft weighting).
+
+    Plan: the exact_dedup hash relation (doc_id, 128-bit md5) shuffles
+    once into a native count groupby; counts broadcast back by a SECOND
+    pass over the same hash relation joined per batch against... no —
+    cheaper: ONE groupby carrying both the count and the member list is
+    exactly what groupby(map_groups) gives; each (tiny) hash group
+    emits its members with weight 1/n. Groups are exact-duplicate
+    clusters — bounded by the duplication factor, never corpus-sized.
+    Weight rounds half-away at 6 dp (SQL round parity).
+    """
+    def weights(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        n = g.num_rows
+        w = float(np.floor(1e6 / n + 0.5) / 1e6)
+        return pa.table({
+            "doc_id": g.column("doc_id").cast(pa.int64()),
+            "weight": pa.array(np.full(n, w, np.float64),
+                               pa.float64())})
+
+    hashed = docs.map_batches(_text_hash_batch, batch_format="pyarrow")
+    return hashed.groupby(["hash_hi", "hash_lo"]) \
+        .map_groups(lambda g: weights(g.drop_columns(
+            ["hash_hi", "hash_lo"])), batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def cross_source_dup_pairs(docs, n: int = 3, threshold: float = 0.8):
+    """Syndication detection -> (doc_a, doc_b, source_a, source_b,
+    jaccard): NEAR-duplicate pairs (word-n-gram Jaccard >= threshold,
+    the :func:`ngram_jaccard_pairs` machinery) whose two documents live
+    in DIFFERENT sources — the curation report that tells you two
+    crawls/feeds carry the same syndicated content (byte-identity
+    almost never survives templating, so exact hashing misses these).
+
+    The heavy lifting is the existing distributed pair pipeline (one
+    shingle shuffle, PPJoin pruning, hot-shingle chunk split); this
+    adds ONLY a candidate-id filtered source lookup — the pair list is
+    O(near-dups), so the lookup batch-scans docs once against a
+    broadcast id set and nothing corpus-sized reaches the driver
+    beyond what ngram_jaccard_pairs already returns.
+    """
+    import ray
+
+    pair_list = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    if not pair_list:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "jaccard": pa.array([], pa.float64())})
+    cand = np.unique(np.asarray(
+        [d for p in pair_list for d in (p[0], p[1])], np.int64))
+    cand_ref = ray.put(cand)
+
+    def lookup(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cs = ray.get(cand_ref)
+        pos = np.clip(np.searchsorted(cs, ids), 0, cs.size - 1)
+        m = cs[pos] == ids
+        t = b.filter(pa.array(m))
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "source": t.column("source")})
+
+    smap = {}
+    for bt in docs.select_columns(["doc_id", "source"]) \
+            .map_batches(lookup, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        smap.update(zip(bt.column("doc_id").to_pylist(),
+                        bt.column("source").to_pylist()))
+
+    rows = [(a, b, smap[a], smap[b], j) for a, b, j in pair_list
+            if smap[a] != smap[b]]
+    rows.sort()
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "source_a": pa.array([r[2] for r in rows], pa.string()),
+        "source_b": pa.array([r[3] for r in rows], pa.string()),
+        "jaccard": pa.array([r[4] for r in rows], pa.float64())})
