@@ -2679,6 +2679,23 @@ def _q_banded_revenue(sf_dir: str):
     return banded_revenue(li, pt)
 
 
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-shaped min-cost supplier per part (relational.py
+    min_cost_supplier): dimension broadcasts + packed (part, supplier)
+    integer-cent sums + per-part argmin partials. Oracle: correlated
+    MIN via row_number with the identical float comparator."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.relational import min_cost_supplier
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_quantity"])
+    su = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"))
+    na = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    re_ = rd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    return min_cost_supplier(li, su, na, re_, region_name="EUROPE",
+                             k=100)
+
+
 def _q_order_reconcile(sf_dir: str):
     """FULL OUTER ledger reconcile (relational.py order_reconcile):
     tagged-union co-partition of pre-aggregated (key, cents) rows from
@@ -3288,6 +3305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_returns": _q_priority_returns,  # TPC-H Q4 EXISTS
         "linestatus_priority": _q_linestatus_priority,  # TPC-H Q12 shape
         "order_reconcile": _q_order_reconcile,    # FULL OUTER audit
+        "min_cost_supplier": _q_min_cost_supplier,  # TPC-H Q2 shape
         "revenue_cube": _q_revenue_cube,          # CUBE all four levels
         "excess_suppliers": _q_excess_suppliers,  # TPC-H Q20 shape
         "dominant_suppliers": _q_dominant_suppliers,  # TPC-H Q21 shape
@@ -4147,6 +4165,32 @@ SELECT coalesce(o.k, l.k) AS o_orderkey,
             ELSE 'lines_only' END AS status
 FROM o FULL OUTER JOIN l ON o.k = l.k
 ORDER BY o_orderkey""",
+        "min_cost_supplier": """
+WITH sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+cost AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+              AS BIGINT) AS qc
+  FROM lineitem JOIN sup ON s_suppkey = l_suppkey
+  GROUP BY pk, sk),
+win AS (
+  SELECT pk, sk, CAST(cents AS DOUBLE) / CAST(qc AS DOUBLE) AS cost,
+         row_number() OVER (PARTITION BY pk
+                            ORDER BY CAST(cents AS DOUBLE)
+                                     / CAST(qc AS DOUBLE), sk) AS rn
+  FROM cost)
+SELECT s_acctbal, s_name, n_name, pk AS p_partkey,
+       CAST(round(cost, 6) AS DOUBLE) AS unit_cost
+FROM win JOIN sup ON s_suppkey = sk
+WHERE rn = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100""",
         "attribution": """
 WITH m AS (
   SELECT event_type,
@@ -5021,6 +5065,32 @@ SELECT coalesce(o.k, l.k) AS o_orderkey,
             ELSE 'lines_only' END AS status
 FROM o FULL OUTER JOIN l ON o.k = l.k
 ORDER BY o_orderkey""",
+        "min_cost_supplier": """
+WITH sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+cost AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+              AS BIGINT) AS qc
+  FROM lineitem JOIN sup ON s_suppkey = l_suppkey
+  GROUP BY pk, sk),
+win AS (
+  SELECT pk, sk, CAST(cents AS DOUBLE) / CAST(qc AS DOUBLE) AS cost,
+         row_number() OVER (PARTITION BY pk
+                            ORDER BY CAST(cents AS DOUBLE)
+                                     / CAST(qc AS DOUBLE), sk) AS rn
+  FROM cost)
+SELECT s_acctbal, s_name, n_name, pk AS p_partkey,
+       CAST(round(cost, 6) AS DOUBLE) AS unit_cost
+FROM win JOIN sup ON s_suppkey = sk
+WHERE rn = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100""",
         "attribution": """
 WITH m AS (
   SELECT event_type,
@@ -5653,6 +5723,32 @@ SELECT coalesce(o.k, l.k) AS o_orderkey,
             ELSE 'lines_only' END AS status
 FROM o FULL OUTER JOIN l ON o.k = l.k
 ORDER BY o_orderkey""",
+        "min_cost_supplier": """
+WITH sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+cost AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+              AS BIGINT) AS qc
+  FROM lineitem JOIN sup ON s_suppkey = l_suppkey
+  GROUP BY pk, sk),
+win AS (
+  SELECT pk, sk, CAST(cents AS DOUBLE) / CAST(qc AS DOUBLE) AS cost,
+         row_number() OVER (PARTITION BY pk
+                            ORDER BY CAST(cents AS DOUBLE)
+                                     / CAST(qc AS DOUBLE), sk) AS rn
+  FROM cost)
+SELECT s_acctbal, s_name, n_name, pk AS p_partkey,
+       CAST(round(cost, 6) AS DOUBLE) AS unit_cost
+FROM win JOIN sup ON s_suppkey = sk
+WHERE rn = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100""",
         "attribution": """
 WITH m AS (
   SELECT event_type,

@@ -2605,6 +2605,157 @@ def linestatus_priority(lineitem, orders, date_lo: str = "1996-01-01",
         .sort(["l_returnflag", "l_linestatus"])
 
 
+def min_cost_supplier(lineitem, supplier, nation, region,
+                      region_name: str = "EUROPE", k: int = 100):
+    """TPC-H Q2-shaped minimum-cost supplier -> per part, the supplier
+    in ``region_name`` with the lowest observed unit cost
+    (sum extendedprice / sum quantity over that (part, supplier)'s
+    lines — the corpus has no partsupp relation, so lineitem IS the
+    cost evidence; the correlated-MIN-subquery PLAN is Q2's). Output:
+    top ``k`` by (s_acctbal DESC, n_name, s_name, p_partkey), Q2's
+    ordering.
+
+    Plan: region->nation->supplier are dimension broadcasts (tiny by
+    schema); lineitem pre-aggregates per batch to packed
+    (part, supplier) integer-cent sums so ONE native groupby carries
+    exact (price, qty) evidence; the per-part argmin runs as per-batch
+    local-argmin partials -> a parts-keyed map_groups final (rows per
+    part = batches that saw it, never the supplier universe). The
+    comparator is IEEE float division of exact int64 sums with suppkey
+    tie-break — bit-identical to the SQL ORDER BY.
+    """
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away
+
+    # --- dimension broadcasts (bounded by schema: 5 regions, 25
+    # nations, O(suppliers) rows — the gated-broadcast contract)
+    rk = {r["r_regionkey"] for r in region.take_all()
+          if r["r_name"] == region_name}
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()
+            if r["n_regionkey"] in rk}
+    smap = {r["s_suppkey"]: (r["s_name"], r["s_nationkey"],
+                             r["s_acctbal"])
+            for r in supplier.take_all()
+            if r["s_nationkey"] in nmap}
+    import ray
+    sk = np.array(sorted(smap), np.int64)
+    sk_ref = ray.put(sk)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"pk": pa.array([], pa.int64()),
+                          "sk": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "qc": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        skeys = ray.get(sk_ref)
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.clip(np.searchsorted(skeys, s), 0, max(skeys.size - 1, 0))
+        m = skeys.size > 0
+        msk = (skeys[pos] == s) if m else np.zeros(s.size, bool)
+        if not msk.any():
+            return empty
+        p = b.column("l_partkey").to_numpy(
+            zero_copy_only=False)[msk].astype(np.int64)
+        s = s[msk]
+        cents = half_away_scaled_int(
+            b.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[msk], 100)
+        qc = half_away_scaled_int(
+            b.column("l_quantity").to_numpy(
+                zero_copy_only=False)[msk], 100)
+        key = p * 100_000 + s          # suppkeys are small by schema
+        o = np.argsort(key)
+        key = key[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], key[1:] != key[:-1])))
+        return pa.table({
+            "pk": pa.array(key[starts] // 100_000, pa.int64()),
+            "sk": pa.array(key[starts] % 100_000, pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents[o], starts),
+                              pa.int64()),
+            "qc": pa.array(np.add.reduceat(qc[o], starts), pa.int64())})
+
+    sums = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]) \
+        .map_batches(li_partial, batch_format="pyarrow") \
+        .groupby(["pk", "sk"]).aggregate(
+            Sum("cents", alias_name="cents"), Sum("qc", alias_name="qc"))
+
+    def local_argmin(b: pa.Table) -> pa.Table:
+        empty = pa.table({"pk": pa.array([], pa.int64()),
+                          "sk": pa.array([], pa.int64()),
+                          "cost": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        pk = b.column("pk").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        skc = b.column("sk").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = b.column("cents").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        qc = b.column("qc").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cost = cents.astype(np.float64) / qc.astype(np.float64)
+        o = np.lexsort((skc, cost, pk))
+        pk, skc, cost = pk[o], skc[o], cost[o]
+        first = np.concatenate(([True], pk[1:] != pk[:-1]))
+        return pa.table({"pk": pa.array(pk[first], pa.int64()),
+                         "sk": pa.array(skc[first], pa.int64()),
+                         "cost": pa.array(cost[first], pa.float64())})
+
+    def final_argmin(g: pa.Table) -> pa.Table:
+        empty = pa.table({"pk": pa.array([], pa.int64()),
+                          "sk": pa.array([], pa.int64()),
+                          "cost": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        skc = g.column("sk").to_numpy(zero_copy_only=False)
+        cost = g.column("cost").to_numpy(zero_copy_only=False)
+        o = np.lexsort((skc, cost, pk))
+        pk, skc, cost = pk[o], skc[o], cost[o]
+        first = np.concatenate(([True], pk[1:] != pk[:-1]))
+        return pa.table({"pk": pa.array(pk[first], pa.int64()),
+                         "sk": pa.array(skc[first], pa.int64()),
+                         "cost": pa.array(cost[first], pa.float64())})
+
+    wins = sums.map_batches(local_argmin, batch_format="pyarrow") \
+        .groupby("pk").map_groups(final_argmin, batch_format="pyarrow")
+
+    def attach(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "s_acctbal": pa.array([], pa.float64()),
+            "s_name": pa.array([], pa.string()),
+            "n_name": pa.array([], pa.string()),
+            "p_partkey": pa.array([], pa.int64()),
+            "unit_cost": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        pk = b.column("pk").to_numpy(zero_copy_only=False)
+        skc = b.column("sk").to_numpy(zero_copy_only=False)
+        cost = b.column("cost").to_numpy(zero_copy_only=False)
+        names, nnames, bals = [], [], []
+        for s in skc.tolist():
+            nm, nk, bal = smap[s]
+            names.append(nm)
+            nnames.append(nmap[nk])
+            bals.append(float(bal))
+        return pa.table({
+            "s_acctbal": pa.array(bals, pa.float64()),
+            "s_name": pa.array(names, pa.string()),
+            "n_name": pa.array(nnames, pa.string()),
+            "p_partkey": pa.array(pk, pa.int64()),
+            "unit_cost": pa.array(round_half_away(cost, 6),
+                                  pa.float64())})
+
+    return wins.map_batches(attach, batch_format="pyarrow") \
+        .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
+              descending=[True, False, False, False]).limit(k)
+
+
 def order_reconcile(orders, lineitem, date_lo: str = "1998-01-01"):
     """FULL OUTER ledger reconciliation -> (o_orderkey, order_total,
     line_total, status): recent orders (o_orderdate >= ``date_lo``)
