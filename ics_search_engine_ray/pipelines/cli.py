@@ -361,6 +361,24 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone documents in a built index (no Ray session needed —
+    a docmeta-filtered read + one atomic JSON write). Deleted docs
+    vanish from every query path immediately; `merge`/`update` compact
+    them out of segments and stats."""
+    from ..query.engine import delete_docs
+
+    ids = [int(x) for x in (args.doc_ids or "").split(",") if x]
+    urls = [u for u in (args.urls or "").split(",") if u]
+    if not ids and not urls:
+        print("nothing to delete: pass --doc-ids and/or --urls",
+              file=sys.stderr)
+        return 2
+    total = delete_docs(args.index, doc_ids=ids, urls=urls)
+    print(json.dumps({"index": args.index, "tombstones": total}))
+    return 0
+
+
 def cmd_op(args) -> int:
     """Run any registered pipeline from the __ray_entry__ queries()
     registry over an sf-style table directory; write the result as
@@ -556,6 +574,14 @@ def main(argv=None) -> int:
     p.add_argument("--budget", type=int, default=2048)
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_prep)
+
+    dl = sub.add_parser("delete", help="tombstone documents in a built "
+                        "index (by id and/or url); compacted out at the "
+                        "next merge/update")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--doc-ids", default="", help="comma-separated ids")
+    dl.add_argument("--urls", default="", help="comma-separated urls")
+    dl.set_defaults(fn=cmd_delete)
 
     op = sub.add_parser("op", help="run any registered pipeline "
                         "operator over an sf-style table dir (the "

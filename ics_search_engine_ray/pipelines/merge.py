@@ -140,11 +140,25 @@ def merge_indexes(index_dirs: List[str], out_dir: str,
                      .map_batches(ensure_title, batch_format="pyarrow"))
     meta = metas[0].union(*metas[1:]) if len(metas) > 1 else metas[0]
     meta = _first_per_doc_id(meta).materialize()
-    dropped: Set[int] = set()
+    # tombstone compaction: docs deleted from any source drop out of the
+    # merged index entirely (meta, stats, AND postings — the same
+    # dropped-id filter the near-dedup path uses), and the merged index
+    # starts with an empty tombstone set
+    from ..query.engine import load_tombstones
+    tombs: Set[int] = set()
+    for d in index_dirs:
+        tombs.update(load_tombstones(d).tolist())
+    if tombs:
+        # filter BEFORE near-dedup so a deleted doc can never win a
+        # near-dup cluster and take its live partner down with it
+        tomb_ref = ray.put(tombs)
+        meta = meta.map_batches(filter_dropped_ids(tomb_ref),
+                                batch_format="pyarrow").materialize()
+    dropped: Set[int] = set(tombs)
     num_pairs = 0
     if near_dedup:
         res = simhash_dedup(meta.select_columns(["doc_id", "simhash"]), cfg)
-        dropped = res.dropped
+        dropped |= res.dropped
         num_pairs = res.num_pairs
     dropped_ref = ray.put(dropped)
     meta_f = meta.map_batches(filter_dropped_ids(dropped_ref),

@@ -31,6 +31,7 @@ from ..config import EngineConfig
 from ..index.scoring import bm25_scores, tfidf_ref_scores
 from ..index.segments import SegmentReader
 from .engine import (SearchIndex, SearchResult, _MergedPostings, block_bounds,
+                     filter_dead_postings, load_tombstones,
                      rank_topk, tfidf_ref_rank)
 
 
@@ -52,6 +53,7 @@ class SearchShardActor:
         self.readers = {p: SegmentReader(os.path.join(index_dir, "segments",
                                                       f"part-{p:05d}"))
                         for p in parts}
+        self._dead = load_tombstones(index_dir)
 
     def term_chunks(self, terms: List[str], scorer: str = "bm25"):
         """{term: [(part, doc_ids, scores, df), ...]} for OWNED partitions."""
@@ -59,7 +61,7 @@ class SearchShardActor:
         for t in terms:
             chunks = []
             for p, reader in self.readers.items():
-                tp = reader.postings(t)
+                tp = filter_dead_postings(reader.postings(t), self._dead)
                 if tp is None or not tp.doc_ids.size:
                     continue
                 if scorer == "bm25":

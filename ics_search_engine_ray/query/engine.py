@@ -155,6 +155,62 @@ def tfidf_ref_rank(posts: Dict[str, _MergedPostings], terms: List[str], k: int,
     return out
 
 
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted int64 doc_ids deleted from this index (empty if none).
+    Lucene-style semantics: tombstoned docs are EXCLUDED from every
+    result set immediately, while corpus statistics (num_docs, avgdl,
+    df) keep counting them until the next compaction (`merge`/`update`
+    rebuild stats from the filtered docmeta)."""
+    p = os.path.join(index_dir, "tombstones.json")
+    if not os.path.exists(p):
+        return np.empty(0, np.int64)
+    with open(p) as f:
+        return np.asarray(sorted(set(json.load(f)["doc_ids"])), np.int64)
+
+
+def delete_docs(index_dir: str, doc_ids=None, urls=None) -> int:
+    """Tombstone documents (by id and/or url) in a built index; returns
+    the total tombstone count after the merge. Atomic (tmp + rename) so
+    a concurrent reader sees either the old or the new set. URL
+    resolution is a docmeta-filtered parquet read over ONLY the
+    requested urls, never a full table load."""
+    ids = set(int(d) for d in (doc_ids or []))
+    if urls:
+        import pyarrow as pa
+        want = pa.array(sorted(set(urls)), pa.string())
+        t = pq.read_table(os.path.join(index_dir, "docmeta"),
+                          columns=["doc_id", "url"],
+                          filters=[("url", "in", want)])
+        ids.update(t.column("doc_id").to_pylist())
+    dead = set(load_tombstones(index_dir).tolist()) | ids
+    tmp = os.path.join(index_dir, "tombstones.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"doc_ids": sorted(dead)}, f)
+    os.replace(tmp, os.path.join(index_dir, "tombstones.json"))
+    return len(dead)
+
+
+def filter_dead_postings(tp, dead: np.ndarray):
+    """Drop tombstoned doc_ids from a TermPostings (positions too)."""
+    if tp is None or dead.size == 0 or not tp.doc_ids.size:
+        return tp
+    pos = np.clip(np.searchsorted(dead, tp.doc_ids), 0, dead.size - 1)
+    keep = dead[pos] != tp.doc_ids
+    if keep.all():
+        return tp
+    kp = None
+    if tp.positions is not None:
+        kp = [p for p, k in zip(tp.positions, keep) if k]
+    return TermPostings(
+        term=tp.term, df=tp.df,
+        doc_ids=tp.doc_ids[keep], tf=tp.tf[keep],
+        doclen=tp.doclen[keep], importance=tp.importance[keep],
+        positions=kp,
+        # block metadata no longer describes the filtered stream
+        block_last=np.empty(0, dtype=np.int64),
+        block_max=np.empty(0, dtype=np.float32))
+
+
 class SearchIndex:
     """Loads an index directory produced by pipelines/build.py."""
 
@@ -173,6 +229,7 @@ class SearchIndex:
             num_index_partitions=self.P, head_term_salt=self.S)
         self.tokenizer = Tokenizer(stem=self.cfg.stem)
         self._readers: Dict[int, SegmentReader] = {}
+        self._dead = load_tombstones(index_dir)
         self._url_of: Optional[Dict[int, str]] = None
         self._title_of: Optional[Dict[int, str]] = None
         self._link_scores: Optional[Dict[str, Tuple[float, float, float]]] = None
@@ -195,6 +252,8 @@ class SearchIndex:
     def term_postings(self, term: str, with_positions: bool = False) -> Optional[TermPostings]:
         """Merged (across salted partitions) raw postings for one term."""
         parts = [self._reader(p).postings(term, with_positions) for p in self._parts_for_term(term)]
+        if self._dead.size:
+            parts = [filter_dead_postings(p, self._dead) for p in parts]
         parts = [p for p in parts if p is not None and p.doc_ids.size]
         if not parts:
             return None
@@ -421,7 +480,13 @@ class SearchIndex:
             est = sum(self._df_quick(t) for t in qtf)
             algo = "wand_lazy" if est > 5_000_000 and len(qtf) > 1 else "taat"
         if algo == "wand_lazy":
-            return self._search_bm25_lazy(qtf, k)
+            if self._dead.size:
+                # the lazy block reader scores straight off segment bytes
+                # and cannot see tombstones; eager WAND is result-identical
+                # (tested) and reads filtered postings
+                algo = "wand"
+            else:
+                return self._search_bm25_lazy(qtf, k)
         posts = {t: self._scored(t, "bm25") for t in qtf}
         posts = {t: p for t, p in posts.items() if p is not None}
         if not posts:
