@@ -73,6 +73,9 @@ def cmd_query(args) -> int:
 
     def run_one(q: str):
         t0 = time.time()
+        if getattr(args, "explain", False) and args.actors == 0:
+            print(json.dumps(si.explain(q, args.k), indent=2))
+            return
         if getattr(args, "wildcard", False) and args.actors == 0:
             results = si.search_prefix(q, args.k)
         elif getattr(args, "boolean", False) and args.actors == 0:
@@ -470,6 +473,9 @@ def main(argv=None) -> int:
     q.add_argument("--near", type=int, default=0, metavar="W",
                    help="require all query terms within a W-token "
                         "window (local path only)")
+    q.add_argument("--explain", action="store_true",
+                   help="print the query plan (per-term df/partitions, "
+                        "planner choice, tombstones) as JSON")
     q.add_argument("--proximity", action="store_true",
                    help="rerank BM25 finalists by minimal-window "
                         "term proximity (local path only)")

@@ -505,6 +505,53 @@ class SearchIndex:
                                     title=titles.get(int(d), "") or ""))
         return out
 
+    def explain(self, query: str, k: int = 10) -> dict:
+        """Query-plan observability: what the engine WOULD do for this
+        query and why — per-term df / partitions / candidate volume
+        (tombstone-filtered), the algorithm the auto planner picks and
+        the crossover it reasons about, tombstone count, and the final
+        top-k. Serving-side debugging (why is this query slow / why did
+        that doc disappear) without touching any internals."""
+        terms = self.tokenize_query(query)
+        qtf: Dict[str, int] = {}
+        for t in terms:
+            qtf[t] = qtf.get(t, 0) + 1
+        per_term = []
+        est = 0
+        for t in qtf:
+            df_q = self._df_quick(t)
+            est += df_q
+            tp = self.term_postings(t)
+            per_term.append({
+                "term": t,
+                "df": int(tp.df) if tp is not None else 0,
+                "dict_df_estimate": int(df_q),
+                "postings_after_tombstones":
+                    int(tp.doc_ids.size) if tp is not None else 0,
+                "partitions": self._parts_for_term(t),
+                "salted_head_term": t in self.head_df,
+            })
+        auto = "wand_lazy" if est > 5_000_000 and len(qtf) > 1 else "taat"
+        if auto == "wand_lazy" and self._dead.size:
+            auto = "wand"
+        results = self.search(query, k=k, scorer="bm25")
+        return {
+            "query": query,
+            "terms": terms,
+            "per_term": per_term,
+            "candidate_volume_estimate": int(est),
+            "algo_auto": auto,
+            "algo_crossover": "wand_lazy above 5M candidate postings "
+                              "(block skipping beats vectorized TAAT); "
+                              "eager wand under tombstones",
+            "tombstones": int(self._dead.size),
+            "num_docs": self.num_docs,
+            "avgdl": self.avgdl,
+            "topk": [{"doc_id": r.doc_id, "score": round(r.score, 6),
+                      "url": r.url, "matched": r.matched_terms}
+                     for r in results],
+        }
+
     def search_boolean(self, query: str, k: int = 10) -> List[SearchResult]:
         """Boolean-filtered BM25: ``+word`` MUST match, ``-word`` MUST NOT,
         bare words are optional rank contributors — the standard web-search

@@ -128,3 +128,17 @@ def test_merge_compacts_tombstones(built, tmp_path_factory):
         b = [(r.doc_id, round(r.score, 9))
              for r in si_r.search(q, k=20, scorer="bm25")]
         assert a == b, q
+
+
+def test_explain_reports_plan_and_tombstones(built):
+    out, _, _, _ = built
+    si = SearchIndex(out)
+    ex = si.explain("alpha beta", k=3)
+    assert ex["terms"] == ["alpha", "beta"]
+    assert ex["algo_auto"] in ("taat", "wand", "wand_lazy")
+    assert ex["tombstones"] == load_tombstones(out).size > 0
+    per = {p["term"]: p for p in ex["per_term"]}
+    assert per["alpha"]["df"] >= per["alpha"]["postings_after_tombstones"]
+    assert len(ex["topk"]) == 3
+    dead = set(load_tombstones(out).tolist())
+    assert not ({r["doc_id"] for r in ex["topk"]} & dead)
