@@ -67,30 +67,41 @@ def cmd_query(args) -> int:
         _ray_up(args.num_cpus)
         from ..query.actors import ShardedSearchIndex
         si = ShardedSearchIndex(args.index, num_actors=args.actors)
+    elif "," in args.index:
+        # fleet serving: comma-separated index dirs federate with exact
+        # global stats (rank-identical to the merged index; see
+        # query/federated.py for the disjointness contract)
+        from ..query.federated import FederatedSearchIndex
+        si = FederatedSearchIndex(args.index.split(","))
     else:
         from ..query.engine import SearchIndex
         si = SearchIndex(args.index)
 
+    # federated + actor-pool clients expose only plain .search
+    plain_only = args.actors > 0 or "," in args.index
+
     def run_one(q: str):
         t0 = time.time()
-        if getattr(args, "explain", False) and args.actors == 0:
+        if getattr(args, "explain", False) and not plain_only:
             print(json.dumps(si.explain(q, args.k), indent=2))
             return
-        if getattr(args, "wildcard", False) and args.actors == 0:
+        if getattr(args, "wildcard", False) and not plain_only:
             results = si.search_prefix(q, args.k)
-        elif getattr(args, "boolean", False) and args.actors == 0:
+        elif getattr(args, "boolean", False) and not plain_only:
             results = si.search_boolean(q, args.k)
-        elif getattr(args, "proximity", False) and args.actors == 0:
+        elif getattr(args, "proximity", False) and not plain_only:
             results = si.proximity_rerank(q, args.k)
-        elif getattr(args, "near", 0) and args.actors == 0:
+        elif getattr(args, "near", 0) and not plain_only:
             results = si.search_near(q, args.k, window=args.near)
+        elif "," in args.index:
+            results = si.search(q, args.k, algo=args.algo)
         else:
             results = si.search(q, args.k, scorer=args.scorer,
                                 algo=args.algo)
         secs = time.time() - t0
         if not results:
             print("No results found.")
-            if args.actors == 0:      # suggestion cache lives in-process
+            if not plain_only:        # suggestion cache lives in-process
                 sugg = [t for w in q.split()
                         for t, _ in si.suggest(w, n=2)][:5]
                 if sugg:
