@@ -3850,152 +3850,6 @@ WITH c AS (SELECT user_id,
            FROM events)
 SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst
 FROM c GROUP BY user_id ORDER BY user_id""",
-        "resize_ppm": """
-WITH base AS (
-  SELECT doc_id, coalesce(nullif(text, ''), ' ') AS t
-  FROM documents WHERE doc_id % 2 = 0),
-ess AS (
-  SELECT doc_id,
-         substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
-                   1, 192) AS e
-  FROM base),
-idx AS (SELECT j.j AS j,
-               ((j.j // 4) * 2) * 8 + (j.j % 4) * 2 AS pos
-        FROM range(16) j(j)),
-res AS (
-  SELECT doc_id,
-         string_agg(substring(e, 3 * pos + 1, 3), '' ORDER BY j) AS re
-  FROM ess, idx GROUP BY doc_id)
-SELECT doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
-       substring(sha256(re), 1, 16) AS sha16
-FROM res ORDER BY media_id""",
-        "media_decode": """
-WITH base AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-         coalesce(nullif(text, ''), ' ') AS t
-  FROM documents),
-ess AS (
-  SELECT doc_id, kind,
-         CASE WHEN kind = 'image'
-              THEN substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
-                             1, 192)
-              ELSE substring(repeat(t, CAST(200 // length(t) AS INT) + 1),
-                             1, 200)
-         END AS e
-  FROM base),
-img AS (
-  SELECT doc_id,
-         ascii(substring(e, 3*i.i + 1, 1)) AS r,
-         ascii(substring(e, 3*i.i + 2, 1)) AS g,
-         ascii(substring(e, 3*i.i + 3, 1)) AS b
-  FROM ess, range(64) i(i) WHERE kind = 'image'),
-imgbin AS (
-  SELECT doc_id, ((r + g + b) // 3) * 26 // 256 AS bin, count(*) AS c
-  FROM img GROUP BY doc_id, bin),
-imgsum AS (
-  SELECT doc_id,
-         sum(CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hist_sum,
-         sum(bin * CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hm
-  FROM imgbin GROUP BY doc_id),
-imgch AS (
-  SELECT doc_id,
-         CAST(round(sum(r) * 1000000.0 / 16320, 0) AS BIGINT) AS fr,
-         CAST(round(sum(g) * 1000000.0 / 16320, 0) AS BIGINT) AS fg,
-         CAST(round(sum(b) * 1000000.0 / 16320, 0) AS BIGINT) AS fb
-  FROM img GROUP BY doc_id),
-imgout AS (
-  SELECT doc_id, 'image' AS kind, 203 AS n_bytes,
-         hist_sum + fr + fg + fb + 125000 + 125000 + 15625 AS fsm,
-         hm, fr AS mm
-  FROM imgsum JOIN imgch USING (doc_id)),
-aud AS (
-  SELECT doc_id,
-         ascii(substring(e, 2*i.i + 1, 1))
-         + 256 * ascii(substring(e, 2*i.i + 2, 1)) AS s
-  FROM ess, range(100) i(i) WHERE kind = 'audio'),
-audbin AS (
-  SELECT doc_id, s * 26 // 32768 AS bin, count(*) AS c
-  FROM aud GROUP BY doc_id, bin),
-audsum AS (
-  SELECT doc_id,
-         sum(CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hist_sum,
-         sum(bin * CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hm
-  FROM audbin GROUP BY doc_id),
-audst AS (
-  SELECT doc_id,
-         CAST(round(sum(s) * 1000000.0 / 3276800, 0) AS BIGINT) AS fmean,
-         CAST(round(max(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmax,
-         CAST(round(min(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmin
-  FROM aud GROUP BY doc_id),
-audout AS (
-  SELECT doc_id, 'audio' AS kind, 244 AS n_bytes,
-         hist_sum + fmean + fmax + fmin + 500000 + 100000 AS fsm,
-         hm, fmean AS mm
-  FROM audsum JOIN audst USING (doc_id)),
-sha AS (SELECT doc_id, substring(sha256(e), 1, 16) AS sha16 FROM ess)
-SELECT u.doc_id AS media_id, u.kind, CAST(u.n_bytes AS BIGINT) AS n_bytes,
-       sha.sha16, CAST(u.fsm AS BIGINT) AS feat_sum_micro,
-       CAST(u.hm AS BIGINT) AS hist_moment_micro,
-       CAST(u.mm AS BIGINT) AS mean_micro
-FROM (SELECT * FROM imgout UNION ALL SELECT * FROM audout) u
-JOIN sha ON sha.doc_id = u.doc_id
-ORDER BY media_id""",
-        "peak_concurrency": """
-WITH iv AS (SELECT user_id,
-                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   min(ts) AS lo, max(ts) AS hi
-            FROM events GROUP BY user_id, day),
-pts AS (SELECT day, lo AS t, 1 AS d FROM iv
-        UNION ALL SELECT day, hi AS t, -1 AS d FROM iv),
-sw AS (SELECT day,
-              sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS c
-       FROM pts)
-SELECT day, CAST(max(c) AS BIGINT) AS peak
-FROM sw GROUP BY day ORDER BY day""",
-        "soft_dedup_weights": """
-WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
-c AS (SELECT h, count(*) AS n FROM h GROUP BY h)
-SELECT doc_id,
-       CAST(round(floor(1000000.0 / n + 0.5) / 1000000.0, 6) AS DOUBLE)
-         AS weight
-FROM h JOIN c USING (h) ORDER BY doc_id""",
-        "cross_source_dup_pairs": """
-WITH w AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS ws
-  FROM documents),
-s AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
-         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
-  FROM w),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
-           AS jaccard
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
-SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b,
-       jaccard
-FROM p JOIN documents da ON da.doc_id = doc_a
-       JOIN documents db ON db.doc_id = doc_b
-WHERE da.source <> db.source
-ORDER BY doc_a, doc_b""",
-        "validity_intervals": """
-SELECT user_id, event_id, event_type,
-       ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id) AS valid_to
-FROM events ORDER BY user_id, valid_from, event_id""",
         "vocab_stats_per_source": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 st AS (SELECT d.source, t.term
@@ -4148,273 +4002,6 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM s GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""",
-        "order_reconcile": """
-WITH o AS (SELECT o_orderkey AS k,
-                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS oc
-           FROM orders
-           WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
-l AS (SELECT l_orderkey AS k,
-             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-                  AS BIGINT) AS lc
-      FROM lineitem GROUP BY l_orderkey)
-SELECT coalesce(o.k, l.k) AS o_orderkey,
-       CAST(oc AS DOUBLE) / 100.0 AS order_total,
-       CAST(lc AS DOUBLE) / 100.0 AS line_total,
-       CASE WHEN o.k IS NOT NULL AND l.k IS NOT NULL THEN 'both'
-            WHEN o.k IS NOT NULL THEN 'orders_only'
-            ELSE 'lines_only' END AS status
-FROM o FULL OUTER JOIN l ON o.k = l.k
-ORDER BY o_orderkey""",
-        "min_cost_supplier": """
-WITH sup AS (
-  SELECT s_suppkey, s_name, s_acctbal, n_name
-  FROM supplier JOIN nation ON n_nationkey = s_nationkey
-                JOIN region ON r_regionkey = n_regionkey
-  WHERE r_name = 'EUROPE'),
-cost AS (
-  SELECT l_partkey AS pk, l_suppkey AS sk,
-         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-              AS BIGINT) AS cents,
-         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
-              AS BIGINT) AS qc
-  FROM lineitem JOIN sup ON s_suppkey = l_suppkey
-  GROUP BY pk, sk),
-win AS (
-  SELECT pk, sk, CAST(cents AS DOUBLE) / CAST(qc AS DOUBLE) AS cost,
-         row_number() OVER (PARTITION BY pk
-                            ORDER BY CAST(cents AS DOUBLE)
-                                     / CAST(qc AS DOUBLE), sk) AS rn
-  FROM cost)
-SELECT s_acctbal, s_name, n_name, pk AS p_partkey,
-       CAST(round(cost, 6) AS DOUBLE) AS unit_cost
-FROM win JOIN sup ON s_suppkey = sk
-WHERE rn = 1
-ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-LIMIT 100""",
-        "attribution": """
-WITH m AS (
-  SELECT event_type,
-         last_value(CASE WHEN event_type IN ('click', 'view')
-                    THEN event_type END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
-  FROM events)
-SELECT coalesce(attr, 'none') AS attributed_type,
-       CAST(count(*) AS BIGINT) AS n
-FROM m WHERE event_type = 'purchase'
-GROUP BY 1 ORDER BY 1""",
-        "decay_score": """
-WITH c AS (
-  SELECT user_id,
-         CAST(round(abs(CAST(round(value * 100, 0) AS BIGINT)
-                * exp(-(date_diff('microsecond', ts,
-                                  TIMESTAMP '2024-02-01'))
-                      / (30.0 * 86400 * 1000000)) * 1000000), 0)
-              AS BIGINT)
-         * CASE WHEN CAST(round(value * 100, 0) AS BIGINT) < 0
-                THEN -1 ELSE 1 END AS u
-  FROM events)
-SELECT user_id,
-       CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
-FROM c GROUP BY user_id ORDER BY user_id""",
-        "resize_ppm": """
-WITH base AS (
-  SELECT doc_id, coalesce(nullif(text, ''), ' ') AS t
-  FROM documents WHERE doc_id % 2 = 0),
-ess AS (
-  SELECT doc_id,
-         substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
-                   1, 192) AS e
-  FROM base),
-idx AS (SELECT j.j AS j,
-               ((j.j // 4) * 2) * 8 + (j.j % 4) * 2 AS pos
-        FROM range(16) j(j)),
-res AS (
-  SELECT doc_id,
-         string_agg(substring(e, 3 * pos + 1, 3), '' ORDER BY j) AS re
-  FROM ess, idx GROUP BY doc_id)
-SELECT doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
-       substring(sha256(re), 1, 16) AS sha16
-FROM res ORDER BY media_id""",
-        "media_decode": """
-WITH base AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-         coalesce(nullif(text, ''), ' ') AS t
-  FROM documents),
-ess AS (
-  SELECT doc_id, kind,
-         CASE WHEN kind = 'image'
-              THEN substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
-                             1, 192)
-              ELSE substring(repeat(t, CAST(200 // length(t) AS INT) + 1),
-                             1, 200)
-         END AS e
-  FROM base),
-img AS (
-  SELECT doc_id,
-         ascii(substring(e, 3*i.i + 1, 1)) AS r,
-         ascii(substring(e, 3*i.i + 2, 1)) AS g,
-         ascii(substring(e, 3*i.i + 3, 1)) AS b
-  FROM ess, range(64) i(i) WHERE kind = 'image'),
-imgbin AS (
-  SELECT doc_id, ((r + g + b) // 3) * 26 // 256 AS bin, count(*) AS c
-  FROM img GROUP BY doc_id, bin),
-imgsum AS (
-  SELECT doc_id,
-         sum(CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hist_sum,
-         sum(bin * CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hm
-  FROM imgbin GROUP BY doc_id),
-imgch AS (
-  SELECT doc_id,
-         CAST(round(sum(r) * 1000000.0 / 16320, 0) AS BIGINT) AS fr,
-         CAST(round(sum(g) * 1000000.0 / 16320, 0) AS BIGINT) AS fg,
-         CAST(round(sum(b) * 1000000.0 / 16320, 0) AS BIGINT) AS fb
-  FROM img GROUP BY doc_id),
-imgout AS (
-  SELECT doc_id, 'image' AS kind, 203 AS n_bytes,
-         hist_sum + fr + fg + fb + 125000 + 125000 + 15625 AS fsm,
-         hm, fr AS mm
-  FROM imgsum JOIN imgch USING (doc_id)),
-aud AS (
-  SELECT doc_id,
-         ascii(substring(e, 2*i.i + 1, 1))
-         + 256 * ascii(substring(e, 2*i.i + 2, 1)) AS s
-  FROM ess, range(100) i(i) WHERE kind = 'audio'),
-audbin AS (
-  SELECT doc_id, s * 26 // 32768 AS bin, count(*) AS c
-  FROM aud GROUP BY doc_id, bin),
-audsum AS (
-  SELECT doc_id,
-         sum(CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hist_sum,
-         sum(bin * CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hm
-  FROM audbin GROUP BY doc_id),
-audst AS (
-  SELECT doc_id,
-         CAST(round(sum(s) * 1000000.0 / 3276800, 0) AS BIGINT) AS fmean,
-         CAST(round(max(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmax,
-         CAST(round(min(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmin
-  FROM aud GROUP BY doc_id),
-audout AS (
-  SELECT doc_id, 'audio' AS kind, 244 AS n_bytes,
-         hist_sum + fmean + fmax + fmin + 500000 + 100000 AS fsm,
-         hm, fmean AS mm
-  FROM audsum JOIN audst USING (doc_id)),
-sha AS (SELECT doc_id, substring(sha256(e), 1, 16) AS sha16 FROM ess)
-SELECT u.doc_id AS media_id, u.kind, CAST(u.n_bytes AS BIGINT) AS n_bytes,
-       sha.sha16, CAST(u.fsm AS BIGINT) AS feat_sum_micro,
-       CAST(u.hm AS BIGINT) AS hist_moment_micro,
-       CAST(u.mm AS BIGINT) AS mean_micro
-FROM (SELECT * FROM imgout UNION ALL SELECT * FROM audout) u
-JOIN sha ON sha.doc_id = u.doc_id
-ORDER BY media_id""",
-        "peak_concurrency": """
-WITH iv AS (SELECT user_id,
-                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   min(ts) AS lo, max(ts) AS hi
-            FROM events GROUP BY user_id, day),
-pts AS (SELECT day, lo AS t, 1 AS d FROM iv
-        UNION ALL SELECT day, hi AS t, -1 AS d FROM iv),
-sw AS (SELECT day,
-              sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS c
-       FROM pts)
-SELECT day, CAST(max(c) AS BIGINT) AS peak
-FROM sw GROUP BY day ORDER BY day""",
-        "soft_dedup_weights": """
-WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
-c AS (SELECT h, count(*) AS n FROM h GROUP BY h)
-SELECT doc_id,
-       CAST(round(floor(1000000.0 / n + 0.5) / 1000000.0, 6) AS DOUBLE)
-         AS weight
-FROM h JOIN c USING (h) ORDER BY doc_id""",
-        "cross_source_dup_pairs": """
-WITH w AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS ws
-  FROM documents),
-s AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
-         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
-  FROM w),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
-           AS jaccard
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
-SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b,
-       jaccard
-FROM p JOIN documents da ON da.doc_id = doc_a
-       JOIN documents db ON db.doc_id = doc_b
-WHERE da.source <> db.source
-ORDER BY doc_a, doc_b""",
-        "validity_intervals": """
-SELECT user_id, event_id, event_type,
-       ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id) AS valid_to
-FROM events ORDER BY user_id, valid_from, event_id""",
-        "triangles": """
-WITH nn AS (SELECT count(*) AS n FROM documents),
-base AS (SELECT doc_id AS i FROM documents),
-e0 AS (
-  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
-  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
-  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
-e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-      FROM e0 WHERE a <> b)
-SELECT CAST(e1.u AS BIGINT) AS u, CAST(e1.v AS BIGINT) AS v,
-       CAST(e2.v AS BIGINT) AS w
-FROM e e1 JOIN e e2 ON e2.u = e1.v
-          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-ORDER BY u, v, w""",
-        "bfs_levels": """
-WITH RECURSIVE
-nn AS (SELECT count(*) AS n FROM documents),
-base AS (SELECT doc_id AS i FROM documents),
-e0 AS (
-  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
-  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
-  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
-sym AS (SELECT a AS s, b AS d FROM e0 WHERE a <> b
-        UNION SELECT b, a FROM e0 WHERE a <> b),
-walk(node, dist) AS (
-  SELECT CAST(0 AS BIGINT), 0
-  UNION
-  SELECT e.d, w.dist + 1 FROM walk w JOIN sym e ON e.s = w.node
-   WHERE w.dist < 15)
-SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
-FROM walk GROUP BY node ORDER BY node""",
-        "zipf_slope_per_source": """
-WITH toks AS (
-  SELECT source,
-         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                x -> length(x) > 1)) AS term
-  FROM documents),
-cnt AS (SELECT source, term, count(*) AS c
-        FROM toks GROUP BY source, term),
-rk AS (SELECT source, c,
-              row_number() OVER (PARTITION BY source
-                                 ORDER BY c DESC, term) AS r
-       FROM cnt),
-f AS (SELECT source,
-             CAST(round(ln(r) * 1000000, 0) AS BIGINT) AS x,
-             CAST(round(ln(c) * 1000000, 0) AS BIGINT) AS y
-      FROM rk WHERE r <= 100)
-SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
-                / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE),
-            6) AS DOUBLE) AS slope
-FROM f GROUP BY source HAVING count(*) >= 2 ORDER BY source""",
         "bool_search": f"""
 WITH toks AS ({_sql_tokens_cte()}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
@@ -5037,284 +4624,6 @@ FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-        "linestatus_priority": """
-SELECT l_returnflag, l_linestatus,
-  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1998-01-01'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus""",
-        "order_reconcile": """
-WITH o AS (SELECT o_orderkey AS k,
-                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS oc
-           FROM orders
-           WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
-l AS (SELECT l_orderkey AS k,
-             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-                  AS BIGINT) AS lc
-      FROM lineitem GROUP BY l_orderkey)
-SELECT coalesce(o.k, l.k) AS o_orderkey,
-       CAST(oc AS DOUBLE) / 100.0 AS order_total,
-       CAST(lc AS DOUBLE) / 100.0 AS line_total,
-       CASE WHEN o.k IS NOT NULL AND l.k IS NOT NULL THEN 'both'
-            WHEN o.k IS NOT NULL THEN 'orders_only'
-            ELSE 'lines_only' END AS status
-FROM o FULL OUTER JOIN l ON o.k = l.k
-ORDER BY o_orderkey""",
-        "min_cost_supplier": """
-WITH sup AS (
-  SELECT s_suppkey, s_name, s_acctbal, n_name
-  FROM supplier JOIN nation ON n_nationkey = s_nationkey
-                JOIN region ON r_regionkey = n_regionkey
-  WHERE r_name = 'EUROPE'),
-cost AS (
-  SELECT l_partkey AS pk, l_suppkey AS sk,
-         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-              AS BIGINT) AS cents,
-         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
-              AS BIGINT) AS qc
-  FROM lineitem JOIN sup ON s_suppkey = l_suppkey
-  GROUP BY pk, sk),
-win AS (
-  SELECT pk, sk, CAST(cents AS DOUBLE) / CAST(qc AS DOUBLE) AS cost,
-         row_number() OVER (PARTITION BY pk
-                            ORDER BY CAST(cents AS DOUBLE)
-                                     / CAST(qc AS DOUBLE), sk) AS rn
-  FROM cost)
-SELECT s_acctbal, s_name, n_name, pk AS p_partkey,
-       CAST(round(cost, 6) AS DOUBLE) AS unit_cost
-FROM win JOIN sup ON s_suppkey = sk
-WHERE rn = 1
-ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-LIMIT 100""",
-        "attribution": """
-WITH m AS (
-  SELECT event_type,
-         last_value(CASE WHEN event_type IN ('click', 'view')
-                    THEN event_type END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
-  FROM events)
-SELECT coalesce(attr, 'none') AS attributed_type,
-       CAST(count(*) AS BIGINT) AS n
-FROM m WHERE event_type = 'purchase'
-GROUP BY 1 ORDER BY 1""",
-        "decay_score": """
-WITH c AS (
-  SELECT user_id,
-         CAST(round(abs(CAST(round(value * 100, 0) AS BIGINT)
-                * exp(-(date_diff('microsecond', ts,
-                                  TIMESTAMP '2024-02-01'))
-                      / (30.0 * 86400 * 1000000)) * 1000000), 0)
-              AS BIGINT)
-         * CASE WHEN CAST(round(value * 100, 0) AS BIGINT) < 0
-                THEN -1 ELSE 1 END AS u
-  FROM events)
-SELECT user_id,
-       CAST(round(sum(u) / 100000000.0, 6) AS DOUBLE) AS decay_score
-FROM c GROUP BY user_id ORDER BY user_id""",
-        "resize_ppm": """
-WITH base AS (
-  SELECT doc_id, coalesce(nullif(text, ''), ' ') AS t
-  FROM documents WHERE doc_id % 2 = 0),
-ess AS (
-  SELECT doc_id,
-         substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
-                   1, 192) AS e
-  FROM base),
-idx AS (SELECT j.j AS j,
-               ((j.j // 4) * 2) * 8 + (j.j % 4) * 2 AS pos
-        FROM range(16) j(j)),
-res AS (
-  SELECT doc_id,
-         string_agg(substring(e, 3 * pos + 1, 3), '' ORDER BY j) AS re
-  FROM ess, idx GROUP BY doc_id)
-SELECT doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
-       substring(sha256(re), 1, 16) AS sha16
-FROM res ORDER BY media_id""",
-        "media_decode": """
-WITH base AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-         coalesce(nullif(text, ''), ' ') AS t
-  FROM documents),
-ess AS (
-  SELECT doc_id, kind,
-         CASE WHEN kind = 'image'
-              THEN substring(repeat(t, CAST(192 // length(t) AS INT) + 1),
-                             1, 192)
-              ELSE substring(repeat(t, CAST(200 // length(t) AS INT) + 1),
-                             1, 200)
-         END AS e
-  FROM base),
-img AS (
-  SELECT doc_id,
-         ascii(substring(e, 3*i.i + 1, 1)) AS r,
-         ascii(substring(e, 3*i.i + 2, 1)) AS g,
-         ascii(substring(e, 3*i.i + 3, 1)) AS b
-  FROM ess, range(64) i(i) WHERE kind = 'image'),
-imgbin AS (
-  SELECT doc_id, ((r + g + b) // 3) * 26 // 256 AS bin, count(*) AS c
-  FROM img GROUP BY doc_id, bin),
-imgsum AS (
-  SELECT doc_id,
-         sum(CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hist_sum,
-         sum(bin * CAST(round(c * 1000000.0 / 64, 0) AS BIGINT)) AS hm
-  FROM imgbin GROUP BY doc_id),
-imgch AS (
-  SELECT doc_id,
-         CAST(round(sum(r) * 1000000.0 / 16320, 0) AS BIGINT) AS fr,
-         CAST(round(sum(g) * 1000000.0 / 16320, 0) AS BIGINT) AS fg,
-         CAST(round(sum(b) * 1000000.0 / 16320, 0) AS BIGINT) AS fb
-  FROM img GROUP BY doc_id),
-imgout AS (
-  SELECT doc_id, 'image' AS kind, 203 AS n_bytes,
-         hist_sum + fr + fg + fb + 125000 + 125000 + 15625 AS fsm,
-         hm, fr AS mm
-  FROM imgsum JOIN imgch USING (doc_id)),
-aud AS (
-  SELECT doc_id,
-         ascii(substring(e, 2*i.i + 1, 1))
-         + 256 * ascii(substring(e, 2*i.i + 2, 1)) AS s
-  FROM ess, range(100) i(i) WHERE kind = 'audio'),
-audbin AS (
-  SELECT doc_id, s * 26 // 32768 AS bin, count(*) AS c
-  FROM aud GROUP BY doc_id, bin),
-audsum AS (
-  SELECT doc_id,
-         sum(CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hist_sum,
-         sum(bin * CAST(round(c * 1000000.0 / 100, 0) AS BIGINT)) AS hm
-  FROM audbin GROUP BY doc_id),
-audst AS (
-  SELECT doc_id,
-         CAST(round(sum(s) * 1000000.0 / 3276800, 0) AS BIGINT) AS fmean,
-         CAST(round(max(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmax,
-         CAST(round(min(s) * 1000000.0 / 32768, 0) AS BIGINT) AS fmin
-  FROM aud GROUP BY doc_id),
-audout AS (
-  SELECT doc_id, 'audio' AS kind, 244 AS n_bytes,
-         hist_sum + fmean + fmax + fmin + 500000 + 100000 AS fsm,
-         hm, fmean AS mm
-  FROM audsum JOIN audst USING (doc_id)),
-sha AS (SELECT doc_id, substring(sha256(e), 1, 16) AS sha16 FROM ess)
-SELECT u.doc_id AS media_id, u.kind, CAST(u.n_bytes AS BIGINT) AS n_bytes,
-       sha.sha16, CAST(u.fsm AS BIGINT) AS feat_sum_micro,
-       CAST(u.hm AS BIGINT) AS hist_moment_micro,
-       CAST(u.mm AS BIGINT) AS mean_micro
-FROM (SELECT * FROM imgout UNION ALL SELECT * FROM audout) u
-JOIN sha ON sha.doc_id = u.doc_id
-ORDER BY media_id""",
-        "peak_concurrency": """
-WITH iv AS (SELECT user_id,
-                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   min(ts) AS lo, max(ts) AS hi
-            FROM events GROUP BY user_id, day),
-pts AS (SELECT day, lo AS t, 1 AS d FROM iv
-        UNION ALL SELECT day, hi AS t, -1 AS d FROM iv),
-sw AS (SELECT day,
-              sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS c
-       FROM pts)
-SELECT day, CAST(max(c) AS BIGINT) AS peak
-FROM sw GROUP BY day ORDER BY day""",
-        "soft_dedup_weights": """
-WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
-c AS (SELECT h, count(*) AS n FROM h GROUP BY h)
-SELECT doc_id,
-       CAST(round(floor(1000000.0 / n + 0.5) / 1000000.0, 6) AS DOUBLE)
-         AS weight
-FROM h JOIN c USING (h) ORDER BY doc_id""",
-        "cross_source_dup_pairs": """
-WITH w AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS ws
-  FROM documents),
-s AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
-         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END AS sh
-  FROM w),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE)
-           AS jaccard
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
-SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b,
-       jaccard
-FROM p JOIN documents da ON da.doc_id = doc_a
-       JOIN documents db ON db.doc_id = doc_b
-WHERE da.source <> db.source
-ORDER BY doc_a, doc_b""",
-        "validity_intervals": """
-SELECT user_id, event_id, event_type,
-       ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id) AS valid_to
-FROM events ORDER BY user_id, valid_from, event_id""",
-        "triangles": """
-WITH nn AS (SELECT count(*) AS n FROM documents),
-base AS (SELECT doc_id AS i FROM documents),
-e0 AS (
-  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
-  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
-  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
-e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-      FROM e0 WHERE a <> b)
-SELECT CAST(e1.u AS BIGINT) AS u, CAST(e1.v AS BIGINT) AS v,
-       CAST(e2.v AS BIGINT) AS w
-FROM e e1 JOIN e e2 ON e2.u = e1.v
-          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-ORDER BY u, v, w""",
-        "bfs_levels": """
-WITH RECURSIVE
-nn AS (SELECT count(*) AS n FROM documents),
-base AS (SELECT doc_id AS i FROM documents),
-e0 AS (
-  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
-  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
-  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
-sym AS (SELECT a AS s, b AS d FROM e0 WHERE a <> b
-        UNION SELECT b, a FROM e0 WHERE a <> b),
-walk(node, dist) AS (
-  SELECT CAST(0 AS BIGINT), 0
-  UNION
-  SELECT e.d, w.dist + 1 FROM walk w JOIN sym e ON e.s = w.node
-   WHERE w.dist < 15)
-SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
-FROM walk GROUP BY node ORDER BY node""",
-        "zipf_slope_per_source": """
-WITH toks AS (
-  SELECT source,
-         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                x -> length(x) > 1)) AS term
-  FROM documents),
-cnt AS (SELECT source, term, count(*) AS c
-        FROM toks GROUP BY source, term),
-rk AS (SELECT source, c,
-              row_number() OVER (PARTITION BY source
-                                 ORDER BY c DESC, term) AS r
-       FROM cnt),
-f AS (SELECT source,
-             CAST(round(ln(r) * 1000000, 0) AS BIGINT) AS x,
-             CAST(round(ln(c) * 1000000, 0) AS BIGINT) AS y
-      FROM rk WHERE r <= 100)
-SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
-                / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE),
-            6) AS DOUBLE) AS slope
-FROM f GROUP BY source HAVING count(*) >= 2 ORDER BY source""",
         "customer_order_counts": """
 SELECT c_custkey,
        CAST(coalesce(n, 0) AS BIGINT) AS n_orders

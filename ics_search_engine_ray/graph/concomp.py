@@ -287,7 +287,8 @@ def triangles(edges_ds, src: str = "src", dst: str = "dst",
             "v": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64),
                           pa.int64())})
 
-    raw = edges_ds.map_batches(canon, batch_format="pyarrow")
+    raw = edges_ds.map_batches(canon, batch_format="pyarrow") \
+        .materialize()     # counted AND re-consumed below — one pass
     if num_groups is None:
         num_groups = adaptive_groups(max(raw.count(), 1), 1_000_000,
                                      lo=16)

@@ -79,6 +79,17 @@ def cmd_query(args) -> int:
 
     # federated + actor-pool clients expose only plain .search
     plain_only = args.actors > 0 or "," in args.index
+    if plain_only:
+        dropped = [f for f in ("explain", "wildcard", "boolean",
+                               "proximity", "near")
+                   if getattr(args, f, False)]
+        if getattr(args, "scorer", "bm25") != "bm25" and "," in args.index:
+            dropped.append(f"scorer={args.scorer}")
+        if dropped:
+            print(f"error: {', '.join('--' + d for d in dropped)} "
+                  f"unsupported with a federated/actor-pool index; "
+                  f"query a single local index for these", file=sys.stderr)
+            return 2
 
     def run_one(q: str):
         t0 = time.time()
@@ -425,9 +436,11 @@ def cmd_op(args) -> int:
     res = registry[args.name](args.sf_dir)
     if hasattr(res, "iter_batches"):          # Dataset
         if args.out:
-            # clear first: Ray write_parquet APPENDS (CLAUDE.md rule)
+            # clear first: Ray write_parquet APPENDS (CLAUDE.md rule);
+            # materialize once so count() doesn't re-run the pipeline
             import shutil
             shutil.rmtree(args.out, ignore_errors=True)
+            res = res.materialize()
             res.write_parquet(args.out)
             print(json.dumps({"op": args.name, "out": args.out,
                               "rows": res.count()}))

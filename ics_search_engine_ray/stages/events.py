@@ -503,19 +503,25 @@ def attribution(events, conversion: str = "purchase",
 
     def _kernel(uid, et, idx_conv_mask, is_src):
         """attributed-type object array for conversion rows, given the
-        (user, ts, id)-sorted columns."""
+        (user, ts, id)-sorted columns. Strictly-PRIOR semantics: the
+        accumulate is shifted one row so a conversion whose type is
+        ALSO a source type can never credit itself (matches the SQL
+        oracle's ROWS ... AND 1 PRECEDING window)."""
         n = uid.size
         idx = np.arange(n, dtype=np.int64)
         src_idx = np.where(is_src, idx, -1)
         acc = np.maximum.accumulate(src_idx)
+        acc_prev = np.empty(n, np.int64)
+        acc_prev[0] = -1
+        acc_prev[1:] = acc[:-1]
         seg_new = np.empty(n, dtype=bool)
         seg_new[0] = True
         seg_new[1:] = uid[1:] != uid[:-1]
         starts = np.flatnonzero(seg_new)
         seg_start = starts[np.cumsum(seg_new) - 1]
-        valid = acc >= seg_start
+        valid = acc_prev >= seg_start
         attr = np.where(valid & idx_conv_mask,
-                        et[np.clip(acc, 0, n - 1)], "none")
+                        et[np.clip(acc_prev, 0, n - 1)], "none")
         return attr[idx_conv_mask]
 
     def counts_partial(g: pa.Table) -> pa.Table:
@@ -594,14 +600,20 @@ def _attribution_salted(hotds, conversion: str, src_set, salt_us: int):
         idx = np.arange(et.size, dtype=np.int64)
         src_idx = np.where(is_src, idx, -1)
         acc = np.maximum.accumulate(src_idx)
+        # strictly-prior shift (same rule as _kernel): a conversion that
+        # is also a source must not credit itself
+        acc_prev = np.empty(et.size, np.int64)
+        acc_prev[0] = -1
+        acc_prev[1:] = acc[:-1]
         conv_rows = np.flatnonzero(is_conv)
-        resolved = conv_rows[acc[conv_rows] >= 0]
+        resolved = conv_rows[acc_prev[conv_rows] >= 0]
         pending = int(conv_rows.size - resolved.size)
         last_src = str(et[acc[-1]]) if acc.size and acc[-1] >= 0 else ""
         rows = {"user_id": [], "salt": [], "attributed_type": [],
                 "n": [], "pending": [], "last_src": []}
         if resolved.size:
-            ua, cnt = np.unique(et[acc[resolved]], return_counts=True)
+            ua, cnt = np.unique(et[acc_prev[resolved]],
+                                return_counts=True)
             for a, c in zip(ua.tolist(), cnt.tolist()):
                 rows["user_id"].append(uid)
                 rows["salt"].append(salt)

@@ -2628,8 +2628,16 @@ def min_cost_supplier(lineitem, supplier, nation, region,
 
     from .common import round_half_away
 
-    # --- dimension broadcasts (bounded by schema: 5 regions, 25
-    # nations, O(suppliers) rows — the gated-broadcast contract)
+    # --- dimension broadcasts: region/nation are schema-bounded (5/25
+    # rows); the supplier map is SIZE-GATED like every other broadcast
+    # in this repo (CLAUDE.md rule). Above the gate the scale path is
+    # the part_type_revenue shape: keep suppliers as a Dataset and
+    # hash-join it against the (part, supplier) sums on suppkey.
+    if supplier.count() > _BCAST_JOIN_ROWS:
+        raise ValueError(
+            f"supplier relation exceeds the broadcast gate "
+            f"({_BCAST_JOIN_ROWS} rows); wire the hash-join path "
+            f"(joins.hash_join on s_suppkey) before raising the gate")
     rk = {r["r_regionkey"] for r in region.take_all()
           if r["r_name"] == region_name}
     nmap = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()
@@ -2666,14 +2674,15 @@ def min_cost_supplier(lineitem, supplier, nation, region,
         qc = half_away_scaled_int(
             b.column("l_quantity").to_numpy(
                 zero_copy_only=False)[msk], 100)
-        key = p * 100_000 + s          # suppkeys are small by schema
-        o = np.argsort(key)
-        key = key[o]
+        # lexsort the raw key pair — a packed p*K+s key silently
+        # corrupts once suppkey >= K (review finding), and gains nothing
+        o = np.lexsort((s, p))
+        p, s = p[o], s[o]
         starts = np.flatnonzero(np.concatenate(
-            ([True], key[1:] != key[:-1])))
+            ([True], (p[1:] != p[:-1]) | (s[1:] != s[:-1]))))
         return pa.table({
-            "pk": pa.array(key[starts] // 100_000, pa.int64()),
-            "sk": pa.array(key[starts] % 100_000, pa.int64()),
+            "pk": pa.array(p[starts], pa.int64()),
+            "sk": pa.array(s[starts], pa.int64()),
             "cents": pa.array(np.add.reduceat(cents[o], starts),
                               pa.int64()),
             "qc": pa.array(np.add.reduceat(qc[o], starts), pa.int64())})

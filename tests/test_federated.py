@@ -67,15 +67,18 @@ def test_federated_equals_merged(fleet):
 
 
 def test_federated_naive_would_differ(fleet):
-    """Sanity that the test can actually FAIL a naive implementation:
-    per-member df differs from global df for 'alpha' (present in both),
-    so per-index scoring would produce different scores."""
-    ia, ib, _ = fleet
-    a, b = SearchIndex(ia), SearchIndex(ib)
-    ta, tb = a.term_postings("alpha"), b.term_postings("alpha")
-    assert ta is not None and tb is not None
-    # global df is the sum — a member alone can't know it
-    assert ta.df != ta.df + tb.df
+    """Sanity that the parity test can actually FAIL a naive
+    implementation: each member's local df for 'alpha' (present in
+    both) differs from the merged index's GLOBAL df, so per-index
+    scoring would produce different BM25 scores than the merged truth
+    the parity test pins."""
+    ia, ib, im = fleet
+    a, b, m = SearchIndex(ia), SearchIndex(ib), SearchIndex(im)
+    ta, tb, tm = (a.term_postings("alpha"), b.term_postings("alpha"),
+                  m.term_postings("alpha"))
+    assert ta is not None and tb is not None and tm is not None
+    assert tm.df == ta.df + tb.df          # global = sum of members
+    assert ta.df < tm.df and tb.df < tm.df  # a member alone is wrong
 
 
 def test_federated_respects_member_tombstones(fleet):

@@ -127,3 +127,35 @@ def test_decay_score_fuzz(ray_session):
         acc[r["user_id"]] = acc.get(r["user_id"], 0) + micro
     want = {u: float(np.round(v / 1e8, 6)) for u, v in acc.items()}
     assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_attribution_conversion_in_sources_no_self_credit(ray_session):
+    """A conversion whose type is ALSO a source type must credit the
+    strictly-prior source, never itself (the SQL oracle's 1-PRECEDING
+    window) — through both the plain and salted kernels."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.events import attribution
+
+    rows = [
+        {"event_id": 0, "user_id": 1, "ts": 100, "event_type": "view"},
+        # 'view' conversion: prior source is the first view, not itself
+        {"event_id": 1, "user_id": 1, "ts": 200, "event_type": "click"},
+        {"event_id": 2, "user_id": 1, "ts": 300, "event_type": "view"},
+        # user 2: leading 'view' conversion with nothing before -> none
+        {"event_id": 3, "user_id": 2, "ts": 50, "event_type": "view"},
+    ]
+    ds = rd.from_items(rows).repartition(1)
+    # view@100 converts with no prior -> none; view@300 -> click@200;
+    # user 2's lone view -> none
+    want = {"click": 1, "none": 2}
+    got = {r["attributed_type"]: r["n"]
+           for r in attribution(ds, conversion="view",
+                                sources=("click", "view"),
+                                hot_frac=2.0).take_all()}
+    assert got == want
+    # salted path (user 1 holds 3/4 rows -> hot at frac=0.5)
+    got2 = {r["attributed_type"]: r["n"]
+            for r in attribution(ds, conversion="view",
+                                 sources=("click", "view"),
+                                 hot_frac=0.5).take_all()}
+    assert got2 == want
