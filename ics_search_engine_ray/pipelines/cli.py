@@ -386,6 +386,21 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Rewrite one index without its tombstoned docs (merge of a single
+    source, near-dedup off): segments, docmeta and global stats rebuild
+    from survivors; the output starts with an empty tombstone set."""
+    _ray_up(args.num_cpus)
+    import ray
+    from .merge import merge_indexes
+
+    man = merge_indexes([args.index], args.out, near_dedup=False)
+    print(json.dumps({"num_docs": man["num_docs"],
+                      "build_secs": round(man["build_secs"], 2)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Tombstone documents in a built index (no Ray session needed —
     a docmeta-filtered read + one atomic JSON write). Deleted docs
@@ -604,6 +619,13 @@ def main(argv=None) -> int:
     p.add_argument("--budget", type=int, default=2048)
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_prep)
+
+    cp = sub.add_parser("compact", help="rewrite an index without its "
+                        "tombstoned docs (stats rebuild from survivors)")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     dl = sub.add_parser("delete", help="tombstone documents in a built "
                         "index (by id and/or url); compacted out at the "
