@@ -62,6 +62,20 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
+    # federated + actor-pool clients expose only plain .search — reject
+    # operator flags BEFORE building any client
+    plain_only = args.actors > 0 or "," in args.index
+    if plain_only:
+        dropped = [f for f in ("explain", "wildcard", "boolean",
+                               "proximity", "near")
+                   if getattr(args, f, False)]
+        if getattr(args, "scorer", "bm25") != "bm25" and "," in args.index:
+            dropped.append(f"scorer={args.scorer}")
+        if dropped:
+            print(f"error: {', '.join('--' + d for d in dropped)} "
+                  f"unsupported with a federated/actor-pool index; "
+                  f"query a single local index for these", file=sys.stderr)
+            return 2
     if args.actors > 0:
         # partition-sharded actor pool (concurrent serving path)
         _ray_up(args.num_cpus)
@@ -76,20 +90,6 @@ def cmd_query(args) -> int:
     else:
         from ..query.engine import SearchIndex
         si = SearchIndex(args.index)
-
-    # federated + actor-pool clients expose only plain .search
-    plain_only = args.actors > 0 or "," in args.index
-    if plain_only:
-        dropped = [f for f in ("explain", "wildcard", "boolean",
-                               "proximity", "near")
-                   if getattr(args, f, False)]
-        if getattr(args, "scorer", "bm25") != "bm25" and "," in args.index:
-            dropped.append(f"scorer={args.scorer}")
-        if dropped:
-            print(f"error: {', '.join('--' + d for d in dropped)} "
-                  f"unsupported with a federated/actor-pool index; "
-                  f"query a single local index for these", file=sys.stderr)
-            return 2
 
     def run_one(q: str):
         t0 = time.time()
