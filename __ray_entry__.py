@@ -341,6 +341,32 @@ ORDER BY round(dots.d / (nm.v * (SELECT v FROM qn)), 6) DESC, dots.doc_id
 LIMIT 10"""
 
 
+def _semantic_decontam_sql(threshold: float = 0.35) -> str:
+    """Eval texts embedded by the SAME CTE chain (prefix 'q') over a
+    VALUES list; per-doc max of the rounded cross-cosine; flag compares
+    the ROUNDED value (both oracle sides)."""
+    from ics_search_engine_ray.stages.embed import embed_cte
+    vals = ", ".join(f"({i}, '{q}')"
+                     for i, q in enumerate(_SEARCH_ORACLE_QUERIES))
+    cte_d = embed_cte(n_features=64, dim=16, seed=7)
+    cte_q = embed_cte(n_features=64, dim=16, seed=7,
+                      src="evaldocs", prefix="q")
+    return f"""WITH evaldocs AS (
+  SELECT * FROM (VALUES {vals}) AS t(doc_id, text)),
+{cte_d},
+{cte_q},
+sims AS (SELECT emb.doc_id, qemb.doc_id AS eid,
+                sum(emb.e * qemb.e) AS s
+         FROM emb JOIN qemb ON emb.j = qemb.j
+         GROUP BY emb.doc_id, qemb.doc_id),
+mx AS (SELECT doc_id, CAST(round(max(s), 6) AS DOUBLE) AS ms
+       FROM sims GROUP BY doc_id)
+SELECT doc_id, ms AS max_sim,
+       CAST(CASE WHEN ms >= {threshold} THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM mx ORDER BY doc_id"""
+
+
 def _logreg_sql_cached(emit: str) -> str:
     from ics_search_engine_ray.stages.classifier import logreg_sql
     return logreg_sql(_LOGREG_LABEL, n_features=64, iters=5, lr=1.0,
@@ -825,6 +851,18 @@ def _q_embed_docs(sf_dir: str):
     whole embedder replicates in SQL. Long-form output (doc_id, j, e)."""
     from ics_search_engine_ray.stages.embed import embed_docs
     return embed_docs(_read_docs(sf_dir), n_features=64, dim=16, seed=7)
+
+
+def _q_semantic_decontaminate(sf_dir: str):
+    """Semantic decontamination vs the bench query set (stages/embed.py
+    semantic_decontaminate): per-doc max embedding cosine against the
+    broadcast eval matrix, flag at 0.35 (rounded-sim compare both
+    sides). The whole text -> embedding -> cross-cosine chain under one
+    oracle."""
+    from ics_search_engine_ray.stages.embed import semantic_decontaminate
+    return semantic_decontaminate(_read_docs(sf_dir),
+                                  list(_SEARCH_ORACLE_QUERIES),
+                                  threshold=0.35)
 
 
 def _q_knn_text(sf_dir: str):
@@ -3145,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_docs": _q_embed_docs,              # JL sign-projection embed
         "knn_text": _q_knn_text,                  # text-native ANN top-k
         "text_cosine_pairs": _q_text_cosine_pairs,  # semantic near-dup pairs
+        "semantic_decontaminate": _q_semantic_decontaminate,  # eval-sim flag
         "bm25_topk_wand": _q_bm25_topk_wand,      # block-max WAND path
         "phrase_match": _q_phrase_match,          # positional index query
         "extract_text": _q_extract_text,          # M1-M3 (frozen-fixture oracle)
@@ -4565,6 +4604,7 @@ FROM allfp x JOIN allfp y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.fp::BIT, y.fp::BIT)) <= {DEFAULT_CONFIG.max_hamming}
 ORDER BY a, b""",
         "search_bm25_oracle": _bm25_multi_sql(_SEARCH_ORACLE_QUERIES, k1, b),
+        "semantic_decontaminate": _semantic_decontam_sql(0.35),
         "search_diverse": _bm25_diverse_sql(_SEARCH_ORACLE_QUERIES, k1, b),
         "faceted_match_counts": _faceted_sql(_SEARCH_ORACLE_QUERIES),
         "search_tfidf_ref_oracle": _tfidf_ref_multi_sql(_SEARCH_ORACLE_QUERIES),

@@ -45,6 +45,28 @@ def sign_sql(f_expr: str, j_expr: str, dim: int, seed: int = 7) -> str:
             f" % {_MOD} < {_MOD >> 1} THEN 1.0 ELSE -1.0 END")
 
 
+def _embed_text_matrix(texts, S: np.ndarray):
+    """texts -> (kept_row_indices, rounded L2-normalized embedding
+    matrix) — THE kernel both embed_docs batches and driver-side eval
+    sets run, so the two can never drift."""
+    toks = [[t for t in TOKEN_RE.findall((x or "").lower())
+             if len(t) > 1] for x in texts]
+    rows = [i for i, t in enumerate(toks) if t]
+    if not rows:
+        return rows, np.zeros((0, S.shape[1]), np.float64)
+    X = np.zeros((len(rows), S.shape[0]), np.float64)
+    for ri, di in enumerate(rows):
+        t = np.asarray(toks[di], object)
+        cnt = np.bincount(_bucket(t, S.shape[0]),
+                          minlength=S.shape[0]).astype(np.float64)
+        X[ri] = cnt / t.size
+    E = X @ S
+    norms = np.sqrt((E * E).sum(axis=1))
+    nz = norms > 0
+    E[nz] = E[nz] / norms[nz, None]
+    return rows, round_half_away(E) + 0.0   # -0.0 -> +0.0 (hash parity)
+
+
 def embed_docs(docs, n_features: int = 64, dim: int = 16, seed: int = 7):
     """(doc_id, text) -> LONG-form embeddings (doc_id, j, e): hashed
     bag-of-terms -> sign projection -> L2 normalize -> round 6
@@ -62,23 +84,10 @@ def embed_docs(docs, n_features: int = 64, dim: int = 16, seed: int = 7):
             return empty
         texts = b.column("text").to_pylist()
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        toks = [[t for t in TOKEN_RE.findall((x or "").lower())
-                 if len(t) > 1] for x in texts]
-        rows = [i for i, t in enumerate(toks) if t]
+        rows, E = _embed_text_matrix(texts, S)
         if not rows:
             return empty
-        X = np.zeros((len(rows), S.shape[0]), np.float64)
-        for ri, di in enumerate(rows):
-            t = np.asarray(toks[di], object)
-            cnt = np.bincount(_bucket(t, S.shape[0]),
-                              minlength=S.shape[0]).astype(np.float64)
-            X[ri] = cnt / t.size
-        E = X @ S
-        norms = np.sqrt((E * E).sum(axis=1))
-        nz = norms > 0
-        E[nz] = E[nz] / norms[nz, None]
-        E = round_half_away(E) + 0.0        # -0.0 -> +0.0 (hash parity:
-        n, d = E.shape                      # both sides canonicalize)
+        n, d = E.shape
         return pa.table({
             "doc_id": pa.array(np.repeat(ids[rows].astype(np.int64), d),
                                pa.int64()),
@@ -154,24 +163,83 @@ def knn_text(docs, query_doc_id: int, k: int = 10, n_features: int = 64,
         "cos": pa.array(cos[sel], pa.float64())}))
 
 
-def embed_cte(n_features: int = 64, dim: int = 16, seed: int = 7) -> str:
+def semantic_decontaminate(docs, eval_texts, threshold: float = 0.9,
+                           n_features: int = 64, dim: int = 16,
+                           seed: int = 7):
+    """Semantic decontamination -> (doc_id, max_sim, contaminated):
+    per document, the maximum embedding cosine against a benchmark/eval
+    text set, and a flag at ``threshold`` — the similarity-space
+    complement of the exact 8-gram :func:`~..decontam.decontaminate`
+    (paraphrased eval leakage carries no shared 8-gram but survives in
+    embedding space; cf. the contamination audits run for every modern
+    LM release).
+
+    The eval set is embedded DRIVER-SIDE with the identical kernel the
+    per-batch path runs (``_embed_text_matrix``) and broadcast once
+    (eval sets are thousands of rows — closure freight); each batch of
+    generated doc embeddings is one (batch x dim) @ (dim x m) matmul
+    plus a row max. No shuffle at all; both embedding generation and
+    the cosine are DuckDB-replicable, so the whole chain hash-checks.
+    The flag compares the ROUNDED similarity (both oracle sides), so a
+    last-ulp dot-product divergence cannot flip it.
+    """
+    import ray
+
+    S = sign_matrix(n_features, dim, seed)
+    rows, Ev = _embed_text_matrix(list(eval_texts), S)
+    if not rows:
+        raise ValueError("eval_texts produced no embeddable text")
+    ev_ref = ray.put(Ev.T.copy())          # (dim x m)
+
+    long = embed_docs(docs, n_features=n_features, dim=dim, seed=seed)
+
+    def score(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "max_sim": pa.array([], pa.float64()),
+                          "contaminated": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        j = b.column("j").to_numpy(zero_copy_only=False)
+        e = b.column("e").to_numpy(zero_copy_only=False)
+        o = np.lexsort((j, d))
+        n = b.num_rows // dim
+        E = e[o].reshape(n, dim)
+        sims = E @ ray.get(ev_ref)          # (n x m)
+        ms = round_half_away(sims.max(axis=1))
+        return pa.table({
+            "doc_id": pa.array(d[o][::dim].astype(np.int64), pa.int64()),
+            "max_sim": pa.array(ms, pa.float64()),
+            "contaminated": pa.array((ms >= threshold).astype(np.int64),
+                                     pa.int64())})
+
+    return long.map_batches(score, batch_format="pyarrow",
+                            batch_size=dim * 512) \
+        .sort("doc_id")
+
+
+def embed_cte(n_features: int = 64, dim: int = 16, seed: int = 7,
+              src: str = "documents", prefix: str = "") -> str:
     """The DuckDB CTE chain reproducing :func:`embed_docs` exactly,
-    ending in ``emb(doc_id, j, e)`` — callers compose it into full
-    oracle statements."""
+    ending in ``{prefix}emb(doc_id, j, e)`` — callers compose it into
+    full oracle statements. ``src``/``prefix`` let one statement embed
+    a second relation (e.g. an eval-text VALUES list) with the same
+    math under non-colliding CTE names."""
     from .classifier import feature_bucket_sql
     bucket = feature_bucket_sql("term", n_features)
-    sgn = sign_sql("x.f", "dims.j", dim, seed)
-    return f"""toks AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text),
-              '[a-z0-9]+'), x -> length(x) > 1)) AS term FROM documents),
-dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-x AS (SELECT doc_id, f, cnt * 1.0 / dl.n AS v
+    p = prefix
+    sgn = sign_sql(f"{p}x.f", f"{p}dims.j", dim, seed)
+    return f"""{p}toks AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text),
+              '[a-z0-9]+'), x -> length(x) > 1)) AS term FROM {src}),
+{p}dl AS (SELECT doc_id, count(*) AS n FROM {p}toks GROUP BY doc_id),
+{p}x AS (SELECT doc_id, f, cnt * 1.0 / {p}dl.n AS v
       FROM (SELECT doc_id, {bucket} AS f, count(*) AS cnt
-            FROM toks GROUP BY doc_id, f) JOIN dl USING (doc_id)),
-dims AS (SELECT unnest(range(0, {dim})) AS j),
-raw AS (SELECT x.doc_id, dims.j, sum(x.v * {sgn}) AS r
-        FROM x CROSS JOIN dims GROUP BY x.doc_id, dims.j),
-nrm AS (SELECT doc_id, sqrt(sum(r * r)) AS nm FROM raw GROUP BY doc_id),
-emb AS (SELECT raw.doc_id, raw.j,
-               CAST(round(CASE WHEN nrm.nm > 0 THEN raw.r / nrm.nm
-                               ELSE raw.r END, 6) + 0.0 AS DOUBLE) AS e
-        FROM raw JOIN nrm USING (doc_id))"""
+            FROM {p}toks GROUP BY doc_id, f) JOIN {p}dl USING (doc_id)),
+{p}dims AS (SELECT unnest(range(0, {dim})) AS j),
+{p}raw AS (SELECT {p}x.doc_id, {p}dims.j, sum({p}x.v * {sgn}) AS r
+        FROM {p}x CROSS JOIN {p}dims GROUP BY {p}x.doc_id, {p}dims.j),
+{p}nrm AS (SELECT doc_id, sqrt(sum(r * r)) AS nm FROM {p}raw GROUP BY doc_id),
+{p}emb AS (SELECT {p}raw.doc_id, {p}raw.j,
+               CAST(round(CASE WHEN {p}nrm.nm > 0 THEN {p}raw.r / {p}nrm.nm
+                               ELSE {p}raw.r END, 6) + 0.0 AS DOUBLE) AS e
+        FROM {p}raw JOIN {p}nrm USING (doc_id))"""
