@@ -703,6 +703,60 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(_read_docs(sf_dir), n=8)
 
 
+def _q_contamination_venn(sf_dir: str):
+    """Contamination Venn: cross-tab of the exact 8-gram flag
+    (decontaminate) x the embedding-cosine flag (semantic_decontaminate)
+    over the non-eval docs — the audit table that shows what each
+    detector catches that the other misses, composed under ONE oracle
+    (the curate_full pattern). One hash join of two per-doc flag
+    relations; <= 4 cells out."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.decontam import decontaminate
+    from ics_search_engine_ray.stages.embed import semantic_decontaminate
+    from ics_search_engine_ray.stages.joins import hash_join
+    from ray.data.aggregate import Sum
+
+    docs = _read_docs(sf_dir)
+    ex = decontaminate(docs, n=8).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "exact_flag": b.column("contaminated").cast(pa.int64())}),
+        batch_format="pyarrow")
+    sem = semantic_decontaminate(docs, list(_SEARCH_ORACLE_QUERIES),
+                                 threshold=0.35).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "semantic_flag": b.column("contaminated").cast(pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(ex, sem, on="doc_id")
+
+    def cells(b: pa.Table) -> pa.Table:
+        empty = pa.table({"exact_flag": pa.array([], pa.int64()),
+                          "semantic_flag": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        e = b.column("exact_flag").to_numpy(zero_copy_only=False)
+        s = b.column("semantic_flag").to_numpy(zero_copy_only=False)
+        code = e * 2 + s
+        cnt = np.bincount(code, minlength=4)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "exact_flag": pa.array(nz // 2, pa.int64()),
+            "semantic_flag": pa.array(nz % 2, pa.int64()),
+            "c": pa.array(cnt[nz].astype(np.int64), pa.int64())})
+
+    agg = joined.map_batches(cells, batch_format="pyarrow") \
+        .groupby(["exact_flag", "semantic_flag"]) \
+        .aggregate(Sum("c", alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "exact_flag": b.column("exact_flag").cast(pa.int64()),
+            "semantic_flag": b.column("semantic_flag").cast(pa.int64()),
+            "n": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow").sort(["exact_flag", "semantic_flag"])
+
+
 def _q_chunk_tokens(sf_dir: str):
     """Context-window chunking (stages/chunking.py): 64-token chunks with
     stride 48 per doc, chunk text via Arrow binary_join over one flat
@@ -3254,6 +3308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_kmv": _q_distinct_users_kmv,      # KMV sketch
         "distinct_users_hll": _q_distinct_users_hll,      # HLL sketch
         "decontaminate": _q_decontaminate,        # eval n-gram overlap
+        "contamination_venn": _q_contamination_venn,  # 2-detector audit
         "chunk_tokens": _q_chunk_tokens,          # context-window chunking
         "pack_assign": _q_pack_assign,            # concat-and-chunk packing
         "user_running": _q_user_running,          # SUM OVER/row_number/LAG
@@ -3595,7 +3650,7 @@ scores AS (
   CROSS JOIN stats GROUP BY tf.doc_id)
 SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score
 FROM scores ORDER BY s DESC, doc_id LIMIT 10"""
-    return {
+    d = {
         "exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_count": (
             "SELECT doc_id, CAST(len(list_filter(regexp_extract_all(lower(text), "
@@ -5757,3 +5812,12 @@ SELECT event_id, user_id,
        (PARTITION BY user_id ORDER BY ts, event_id)), -1) AS BIGINT) AS gap_us
 FROM events""",
     }
+    d["contamination_venn"] = f"""
+WITH exact AS ({d["decontaminate"]}),
+sem AS ({d["semantic_decontaminate"]})
+SELECT CAST(exact.contaminated AS BIGINT) AS exact_flag,
+       CAST(sem.contaminated AS BIGINT) AS semantic_flag,
+       CAST(count(*) AS BIGINT) AS n
+FROM exact JOIN sem USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    return d
