@@ -262,13 +262,25 @@ def triangles(edges_ds, src: str = "src", dst: str = "dst",
     relation (native groupby count over the stacked endpoints), orient
     via ONE hash join of edges against degrees-of-both-endpoints,
     wedge-generate per src bucket (vectorized pair expansion), then ONE
-    hash join of wedges against the canonical edge set on a packed
-    (lo << 32 | hi) int64 key. Every step is a Dataset op; the driver
+    composite-key hash join of wedges against the canonical edge set on
+    the exact (lo, hi) node pair — ids are full int64 (doc_ids elsewhere
+    in this repo are 63-bit url hashes, so a packed lo<<32|hi key would
+    silently corrupt results). Every step is a Dataset op; the driver
     never sees edges.
     """
     from ray.data.aggregate import Sum
 
     from ..stages.joins import hash_join
+
+    def _dedup_pairs(u, v):
+        """Unique (u, v) rows, sorted — exact for any int64 ids."""
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        if u.size:
+            keep = np.concatenate(
+                ([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+            u, v = u[keep], v[keep]
+        return u, v
 
     def canon(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -277,15 +289,9 @@ def triangles(edges_ds, src: str = "src", dst: str = "dst",
         d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
         m = s != d
         s, d = s[m], d[m]
-        u = np.minimum(s, d)
-        v = np.maximum(s, d)
-        k = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
-        k = np.unique(k)
-        return pa.table({
-            "u": pa.array((k >> np.uint64(32)).astype(np.int64),
-                          pa.int64()),
-            "v": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                          pa.int64())})
+        u, v = _dedup_pairs(np.minimum(s, d), np.maximum(s, d))
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
 
     raw = edges_ds.map_batches(canon, batch_format="pyarrow") \
         .materialize()     # counted AND re-consumed below — one pass
@@ -294,15 +300,11 @@ def triangles(edges_ds, src: str = "src", dst: str = "dst",
                                      lo=16)
 
     def bucket_dedup(g: pa.Table) -> pa.Table:
-        u = g.column("u").to_numpy(zero_copy_only=False)
-        v = g.column("v").to_numpy(zero_copy_only=False)
-        k = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
-        k = np.unique(k)
-        return pa.table({
-            "u": pa.array((k >> np.uint64(32)).astype(np.int64),
-                          pa.int64()),
-            "v": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                          pa.int64())})
+        u = g.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, v = _dedup_pairs(u, v)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
 
     edges = raw.map_batches(
         lambda b: b.append_column(
@@ -357,8 +359,7 @@ def triangles(edges_ds, src: str = "src", dst: str = "dst",
         """All out-neighbor pairs per src node (canonical a < b)."""
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64()),
-                          "c": pa.array([], pa.int64()),
-                          "key": pa.array([], pa.int64())})
+                          "c": pa.array([], pa.int64())})
         if g.num_rows == 0:
             return empty
         s = g.column("s").to_numpy(zero_copy_only=False)
@@ -381,12 +382,9 @@ def triangles(edges_ds, src: str = "src", dst: str = "dst",
         a = np.concatenate(out_a)
         bb = np.concatenate(out_b)
         c = np.concatenate(out_c)
-        key = ((a.astype(np.uint64) << np.uint64(32))
-               | bb.astype(np.uint64)).astype(np.int64)
         return pa.table({"a": pa.array(a, pa.int64()),
                          "b": pa.array(bb, pa.int64()),
-                         "c": pa.array(c, pa.int64()),
-                         "key": pa.array(key, pa.int64())})
+                         "c": pa.array(c, pa.int64())})
 
     wedge_ds = oriented.map_batches(
         lambda b: b.append_column(
@@ -396,15 +394,9 @@ def triangles(edges_ds, src: str = "src", dst: str = "dst",
         .groupby("_g").map_groups(
             lambda g: wedges(g.drop(["_g"])), batch_format="pyarrow")
 
-    ekeys = edges.map_batches(
-        lambda b: pa.table({"key": pa.array(
-            ((b.column("u").to_numpy(zero_copy_only=False)
-              .astype(np.uint64) << np.uint64(32))
-             | b.column("v").to_numpy(zero_copy_only=False)
-             .astype(np.uint64)).astype(np.int64), pa.int64())}),
-        batch_format="pyarrow")
-
-    closed = hash_join(wedge_ds, ekeys, on="key")
+    # exact (lo, hi) pair membership: composite-key join, no packing
+    closed = hash_join(wedge_ds, edges, on=("a", "b"),
+                       right_on=("u", "v"))
 
     def fin(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

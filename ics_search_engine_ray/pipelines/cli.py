@@ -419,6 +419,34 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def _guard_clear_out(out: str, force: bool = False) -> None:
+    """Clear ``out`` for a fresh parquet write — but refuse to delete a
+    directory that doesn't look like a previous op output (mistyped
+    --out pointing at a data/index dir must not be destroyed). Deletes
+    when the path is absent, empty, or contains only parquet artifacts
+    (*.parquet / *.crc / _SUCCESS / _metadata); anything else needs
+    --force."""
+    import os
+    import shutil
+    if not os.path.exists(out):
+        return
+    if not os.path.isdir(out):
+        raise SystemExit(f"--out {out!r} exists and is not a directory")
+    if not force:
+        def _parquet_ish(name: str) -> bool:
+            return (name.endswith(".parquet") or name.endswith(".crc")
+                    or name in ("_SUCCESS", "_metadata",
+                                "_common_metadata"))
+        for root, dirs, files in os.walk(out):
+            bad = [f for f in files if not _parquet_ish(f)]
+            if bad:
+                raise SystemExit(
+                    f"--out {out!r} contains non-parquet files "
+                    f"(e.g. {bad[0]!r}) — refusing to clear it; pass "
+                    f"--force to override")
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def cmd_op(args) -> int:
     """Run any registered pipeline from the __ray_entry__ queries()
     registry over an sf-style table directory; write the result as
@@ -451,10 +479,11 @@ def cmd_op(args) -> int:
     res = registry[args.name](args.sf_dir)
     if hasattr(res, "iter_batches"):          # Dataset
         if args.out:
-            # clear first: Ray write_parquet APPENDS (CLAUDE.md rule);
-            # materialize once so count() doesn't re-run the pipeline
+            # clear first: Ray write_parquet APPENDS (CLAUDE.md rule) —
+            # but a mistyped --out must not nuke an unrelated tree, so
+            # only clear what looks like a previous op output
             import shutil
-            shutil.rmtree(args.out, ignore_errors=True)
+            _guard_clear_out(args.out, force=args.force)
             res = res.materialize()
             res.write_parquet(args.out)
             print(json.dumps({"op": args.name, "out": args.out,
@@ -643,10 +672,15 @@ def main(argv=None) -> int:
                     help="operator name (see --list)")
     op.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     op.add_argument("--out", default=None,
-                    help="output parquet dir (cleared first)")
+                    help="output parquet dir (cleared first; refuses "
+                         "to clear a dir that doesn't look like a "
+                         "previous op output unless --force)")
     op.add_argument("--head", type=int, default=20)
     op.add_argument("--list", action="store_true")
     op.add_argument("--num-cpus", type=int, default=None)
+    op.add_argument("--force", action="store_true",
+                    help="clear --out even if it contains non-parquet "
+                         "files")
     op.set_defaults(fn=cmd_op)
 
     args = ap.parse_args(argv)

@@ -202,6 +202,21 @@ def semantic_decontaminate(docs, eval_texts, threshold: float = 0.9,
         d = b.column("doc_id").to_numpy(zero_copy_only=False)
         j = b.column("j").to_numpy(zero_copy_only=False)
         e = b.column("e").to_numpy(zero_copy_only=False)
+        # the reshape below requires dim-aligned batches with every doc
+        # whole — guaranteed today by embed_docs emitting exactly `dim`
+        # contiguous rows per doc and batch_size=dim*512, but an
+        # upstream filter or Ray batching change would silently garble
+        # embeddings, so fail loudly instead
+        if b.num_rows % dim != 0:
+            raise ValueError(
+                f"semantic_decontaminate: batch of {b.num_rows} rows is "
+                f"not dim={dim} aligned — a doc was split across batches")
+        _, per_doc = np.unique(d, return_counts=True)
+        if not (per_doc == dim).all():
+            raise ValueError(
+                "semantic_decontaminate: some doc_id does not appear "
+                f"exactly dim={dim} times in the batch "
+                f"(counts {np.unique(per_doc).tolist()})")
         o = np.lexsort((j, d))
         n = b.num_rows // dim
         E = e[o].reshape(n, dim)

@@ -213,10 +213,18 @@ def hash_join(left_ds, right_ds, on: str, right_on: Optional[str] = None,
         est = left_ds.count() + right_ds.count()
         num_partitions = adaptive_groups(
             est, 1_000_000, lo=max(2, min(16, cpus // 2)))
+    # `on` / `right_on` accept a single column name or a sequence of
+    # names (composite-key equi-join, e.g. exact (u, v) edge-pair
+    # membership where packing two 64-bit ids into one key would be lossy)
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is None:
+        right_t = on_t
+    else:
+        right_t = (right_on,) if isinstance(right_on, str) \
+            else tuple(right_on)
     return left_ds.join(right_ds, join_type=join_type,
                         num_partitions=num_partitions,
-                        on=(on,),
-                        right_on=(right_on,) if right_on else (on,))
+                        on=on_t, right_on=right_t)
 
 
 def skew_join(left_ds, right_ds, on: str, right_on: Optional[str] = None,

@@ -998,7 +998,7 @@ def small_qty_revenue(lineitem, part, brand: str,
     import ray
     from ray.data.aggregate import Sum
 
-    from .joins import broadcast_join
+    from .joins import semi_join
 
     import pyarrow.compute as _pc
 
@@ -1007,9 +1007,11 @@ def small_qty_revenue(lineitem, part, brand: str,
             .select(["p_partkey"])
 
     bkeys = part.map_batches(brand_keys, batch_format="pyarrow")
-    li_b = broadcast_join(lineitem, bkeys, on="l_partkey",
-                          right_on="p_partkey", join_type="left semi",
-                          max_rows=max_bcast_rows).materialize()
+    # semi_join broadcasts the brand keys below the gate and
+    # co-partitions above it — one brand's parts grow with scale factor
+    li_b = semi_join(lineitem, bkeys, on="l_partkey",
+                     right_on="p_partkey",
+                     max_bcast_rows=max_bcast_rows).materialize()
 
     def stat_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -1027,16 +1029,50 @@ def small_qty_revenue(lineitem, part, brand: str,
 
     stats = li_b.map_batches(stat_partial, batch_format="pyarrow") \
         .groupby("l_partkey").aggregate(Sum("sq", alias_name="sq"),
-                                        Sum("cnt", alias_name="cnt"))
-    s_parts = [t for t in ray.get(stats.materialize().to_arrow_refs())
+                                        Sum("cnt", alias_name="cnt")) \
+        .materialize()
+    if stats.count() > max_bcast_rows:
+        # scale path: per-part stats stay a Dataset and ONE hash_join
+        # carries them back onto the brand-pruned lineitem; the exact
+        # integer cross-multiplication test runs on the joined rows
+        from .joins import hash_join
+
+        li_sel = li_b.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice"])
+        joined = hash_join(li_sel, stats, on="l_partkey")
+
+        def rev_joined(b: pa.Table) -> pa.Table:
+            empty = pa.table({"cents": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            q = _half_away_100(b.column("l_quantity").to_numpy(
+                zero_copy_only=False))
+            sq = b.column("sq").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cnt = b.column("cnt").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            small = q * 5 * cnt < sq
+            if not small.any():
+                return empty
+            cents = _half_away_100(b.column("l_extendedprice")
+                                   .to_numpy(zero_copy_only=False)[small])
+            return pa.table({"cents": pa.array([int(cents.sum())],
+                                               pa.int64())})
+
+        total = joined.map_batches(rev_joined, batch_format="pyarrow") \
+            .aggregate(Sum("cents", alias_name="cents"))
+        cents = int(total.get("cents") or 0)
+        from .common import round_half_away
+        return pa.table({"avg_yearly": pa.array(
+            [float(round_half_away(
+                np.array([cents / 100.0 / 7.0]), 6)[0])],
+            pa.float64())})
+    s_parts = [t for t in ray.get(stats.to_arrow_refs())
                if t.num_rows]
     s_tbl = (pa.concat_tables(s_parts) if s_parts else pa.table(
         {"l_partkey": pa.array([], pa.int64()),
          "sq": pa.array([], pa.int64()),
          "cnt": pa.array([], pa.int64())})).combine_chunks()
-    if s_tbl.num_rows > max_bcast_rows:
-        raise ValueError("per-part stats exceed the broadcast gate; "
-                         "use hash_join back onto lineitem")
     pk = s_tbl.column("l_partkey").to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     order = np.argsort(pk, kind="stable")
@@ -2606,7 +2642,8 @@ def linestatus_priority(lineitem, orders, date_lo: str = "1996-01-01",
 
 
 def min_cost_supplier(lineitem, supplier, nation, region,
-                      region_name: str = "EUROPE", k: int = 100):
+                      region_name: str = "EUROPE", k: int = 100,
+                      max_bcast_rows: int = _BCAST_JOIN_ROWS):
     """TPC-H Q2-shaped minimum-cost supplier -> per part, the supplier
     in ``region_name`` with the lowest observed unit cost
     (sum extendedprice / sum quantity over that (part, supplier)'s
@@ -2630,18 +2667,15 @@ def min_cost_supplier(lineitem, supplier, nation, region,
 
     # --- dimension broadcasts: region/nation are schema-bounded (5/25
     # rows); the supplier map is SIZE-GATED like every other broadcast
-    # in this repo (CLAUDE.md rule). Above the gate the scale path is
-    # the part_type_revenue shape: keep suppliers as a Dataset and
-    # hash-join it against the (part, supplier) sums on suppkey.
-    if supplier.count() > _BCAST_JOIN_ROWS:
-        raise ValueError(
-            f"supplier relation exceeds the broadcast gate "
-            f"({_BCAST_JOIN_ROWS} rows); wire the hash-join path "
-            f"(joins.hash_join on s_suppkey) before raising the gate")
+    # in this repo (CLAUDE.md rule). Above the gate suppliers stay a
+    # Dataset and hash-join against the (part, supplier) cost sums on
+    # suppkey (the part_type_revenue shape) — see _above_gate below.
     rk = {r["r_regionkey"] for r in region.take_all()
           if r["r_name"] == region_name}
     nmap = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()
             if r["n_regionkey"] in rk}
+    if supplier.count() > max_bcast_rows:
+        return _min_cost_supplier_joined(lineitem, supplier, nmap, k)
     smap = {r["s_suppkey"]: (r["s_name"], r["s_nationkey"],
                              r["s_acctbal"])
             for r in supplier.take_all()
@@ -2761,6 +2795,144 @@ def min_cost_supplier(lineitem, supplier, nation, region,
                                   pa.float64())})
 
     return wins.map_batches(attach, batch_format="pyarrow") \
+        .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
+              descending=[True, False, False, False]).limit(k)
+
+
+def _min_cost_supplier_joined(lineitem, supplier, nmap: dict, k: int):
+    """:func:`min_cost_supplier` above the supplier broadcast gate:
+    supplier GROWS with scale factor (unlike region/nation), so no
+    driver dict — the eligible-supplier relation stays a Dataset and
+    ONE :func:`~.joins.hash_join` on suppkey both semi-filters the
+    (part, supplier) cost sums to the region and attaches the supplier
+    attributes the output needs. The per-part argmin then runs exactly
+    as the broadcast path (local partials -> parts-keyed final), with
+    the attribute columns riding along — rows per part stay bounded by
+    batches-that-saw-it, never the supplier universe.
+    """
+    from ray.data.aggregate import Sum
+
+    from .common import round_half_away
+    from .joins import hash_join
+
+    nkeys = np.array(sorted(nmap), np.int64)
+    nnames = [nmap[int(x)] for x in nkeys.tolist()]
+
+    def elig(b: pa.Table) -> pa.Table:
+        empty = pa.table({"sk": pa.array([], pa.int64()),
+                          "s_name": pa.array([], pa.string()),
+                          "s_acctbal": pa.array([], pa.float64()),
+                          "n_name": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        nk = b.column("s_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.clip(np.searchsorted(nkeys, nk), 0,
+                      max(nkeys.size - 1, 0))
+        m = (nkeys[pos] == nk) if nkeys.size else np.zeros(nk.size, bool)
+        if not m.any():
+            return empty
+        return pa.table({
+            "sk": b.column("s_suppkey").to_numpy(
+                zero_copy_only=False)[m].astype(np.int64),
+            "s_name": b.column("s_name").filter(pa.array(m)),
+            "s_acctbal": b.column("s_acctbal").to_numpy(
+                zero_copy_only=False)[m].astype(np.float64),
+            "n_name": pa.array([nnames[int(i)] for i in pos[m]],
+                               pa.string())})
+
+    elig_ds = supplier.select_columns(
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]) \
+        .map_batches(elig, batch_format="pyarrow")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"pk": pa.array([], pa.int64()),
+                          "sk": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "qc": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = half_away_scaled_int(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            100)
+        qc = half_away_scaled_int(
+            b.column("l_quantity").to_numpy(zero_copy_only=False), 100)
+        o = np.lexsort((s, p))
+        p, s = p[o], s[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (p[1:] != p[:-1]) | (s[1:] != s[:-1]))))
+        return pa.table({
+            "pk": pa.array(p[starts], pa.int64()),
+            "sk": pa.array(s[starts], pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents[o], starts),
+                              pa.int64()),
+            "qc": pa.array(np.add.reduceat(qc[o], starts), pa.int64())})
+
+    sums = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]) \
+        .map_batches(li_partial, batch_format="pyarrow") \
+        .groupby(["pk", "sk"]).aggregate(
+            Sum("cents", alias_name="cents"), Sum("qc", alias_name="qc"))
+
+    joined = hash_join(sums, elig_ds, on="sk")
+
+    _out = {"pk": pa.int64(), "sk": pa.int64(),
+            "cost": pa.float64(), "s_name": pa.string(),
+            "s_acctbal": pa.float64(), "n_name": pa.string()}
+
+    def argmin(b: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], t) for c, t in _out.items()})
+        if b.num_rows == 0:
+            return empty
+        pk = b.column("pk").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        skc = b.column("sk").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if "cost" in b.column_names:
+            cost = b.column("cost").to_numpy(zero_copy_only=False)
+        else:
+            cents = b.column("cents").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            qc = b.column("qc").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cost = cents.astype(np.float64) / qc.astype(np.float64)
+        o = np.lexsort((skc, cost, pk))
+        first = np.concatenate(([True], pk[o][1:] != pk[o][:-1]))
+        take = pa.array(o[first].astype(np.int64))
+        return pa.table({
+            "pk": pa.array(pk[o][first], pa.int64()),
+            "sk": pa.array(skc[o][first], pa.int64()),
+            "cost": pa.array(cost[o][first], pa.float64()),
+            "s_name": b.column("s_name").take(take),
+            "s_acctbal": b.column("s_acctbal").cast(pa.float64())
+            .take(take),
+            "n_name": b.column("n_name").take(take)})
+
+    wins = joined.map_batches(argmin, batch_format="pyarrow") \
+        .groupby("pk").map_groups(argmin, batch_format="pyarrow")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "s_acctbal": pa.array([], pa.float64()),
+                "s_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "p_partkey": pa.array([], pa.int64()),
+                "unit_cost": pa.array([], pa.float64())})
+        return pa.table({
+            "s_acctbal": b.column("s_acctbal"),
+            "s_name": b.column("s_name"),
+            "n_name": b.column("n_name"),
+            "p_partkey": b.column("pk"),
+            "unit_cost": pa.array(round_half_away(
+                b.column("cost").to_numpy(zero_copy_only=False), 6),
+                pa.float64())})
+
+    return wins.map_batches(fmt, batch_format="pyarrow") \
         .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
               descending=[True, False, False, False]).limit(k)
 

@@ -138,7 +138,11 @@ def distinct_count_hll(ds, key: str, value: str, p: int = 12):
             .astype(np.int64)
         h = _splitmix(vals.astype(np.uint64))
         bucket = (h >> np.uint64(64 - p)).astype(np.int64)
-        w = h << np.uint64(p)          # low 64-p bits, left-aligned
+        # low 64-p bits, KEPT right-aligned (mask, not shift): a left
+        # shift would leave bitlen(w) p too large and rho p too small,
+        # inflating sum(2^-rho) by 2^p once registers saturate past the
+        # linear-counting range (~m*ln m) — estimates came out ~2^p low.
+        w = h & np.uint64((1 << (64 - p)) - 1)
         rho = (64 - p) - _bitlen64(w) + 1   # w==0 -> 64-p+1 (correct)
         codes = pc.dictionary_encode(b.column(key)).combine_chunks()
         idx = codes.indices.to_numpy(zero_copy_only=False) \

@@ -2557,13 +2557,40 @@ def ks_per_source(docs, val_col: str = "n_chars",
 
     counts = counts.map_batches(norm, batch_format="pyarrow").materialize()
 
-    gv = counts.groupby("v").sum("c")
+    gv = counts.groupby("v").sum("c").materialize()
+    if gv.count() > value_gate:
+        # scale path (SCALE.md): equi-width histogram compression. Each
+        # value maps to its bin's UPPER edge, so cumulative counts at
+        # the surviving grid points stay EXACT — the binned KS is the
+        # exact KS restricted to the bin-edge evaluation grid: a lower
+        # bound whose error is at most the largest single-bin
+        # probability mass (documented approximation; never triggers at
+        # the default 5M gate for bounded doc-length domains). The
+        # value grid itself never reaches the driver (min/max are
+        # Dataset aggregates), only the <= value_gate binned grid does.
+        vmin = int(counts.min("v"))
+        vmax = int(counts.max("v"))
+        width = -(-(vmax - vmin + 1) // int(value_gate))   # ceil
+
+        def rebin(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            edge = vmin + ((v - vmin) // width + 1) * width - 1
+            return pa.table({"source": b.column("source"),
+                             "v": pa.array(edge, pa.int64()),
+                             "c": b.column("c")})
+
+        counts = counts.map_batches(rebin, batch_format="pyarrow") \
+            .groupby(["source", "v"]).sum("c") \
+            .map_batches(
+                lambda b: pa.table({
+                    "source": b.column("source").cast(pa.string()),
+                    "v": b.column("v").cast(pa.int64()),
+                    "c": b.column("sum(c)").cast(pa.int64())}),
+                batch_format="pyarrow").materialize()
+        gv = counts.groupby("v").sum("c")
     g_rows = gv.take_all()
-    if len(g_rows) > value_gate:
-        raise ValueError(
-            f"ks_per_source: {len(g_rows)} distinct values exceeds the "
-            f"{value_gate} broadcast gate — compress to an equi-width "
-            "histogram first (SCALE.md)")
     g_vals = np.array(sorted(r["v"] for r in g_rows), np.int64)
     g_cnt = {r["v"]: r["sum(c)"] for r in g_rows}
     g_cum = np.cumsum(np.array([g_cnt[v] for v in g_vals], np.int64))
@@ -2600,6 +2627,83 @@ def ks_per_source(docs, val_col: str = "n_chars",
         per_source, batch_format="pyarrow").sort("source")
 
 
+def _term_source_distinct(docs):
+    """The distinct (term, source) relation both source_vocab_jaccard
+    paths share: per-batch distinct pairs -> ONE native groupby (the
+    count column is discarded; groupby IS the global distinct)."""
+
+    def term_source(b: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        terms, srcs = [], []
+        for x, s in zip(b.column("text").to_pylist(),
+                        b.column("source").to_pylist()):
+            seen = {t for t in TOKEN_RE.findall((x or "").lower())
+                    if len(t) > 1}
+            terms.extend(seen)
+            srcs.extend([s] * len(seen))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "source": pa.array(srcs, pa.string())})
+
+    return docs.select_columns(["text", "source"]) \
+        .map_batches(term_source, batch_format="pyarrow") \
+        .groupby(["term", "source"]).count()
+
+
+def _source_vocab_jaccard_pairs(docs, sources):
+    """:func:`source_vocab_jaccard` above the 2^S mask gate: exact
+    pairwise vocabulary Jaccard via per-term source-pair expansion.
+    Per term the (s1 < s2) pairs are emitted inside a term-keyed
+    map_groups (cost sum_t S_t^2 — bounded by stopword terms hitting
+    every source; S here is a domain-level taxonomy, so S^2 pair rows
+    are still tiny next to the vocab relation) and one native
+    groupby(s1, s2) count produces every intersection size. Same
+    integers, same IEEE division as the mask path — tested equal."""
+    ts = _term_source_distinct(docs)
+
+    vsz = {r["source"]: r["count()"]
+           for r in ts.groupby("source").count().take_all()}
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        empty = pa.table({"s1": pa.array([], pa.string()),
+                          "s2": pa.array([], pa.string())})
+        if g.num_rows == 0:
+            return empty
+        srcs = sorted(set(g.column("source").to_pylist()))
+        if len(srcs) < 2:
+            return empty
+        s1l, s2l = [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                s1l.append(srcs[i])
+                s2l.append(srcs[j])
+        return pa.table({"s1": pa.array(s1l, pa.string()),
+                         "s2": pa.array(s2l, pa.string())})
+
+    inter_rows = ts.groupby("term").map_groups(
+        pairs_of, batch_format="pyarrow") \
+        .groupby(["s1", "s2"]).count().take_all()
+    inter_map = {(r["s1"], r["s2"]): r["count()"] for r in inter_rows}
+
+    s1l, s2l, inter_l, v1l, v2l, jac = [], [], [], [], [], []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            a, b_ = sources[i], sources[j]
+            inter = int(inter_map.get((a, b_), 0))
+            va, vb = int(vsz.get(a, 0)), int(vsz.get(b_, 0))
+            s1l.append(a); s2l.append(b_)
+            inter_l.append(inter); v1l.append(va); v2l.append(vb)
+            jac.append(float(inter) / float(va + vb - inter)
+                       if (va + vb - inter) else 0.0)
+    return pa.table({
+        "s1": pa.array(s1l, pa.string()), "s2": pa.array(s2l, pa.string()),
+        "inter": pa.array(inter_l, pa.int64()),
+        "v1": pa.array(v1l, pa.int64()), "v2": pa.array(v2l, pa.int64()),
+        "jaccard": pa.array(jac, pa.float64())})
+
+
 def source_vocab_jaccard(docs, source_gate: int = 20):
     """Pairwise vocabulary Jaccard between sources — "how much do two
     crawl slices share words?", the cross-source counterpart of
@@ -2619,30 +2723,16 @@ def source_vocab_jaccard(docs, source_gate: int = 20):
         .take_all()
     sources = sorted(r["source"] for r in src_rows)
     if len(sources) > source_gate:
-        raise ValueError(
-            f"source_vocab_jaccard: {len(sources)} sources exceeds the "
-            f"2^S mask gate ({source_gate}) — use the pair-join path "
-            "(SCALE.md)")
+        # scale path (SCALE.md): no 2^S bitmask — each term's source
+        # set expands to its (s1 < s2) pairs inside a term-keyed
+        # map_groups and ONE native groupby(s1, s2) count yields every
+        # intersection; only the S^2/2 pair relation and the S vocab
+        # sizes reach the driver. Exact (same integers, same IEEE
+        # division), just a pair shuffle instead of a mask histogram.
+        return _source_vocab_jaccard_pairs(docs, sources)
     sidx = {s: i for i, s in enumerate(sources)}
 
-    def term_source(b: pa.Table) -> pa.Table:
-        empty = pa.table({"term": pa.array([], pa.string()),
-                          "source": pa.array([], pa.string())})
-        if b.num_rows == 0:
-            return empty
-        terms, srcs = [], []
-        for x, s in zip(b.column("text").to_pylist(),
-                        b.column("source").to_pylist()):
-            seen = {t for t in TOKEN_RE.findall((x or "").lower())
-                    if len(t) > 1}
-            terms.extend(seen)
-            srcs.extend([s] * len(seen))
-        return pa.table({"term": pa.array(terms, pa.string()),
-                         "source": pa.array(srcs, pa.string())})
-
-    ts = docs.select_columns(["text", "source"]) \
-        .map_batches(term_source, batch_format="pyarrow") \
-        .groupby(["term", "source"]).count()
+    ts = _term_source_distinct(docs)
 
     def to_bit(b: pa.Table) -> pa.Table:
         empty = pa.table({"term": pa.array([], pa.string()),

@@ -26,3 +26,28 @@ def test_federated_cli_rejects_operator_flags():
         capture_output=True, text=True, cwd="/root/repo", timeout=120)
     assert out.returncode == 2
     assert "unsupported" in out.stderr
+
+
+def test_op_out_guard_refuses_foreign_dir(tmp_path):
+    from ics_search_engine_ray.pipelines.cli import _guard_clear_out
+    import pytest
+    d = tmp_path / "precious"
+    d.mkdir()
+    (d / "notes.txt").write_text("do not delete")
+    with pytest.raises(SystemExit, match="refusing to clear"):
+        _guard_clear_out(str(d))
+    assert (d / "notes.txt").exists()
+    # --force overrides
+    _guard_clear_out(str(d), force=True)
+    assert not d.exists()
+
+
+def test_op_out_guard_clears_previous_op_output(tmp_path):
+    from ics_search_engine_ray.pipelines.cli import _guard_clear_out
+    d = tmp_path / "out"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    (d / "_SUCCESS").write_bytes(b"")
+    _guard_clear_out(str(d))
+    assert not d.exists()
+    _guard_clear_out(str(d))            # absent: no-op

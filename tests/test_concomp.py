@@ -104,3 +104,46 @@ def test_cc_raises_on_nonconvergence(ray_session):
         "dst": pa.array([v for _, v in edges], pa.int64())}))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(ds, max_iters=1).take_all()
+
+
+def _tri_ref(edges):
+    """Brute-force triangle set on the undirected simple graph."""
+    import itertools
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tris = set()
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tris.add((a, b, c))
+    return sorted(tris)
+
+
+def _run_tri(edges, ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import triangles
+    t = pa.table({
+        "src": pa.array([u for u, _ in edges], pa.int64()),
+        "dst": pa.array([v for _, v in edges], pa.int64())})
+    out = triangles(rd.from_arrow(t).repartition(4)).take_all()
+    return sorted((r["u"], r["v"], r["w"]) for r in out)
+
+
+def test_triangles_random_graph(ray_session):
+    rng = np.random.default_rng(7)
+    edges = [tuple(e) for e in rng.integers(0, 30, (150, 2)).tolist()]
+    assert _run_tri(edges, ray_session) == _tri_ref(edges)
+
+
+def test_triangles_ids_beyond_32_bits(ray_session):
+    # doc_ids in this repo are 63-bit url hashes; node ids must survive
+    # >= 2^32 (the old packed lo<<32|hi key silently corrupted these).
+    base = 1 << 62
+    rng = np.random.default_rng(11)
+    small = rng.integers(0, 25, (120, 2))
+    edges = [(int(base + u * 2654435761), int(base + v * 2654435761))
+             for u, v in small.tolist()]
+    assert _run_tri(edges, ray_session) == _tri_ref(edges)

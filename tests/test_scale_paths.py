@@ -167,3 +167,96 @@ def test_value_histogram_int_key(ray_session):
     rows = value_histogram(ev, key="cat", value="value", bins=4).take_all()
     assert sum(r["n"] for r in rows) == 30
     assert {type(r["cat"]) for r in rows} == {int}
+
+
+# ---- round-5: the four remaining above-gate scale paths (r4 verdict
+# item 1) — forced gates must take the wired fallback, not raise ----
+
+_SF = "/root/testdata/sf0.001"
+
+
+def _tpch(name, columns=None):
+    import os
+
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(_SF, f"{name}.parquet"),
+                           columns=columns)
+
+
+def test_min_cost_supplier_forced_hash_join(ray_session):
+    from ics_search_engine_ray.stages.relational import min_cost_supplier
+
+    def run(gate):
+        li = _tpch("lineitem", ["l_partkey", "l_suppkey",
+                                "l_extendedprice", "l_quantity"])
+        out = min_cost_supplier(li, _tpch("supplier"), _tpch("nation"),
+                                _tpch("region"), region_name="EUROPE",
+                                k=100, max_bcast_rows=gate)
+        return _df(out, ["s_acctbal", "n_name", "s_name", "p_partkey"])
+
+    import pandas as pd
+    bcast = run(10_000_000)
+    joined = run(1)                 # forces the supplier hash-join path
+    assert len(bcast) > 0
+    pd.testing.assert_frame_equal(bcast, joined)
+
+
+def test_small_qty_revenue_forced_join(ray_session):
+    from ics_search_engine_ray.stages.relational import small_qty_revenue
+
+    def run(gate):
+        li = _tpch("lineitem")
+        return small_qty_revenue(li, _tpch("part"), brand="Brand#12",
+                                 max_bcast_rows=gate).to_pandas()
+
+    import pandas as pd
+    bcast = run(10_000_000)
+    joined = run(1)        # forces co-partition semi + stats hash-join
+    pd.testing.assert_frame_equal(bcast, joined)
+
+
+def test_source_vocab_jaccard_forced_pair_join(ray_session):
+    import pandas as pd
+
+    from ics_search_engine_ray.stages.text_analysis import (
+        source_vocab_jaccard)
+
+    docs = _docs_sources()
+    mask = source_vocab_jaccard(docs, source_gate=20).to_pandas()
+    pair = source_vocab_jaccard(docs, source_gate=1).to_pandas()
+    assert len(mask) > 0
+    pd.testing.assert_frame_equal(
+        mask.sort_values(["s1", "s2"]).reset_index(drop=True),
+        pair.sort_values(["s1", "s2"]).reset_index(drop=True))
+
+
+def test_ks_per_source_forced_histogram(ray_session):
+    from ics_search_engine_ray.stages.text_analysis import ks_per_source
+
+    docs = _docs_sources()
+    exact = _df(ks_per_source(docs, val_col="n", source_col="source"),
+                ["source"])
+    binned = _df(ks_per_source(docs, val_col="n", source_col="source",
+                               value_gate=8), ["source"])
+    assert list(exact["source"]) == list(binned["source"])
+    assert (exact["n_s"] == binned["n_s"]).all()
+    # binned KS evaluates the exact CDFs on the bin-edge subgrid: a
+    # lower bound on the exact KS, within the largest bin mass
+    for e, b in zip(exact["ks"], binned["ks"]):
+        assert b <= e + 1e-12
+        assert e - b <= 0.35
+
+
+def _docs_sources():
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(120):
+        src = f"s{int(rng.integers(0, 4))}"
+        n = int(rng.integers(4, 40))
+        words = [vocab[int(j)] for j in rng.integers(0, len(vocab), n)]
+        rows.append({"doc_id": i, "source": src, "text": " ".join(words),
+                     "n": n + int(rng.integers(0, 60))})
+    return rd.from_items(rows)

@@ -120,6 +120,24 @@ def test_hll_estimate_and_partition_invariance(ray_session):
     assert est == est2
 
 
+def test_hll_high_cardinality_harmonic_path(ray_session):
+    # Past ~m*ln(m) (~34k at p=12) every register is hit, linear counting
+    # disengages, and the raw harmonic estimator is what answers. This is
+    # the regime the left-shift rho bug corrupted (estimates ~2^p low:
+    # 60k distinct returned ~15), so pin it against the exact count.
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import (
+        distinct_count_exact, distinct_count_hll)
+    ds = _make_ds(rd, n_keys=1, vals_per_key=120_000, n_distinct=60_000,
+                  parts=8)
+    exact = {r["key"]: r["n_distinct"]
+             for r in distinct_count_exact(ds, "key", "val").take_all()}
+    assert exact["k0"] > 40_000          # genuinely above linear range
+    est = {r["key"]: r["estimate"]
+           for r in distinct_count_hll(ds, "key", "val", p=12).take_all()}
+    assert est["k0"] == pytest.approx(exact["k0"], rel=0.08)
+
+
 def test_hll_small_range_linear_counting(ray_session):
     import ray.data as rd
     from ics_search_engine_ray.stages.sketch import (
