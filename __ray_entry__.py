@@ -208,8 +208,10 @@ def _q_bpe_merges(sf_dir: str):
 def _q_bpe_token_count(sf_dir: str):
     """Per-doc BPE token counts under the corpus-trained merge table
     (stages/bpe.py bpe_encode): the merge model (O(n_merges)) rides the
-    closure, per-batch word->length memo. no_oracle (depends on the
-    trained merges); decode-exactness and monotone compression pinned in
+    closure, per-batch word->length memo. SQL oracle unrolls the 50
+    training merges over the distinct-word table and replays them via
+    the double-space replace trick (_bpe_token_count_oracle_sql);
+    decode-exactness and monotone compression pinned in
     tests/test_bpe.py."""
     from ics_search_engine_ray.stages.bpe import bpe_encode, bpe_merges
     merges = bpe_merges(_read_docs(sf_dir), n_merges=50).take_all()
@@ -685,8 +687,9 @@ def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table
     (similarity.py kmeans_fit / kmeans_assign): per-iteration streaming
     assignment pass with per-batch (count, sum-vector) combiners — raw
-    vectors never shuffle. Iterative, so no SQL oracle; pytest pins
-    equality against a local numpy Lloyd's on the same init."""
+    vectors never shuffle. Fixed init + fixed iterations, so the SQL
+    oracle unrolls the 6 Lloyd's steps (_kmeans_oracle_sql); pytest
+    additionally pins equality against a local numpy Lloyd's."""
     import ray.data as rd
     from ics_search_engine_ray.stages.similarity import kmeans_assign
     embeds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -3438,6 +3441,129 @@ def _sql_tokens_cte() -> str:
             "'[a-z0-9]+'), x -> length(x) > 1)) AS term FROM documents")
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 6) -> str:
+    """kmeans_clusters oracle: the fixed-init, fixed-iteration spherical
+    Lloyd's of similarity.kmeans_fit/kmeans_assign, unrolled to ``iters``
+    SQL steps (the pagerank_docs fixpoint pattern). Init = first k rows
+    (embeddings.parquet is vec_id-ordered); assignment = argmax cosine
+    with first-max (lowest-cluster) tie-break; update = mean of RAW
+    vectors, empty clusters keep the previous centroid, renormalize.
+    Output (vec_id, cluster) is integral, so BLAS-vs-SQL summation-order
+    drift is invisible below cosine near-ties."""
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings),
+en AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CASE WHEN nrm = 0 THEN v ELSE v / nrm END AS v
+  FROM (SELECT vec_id, dim, v,
+               sqrt(sum(v * v) OVER (PARTITION BY vec_id)) AS nrm
+        FROM e)),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS cluster, dim, v FROM en WHERE vec_id < {k})"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT en.vec_id, c.cluster, sum(en.v * c.v) AS dot
+  FROM en JOIN c{p} c USING (dim) GROUP BY en.vec_id, c.cluster),
+a{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cluster ASC) AS rn
+    FROM d{i}) WHERE rn = 1),
+m{i} AS MATERIALIZED (
+  SELECT a.cluster, e.dim, sum(e.v) / count(*) AS v
+  FROM a{i} a JOIN e ON e.vec_id = a.vec_id
+  GROUP BY a.cluster, e.dim),
+u{i} AS MATERIALIZED (
+  SELECT cluster, dim, v FROM m{i}
+  UNION ALL
+  SELECT c.cluster, c.dim, c.v FROM c{p} c
+  WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM m{i})),
+c{i} AS MATERIALIZED (
+  SELECT cluster, dim,
+         CASE WHEN nrm = 0 THEN v ELSE v / nrm END AS v
+  FROM (SELECT cluster, dim, v,
+               sqrt(sum(v * v) OVER (PARTITION BY cluster)) AS nrm
+        FROM u{i}))""")
+    parts.append(f"""
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+  SELECT en.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY en.vec_id
+                            ORDER BY sum(en.v * c.v) DESC,
+                                     c.cluster ASC) AS rn
+  FROM en JOIN c{iters} c USING (dim)
+  GROUP BY en.vec_id, c.cluster) WHERE rn = 1
+ORDER BY vec_id""")
+    return "".join(parts)
+
+
+def _bpe_token_count_oracle_sql(n_merges: int = 50,
+                                min_count: int = 2) -> str:
+    """bpe_token_count oracle: BPE training unrolled to ``n_merges``
+    SQL steps over the distinct-word table, then per-doc token counts.
+
+    Symbol-sequence representation: ' s1  s2  ...  sk ' (single space at
+    the ends, DOUBLE space between symbols). Applying merge (a, b) is
+    then ONE non-overlapping left-to-right
+    ``replace(' a  b ', ' ab ')`` — exactly bpe._merge_word's semantics,
+    because each match consumes one boundary space on each side so
+    adjacent matches cannot overlap. Tie-break matches train_bpe_local
+    (max count, then lexicographic (a, b)); rank-ordered replay on the
+    training table equals encode_word's greedy lowest-rank replay (a
+    merge can never create a lower-ranked pair: its symbols predate it
+    in training order). MATERIALIZED CTEs prevent the 3^n inlining
+    blowup."""
+    head = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text),
+         '[a-z0-9]+'), x -> length(x) > 1)) AS word
+  FROM documents),
+w0 AS MATERIALIZED (SELECT word, count(*) AS n FROM toks GROUP BY word),
+s0 AS MATERIALIZED (
+  SELECT word, n,
+         ' ' || array_to_string(str_split(word, ''), '  ')
+             || '  </w> ' AS t
+  FROM w0)"""
+    parts = [head]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f""",
+t{i} AS MATERIALIZED (
+  SELECT word, n, generate_subscripts(l, 1) AS pos, unnest(l) AS sym
+  FROM (SELECT word, n, str_split(trim(t), '  ') AS l FROM s{p})),
+b{i} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT x.sym AS a, y.sym AS b, sum(x.n) AS cnt
+    FROM t{i} x JOIN t{i} y ON y.word = x.word AND y.pos = x.pos + 1
+    GROUP BY x.sym, y.sym)
+  WHERE cnt >= {min_count} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+s{i} AS MATERIALIZED (
+  SELECT s.word, s.n,
+         CASE WHEN EXISTS (SELECT 1 FROM b{i})
+              THEN replace(s.t,
+                           ' ' || (SELECT a FROM b{i}) || '  '
+                               || (SELECT b FROM b{i}) || ' ',
+                           ' ' || (SELECT a || b FROM b{i}) || ' ')
+              ELSE s.t END AS t
+  FROM s{p} s)""")
+    parts.append(f""",
+wlen AS MATERIALIZED (
+  SELECT word, len(str_split(trim(t), '  ')) AS n_tok FROM s{n_merges})
+SELECT d.doc_id,
+       CAST(count(t.word) AS BIGINT) AS n_words,
+       CAST(coalesce(sum(w.n_tok), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN toks t ON t.doc_id = d.doc_id
+LEFT JOIN wlen w ON w.word = t.word
+GROUP BY d.doc_id ORDER BY d.doc_id""")
+    return "".join(parts)
+
+
 def _dsir_sql_oracle() -> str:
     from ics_search_engine_ray.stages.importance import dsir_sql
     return dsir_sql(_DSIR_K, _DSIR_TARGET, _sql_tokens_cte())
@@ -5325,6 +5451,8 @@ SELECT user_id, event_id, event_type,
        lead(ts) OVER (PARTITION BY user_id
                       ORDER BY ts, event_id) AS valid_to
 FROM events ORDER BY user_id, valid_from, event_id""",
+        "kmeans_clusters": _kmeans_oracle_sql(8, 6),
+        "bpe_token_count": _bpe_token_count_oracle_sql(50, 2),
         "triangles": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 base AS (SELECT doc_id AS i FROM documents),

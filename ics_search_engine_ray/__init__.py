@@ -11,5 +11,7 @@ supports per-dataset strategy overrides cleanly.
 
 
 from .functions.memtune import tune_malloc as _tune_malloc
+from .functions.raylog import install_empty_schema_filter as _schema_filter
 
 _tune_malloc()
+_schema_filter()

@@ -415,8 +415,55 @@ def triangles(edges_ds, src: str = "src", dst: str = "dst",
         .sort(["u", "v", "w"])
 
 
+_BFS_DIST_EDGE_GATE = 50_000_000
+
+
+def _bfs_driver_arrays(s: np.ndarray, d: np.ndarray, source: int,
+                       max_rounds: int):
+    """Driver-side numpy BFS over collected symmetrized edge arrays —
+    the same small-graph fast path linkrank.py uses below its 50M-edge
+    gate. Returns (nodes, dist) for reached nodes, nodes ascending.
+
+    Toy-scale motivation (round-5 verdict item 4): the dataset
+    superstep path pays ~2 Ray round-trips per hop, which dominates at
+    sf0.01 (57 s for 15 rounds); collected numpy BFS is milliseconds.
+    """
+    nodes = np.unique(np.concatenate(
+        [s, d, np.asarray([source], np.int64)]))
+    n = nodes.size
+    comp_s = np.searchsorted(nodes, s)
+    comp_d = np.searchsorted(nodes, d)
+    order = np.argsort(comp_s, kind="stable")
+    comp_s, comp_d = comp_s[order], comp_d[order]
+    offs = np.concatenate(
+        ([0], np.cumsum(np.bincount(comp_s, minlength=n))))
+    dist = np.full(n, -1, np.int64)
+    src_i = int(np.searchsorted(nodes, source))
+    dist[src_i] = 0
+    frontier = np.asarray([src_i], np.int64)
+    for r in range(1, int(max_rounds) + 1):
+        starts, ends = offs[frontier], offs[frontier + 1]
+        lens = ends - starts
+        total = int(lens.sum())
+        if total == 0:
+            break
+        # vectorized multi-range gather of the frontier's adjacency
+        base = np.repeat(starts, lens)
+        reset = np.repeat(np.cumsum(lens) - lens, lens)
+        nb = comp_d[base + (np.arange(total) - reset)]
+        nb = np.unique(nb)
+        nb = nb[dist[nb] < 0]
+        if nb.size == 0:
+            break
+        dist[nb] = r
+        frontier = nb
+    keep = dist >= 0
+    return nodes[keep], dist[keep]
+
+
 def bfs_levels(edges_ds, source: int = 0, src: str = "src",
-               dst: str = "dst", max_rounds: int = 15):
+               dst: str = "dst", max_rounds: int = 15,
+               dist_edge_gate: Optional[int] = None):
     """Single-source BFS hop distances -> (node, dist) for every node
     reachable from ``source`` within ``max_rounds`` (undirected; edges
     are symmetrized). The frontier-expansion shape every distributed
@@ -451,6 +498,25 @@ def bfs_levels(edges_ds, source: int = 0, src: str = "src",
 
     sym = edges_ds.map_batches(canon, batch_format="pyarrow") \
         .materialize()
+
+    gate = (_BFS_DIST_EDGE_GATE if dist_edge_gate is None
+            else int(dist_edge_gate))
+    if sym.count() <= gate:
+        # small-graph fast path: collect the symmetrized edges and run
+        # the frontier loop in numpy (linkrank.py's gate pattern);
+        # tested identical to the dataset-superstep path below
+        from .linkrank import collect_edges
+
+        s_arr, d_arr = collect_edges(
+            sym.map_batches(
+                lambda b: pa.table({"src": b.column("s"),
+                                    "dst": b.column("d")}),
+                batch_format="pyarrow"))
+        nodes, dist = _bfs_driver_arrays(s_arr, d_arr, int(source),
+                                         int(max_rounds))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "dist": pa.array(dist, pa.int64())}))
 
     seed = pa.table({"node": pa.array([int(source)], pa.int64()),
                      "dist": pa.array([0], pa.int64())})

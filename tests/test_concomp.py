@@ -147,3 +147,61 @@ def test_triangles_ids_beyond_32_bits(ray_session):
     edges = [(int(base + u * 2654435761), int(base + v * 2654435761))
              for u, v in small.tolist()]
     assert _run_tri(edges, ray_session) == _tri_ref(edges)
+
+
+def _bfs_ref(edges, source, max_rounds=15):
+    """Plain dict/set BFS reference."""
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {source: 0}
+    frontier = [source]
+    for r in range(1, max_rounds + 1):
+        nxt = []
+        for u in frontier:
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = r
+                    nxt.append(w)
+        if not nxt:
+            break
+        frontier = nxt
+    return sorted(dist.items())
+
+
+def test_bfs_levels_fast_path_matches_reference_and_dataset(ray_session):
+    import ray.data as rd
+
+    from ics_search_engine_ray.graph.concomp import bfs_levels
+
+    rng = np.random.default_rng(23)
+    edges = [tuple(e) for e in rng.integers(0, 80, (200, 2)).tolist()]
+    src_node = int(edges[0][0])
+    t = pa.table({"src": pa.array([u for u, _ in edges], pa.int64()),
+                  "dst": pa.array([v for _, v in edges], pa.int64())})
+    want = _bfs_ref(edges, src_node)
+
+    fast = sorted((r["node"], r["dist"]) for r in bfs_levels(
+        rd.from_arrow(t).repartition(4), source=src_node).take_all())
+    assert fast == want
+
+    # force the dataset-superstep path (gate=0) -> identical output
+    slow = sorted((r["node"], r["dist"]) for r in bfs_levels(
+        rd.from_arrow(t).repartition(4), source=src_node,
+        dist_edge_gate=0).take_all())
+    assert slow == want
+
+
+def test_bfs_levels_fast_path_isolated_source(ray_session):
+    import ray.data as rd
+
+    from ics_search_engine_ray.graph.concomp import bfs_levels
+
+    t = pa.table({"src": pa.array([1, 2], pa.int64()),
+                  "dst": pa.array([2, 3], pa.int64())})
+    out = sorted((r["node"], r["dist"]) for r in bfs_levels(
+        rd.from_arrow(t), source=99).take_all())
+    assert out == [(99, 0)]

@@ -177,13 +177,22 @@ def test_ks_per_source_hand_computed(ray_session):
 
 
 def test_ks_per_source_gate(ray_session):
+    # Above value_gate the op no longer refuses: it falls back to the
+    # equi-width histogram grid (round-5 scale path). The binned KS is a
+    # lower bound on the exact KS, never negative, one row per source.
     import ray.data as rd
     from ics_search_engine_ray.stages.text_analysis import ks_per_source
     t = pa.table({
         "source": pa.array(["a", "b", "a", "b"], pa.string()),
         "n_chars": pa.array([1, 2, 3, 4], pa.int64())})
-    with pytest.raises(ValueError, match="broadcast gate"):
-        ks_per_source(rd.from_arrow(t), value_gate=2)
+    exact = {r["source"]: r["ks"]
+             for r in ks_per_source(rd.from_arrow(t)).take_all()}
+    binned = {r["source"]: r["ks"]
+              for r in ks_per_source(rd.from_arrow(t),
+                                     value_gate=2).take_all()}
+    assert set(binned) == set(exact) == {"a", "b"}
+    for s in exact:
+        assert 0.0 <= binned[s] <= exact[s] + 1e-12
 
 
 def test_gini_per_nation_matches_duckdb(ray_session, sf_dir):
