@@ -17,10 +17,18 @@ round-trip losslessly through ``term_postings``) with the same
 result is RANK- AND SCORE-IDENTICAL to querying one merged index
 (``tests/test_federated.py`` proves it against ``merge_indexes``).
 
-Assumption (documented, asserted): doc_ids are disjoint across member
-indexes (doc_id = url hash, so this means disjoint url sets). Indexes
-with overlapping documents must be merged (``merge_indexes`` dedups and
-rebuilds stats); federation would double-count their df.
+Overlapping members (recrawl shards indexing the same url into two
+slices — the same doc_id, and by the merge contract the same content)
+are supported below ``_FED_OVERLAP_DOC_GATE``: construction reads the
+members' docmeta (doc_id, token_count) columns once, dedups keep-first,
+and recomputes (N, avgdl) exactly as ``merge_indexes`` would; at query
+time duplicate postings rows keep the first member's copy and df drops
+by the duplicates removed — rank- and score-identical to the deduped
+merged index (``tests/test_federated.py``). ABOVE the gate the old
+disjointness contract applies (stats from manifests, duplicate doc_ids
+raise): a fleet that big with overlap should compact via
+``merge_indexes`` — the scale path — rather than pay an O(corpus)
+driver scan per serving process.
 
 Tombstones: each member's tombstone set applies before scoring (the
 ``term_postings`` filter), exactly like local serving.
@@ -45,11 +53,18 @@ from .engine import (SearchIndex, SearchResult, _MergedPostings,
                      block_bounds, rank_topk)
 
 
+# one docmeta (doc_id, token_count) scan at construction costs 16 B/doc
+# transiently (~1.6 GB at the gate); above it, disjointness is asserted
+# per query as before and overlapping fleets must merge_indexes instead
+_FED_OVERLAP_DOC_GATE = 100_000_000
+
+
 class FederatedSearchIndex:
     """Query-time federation over built index directories."""
 
     def __init__(self, index_dirs: Sequence[str],
-                 cfg: Optional[EngineConfig] = None):
+                 cfg: Optional[EngineConfig] = None,
+                 overlap_doc_gate: Optional[int] = None):
         if not index_dirs:
             raise ValueError("need at least one index dir")
         self.members = [SearchIndex(d, cfg) for d in index_dirs]
@@ -63,6 +78,40 @@ class FederatedSearchIndex:
         total_len = sum(si.avgdl * si.num_docs for si in self.members)
         self.avgdl = total_len / self.num_docs if self.num_docs else 0.0
         self.cfg = self.members[0].cfg
+        gate = (_FED_OVERLAP_DOC_GATE if overlap_doc_gate is None
+                else int(overlap_doc_gate))
+        self.overlap_ok = False
+        self.n_shared_docs = 0
+        if len(self.members) > 1 and 0 < self.num_docs <= gate:
+            self._dedup_stats()
+
+    def _dedup_stats(self) -> None:
+        """Detect doc_id overlap across members and, if present, replace
+        the manifest-sum stats with the exact deduped (N, avgdl) a
+        merged index would compute (keep-first; int token_count sum ->
+        one float divide, bit-identical to merge_indexes). Transient
+        O(total docs) arrays; nothing O(corpus) is retained."""
+        ids_parts, len_parts = [], []
+        for si in self.members:
+            t = pq.read_table(os.path.join(si.index_dir, "docmeta"),
+                              columns=["doc_id", "token_count"])
+            ids_parts.append(t.column("doc_id")
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+            len_parts.append(t.column("token_count")
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+        ids = np.concatenate(ids_parts)
+        lens = np.concatenate(len_parts)
+        order = np.argsort(ids, kind="stable")
+        ids_s, lens_s = ids[order], lens[order]
+        keep = np.concatenate(([True], ids_s[1:] != ids_s[:-1]))
+        n_unique = int(keep.sum())
+        self.n_shared_docs = int(ids.size - n_unique)
+        self.overlap_ok = True
+        if self.n_shared_docs and n_unique:
+            self.num_docs = n_unique
+            self.avgdl = float(lens_s[keep].sum()) / n_unique
 
     def tokenize_query(self, query: str) -> List[str]:
         return self.members[0].tokenize_query(query)
@@ -76,13 +125,21 @@ class FederatedSearchIndex:
         ids = np.concatenate([p.doc_ids for p in parts])
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        if ids.size > 1 and (ids[1:] == ids[:-1]).any():
-            raise ValueError(
-                "federated members share doc_ids — overlapping corpora "
-                "must be merged (merge_indexes), not federated")
         tf = np.concatenate([p.tf for p in parts])[order]
         dl = np.concatenate([p.doclen for p in parts])[order]
         imp = np.concatenate([p.importance for p in parts])[order]
+        if ids.size > 1 and (ids[1:] == ids[:-1]).any():
+            if not self.overlap_ok:
+                raise ValueError(
+                    "federated members share doc_ids — above the overlap "
+                    "gate, overlapping corpora must be merged "
+                    "(merge_indexes), not federated")
+            # recrawl shards: same doc_id = same url = same content (the
+            # merge contract); keep the FIRST member's copy (stable sort
+            # preserves member order) and drop the duplicates from df
+            keep = np.concatenate(([True], ids[1:] != ids[:-1]))
+            df -= int(ids.size - keep.sum())
+            ids, tf, dl, imp = ids[keep], tf[keep], dl[keep], imp[keep]
         s = bm25_scores(tf, imp, dl, df, self.num_docs, self.avgdl,
                         self.cfg.bm25_k1, self.cfg.bm25_b)
         bl, bm = block_bounds(ids, s, self.cfg.posting_block_size)
@@ -111,7 +168,8 @@ class FederatedSearchIndex:
             for d, u, ti in zip(t.column("doc_id").to_pylist(),
                                 t.column("url").to_pylist(),
                                 t.column("title").to_pylist()):
-                out[int(d)] = (u, ti or "")
+                # first member wins for docs shared across members
+                out.setdefault(int(d), (u, ti or ""))
         return out
 
     def search(self, query: str, k: int = 10,

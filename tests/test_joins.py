@@ -100,3 +100,88 @@ def test_interval_join_matches_bruteforce(ray_session):
                      for b in out.iter_batches(batch_format="pyarrow")
                      for r in b.to_pylist())
         assert got == want
+
+
+# ---------------- forced hot-key (skew) salting tests ----------------
+#
+# r4 verdict item 8: one pathological key must spread across tasks via
+# (key, time-bucket) salting with output IDENTICAL to the plain path.
+
+
+def test_asof_join_forced_skew_identical(ray_session):
+    rng = np.random.default_rng(11)
+    # key 7 pathological (300 rows), plus background keys
+    left = [{"user_id": 7, "ts": int(rng.integers(0, 10_000)),
+             "event_id": i} for i in range(300)]
+    left += [{"user_id": int(rng.integers(0, 5)),
+              "ts": int(rng.integers(0, 10_000)),
+              "event_id": 1000 + i} for i in range(60)]
+    # sparse right side: most lefts must resolve via the carry relation
+    right = [{"user_id": 7, "ts": int(t), "event_id": 5000 + j,
+              "value": float(j)}
+             for j, t in enumerate(rng.choice(10_000, size=25,
+                                              replace=False))]
+    right += [{"user_id": int(rng.integers(0, 5)), "ts": int(t),
+               "event_id": 6000 + j, "value": 1.0}
+              for j, t in enumerate(rng.choice(10_000, size=20,
+                                               replace=False))]
+    want = _brute_asof(left, right)
+    # default pigeonhole routing (key 7 >= 10% of every batch)
+    assert _run(left, right) == want
+    # force EVERY key through the salted path, several bucket widths
+    # (salt_secs scales by 1e6 -> salt_us of 500 / 2000 / 10_000 ticks;
+    # 500 means ~20 buckets for key 7, heavy carry traffic)
+    all_keys = {r["user_id"] for r in left} | {r["user_id"] for r in right}
+    for salt in (0.0005, 0.002, 0.01, 86_400):
+        got = _run(left, right, _force_hot=all_keys, salt_secs=salt)
+        assert got == want, f"salt_secs={salt}"
+    # hot set covering only the pathological key: base union salted
+    assert _run(left, right, _force_hot={7}, salt_secs=0.0005) == want
+
+
+def test_interval_join_forced_skew_identical(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(13)
+    left = [{"user_id": 3, "ts": int(rng.integers(0, 5_000)),
+             "event_id": i} for i in range(200)]
+    left += [{"user_id": int(rng.integers(0, 4)),
+              "ts": int(rng.integers(0, 5_000)),
+              "event_id": 1000 + i} for i in range(40)]
+    # intervals span multiple salt buckets (length up to 1500 vs 500 salt)
+    right = [{"user_id": 3 if j % 2 else int(rng.integers(0, 4)),
+              "lo": int(t), "hi": int(t) + int(rng.integers(0, 1_500)),
+              "event_id": 2000 + j}
+             for j, t in enumerate(rng.integers(0, 5_000, size=50))]
+    right.append({"user_id": 3, "lo": 100, "hi": 90,
+                  "event_id": 9999})  # empty interval: matches nothing
+    want = sorted((l["event_id"], r["event_id"])
+                  for l in left for r in right
+                  if l["user_id"] == r["user_id"]
+                  and r["lo"] <= l["ts"] <= r["hi"])
+
+    lt = rd.from_arrow(pa.table({
+        "user_id": pa.array([r["user_id"] for r in left], pa.int64()),
+        "ts": pa.array([r["ts"] for r in left], pa.int64()),
+        "event_id": pa.array([r["event_id"] for r in left], pa.int64()),
+    })).repartition(3)
+    rt = rd.from_arrow(pa.table({
+        "user_id": pa.array([r["user_id"] for r in right], pa.int64()),
+        "lo": pa.array([r["lo"] for r in right], pa.int64()),
+        "hi": pa.array([r["hi"] for r in right], pa.int64()),
+        "event_id": pa.array([r["event_id"] for r in right], pa.int64()),
+    })).repartition(2)
+
+    all_keys = {r["user_id"] for r in left} | {r["user_id"] for r in right}
+    for kw in ({},                                    # pigeonhole default
+               {"_force_hot": all_keys, "salt_secs": 0.0005},
+               {"_force_hot": all_keys, "salt_secs": 0.002},
+               {"_force_hot": {3}, "salt_secs": 0.0005}):
+        out = interval_join(lt, rt, by="user_id", on="ts", lo="lo", hi="hi",
+                            left_cols=["event_id"], right_cols=["event_id"],
+                            **kw)
+        got = sorted((r["l_event_id"], r["r_event_id"])
+                     for b in out.iter_batches(batch_format="pyarrow")
+                     for r in b.to_pylist())
+        assert got == want, f"kw={kw}"
