@@ -71,6 +71,12 @@ class EngineConfig:
     bm25_b: float = 0.75
 
     # --- physical execution ---
+    docid_mode: str = "hash"                # "hash": doc_id = md5(url)
+    # 63-bit hash (coordination-free; default). "dense": doc_id = global
+    # sorted-url rank (stages/docid.py) — posting doc-id gaps shrink from
+    # ~2^63/N to ~P (delta+varint bytes drop sharply), at the cost of one
+    # extra range-partition shuffle of the tokenized relation at build
+    # time. Query results are rank- and score-identical (tested).
     num_index_partitions: int = 16          # term-hash shuffle width (P)
     head_term_salt: int = 4                 # S: doc-hash buckets per head term
     dynamic_salt_df_frac: float = 0.10      # ALSO salt any term whose df

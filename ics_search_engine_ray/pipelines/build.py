@@ -189,10 +189,11 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
     fingerprint = hashlib.md5(
         f"{os.path.abspath(input_path)}|{cfg.num_index_partitions}|{cfg.head_term_salt}|"
         f"{cfg.bm25_k1}|{cfg.bm25_b}|{cfg.stem}|{skip_dedup}|"
-        f"{cfg.dynamic_salt_df_frac}|v4".encode()).hexdigest()[:16]
+        f"{cfg.dynamic_salt_df_frac}|{cfg.docid_mode}|v5".encode()).hexdigest()[:16]
     # (v2: Porter stemmer moved to NLTK_EXTENSIONS; v3: blocked segment
     # layout with per-block delta resets + block byte offsets; v4:
-    # conservative round-up f32 block maxima)
+    # conservative round-up f32 block maxima; v5: docid_mode joins the
+    # fingerprint — a mode flip MUST invalidate every cached stage)
 
     # ---- 1-3: extract + tokenize checkpoint ----
     # The tokenized relation is materialized ONCE into the object store and
@@ -249,6 +250,27 @@ def _build_from_docs(make_docs, input_path: str, out_dir: str,
                        "clusters": res.clusters, "fingerprint": fingerprint}, f)
     dropped_ref = ray.put(dropped)
     stage_secs["dedup"] = time.time() - t0
+
+    # ---- 4b: dense doc_id remap (T4 option, cfg.docid_mode="dense") ----
+    # Runs AFTER dedup so the drop decisions are made in hash-id space and
+    # are bit-identical to hash mode (the greedy near-dup acceptance
+    # tie-breaks on doc_id order). Survivors get doc_id = rank of url in
+    # global sort order — exactly 0..N-1 — so posting doc-id gaps shrink
+    # from ~2^63/N to ~P and delta+varint segment bytes drop sharply. One
+    # extra range-partition shuffle of the (already filtered) tokenized
+    # relation; everything downstream (docmeta, segments, link scores
+    # keyed by url) is id-agnostic. Deterministic across resumes: the
+    # cached dedup.json is in hash space and url ranks are stable.
+    if cfg.docid_mode == "dense":
+        t0 = time.time()
+        from ..stages.docid import assign_dense_doc_ids
+        surv = tok_mat.map_batches(_filter_dropped(dropped_ref),
+                                   batch_format="pyarrow")
+        tok_mat = assign_dense_doc_ids(surv.drop_columns(["doc_id"]),
+                                       key="url",
+                                       id_col="doc_id").materialize()
+        dropped_ref = ray.put(set())        # already filtered out
+        stage_secs["dense_docid"] = time.time() - t0
 
     # ---- 5: docmeta + stats ----
     t0 = time.time()

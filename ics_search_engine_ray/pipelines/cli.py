@@ -47,6 +47,7 @@ def cmd_build(args) -> int:
         num_index_partitions=args.partitions,
         head_term_salt=args.salt,
         stem=not args.no_stem,
+        docid_mode=args.docid_mode,
     )
     res = build_index(args.pages, args.out, cfg, resume=args.resume)
     print(json.dumps({
@@ -521,6 +522,9 @@ def main(argv=None) -> int:
     b.add_argument("--partitions", type=int, default=16)
     b.add_argument("--salt", type=int, default=4)
     b.add_argument("--no-stem", action="store_true")
+    b.add_argument("--docid-mode", choices=["hash", "dense"], default="hash",
+                   help="doc ids: md5(url) hash (default, merge-friendly) "
+                        "or dense sorted-url rank (~30%% smaller segments)")
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build)
 
