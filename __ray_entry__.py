@@ -1536,8 +1536,11 @@ def _q_distinct_users_exact(sf_dir: str):
 
 
 def _q_distinct_users_kmv(sf_dir: str):
-    """KMV sketch estimate of distinct users per event type (rows-only:
-    approximate by design; accuracy pinned vs exact in pytest)."""
+    """KMV sketch estimate of distinct users per event type. Approximate
+    vs truth but DETERMINISTIC given the seedless splitmix64 hash, so
+    the DuckDB oracle replicates the hash bit-exactly in 128-bit SQL
+    arithmetic and the row hash-matches (accuracy vs exact still pinned
+    in pytest)."""
     import ray.data as rd
     from ics_search_engine_ray.stages.sketch import distinct_count_kmv
 
@@ -1547,10 +1550,12 @@ def _q_distinct_users_kmv(sf_dir: str):
 
 
 def _q_distinct_users_hll(sf_dir: str):
-    """HyperLogLog distinct-user estimate per event type (rows-only:
-    approximate by design; accuracy + partition invariance pinned vs
-    exact in pytest). Sparse registers, native groupby Max IS the HLL
-    merge."""
+    """HyperLogLog distinct-user estimate per event type. Sparse
+    registers, native groupby Max IS the HLL merge. Approximate vs
+    truth but deterministic given splitmix64, so the DuckDB oracle
+    (same hash in 128-bit SQL arithmetic, registers via groupby max,
+    harmonic estimator + linear counting) hash-matches; accuracy +
+    partition invariance still pinned vs exact in pytest."""
     import ray.data as rd
     from ics_search_engine_ray.stages.sketch import distinct_count_hll
 
@@ -3434,6 +3439,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mix": _q_lang_mix,                  # per-source lang table
         "value_trend": _q_value_trend,            # per-user OLS slope
     }
+
+
+def _splitmix_sql_ctes(table: str, key: str, value: str) -> str:
+    """DuckDB CTE chain computing splitmix64(value) bit-exactly
+    (functions/wordhash.py:_splitmix) as column ``h`` keyed by ``k``.
+
+    64-bit wrapping arithmetic is emulated in HUGEINT: the wrapping
+    multiply splits both operands into 32-bit halves (every partial
+    product < 2^64 fits HUGEINT, cross terms reduced mod 2^32 before
+    the shift), xor runs on BIGINT halves, and shifts are integer
+    division / multiplication mod 2^64. Lets DuckDB oracle-check the
+    "approximate" sketches, which are deterministic given this hash."""
+    M64 = "18446744073709551616"         # 2^64
+    M32 = "4294967296"                   # 2^32
+
+    def mul64(a: str, c: int) -> str:
+        c_lo, c_hi = c & 0xFFFFFFFF, c >> 32
+        return (f"((({a}) % {M32}) * {c_lo} + "
+                f"((((({a}) % {M32}) * {c_hi} + (({a}) // {M32}) * {c_lo})"
+                f" % {M32}) * {M32})) % {M64}")
+
+    def xorshift(z: str, s: int) -> str:
+        zs = f"(({z}) // {1 << s})"
+        return (f"(xor(((({z}) // {M32})::BIGINT),"
+                f" (({zs}) // {M32})::BIGINT)::HUGEINT * {M32} + "
+                f"xor(((({z}) % {M32})::BIGINT),"
+                f" (({zs}) % {M32})::BIGINT)::HUGEINT)")
+
+    return f"""
+s0 AS (SELECT {key} AS k,
+        ((({value})::HUGEINT % {M64} + {M64}) % {M64}
+         + 11400714819323198485) % {M64} AS z
+       FROM {table}),
+s1 AS (SELECT k, {xorshift('z', 30)} AS z FROM s0),
+s2 AS (SELECT k, {mul64('z', 0xBF58476D1CE4E5B9)} AS z FROM s1),
+s3 AS (SELECT k, {xorshift('z', 27)} AS z FROM s2),
+s4 AS (SELECT k, {mul64('z', 0x94D049BB133111EB)} AS z FROM s3),
+s5 AS (SELECT k, {xorshift('z', 31)} AS h FROM s4)"""
 
 
 def _sql_tokens_cte() -> str:
@@ -5948,4 +5991,40 @@ SELECT CAST(exact.contaminated AS BIGINT) AS exact_flag,
        CAST(count(*) AS BIGINT) AS n
 FROM exact JOIN sem USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2"""
+    # ---- sketch oracles: the sketches are DETERMINISTIC given the
+    # seedless splitmix64 hash, which SQL can replicate bit-exactly in
+    # 128-bit integer arithmetic (wrapping 64-bit multiply via 32-bit
+    # halves; xor via BIGINT halves) — so even "approximate" KMV / HLL
+    # estimates hash-match their DuckDB twins.
+    smx = _splitmix_sql_ctes("events", "event_type", "user_id")
+    d["distinct_users_kmv"] = f"""
+WITH {smx},
+hh AS (SELECT DISTINCT k, ((h // 2048)::DOUBLE) / 9007199254740992.0 AS h01
+       FROM s5),
+r AS (SELECT k, h01,
+             row_number() OVER (PARTITION BY k ORDER BY h01) AS rn FROM hh),
+c AS (SELECT k, count(*) AS cnt FROM hh GROUP BY k)
+SELECT c.k AS event_type,
+       round(CASE WHEN c.cnt < 256 THEN c.cnt::DOUBLE
+             ELSE 255.0 / r.h01 END, 6) AS estimate
+FROM c LEFT JOIN r ON r.k = c.k AND r.rn = 256"""
+    d["distinct_users_hll"] = f"""
+WITH {smx},
+br AS (SELECT k, (h // 4503599627370496)::BIGINT AS bucket,
+              (h % 4503599627370496)::BIGINT AS w FROM s5),
+rho AS (SELECT k, bucket,
+               52 - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) + 1
+                 AS rho FROM br),
+regs AS (SELECT k, bucket, max(rho) AS rho FROM rho GROUP BY k, bucket),
+agg AS (SELECT k, 4096 - count(*) AS zeros,
+               (4096 - count(*)) + sum(power(2.0, -rho)) AS denom
+        FROM regs GROUP BY k),
+est AS (SELECT k, zeros,
+               ((0.7213 / (1.0 + 1.079 / 4096)) * 4096) * 4096 / denom AS raw
+        FROM agg)
+SELECT k AS event_type,
+       round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                  THEN 4096 * ln(4096.0 / zeros) ELSE raw END, 6)
+         AS estimate
+FROM est"""
     return d
