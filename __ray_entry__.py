@@ -1564,6 +1564,22 @@ def _q_distinct_users_hll(sf_dir: str):
     return distinct_count_hll(ev, key="event_type", value="user_id", p=12)
 
 
+def _q_shared_users_kmv(sf_dir: str):
+    """Theta-style KMV intersection (stages/sketch.py): estimated
+    distinct users SHARED by every event-type pair — mergeable-sketch
+    set algebra. Deterministic given splitmix64, so the DuckDB oracle
+    (same hash bit-exactly in 128-bit SQL, per-key theta via window
+    row_number, pair intersections via an equality self-join on the
+    hash) hash-matches."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import distinct_intersection_kmv
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return distinct_intersection_kmv(ev, key="event_type",
+                                     value="user_id", k=256)
+
+
 def _q_curate(sf_dir: str):
     """Composed curation pipeline (pipelines/curate.py): quality-rule filter
     + exact dedup of survivors, signals per kept doc. Oracle re-derives the
@@ -3315,6 +3331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_exact": _q_distinct_users_exact,  # 2-stage groupby
         "distinct_users_kmv": _q_distinct_users_kmv,      # KMV sketch
         "distinct_users_hll": _q_distinct_users_hll,      # HLL sketch
+        "shared_users_kmv": _q_shared_users_kmv,          # theta intersection
         "decontaminate": _q_decontaminate,        # eval n-gram overlap
         "contamination_venn": _q_contamination_venn,  # 2-detector audit
         "chunk_tokens": _q_chunk_tokens,          # context-window chunking
@@ -6027,4 +6044,28 @@ SELECT k AS event_type,
                   THEN 4096 * ln(4096.0 / zeros) ELSE raw END, 6)
          AS estimate
 FROM est"""
+    d["shared_users_kmv"] = f"""
+WITH {smx},
+hh AS (SELECT DISTINCT k, ((h // 2048)::DOUBLE) / 9007199254740992.0 AS h01
+       FROM s5),
+r AS (SELECT k, h01,
+             row_number() OVER (PARTITION BY k ORDER BY h01) AS rn FROM hh),
+th AS (SELECT k,
+              CASE WHEN count(*) >= 256
+                   THEN max(CASE WHEN rn = 256 THEN h01 END)
+                   ELSE 1.0 END AS theta
+       FROM r GROUP BY k),
+entries AS (SELECT r.k, r.h01 FROM r JOIN th USING (k)
+            WHERE r.h01 < th.theta),
+pairs AS (SELECT a.k AS s1, b.k AS s2,
+                 least(a.theta, b.theta) AS theta
+          FROM th a JOIN th b ON a.k < b.k),
+inter AS (SELECT ea.k AS s1, eb.k AS s2, ea.h01
+          FROM entries ea JOIN entries eb
+            ON ea.h01 = eb.h01 AND ea.k < eb.k)
+SELECT p.s1, p.s2,
+       round(COALESCE(sum(CASE WHEN i.h01 < p.theta THEN 1 END), 0)
+             / p.theta, 6) AS est_shared
+FROM pairs p LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
+GROUP BY p.s1, p.s2, p.theta"""
     return d

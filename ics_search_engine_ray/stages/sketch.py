@@ -38,10 +38,10 @@ def kmv_estimate(hashes: np.ndarray, k: int) -> float:
     return (k - 1) / float(hs[k - 1])
 
 
-def distinct_count_kmv(ds, key: str, value: str, k: int = 256):
-    """Dataset -> Dataset (key, estimate): approximate distinct `value`
-    per `key`. Returns estimates as float64 (deterministic: the hash is
-    seedless splitmix)."""
+def _kmv_partial(key: str, value: str, k: int):
+    """Batch fn factory: per-key k-smallest distinct hashes (the map-side
+    partial KMV sketch) — shared by :func:`distinct_count_kmv` and
+    :func:`distinct_intersection_kmv`."""
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -68,6 +68,14 @@ def distinct_count_kmv(ds, key: str, value: str, k: int = 256):
         return pa.table({key: dict_arr.take(pa.array(gi, pa.int64())),
                          "h": pa.array(hh, pa.float64())})
 
+    return partial
+
+
+def distinct_count_kmv(ds, key: str, value: str, k: int = 256):
+    """Dataset -> Dataset (key, estimate): approximate distinct `value`
+    per `key`. Returns estimates as float64 (deterministic: the hash is
+    seedless splitmix)."""
+
     def merge(g: pa.Table) -> pa.Table:
         kt = g.schema.field(key).type
         if g.num_rows == 0:
@@ -77,8 +85,84 @@ def distinct_count_kmv(ds, key: str, value: str, k: int = 256):
         return pa.table({key: g.column(key).slice(0, 1),
                          "estimate": pa.array([round(est, 6)], pa.float64())})
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
+    return ds.map_batches(_kmv_partial(key, value, k),
+                          batch_format="pyarrow") \
              .groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+_KMV_PAIR_GATE_ROWS = 4_000_000    # driver sketch table: keys x k rows —
+# "results"-class state (source taxonomies x 256); raise k or trim keys
+# upstream if a fleet of 15k+ sources at k=256 ever trips it
+
+
+def distinct_intersection_kmv(ds, key: str, value: str, k: int = 256,
+                              gate_rows: int = _KMV_PAIR_GATE_ROWS):
+    """Theta-style KMV set intersection [Beyer et al. 2007; the theta
+    sketch of Dasgupta et al. 2016]: for every key pair (s1 < s2),
+    estimate the number of DISTINCT ``value``s they share — "how many
+    users do two event types have in common", the set-algebra companion
+    of :func:`distinct_count_kmv`.
+
+    Estimator: per key keep the KMV sketch; theta_key = h_(k) when the
+    sketch saturated (entries are the k-1 hashes below it) else 1.0
+    (entries are ALL hashes — the estimate is EXACT for small sets).
+    For a pair, theta = min(theta_a, theta_b) and
+    ``est = |{h in entries_a ∩ entries_b : h < theta}| / theta``.
+
+    Distribution shape: the same map-side partial as distinct_count_kmv
+    (raw values never shuffle), a native groupby(key) truncates to the
+    final per-key sketch, and only the (keys x k)-row sketch table
+    reaches the driver (gated) where all pairs combine in numpy.
+    Deterministic given the seedless splitmix hash — the DuckDB oracle
+    replicates it bit-exactly. Returns a pa.Table (s1, s2, est_shared).
+    """
+
+    def final_sketch(g: pa.Table) -> pa.Table:
+        kt = g.schema.field(key).type
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             "h": pa.array([], pa.float64())})
+        hs = np.unique(g.column("h").to_numpy(zero_copy_only=False))[:k]
+        k0 = g.column(key)[0].as_py()
+        return pa.table({key: pa.array([k0] * hs.size, kt),
+                         "h": pa.array(hs, pa.float64())})
+
+    merged = ds.map_batches(_kmv_partial(key, value, k),
+                            batch_format="pyarrow") \
+               .groupby(key).map_groups(final_sketch,
+                                        batch_format="pyarrow")
+    sketches: dict = {}
+    n_rows = 0
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        n_rows += b.num_rows
+        if n_rows > gate_rows:
+            raise ValueError(
+                f"KMV pair sketch table exceeds {gate_rows} rows "
+                f"(keys x k); lower k or pre-filter keys")
+        for kk, hh in zip(b.column(key).to_pylist(),
+                          b.column("h").to_pylist()):
+            sketches.setdefault(kk, []).append(hh)
+    finals = {}
+    for kk, hs in sketches.items():
+        hs = np.sort(np.asarray(hs, np.float64))
+        if hs.size >= k:
+            finals[kk] = (float(hs[k - 1]), hs[:k - 1])
+        else:
+            finals[kk] = (1.0, hs)
+    keys_sorted = sorted(finals)
+    s1l, s2l, estl = [], [], []
+    for i, a in enumerate(keys_sorted):
+        ta, ea = finals[a]
+        for b_ in keys_sorted[i + 1:]:
+            tb, eb = finals[b_]
+            th = min(ta, tb)
+            m = np.intersect1d(ea, eb, assume_unique=True)
+            m = int((m < th).sum())
+            s1l.append(a)
+            s2l.append(b_)
+            estl.append(round(m / th, 6))
+    return pa.table({"s1": pa.array(s1l), "s2": pa.array(s2l),
+                     "est_shared": pa.array(estl, pa.float64())})
 
 
 def distinct_count_exact(ds, key: str, value: str):
