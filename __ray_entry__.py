@@ -1564,6 +1564,22 @@ def _q_distinct_users_hll(sf_dir: str):
     return distinct_count_hll(ev, key="event_type", value="user_id", p=12)
 
 
+_CMS_QUERY_TERMS = ("spark", "join", "merge", "the", "data", "table",
+                    "zzqqabsent")
+
+
+def _q_term_cf_cms(sf_dir: str):
+    """Count-min sketch point estimates of corpus term frequencies
+    (stages/sketch.py term_counts_cms): w x d bounded counters, merge =
+    one native groupby(cell).sum, estimates one-sided (overestimate
+    only). Deterministic given md5 cell slices, so the DuckDB oracle
+    re-derives the counters nibble-by-nibble and hash-matches."""
+    from ics_search_engine_ray.stages.sketch import term_counts_cms
+
+    return term_counts_cms(_read_docs(sf_dir, columns=("text",)),
+                           query_terms=_CMS_QUERY_TERMS)
+
+
 def _q_shared_users_kmv(sf_dir: str):
     """Theta-style KMV intersection (stages/sketch.py): estimated
     distinct users SHARED by every event-type pair — mergeable-sketch
@@ -3332,6 +3348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_kmv": _q_distinct_users_kmv,      # KMV sketch
         "distinct_users_hll": _q_distinct_users_hll,      # HLL sketch
         "shared_users_kmv": _q_shared_users_kmv,          # theta intersection
+        "term_cf_cms": _q_term_cf_cms,                    # count-min sketch
         "decontaminate": _q_decontaminate,        # eval n-gram overlap
         "contamination_venn": _q_contamination_venn,  # 2-detector audit
         "chunk_tokens": _q_chunk_tokens,          # context-window chunking
@@ -6068,4 +6085,25 @@ SELECT p.s1, p.s2,
              / p.theta, 6) AS est_shared
 FROM pairs p LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
 GROUP BY p.s1, p.s2, p.theta"""
+    # count-min sketch oracle: cell_r(term) = r-th 16-bit md5 slice,
+    # parsed nibble-by-nibble (the simhash-oracle technique); counters =
+    # groupby(r, cell) sum of cf; point estimate = min over the d rows.
+    cms_terms = ", ".join(f"'{t}'" for t in _CMS_QUERY_TERMS)
+    cms_cell = ("((strpos('0123456789abcdef', substr(md5({t}), r.r*4+1, 1))-1)*4096"
+                " + (strpos('0123456789abcdef', substr(md5({t}), r.r*4+2, 1))-1)*256"
+                " + (strpos('0123456789abcdef', substr(md5({t}), r.r*4+3, 1))-1)*16"
+                " + (strpos('0123456789abcdef', substr(md5({t}), r.r*4+4, 1))-1))")
+    d["term_cf_cms"] = f"""
+WITH toks AS ({_sql_tokens_cte()}),
+cf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+counters AS (
+  SELECT r.r, {cms_cell.format(t='cf.term')} AS cell, sum(cf.c) AS cnt
+  FROM cf, range(4) r(r) GROUP BY 1, 2),
+q AS (SELECT unnest([{cms_terms}]) AS term),
+qc AS (SELECT q.term, r.r, {cms_cell.format(t='q.term')} AS cell
+       FROM q, range(4) r(r))
+SELECT qc.term, CAST(min(COALESCE(counters.cnt, 0)) AS BIGINT) AS est_count
+FROM qc LEFT JOIN counters
+  ON counters.r = qc.r AND counters.cell = qc.cell
+GROUP BY qc.term"""
     return d

@@ -337,3 +337,74 @@ def quantile_sketch(ds, key: str, value: str, qs=(0.5, 0.95),
     return ds.select_columns([key, value]) \
         .map_batches(compress, batch_format="pyarrow") \
         .groupby(key).map_groups(estimate, batch_format="pyarrow")
+
+
+_CMS_W = 65_536      # 2^16 cells per row: cell_r(term) = the r-th 16-bit
+_CMS_D = 4           # slice of md5(term) — no extra hash family needed,
+# and SQL can re-derive the slices nibble-by-nibble for the oracle
+
+
+def term_counts_cms(docs, query_terms, w: int = _CMS_W, d: int = _CMS_D,
+                    text_col: str = "text"):
+    """Count-min sketch of corpus term frequencies [Cormode &
+    Muthukrishnan 2005]: estimated total occurrences (cf) for each
+    ``query_terms`` entry using w x d bounded counters instead of a
+    vocabulary-sized relation — the heavy-hitter companion of the
+    distinct-count sketches (point queries OVERESTIMATE only; error
+    <= corpus_tokens/w per row, min over d rows).
+
+    Distribution shape: per-batch partials reduce the batch to sparse
+    (row, cell) -> count rows over the regex token alphabet
+    (``[a-z0-9]+`` len>1 — the SQL-replicable tokenizer); the CMS merge
+    IS elementwise sum, i.e. one native groupby(cell).sum; at most
+    w x d counter rows exist no matter the corpus size. Deterministic
+    given md5, so the DuckDB oracle hash-matches.
+    """
+    import hashlib
+
+    from ..functions.tokenizer import TOKEN_RE  # [a-zA-Z0-9]+ on lowered
+    # text == the [a-z0-9]+ alphabet the SQL oracles use
+
+    def cells_of(term: str) -> list:
+        hx = hashlib.md5(term.encode("utf-8")).hexdigest()
+        return [int(hx[4 * r:4 * r + 4], 16) % w for r in range(d)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"rc": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        terms = []
+        for t in b.column(text_col).to_pylist():
+            terms.extend(x for x in TOKEN_RE.findall((t or "").lower())
+                         if len(x) > 1)
+        if not terms:
+            return empty
+        uterm, cnt = np.unique(np.asarray(terms, object),
+                               return_counts=True)
+        rcs = np.empty(uterm.size * d, np.int64)
+        for i, t in enumerate(uterm):
+            for r, c in enumerate(cells_of(t)):
+                rcs[i * d + r] = r * w + c
+        cnts = np.repeat(cnt.astype(np.int64), d)
+        # collapse within-batch collisions
+        urc, inv = np.unique(rcs, return_inverse=True)
+        summed = np.bincount(inv, weights=cnts).astype(np.int64)
+        return pa.table({"rc": pa.array(urc, pa.int64()),
+                         "cnt": pa.array(summed, pa.int64())})
+
+    counters: dict = {}
+    agg = docs.select_columns([text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("rc").sum("cnt")
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for rc, c in zip(b.column("rc").to_pylist(),
+                         b.column("sum(cnt)").to_pylist()):
+            counters[int(rc)] = int(c)
+
+    terms_sorted = sorted(set(query_terms))
+    ests = [min(counters.get(r * w + c, 0)
+                for r, c in enumerate(cells_of(t)))
+            for t in terms_sorted]
+    return pa.table({"term": pa.array(terms_sorted, pa.string()),
+                     "est_count": pa.array(ests, pa.int64())})

@@ -219,3 +219,33 @@ def test_kmv_intersection_partition_invariance(ray_session):
         outs.append(sorted((r["s1"], r["s2"], r["est_shared"])
                            for r in out.to_pylist()))
     assert outs[0] == outs[1]
+
+
+def test_cms_one_sided_and_near_exact(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.sketch import term_counts_cms
+
+    rng = np.random.default_rng(17)
+    vocab = [f"word{i:04d}" for i in range(2_000)]
+    texts, truth = [], {}
+    for _ in range(300):
+        ws = rng.choice(vocab, size=40).tolist()
+        texts.append(" ".join(ws))
+        for w in ws:
+            truth[w] = truth.get(w, 0) + 1
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())})) \
+        .repartition(5)
+    qs = vocab[:20] + ["neverpresentterm"]
+    got = {r["term"]: r["est_count"]
+           for r in term_counts_cms(ds, query_terms=qs).to_pylist()}
+    for t in qs:
+        want = truth.get(t, 0)
+        # CMS never underestimates; at 12k tokens over 4x65536 cells the
+        # collision overshoot is tiny
+        assert got[t] >= want
+        assert got[t] - want <= 3
+    # partition invariance: the merge is an elementwise counter sum
+    ds1 = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got1 = {r["term"]: r["est_count"]
+            for r in term_counts_cms(ds1, query_terms=qs).to_pylist()}
+    assert got1 == got
