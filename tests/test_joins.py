@@ -185,3 +185,57 @@ def test_interval_join_forced_skew_identical(ray_session):
                      for b in out.iter_batches(batch_format="pyarrow")
                      for r in b.to_pylist())
         assert got == want, f"kw={kw}"
+
+
+def test_asof_interval_salted_fuzz(ray_session):
+    """Randomized parity: forced-salted (every key hot, several bucket
+    widths incl. degenerate single-bucket and finer-than-data) must
+    equal brute force on irregular shapes — duplicate left timestamps,
+    keys on one side only, empty right buckets."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.joins import interval_join
+
+    for seed in (101, 202, 303):
+        rng = np.random.default_rng(seed)
+        nl, nr = int(rng.integers(30, 160)), int(rng.integers(5, 60))
+        left = [{"user_id": int(rng.integers(0, 6)),
+                 "ts": int(rng.integers(0, 3_000)), "event_id": i}
+                for i in range(nl)]
+        right = [{"user_id": int(rng.integers(0, 8)),
+                  "ts": int(t), "event_id": 1000 + j, "value": float(j)}
+                 for j, t in enumerate(rng.choice(3_000, size=nr,
+                                                  replace=False))]
+        want = _brute_asof(left, right)
+        keys = ({r["user_id"] for r in left}
+                | {r["user_id"] for r in right})
+        salt = float(rng.choice([0.0002, 0.001, 0.005, 86_400]))
+        got = _run(left, right, _force_hot=keys, salt_secs=salt)
+        assert got == want, f"asof seed={seed} salt={salt}"
+
+        ivs = [{"user_id": int(rng.integers(0, 6)), "lo": int(t),
+                "hi": int(t) + int(rng.integers(0, 800)),
+                "event_id": 2000 + j}
+               for j, t in enumerate(rng.integers(0, 3_000, size=25))]
+        want_iv = sorted((l["event_id"], r["event_id"])
+                         for l in left for r in ivs
+                         if l["user_id"] == r["user_id"]
+                         and r["lo"] <= l["ts"] <= r["hi"])
+        lt = rd.from_arrow(pa.table({
+            "user_id": pa.array([r["user_id"] for r in left], pa.int64()),
+            "ts": pa.array([r["ts"] for r in left], pa.int64()),
+            "event_id": pa.array([r["event_id"] for r in left],
+                                 pa.int64())})).repartition(3)
+        rt = rd.from_arrow(pa.table({
+            "user_id": pa.array([r["user_id"] for r in ivs], pa.int64()),
+            "lo": pa.array([r["lo"] for r in ivs], pa.int64()),
+            "hi": pa.array([r["hi"] for r in ivs], pa.int64()),
+            "event_id": pa.array([r["event_id"] for r in ivs],
+                                 pa.int64())})).repartition(2)
+        out = interval_join(lt, rt, by="user_id", on="ts", lo="lo",
+                            hi="hi", left_cols=["event_id"],
+                            right_cols=["event_id"],
+                            _force_hot=keys, salt_secs=salt)
+        got_iv = sorted((r["l_event_id"], r["r_event_id"])
+                        for b in out.iter_batches(batch_format="pyarrow")
+                        for r in b.to_pylist())
+        assert got_iv == want_iv, f"interval seed={seed} salt={salt}"
