@@ -33,6 +33,20 @@ enforcement), and the hash-shuffle strategy both still warns and is
 unusable here (see package ``__init__`` note). So the correct fix is a
 *surgical* logging filter: drop ONLY the record whose "new schema" is
 empty; a typed->typed divergence (a real pipeline bug) still warns.
+
+Second suppressed warning (also traced): "Failed to hash the schemas
+(for deduplication): unhashable type: 'dict'" from
+``ray/data/_internal/arrow_ops/transform_pyarrow.py:181``
+(unify_schemas' ``set(schemas)`` early-exit). Root cause is a pyarrow
+wart: ``hash(schema)`` RAISES TypeError when the schema carries
+schema-level metadata (``pa.schema(...).with_metadata({b'k': b'v'})``
+is unhashable while field-level metadata hashes fine), and every
+parquet file written via pandas embeds the ``b'pandas'`` schema
+metadata — so any multi-block concat of parquet-sourced blocks hits
+it. Ray catches the TypeError and falls back to the full unify (the
+CORRECT result, just without the early exit), so the warning is pure
+noise for metadata-bearing schemas; we drop exactly the
+``unhashable type: 'dict'`` variant and keep any other hash failure.
 """
 
 from __future__ import annotations
@@ -63,9 +77,32 @@ class _EmptySchemaDivergenceFilter(logging.Filter):
         return not msg.rstrip().endswith(_EMPTY_NEW)
 
 
+_TRANSFORM_LOGGER = "ray.data._internal.arrow_ops.transform_pyarrow"
+_HASH_PREFIX = "Failed to hash the schemas (for deduplication): "
+_HASH_BENIGN = _HASH_PREFIX + "unhashable type: 'dict'"
+
+
+class _SchemaHashDictFilter(logging.Filter):
+    """Drops unify_schemas' dedup-hash warning ONLY for the pyarrow
+    metadata-unhashability case (see module docstring); other hash
+    failures still warn."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        try:
+            msg = record.getMessage()
+        except Exception:
+            return True
+        if not msg.startswith(_HASH_PREFIX):
+            return True
+        return msg.rstrip() != _HASH_BENIGN
+
+
 def install_empty_schema_filter() -> None:
-    """Idempotently install the filter on the executor's logger."""
+    """Idempotently install both filters on the emitting loggers."""
     lg = logging.getLogger(_EXECUTOR_LOGGER)
     if not any(isinstance(f, _EmptySchemaDivergenceFilter)
                for f in lg.filters):
         lg.addFilter(_EmptySchemaDivergenceFilter())
+    lg2 = logging.getLogger(_TRANSFORM_LOGGER)
+    if not any(isinstance(f, _SchemaHashDictFilter) for f in lg2.filters):
+        lg2.addFilter(_SchemaHashDictFilter())

@@ -123,3 +123,46 @@ def test_filter_unit():
     assert f.filter(rec(benign)) is False
     assert f.filter(rec(real)) is True
     assert f.filter(rec("unrelated warning")) is True
+
+
+def test_metadata_schema_hash_warning_silenced(ray_session):
+    """Parquet-sourced blocks carry b'pandas' schema metadata, which
+    makes hash(schema) raise inside Ray's unify_schemas early-exit —
+    the benign 'unhashable type: dict' warning must be silenced while
+    the unify result stays correct."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    with tempfile.TemporaryDirectory() as d:
+        # pandas-written parquet => schema-level b'pandas' metadata
+        import pandas as pd
+        p = os.path.join(d, "t.parquet")
+        pd.DataFrame({"k": np.arange(200) % 3,
+                      "v": np.ones(200)}).to_parquet(p)
+        assert pq.read_schema(p).metadata    # the precondition
+
+        def run():
+            ds = rd.read_parquet(p, override_num_blocks=8)
+            ds.groupby("k").sum("v").materialize()
+
+        out = _capture_ray_data_warnings(run)
+    assert "Failed to hash the schemas" not in out
+
+
+def test_other_schema_hash_failures_still_warn():
+    """Only the pyarrow-metadata variant is dropped by the filter."""
+    from ics_search_engine_ray.functions.raylog import (
+        _SchemaHashDictFilter, _HASH_PREFIX)
+
+    f = _SchemaHashDictFilter()
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "f", 1, msg,
+                                 None, None)
+
+    assert not f.filter(rec(_HASH_PREFIX + "unhashable type: 'dict'"))
+    assert f.filter(rec(_HASH_PREFIX + "something else entirely"))
+    assert f.filter(rec("unrelated warning"))
