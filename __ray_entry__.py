@@ -2034,6 +2034,31 @@ def _q_bfs_levels(sf_dir: str):
                       source=0)
 
 
+def _q_kcore(sf_dir: str):
+    """k-core decomposition at k=4 (graph/concomp.py kcore_nodes):
+    simultaneous peeling over the same arithmetic doc graph as
+    `triangles`/`bfs_levels` — each round one native degree groupby +
+    two membership semi-joins; deterministic, so the DuckDB oracle
+    replays the unrolled peel rounds exactly."""
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import kcore_nodes
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(b):
+        i = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([i, i, i]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [(i + 1) % n, (2 * i) % n, (5 * i + 2) % n]), pa.int64())})
+
+    return kcore_nodes(docs.map_batches(mk_edges, batch_format="pyarrow"),
+                       k=4)
+
+
 def _q_pagerank_docs(sf_dir: str):
     """G1/G2 kernels with a DRIVER-CHECKABLE oracle (r3 verdict item 4):
     the quirk-compatible PageRank (mass-leak: out-degree counts a phantom
@@ -3290,6 +3315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": _q_pagerank_docs,        # G1/G2 kernels (SQL oracle)
         "triangles": _q_triangles,                # degree-oriented enumeration
         "bfs_levels": _q_bfs_levels,              # frontier supersteps
+        "kcore": _q_kcore,                        # simultaneous peeling
         "index_stats": _q_index_stats,            # S4/S5 manifest (rows-only)
         "index_stats_oracle": _q_index_stats_oracle,  # A4 invariants (SQL)
         "source_stats": _q_source_stats,          # per-source curation report
@@ -3473,6 +3499,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mix": _q_lang_mix,                  # per-source lang table
         "value_trend": _q_value_trend,            # per-user OLS slope
     }
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """kcore oracle: simultaneous peeling unrolled to ``rounds`` chained
+    CTEs (the kmeans/pagerank fixed-step pattern — recursive CTEs grow
+    sets, peeling shrinks them). Round r: alive = nodes with >= k
+    distinct surviving neighbors; edges = both endpoints alive. The Ray
+    side peels to the TRUE fixpoint, so ``rounds`` must exceed the peel
+    depth on the checked input (depth 2 at sf0.01, 7 at sf0.1 — 8 gives
+    margin; equality would fail loudly, not silently, if it didn't)."""
+    ctes = []
+    for r in range(rounds):
+        ctes.append(
+            f"a{r} AS (SELECT s FROM e{r} GROUP BY s "
+            f"HAVING count(*) >= {k}),\n"
+            f"e{r + 1} AS (SELECT e.s, e.d FROM e{r} e "
+            f"JOIN a{r} x ON e.s = x.s JOIN a{r} y ON e.d = y.s)")
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id AS i FROM documents),
+dir AS (
+  SELECT i AS a, (i + 1) % nn.n AS b FROM base, nn
+  UNION ALL SELECT i, (2 * i) % nn.n FROM base, nn
+  UNION ALL SELECT i, (5 * i + 2) % nn.n FROM base, nn),
+e0 AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+  SELECT a AS s, b AS d FROM dir WHERE a <> b
+  UNION ALL SELECT b, a FROM dir WHERE a <> b)),
+{",".join(ctes)}
+SELECT CAST(s AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e{rounds} GROUP BY s"""
 
 
 def _splitmix_sql_ctes(table: str, key: str, value: str) -> str:
@@ -5561,6 +5617,7 @@ walk(node, dist) AS (
    WHERE w.dist < 15)
 SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
 FROM walk GROUP BY node ORDER BY node""",
+        "kcore": _kcore_oracle_sql(k=4, rounds=8),
         "zipf_slope_per_source": """
 WITH toks AS (
   SELECT source,

@@ -565,3 +565,110 @@ def bfs_levels(edges_ds, source: int = 0, src: str = "src",
         lambda b: pa.table({"node": b.column("node").cast(pa.int64()),
                             "dist": b.column("dist").cast(pa.int64())}),
         batch_format="pyarrow").sort("node")
+
+
+def _kcore_driver(s: np.ndarray, d: np.ndarray, k: int):
+    """Numpy peel loop over deduped symmetric edges -> (nodes, degs)
+    of the k-core (degree = distinct neighbors within the core)."""
+    if s.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    while True:
+        nodes, inv = np.unique(np.concatenate([s, d]),
+                               return_inverse=True)
+        deg = np.bincount(inv[:s.size], minlength=nodes.size)
+        alive = nodes[deg >= k]
+        if alive.size == nodes.size:
+            return nodes, deg.astype(np.int64)
+        if alive.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ps = np.clip(np.searchsorted(alive, s), 0, alive.size - 1)
+        pd_ = np.clip(np.searchsorted(alive, d), 0, alive.size - 1)
+        ok = (alive[ps] == s) & (alive[pd_] == d)
+        s, d = s[ok], d[ok]
+        if s.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+
+
+def kcore_nodes(edges_ds, k: int, src: str = "src", dst: str = "dst",
+                max_rounds: int = 50,
+                dist_edge_gate: "Optional[int]" = None):
+    """k-core: the maximal subgraph where every node keeps >= k distinct
+    neighbors -> (node, deg) with deg = the node's degree INSIDE the
+    core. Simultaneous peeling (Matula & Beck 1983 parallelized): each
+    round drops every node whose surviving degree < k; converges in
+    O(peel depth) rounds regardless of graph size.
+
+    Distribution shape (the bfs_levels pattern): edges symmetrize +
+    dedup once; below the edge gate the peel loop runs driver-side in
+    numpy; above it each round is ONE native groupby(s).count degree
+    pass plus two membership semi-joins (alive set broadcast under the
+    joins.py gate, co-partitioned above) — the driver sees only
+    per-round counts, never the edge relation. Deterministic, so a
+    DuckDB oracle replays the unrolled peel rounds exactly.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import semi_join
+
+    def canon(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        both_s = np.concatenate([s, d])
+        both_d = np.concatenate([d, s])
+        # per-batch dedup of directed pairs (cross-batch dups collapse
+        # in the global distinct below)
+        packed = np.unique(np.stack([both_s, both_d], axis=1), axis=0)
+        return pa.table({"s": pa.array(packed[:, 0], pa.int64()),
+                         "d": pa.array(packed[:, 1], pa.int64())})
+
+    sym = edges_ds.map_batches(canon, batch_format="pyarrow") \
+        .groupby(["s", "d"]).count() \
+        .select_columns(["s", "d"]).materialize()
+
+    gate = (_BFS_DIST_EDGE_GATE if dist_edge_gate is None
+            else int(dist_edge_gate))
+    if sym.count() <= gate:
+        from .linkrank import collect_edges
+        s_arr, d_arr = collect_edges(
+            sym.map_batches(
+                lambda b: pa.table({"src": b.column("s"),
+                                    "dst": b.column("d")}),
+                batch_format="pyarrow"))
+        nodes, degs = _kcore_driver(s_arr, d_arr, int(k))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "deg": pa.array(degs, pa.int64())}))
+
+    edges = sym
+    n_edges = edges.count()
+    for _ in range(int(max_rounds)):
+        deg = edges.groupby("s").count()
+
+        def alive_nodes(b: pa.Table, _k=int(k)) -> pa.Table:
+            c = b.column("count()").to_numpy(zero_copy_only=False)
+            keep = pa.array(c >= _k)
+            return pa.table({"node": b.column("s").cast(pa.int64())
+                             .filter(keep)})
+
+        alive = deg.map_batches(alive_nodes, batch_format="pyarrow")
+        nxt = semi_join(edges, alive, on="s", right_on="node")
+        nxt = semi_join(nxt, alive, on="d", right_on="node") \
+            .materialize()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        edges, n_edges = nxt, n_next
+        if n_edges == 0:
+            break
+
+    out = edges.groupby("s").count()
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": b.column("s").cast(pa.int64()),
+            "deg": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow").sort("node")

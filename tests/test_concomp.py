@@ -205,3 +205,67 @@ def test_bfs_levels_fast_path_isolated_source(ray_session):
     out = sorted((r["node"], r["dist"]) for r in bfs_levels(
         rd.from_arrow(t), source=99).take_all())
     assert out == [(99, 0)]
+
+
+def _naive_kcore(edges, k):
+    """Sequential peeling over an undirected edge list (set-based)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for u in [u for u, ns in adj.items() if len(ns) < k]:
+            for v in adj.pop(u):
+                adj[v].discard(u)
+            changed = True
+    return sorted((u, len(ns)) for u, ns in adj.items())
+
+
+def test_kcore_hand_computed(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import kcore_nodes
+
+    # K4 clique {0,1,2,3} + a pendant chain 3-4-5 + duplicate/self edges
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5), (1, 0), (2, 2)]
+    t = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    got = sorted((r["node"], r["deg"]) for r in
+                 kcore_nodes(rd.from_arrow(t), k=3).take_all())
+    assert got == [(0, 3), (1, 3), (2, 3), (3, 3)]
+    assert got == _naive_kcore(edges, 3)
+    # k=1: everything with an edge survives, self-loop ignored
+    got1 = sorted((r["node"], r["deg"]) for r in
+                  kcore_nodes(rd.from_arrow(t), k=1).take_all())
+    assert got1 == _naive_kcore(edges, 1)
+
+
+def test_kcore_dataset_path_matches_driver(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import kcore_nodes
+
+    rng = np.random.default_rng(23)
+    n = 200
+    s = rng.integers(0, n, size=900)
+    d = rng.integers(0, n, size=900)
+    t = pa.table({"src": pa.array(s, pa.int64()),
+                  "dst": pa.array(d, pa.int64())})
+    want = _naive_kcore(list(zip(s.tolist(), d.tolist())), 4)
+    for gate in (None, 0):       # driver fast path vs dataset supersteps
+        got = sorted((r["node"], r["deg"]) for r in
+                     kcore_nodes(rd.from_arrow(t).repartition(5), k=4,
+                                 dist_edge_gate=gate).take_all())
+        assert got == want, f"gate={gate}"
+
+
+def test_kcore_empty_core(ray_session):
+    import ray.data as rd
+    from ics_search_engine_ray.graph.concomp import kcore_nodes
+
+    t = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64())})
+    assert kcore_nodes(rd.from_arrow(t), k=3).count() == 0
