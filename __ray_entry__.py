@@ -2580,6 +2580,21 @@ def _q_dedup_against(sf_dir: str):
     return dedup_against(new, old)
 
 
+def _q_bloom_dedup_against(sf_dir: str):
+    """Sharded Bloom-filter recrawl pre-filter (stages/bloom.py
+    bloom_dedup_against): every new doc flagged 1 iff all k=4
+    Kirsch-Mitzenmacher double-hash probes over the old corpus's
+    md5-derived filter hit. Deterministic (including false positives)
+    given md5, so the DuckDB oracle replays every probe bit-exactly
+    with md5_number_upper/lower in HUGEINT arithmetic. Build shuffles
+    only (shard, h1, h2) int64 rows; probes broadcast the blobs below
+    the 64 MB gate and co-partition by shard above it (paths tested
+    equal, tests/test_bloom.py)."""
+    from ics_search_engine_ray.stages.bloom import bloom_dedup_against
+    new, old = _synth_recrawl(sf_dir)
+    return bloom_dedup_against(new, old, m_bits=1 << 20, k=4, shards=16)
+
+
 def _q_order_count_distribution(sf_dir: str):
     """TPC-H Q13 (stages/relational.py order_count_distribution): per-
     customer order counts via ONE native groupby, count histogram via a
@@ -3442,6 +3457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": _q_top_unshipped_orders,  # TPC-H Q3 top-k
         "large_orders": _q_large_orders,          # TPC-H Q18 HAVING join
         "dedup_against": _q_dedup_against,        # incremental crawl dedup
+        "bloom_dedup_against": _q_bloom_dedup_against,  # bloom pre-filter
         "order_count_distribution": _q_order_count_distribution,  # Q13
         "top_suppliers": _q_top_suppliers,        # TPC-H Q15 max + ties
         "idle_rich_customers": _q_idle_rich_customers,  # TPC-H Q22 anti
@@ -4023,6 +4039,36 @@ novel AS (
 SELECT doc_id FROM novel
 WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
+        # replays every Bloom probe of stages/bloom.py bit-exactly:
+        # h1/h2 = little-endian md5 halves (DuckDB md5_number_upper/lower),
+        # h2 forced odd, shard = top-16-bits % 16, pos_j = (h1 + j*h2)
+        # mod 2^64 mod 65536 (m_bits=2^20 over 16 shards)
+        "bloom_dedup_against": """
+WITH novel AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 IN (0, 1)
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' (updated)' AS text
+  FROM documents WHERE doc_id % 7 IN (2, 3)),
+js AS (SELECT unnest(range(4)) AS j),
+oldh AS (SELECT DISTINCT md5_number_upper(text)::HUGEINT AS h1,
+         md5_number_lower(text)::HUGEINT
+           - md5_number_lower(text)::HUGEINT % 2 + 1 AS h2
+         FROM documents),
+oldpos AS (SELECT DISTINCT (h1 // 281474976710656) % 16 AS shard,
+           (h1 + j * h2) % 18446744073709551616 % 65536 AS pos
+           FROM oldh CROSS JOIN js),
+newh AS (SELECT doc_id, md5_number_upper(text)::HUGEINT AS h1,
+         md5_number_lower(text)::HUGEINT
+           - md5_number_lower(text)::HUGEINT % 2 + 1 AS h2
+         FROM novel),
+newpos AS (SELECT doc_id, (h1 // 281474976710656) % 16 AS shard,
+           (h1 + j * h2) % 18446744073709551616 % 65536 AS pos
+           FROM newh CROSS JOIN js)
+SELECT p.doc_id,
+       CAST(bool_and(o.pos IS NOT NULL) AS BIGINT) AS maybe_dup
+FROM newpos p LEFT JOIN oldpos o ON p.shard = o.shard AND p.pos = o.pos
+GROUP BY p.doc_id ORDER BY p.doc_id""",
         "dsir_logweights": _dsir_sql_oracle(),
         "nb_lang_scores": _nb_lang_sql_oracle(),
         "source_divergence": _source_divergence_sql_oracle(),
