@@ -2580,6 +2580,20 @@ def _q_dedup_against(sf_dir: str):
     return dedup_against(new, old)
 
 
+def _q_edit_distance_pairs(sf_dir: str):
+    """Fuzzy record-linkage pairs (stages/fuzzy.py edit_distance_pairs):
+    every doc pair whose 16-char text prefix is within Levenshtein
+    distance 1. SymSpell/FastSS deletion-neighborhood blocking (a
+    COMPLETE candidate generator at L+1 key blowup — no recall loss) ->
+    variant-hash groupby -> in-group vectorized lcp/lcs verification ->
+    pair-collapse groupby. Oracle: brute-force DuckDB levenshtein
+    join."""
+    from ics_search_engine_ray.stages.fuzzy import edit_distance_pairs
+    return edit_distance_pairs(_read_docs(sf_dir, columns=("doc_id",
+                                                           "text")),
+                               key_len=16)
+
+
 def _q_bloom_dedup_against(sf_dir: str):
     """Sharded Bloom-filter recrawl pre-filter (stages/bloom.py
     bloom_dedup_against): every new doc flagged 1 iff all k=4
@@ -3458,6 +3472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _q_large_orders,          # TPC-H Q18 HAVING join
         "dedup_against": _q_dedup_against,        # incremental crawl dedup
         "bloom_dedup_against": _q_bloom_dedup_against,  # bloom pre-filter
+        "edit_distance_pairs": _q_edit_distance_pairs,  # fuzzy linkage
         "order_count_distribution": _q_order_count_distribution,  # Q13
         "top_suppliers": _q_top_suppliers,        # TPC-H Q15 max + ties
         "idle_rich_customers": _q_idle_rich_customers,  # TPC-H Q22 anti
@@ -4039,6 +4054,12 @@ novel AS (
 SELECT doc_id FROM novel
 WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
+        "edit_distance_pairs": """
+WITH k AS (SELECT doc_id, substr(text, 1, 16) AS s FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 1 ORDER BY a, b""",
         # replays every Bloom probe of stages/bloom.py bit-exactly:
         # h1/h2 = little-endian md5 halves (DuckDB md5_number_upper/lower),
         # h2 forced odd, shard = top-16-bits % 16, pos_j = (h1 + j*h2)
