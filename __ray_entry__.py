@@ -2580,6 +2580,49 @@ def _q_dedup_against(sf_dir: str):
     return dedup_against(new, old)
 
 
+def _q_recrawl_diff(sf_dir: str):
+    """Cross-crawl lifecycle report (stages/dedup_text.py recrawl_diff):
+    per-source unchanged/changed/new/deleted counts between two
+    snapshots keyed by stable doc_id — a tagged-union co-partition on
+    doc_id (the FULL OUTER join) classifying each id run by md5
+    equality, count partials only. Fixture: r = doc_id % 7 keeps
+    {0,1,5,6} verbatim, edits {2,3}, deletes {4}, and adds one brand-new
+    page per r==0 doc. Oracle: SQL FULL OUTER JOIN + CASE counts."""
+    import ray.data as rd
+
+    from ics_search_engine_ray.stages.dedup_text import recrawl_diff
+    old = _read_docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def make_new(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        r = ids % 7
+        keep = np.flatnonzero((r != 4) & (r != 2) & (r != 3))
+        edit = np.flatnonzero((r == 2) | (r == 3))
+        born = np.flatnonzero(r == 0)
+        tk = pa.array(keep, pa.int64())
+        te = pa.array(edit, pa.int64())
+        tb = pa.array(born, pa.int64())
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [ids[keep], ids[edit], ids[born] + 1_000_000]), pa.int64()),
+            "text": pa.concat_arrays([
+                b.column("text").take(tk).combine_chunks(),
+                pc.binary_join_element_wise(
+                    b.column("text").take(te), pa.scalar(" (updated)"),
+                    "").combine_chunks(),
+                pc.binary_join_element_wise(
+                    b.column("text").take(tb), pa.scalar(" brand new"),
+                    "").combine_chunks()]),
+            "source": pa.concat_arrays([
+                b.column("source").take(tk).combine_chunks(),
+                b.column("source").take(te).combine_chunks(),
+                b.column("source").take(tb).combine_chunks()])})
+
+    new = old.map_batches(make_new, batch_format="pyarrow")
+    return recrawl_diff(new, old)
+
+
 def _q_edit_distance_pairs(sf_dir: str):
     """Fuzzy record-linkage pairs (stages/fuzzy.py edit_distance_pairs):
     every doc pair whose 16-char text prefix is within Levenshtein
@@ -3473,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_against": _q_dedup_against,        # incremental crawl dedup
         "bloom_dedup_against": _q_bloom_dedup_against,  # bloom pre-filter
         "edit_distance_pairs": _q_edit_distance_pairs,  # fuzzy linkage
+        "recrawl_diff": _q_recrawl_diff,          # cross-crawl lifecycle
         "order_count_distribution": _q_order_count_distribution,  # Q13
         "top_suppliers": _q_top_suppliers,        # TPC-H Q15 max + ties
         "idle_rich_customers": _q_idle_rich_customers,  # TPC-H Q22 anti
@@ -4054,6 +4098,27 @@ novel AS (
 SELECT doc_id FROM novel
 WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
+        "recrawl_diff": """
+WITH newc AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE doc_id % 7 IN (0, 1, 5, 6)
+  UNION ALL
+  SELECT doc_id, text || ' (updated)' AS text, source FROM documents
+  WHERE doc_id % 7 IN (2, 3)
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' brand new' AS text, source
+  FROM documents WHERE doc_id % 7 = 0),
+j AS (SELECT COALESCE(n.source, o.source) AS source,
+        CASE WHEN o.doc_id IS NULL THEN 2
+             WHEN n.doc_id IS NULL THEN 3
+             WHEN n.text = o.text THEN 0 ELSE 1 END AS st
+      FROM newc n FULL OUTER JOIN documents o ON n.doc_id = o.doc_id)
+SELECT source,
+  CAST(SUM(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+  CAST(SUM(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(SUM(CASE WHEN st = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+FROM j GROUP BY source ORDER BY source""",
         "edit_distance_pairs": """
 WITH k AS (SELECT doc_id, substr(text, 1, 16) AS s FROM documents)
 SELECT a.doc_id AS a, b.doc_id AS b,

@@ -1264,6 +1264,104 @@ def dedup_against(new_docs, old_docs, max_bcast_rows: int = 2_000_000,
     return tagged.groupby("_g").map_groups(resolve, batch_format="pyarrow")
 
 
+_RDIFF_SCHEMA = pa.schema([
+    ("source", pa.string()), ("n_unchanged", pa.int64()),
+    ("n_changed", pa.int64()), ("n_new", pa.int64()),
+    ("n_deleted", pa.int64())])
+
+
+def recrawl_diff(new_docs, old_docs, num_groups: int = 64):
+    """Cross-crawl lifecycle report -> (source, n_unchanged, n_changed,
+    n_new, n_deleted): for two snapshots keyed by stable doc_id, how
+    many documents per source kept their exact text, changed it,
+    appeared, or vanished — the recrawl dashboard row next to
+    :func:`dup_rate_per_source`.
+
+    Shape: both sides reduce to (doc_id, 128-bit md5, source) rows
+    (the :func:`exact_dedup` hash kernel), co-partition on
+    ``doc_id % num_groups`` (a tagged union — the FULL OUTER join no
+    per-batch broadcast can express), and each partition classifies its
+    doc_id runs with one lexsort + boundary scan, emitting per-(source,
+    status) COUNT partials only. The final groupby(source) sums four
+    int columns; output is O(sources). Assumes doc_id is unique within
+    each snapshot (the crawl-key contract)."""
+    from ray.data.aggregate import Sum
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            h = _text_hash_batch(b)
+            ids = h.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_g": pa.array((ids % num_groups + num_groups)
+                               % num_groups, pa.int64()),
+                "_side": pa.array(np.full(len(ids), side, np.int8),
+                                  pa.int8()),
+                "doc_id": h.column("doc_id"),
+                "hash_hi": h.column("hash_hi"),
+                "hash_lo": h.column("hash_lo"),
+                "source": b.column("source")})
+        return fn
+
+    tagged = old_docs.map_batches(tag(0), batch_format="pyarrow").union(
+        new_docs.map_batches(tag(1), batch_format="pyarrow"))
+
+    def classify(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _RDIFF_SCHEMA.empty_table()
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        hi = g.column("hash_hi").to_numpy(zero_copy_only=False)
+        lo = g.column("hash_lo").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))          # old row first in a run
+        ids_s, side_s = ids[order], side[order]
+        start = np.flatnonzero(np.concatenate(
+            ([True], ids_s[1:] != ids_s[:-1])))
+        run_id = np.cumsum(np.concatenate(
+            ([True], ids_s[1:] != ids_s[:-1]))) - 1
+        has_old = np.bincount(run_id, weights=(side_s == 0)) > 0
+        has_new = np.bincount(run_id, weights=(side_s == 1)) > 0
+        both = has_old & has_new
+        old_pos = order[start]                    # valid where has_old
+        # second-row index clipped: old-only runs never read new_pos
+        new_pos = order[np.minimum(start + has_old.astype(np.int64),
+                                   order.size - 1)]
+        same = np.zeros(start.size, bool)
+        b = np.flatnonzero(both)
+        same[b] = (hi[old_pos[b]] == hi[new_pos[b]]) & \
+                  (lo[old_pos[b]] == lo[new_pos[b]])
+        # 0 unchanged, 1 changed, 2 new, 3 deleted
+        status = np.where(both, np.where(same, 0, 1),
+                          np.where(has_new, 2, 3))
+        src_pos = np.where(has_new, new_pos, old_pos)
+        srcs = g.column("source").take(
+            pa.array(src_pos, pa.int64())).to_pylist()
+        uniq, inv = np.unique(np.asarray(srcs, object),
+                              return_inverse=True)
+        cnt = np.bincount(inv * 4 + status,
+                          minlength=uniq.size * 4).reshape(-1, 4)
+        return pa.table({
+            "source": pa.array(uniq.tolist(), pa.string()),
+            "n_unchanged": pa.array(cnt[:, 0], pa.int64()),
+            "n_changed": pa.array(cnt[:, 1], pa.int64()),
+            "n_new": pa.array(cnt[:, 2], pa.int64()),
+            "n_deleted": pa.array(cnt[:, 3], pa.int64())})
+
+    summed = tagged.groupby("_g").map_groups(
+        classify, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("n_unchanged"), Sum("n_changed"), Sum("n_new"),
+        Sum("n_deleted"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b.column("source"),
+            "n_unchanged": b.column("sum(n_unchanged)"),
+            "n_changed": b.column("sum(n_changed)"),
+            "n_new": b.column("sum(n_new)"),
+            "n_deleted": b.column("sum(n_deleted)")})
+
+    return summed.map_batches(fin, batch_format="pyarrow")
+
+
 def dup_rate_per_source(docs):
     """Per-source exact-duplicate report -> (source, n_docs, n_unique,
     dup_rate): how much of each source is verbatim repetition — the
