@@ -2580,6 +2580,19 @@ def _q_dedup_against(sf_dir: str):
     return dedup_against(new, old)
 
 
+def _q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood near-dup pairs (stages/fuzzy.py snm_pairs,
+    Hernandez & Stolfo 1995): exact global rank on an 8-byte text-prefix
+    key (rank.py equi-depth bins — no global sort materialization),
+    in-window candidates from coarse w*256-rank chunks with a low
+    fringe, exact distinct-3-gram Jaccard verify, unique pair ownership
+    by the left rank's chunk. Oracle: row_number() window self-join +
+    the list-based Jaccard SQL."""
+    from ics_search_engine_ray.stages.fuzzy import snm_pairs
+    return snm_pairs(_read_docs(sf_dir, columns=("doc_id", "text")),
+                     window=8, threshold=0.5)
+
+
 def _q_recrawl_diff(sf_dir: str):
     """Cross-crawl lifecycle report (stages/dedup_text.py recrawl_diff):
     per-source unchanged/changed/new/deleted counts between two
@@ -3517,6 +3530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_dedup_against": _q_bloom_dedup_against,  # bloom pre-filter
         "edit_distance_pairs": _q_edit_distance_pairs,  # fuzzy linkage
         "recrawl_diff": _q_recrawl_diff,          # cross-crawl lifecycle
+        "snm_pairs": _q_snm_pairs,                # sorted-neighborhood
         "order_count_distribution": _q_order_count_distribution,  # Q13
         "top_suppliers": _q_top_suppliers,        # TPC-H Q15 max + ties
         "idle_rich_customers": _q_idle_rich_customers,  # TPC-H Q22 anti
@@ -4098,6 +4112,52 @@ novel AS (
 SELECT doc_id FROM novel
 WHERE md5(text) NOT IN (SELECT h FROM old)
 ORDER BY doc_id""",
+        "snm_pairs": """
+WITH k AS (
+  SELECT doc_id, text, substr(text, 1, 8) AS s8 FROM documents),
+sv AS (
+  SELECT doc_id, text,
+    (CASE WHEN length(s8) >= 1 THEN unicode(substr(s8,1,1)) ELSE 0 END)
+      * 72057594037927936
+  + (CASE WHEN length(s8) >= 2 THEN unicode(substr(s8,2,1)) ELSE 0 END)
+      * 281474976710656
+  + (CASE WHEN length(s8) >= 3 THEN unicode(substr(s8,3,1)) ELSE 0 END)
+      * 1099511627776
+  + (CASE WHEN length(s8) >= 4 THEN unicode(substr(s8,4,1)) ELSE 0 END)
+      * 4294967296
+  + (CASE WHEN length(s8) >= 5 THEN unicode(substr(s8,5,1)) ELSE 0 END)
+      * 16777216
+  + (CASE WHEN length(s8) >= 6 THEN unicode(substr(s8,6,1)) ELSE 0 END)
+      * 65536
+  + (CASE WHEN length(s8) >= 7 THEN unicode(substr(s8,7,1)) ELSE 0 END)
+      * 256
+  + (CASE WHEN length(s8) >= 8 THEN unicode(substr(s8,8,1)) ELSE 0 END)
+    AS sortv
+  FROM k),
+r AS (SELECT doc_id, text,
+      row_number() OVER (ORDER BY sortv, doc_id) AS rnk FROM sv),
+sh AS (
+  SELECT doc_id, rnk,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+           THEN [array_to_string(string_split_regex(trim(text), '\\s+'),
+                 ' ')]
+         ELSE list_distinct(list_transform(
+              range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+              i -> concat_ws(' ', string_split_regex(trim(text),'\\s+')[i],
+                   string_split_regex(trim(text), '\\s+')[i+1],
+                   string_split_regex(trim(text), '\\s+')[i+2]))) END AS g
+  FROM r)
+SELECT LEAST(a.doc_id, b.doc_id) AS a,
+       GREATEST(a.doc_id, b.doc_id) AS b,
+       CAST(round(len(list_intersect(a.g, b.g)) * 1.0 /
+            len(list_distinct(list_concat(a.g, b.g))), 6) AS DOUBLE)
+         AS jaccard
+FROM sh a JOIN sh b ON b.rnk > a.rnk AND b.rnk - a.rnk < 8
+WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+  AND len(list_intersect(a.g, b.g)) * 1.0 /
+      len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+ORDER BY a, b""",
         "recrawl_diff": """
 WITH newc AS (
   SELECT doc_id, text, source FROM documents

@@ -129,6 +129,157 @@ def _verify_pairs(mat: np.ndarray, lens: np.ndarray, ia: np.ndarray,
     return dist
 
 
+def _prefix_sortv(texts: List[str]) -> np.ndarray:
+    """int64 big-endian integer of the first 8 UTF-8 bytes (0-padded) —
+    a numeric total order equal to lexicographic byte order of the
+    8-char prefix (== character order for ASCII; the SQL twin is a
+    codepoint polynomial)."""
+    n = len(texts)
+    out = np.zeros((n, 8), np.uint8)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")[:8]
+        out[i, :len(b)] = np.frombuffer(b, np.uint8)
+    return (out.astype(np.uint64) *
+            (np.uint64(256) ** np.arange(7, -1, -1, dtype=np.uint64))
+            ).sum(axis=1).view(np.int64)
+
+
+def snm_pairs(docs, window: int = 8, shingle_k: int = 3,
+              threshold: float = 0.5):
+    """Sorted-neighborhood near-dup pairs (Hernandez & Stolfo 1995):
+    rank all docs by an 8-byte text-prefix key, take every pair within
+    ``window`` rank positions as a candidate, verify by EXACT distinct
+    word-``shingle_k``-gram Jaccard >= ``threshold``. The sort-based
+    complement to hash blocking (edit_distance_pairs) and banding
+    (minhash/simhash): catches near-dups that cluster under the sort
+    key even when no variant/band collides.
+
+    Plan: stages/rank.py global_rank (equi-depth bins + prefix sums —
+    no global sort materialization) -> rank joined back by a doc_id
+    co-partition -> each doc emits to rank-buckets r//w and r//w-1 ->
+    groupby(bucket) generates in-window pairs and verifies them with
+    per-doc distinct shingle-hash sets (functions/wordhash.py, the
+    ngram_jaccard hashing) -> final groupby((a, b)) collapses the
+    <=2x bucket-overlap rediscovery. Per-task pair work is O(w^2) by
+    construction — bounded by the window, never by corpus size."""
+    from ..functions.wordhash import batch_shingle_hashes
+    from .rank import global_rank
+
+    w = int(window)
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        texts = [x or "" for x in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "sortv": pa.array(_prefix_sortv(texts), pa.int64())})
+
+    ranks = global_rank(docs.map_batches(keyed, batch_format="pyarrow"),
+                        value_col="sortv", id_col="doc_id")
+
+    # join rank back to text: tagged doc_id % G co-partition + run scan
+    # (the dedup_against pattern — COARSE groups, never per-doc groups)
+    G = 64
+
+    def tag_rank(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_g": pa.array((ids % G + G) % G, pa.int64()),
+            "doc_id": b.column("doc_id"),
+            "_side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            "rank": b.column("rank"),
+            "text": pa.array([""] * b.num_rows, pa.string())})
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_g": pa.array((ids % G + G) % G, pa.int64()),
+            "doc_id": b.column("doc_id"),
+            "_side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            "rank": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            "text": b.column("text")})
+
+    joined_in = ranks.map_batches(tag_rank, batch_format="pyarrow") \
+        .union(docs.map_batches(tag_doc, batch_format="pyarrow"))
+
+    _J_SCHEMA = pa.schema([("bucket", pa.int64()), ("doc_id", pa.int64()),
+                           ("rank", pa.int64()), ("text", pa.string())])
+
+    def join_emit(g: pa.Table) -> pa.Table:
+        # each doc_id run carries one rank row (side 0) + one text row
+        if g.num_rows == 0:
+            return _J_SCHEMA.empty_table()
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids_s = ids[order]
+        start = np.flatnonzero(np.concatenate(
+            ([True], ids_s[1:] != ids_s[:-1])))
+        rpos = order[start]                      # rank row (side 0 first)
+        tpos = order[np.minimum(start + 1, order.size - 1)]
+        ranks_ = g.column("rank").to_numpy(zero_copy_only=False)[rpos]
+        texts_ = g.column("text").take(pa.array(tpos, pa.int64()))
+        # COARSE chunks of B consecutive ranks (never per-window groups);
+        # low-fringe rows (rank % B <= w-2) also feed the previous chunk
+        B = w * 256
+        sb = ranks_ // B
+        fringe = np.flatnonzero((ranks_ % B <= w - 2) & (sb > 0))
+        out_bucket = np.concatenate([sb, sb[fringe] - 1])
+        keep = pa.array(np.concatenate(
+            [np.arange(start.size), fringe]), pa.int64())
+        return pa.table({
+            "bucket": pa.array(out_bucket, pa.int64()),
+            "doc_id": pa.array(np.concatenate(
+                [ids_s[start], ids_s[start][fringe]]), pa.int64()),
+            "rank": pa.array(np.concatenate(
+                [ranks_, ranks_[fringe]]), pa.int64()),
+            "text": texts_.take(keep)})
+
+    bucketed = joined_in.groupby("_g").map_groups(
+        join_emit, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        m = g.num_rows
+        if m < 2:
+            return out_schema.empty_table()
+        B = w * 256
+        sb = int(g.column("bucket")[0].as_py())
+        rk = g.column("rank").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = g.column("text").to_pylist()
+        flat, offs = batch_shingle_hashes(texts, shingle_k)
+        sets = [np.unique(flat[offs[i]:offs[i + 1]]) for i in range(m)]
+        order = np.argsort(rk, kind="stable")
+        aa, bb, jj = [], [], []
+        for x in range(m):                    # O(w) pairs per row
+            i = order[x]
+            if rk[i] // B != sb:
+                continue                      # fringe rows never own pairs
+            for y in range(x + 1, m):
+                j2 = order[y]
+                if rk[j2] - rk[i] >= w:
+                    break
+                inter = np.intersect1d(sets[i], sets[j2],
+                                       assume_unique=True).size
+                union = sets[i].size + sets[j2].size - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold - 1e-12:
+                    lo, hi = (ids[i], ids[j2]) if ids[i] < ids[j2] \
+                        else (ids[j2], ids[i])
+                    aa.append(lo)
+                    bb.append(hi)
+                    jj.append(round(float(np.round(jac, 6)), 6))
+        return pa.table({"a": pa.array(aa, pa.int64()),
+                         "b": pa.array(bb, pa.int64()),
+                         "jaccard": pa.array(jj, pa.float64())})
+
+    # pair ownership is unique (the LEFT rank's own chunk emits it), so
+    # no cross-chunk dedupe pass is needed
+    return bucketed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pyarrow")
+
+
 def edit_distance_pairs(docs, key_len: int = 16, key_column: str = "text"):
     """documents -> (a, b, dist) for every doc pair whose first
     ``key_len`` characters of ``key_column`` are within Levenshtein

@@ -96,6 +96,61 @@ def test_end_to_end_matches_brute_force(ray_session, sf_dir):
     assert all(a < b for a, b in got_map)
 
 
+def _brute_snm(rows, window, threshold, shingle_k=3):
+    from ics_search_engine_ray.functions.wordhash import \
+        batch_shingle_hashes
+    from ics_search_engine_ray.stages.fuzzy import _prefix_sortv
+    texts = [r["text"] or "" for r in rows]
+    ids = [r["doc_id"] for r in rows]
+    sortv = _prefix_sortv(texts)
+    order = np.lexsort((np.array(ids), sortv))
+    flat, offs = batch_shingle_hashes(texts, shingle_k)
+    sets = {ids[i]: np.unique(flat[offs[i]:offs[i + 1]])
+            for i in range(len(ids))}
+    ordered = [ids[i] for i in order]
+    want = {}
+    for x in range(len(ordered)):
+        for y in range(x + 1, min(x + window, len(ordered))):
+            i, j = ordered[x], ordered[y]
+            inter = np.intersect1d(sets[i], sets[j],
+                                   assume_unique=True).size
+            union = sets[i].size + sets[j].size - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold - 1e-12:
+                want[(min(i, j), max(i, j))] = round(
+                    float(np.round(jac, 6)), 6)
+    return want
+
+
+@pytest.mark.parametrize("window,threshold", [(4, 0.5), (8, 0.3)])
+def test_snm_matches_brute_force(ray_session, sf_dir, window, threshold):
+    import ray.data as rd
+    from ics_search_engine_ray.stages.fuzzy import snm_pairs
+    docs = rd.read_parquet(sf_dir + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in snm_pairs(docs, window=window,
+                              threshold=threshold).take_all()}
+    assert got == _brute_snm(docs.take_all(), window, threshold)
+
+
+def test_snm_chunk_boundaries(ray_session):
+    """1500 docs at window=2 span 3 rank-chunks (B = w*256 = 512):
+    fringe rows must carry cross-chunk pairs, ownership must not
+    double-emit."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.fuzzy import snm_pairs
+    rng = random.Random(3)
+    rows = [{"doc_id": i,
+             "text": f"{rng.choice('abcdefgh')} common tail words here"}
+            for i in range(1500)]
+    docs = rd.from_items(rows)
+    got_list = snm_pairs(docs, window=2, threshold=0.5).take_all()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in got_list}
+    assert len(got_list) == len(got)          # no duplicate pairs
+    assert got == _brute_snm(rows, 2, 0.5)
+
+
 def test_empty_and_tiny_keys(ray_session):
     import ray.data as rd
     docs = rd.from_items([
