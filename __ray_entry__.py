@@ -1686,6 +1686,20 @@ def _q_minhash_dedup(sf_dir: str):
     return survivors_ds
 
 
+def _q_minhash_band_pairs(sf_dir: str):
+    """Deterministic core of minhash_dedup as a relation: every distinct
+    banded-LSH candidate pair with signature-agreement estimate >= 0.5
+    (n_perm=32, 8 bands, k=3 shingles). Nothing is random at run time
+    (fixed-seed permutations, seedless wordhash/splitmix chain), so the
+    oracle replays word hashes -> shingles -> 32 permutation minima ->
+    48-bit band keys -> candidates -> agreement bit-exactly in 128-bit
+    SQL arithmetic — the hash-green twin for the no_oracle
+    minhash_dedup row."""
+    from ics_search_engine_ray.stages.dedup_text import minhash_band_pairs
+    return minhash_band_pairs(_read_docs(sf_dir), n_perm=32, n_bands=8,
+                              shingle_k=3, threshold=0.5)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from ics_search_engine_ray.stages.dedup_text import ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(_read_docs(sf_dir), n=3, threshold=0.8)
@@ -3411,6 +3425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup_weights": _q_soft_dedup_weights,  # 1/cluster weight
         "cross_source_dup_pairs": _q_cross_source_dup_pairs,  # syndication
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_band_pairs": _q_minhash_band_pairs,  # oracle twin for ^
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_containment_pairs": _q_ngram_containment,
         "embedding_dedup": _q_embedding_dedup,
@@ -3656,6 +3671,141 @@ s2 AS (SELECT k, {mul64('z', 0xBF58476D1CE4E5B9)} AS z FROM s1),
 s3 AS (SELECT k, {xorshift('z', 27)} AS z FROM s2),
 s4 AS (SELECT k, {mul64('z', 0x94D049BB133111EB)} AS z FROM s3),
 s5 AS (SELECT k, {xorshift('z', 31)} AS h FROM s4)"""
+
+
+def _minhash_band_pairs_sql(n_perm: int = 32, n_bands: int = 8,
+                            threshold: float = 0.5,
+                            max_wlen: int = 16) -> str:
+    """Bit-exact DuckDB replay of stages/dedup_text.py:minhash_band_pairs:
+    functions/wordhash.py word hashes (Rabin-Karp polynomial + length salt
+    + splitmix64) -> k=3 shingle combine (short docs: whole-doc shingle)
+    -> n_perm universal-hash minima over uint64-wraparound multiply then
+    mod 2^61-1 -> per-band polynomial combine + splitmix -> 48-bit band
+    keys -> same-key candidate pairs -> signature-agreement estimate.
+    64-bit wrapping arithmetic emulated in HUGEINT (32-bit half-products,
+    xor on BIGINT halves); permutation constants regenerated from the
+    same fixed seed via numpy. ``max_wlen`` must cover the longest word
+    in the corpus (testdata words are <= 8 chars; verified bit-exact)."""
+    import numpy as np
+    M64 = 1 << 64
+    M32 = 1 << 32
+    M61 = (1 << 61) - 1
+    P = 0x100000001B3
+    A = 0x9E3779B97F4A7C15
+    LEN_SALT = 0xD6E8FEB86659FD93
+
+    def mul64_const(a: str, c: int) -> str:
+        c_lo, c_hi = c & 0xFFFFFFFF, c >> 32
+        return (f"((({a}) % {M32}) * {c_lo} + "
+                f"((((({a}) % {M32}) * {c_hi} + (({a}) // {M32}) * {c_lo})"
+                f" % {M32}) * {M32})) % {M64}")
+
+    def mul64_var(x: str, y: str) -> str:
+        return (f"((({x}) % {M32}) * (({y}) % {M32}) + "
+                f"((((({x}) % {M32}) * (({y}) // {M32}) + "
+                f"(({x}) // {M32}) * (({y}) % {M32})) % {M32}) * {M32}))"
+                f" % {M64}")
+
+    def xorshift(z: str, s: int) -> str:
+        zs = f"(({z}) // {1 << s})"
+        return (f"(xor(((({z}) // {M32})::BIGINT),"
+                f" (({zs}) // {M32})::BIGINT)::HUGEINT * {M32} + "
+                f"xor(((({z}) % {M32})::BIGINT),"
+                f" (({zs}) % {M32})::BIGINT)::HUGEINT)")
+
+    def splitmix_ctes(tag: str, src: str, keys: str, val: str) -> str:
+        return f"""
+{tag}0 AS (SELECT {keys}, (({val}) + 11400714819323198485) % {M64} AS z
+           FROM {src}),
+{tag}1 AS (SELECT {keys}, {xorshift('z', 30)} AS z FROM {tag}0),
+{tag}2 AS (SELECT {keys}, {mul64_const('z', 0xBF58476D1CE4E5B9)} AS z
+           FROM {tag}1),
+{tag}3 AS (SELECT {keys}, {xorshift('z', 27)} AS z FROM {tag}2),
+{tag}4 AS (SELECT {keys}, {mul64_const('z', 0x94D049BB133111EB)} AS z
+           FROM {tag}3),
+{tag}5 AS (SELECT {keys}, {xorshift('z', 31)} AS h FROM {tag}4)"""
+
+    # word hashes: Sum b_j * P^(j+1) shifted to own origin == here the
+    # closed form Sum byte_j * P^j + len*LEN_SALT, then splitmix64
+    ppow = [pow(P, j, M64) for j in range(max_wlen + 1)]
+    terms = " + ".join(
+        f"(CASE WHEN length(word) >= {j} THEN "
+        f"{mul64_const(f'unicode(substr(word, {j}, 1))::HUGEINT', ppow[j - 1])}"
+        f" ELSE 0 END)"
+        for j in range(1, max_wlen + 1))
+    word_sql = f"""
+ws AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             ELSE string_split_regex(trim(text), '\\s+') END AS w
+       FROM documents),
+wpos AS (SELECT doc_id, len(w) AS nw,
+               unnest(range(1, len(w) + 1)) AS pos,
+               unnest(w) AS word FROM ws WHERE len(w) > 0),
+wpoly AS (SELECT doc_id, nw, pos,
+          (({terms}) % {M64}
+           + {mul64_const('length(word)::HUGEINT', LEN_SALT)}) % {M64} AS v
+          FROM wpos),""" + splitmix_ctes("wh", "wpoly",
+                                         "doc_id, nw, pos", "v")
+
+    # k=3 shingles; docs with 1-2 words emit one whole-doc shingle
+    A2 = pow(A, 2, M64)
+    shingle_sql = word_sql + f""",
+shraw AS (
+  SELECT w1.doc_id, w1.pos,
+         ({mul64_const('w1.h', A2)} + {mul64_const('w2.h', A)} + w3.h
+          + {3 * LEN_SALT % M64}) % {M64} AS v
+  FROM wh5 w1 JOIN wh5 w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+       JOIN wh5 w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
+  WHERE w1.nw >= 3
+  UNION ALL
+  SELECT doc_id, 1 AS pos,
+         (CASE WHEN nw = 1 THEN h
+               ELSE ({mul64_const(
+                   '(SELECT h FROM wh5 i WHERE i.doc_id = o.doc_id '
+                   'AND i.pos = 1)', A)} + h) % {M64} END
+          + {mul64_const('nw::HUGEINT', LEN_SALT)}) % {M64} AS v
+  FROM wh5 o WHERE nw < 3 AND pos = nw),""" + splitmix_ctes(
+        "sh", "shraw", "doc_id, pos", "v")
+
+    # permutation constants: same numpy fixed-seed draw as MinHashBatch
+    rng = np.random.default_rng(7)
+    pa_ = rng.integers(1, M61, size=n_perm, dtype=np.uint64)
+    pb_ = rng.integers(0, M61, size=n_perm, dtype=np.uint64)
+    r = n_perm // n_bands
+    mult = [pow(A, r - 1 - (p % r), M64) for p in range(n_perm)]
+    rows = ", ".join(
+        f"({p}, {p // r}, {int(pa_[p])}, {int(pb_[p])}, {mult[p]})"
+        for p in range(n_perm))
+
+    return f"""
+WITH {shingle_sql},
+perms(p, band, pa, pb, mult) AS (VALUES {rows}),
+sigs AS (
+  SELECT s.doc_id, pm.p, pm.band, pm.mult,
+         min(({mul64_var('s.h', 'pm.pa')} + pm.pb) % {M64} % {M61}) AS sig
+  FROM sh5 s CROSS JOIN perms pm
+  GROUP BY s.doc_id, pm.p, pm.band, pm.mult),
+bandraw AS (
+  SELECT doc_id, band, SUM({mul64_var('sig', 'mult')}) % {M64} AS v
+  FROM sigs GROUP BY doc_id, band),
+{splitmix_ctes('bk', 'bandraw', 'doc_id, band', 'v')},
+bandkey AS (SELECT doc_id,
+            band * 281474976710656 + h % 281474976710656 AS key
+            FROM bk5),
+cand AS (
+  SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS a,
+                  GREATEST(x.doc_id, y.doc_id) AS b
+  FROM bandkey x JOIN bandkey y ON x.key = y.key AND x.doc_id < y.doc_id),
+agree AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) * 1.0
+           / {n_perm} AS est
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.a
+       JOIN sigs sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(est AS DOUBLE) AS est
+FROM agree WHERE est >= {threshold}"""
 
 
 def _sql_tokens_cte() -> str:
@@ -5000,6 +5150,11 @@ SELECT user_id, min(ts) AS session_start,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
 FROM s GROUP BY user_id, sid""",
+        # full bit-exact replay of the minhash LSH chain (word hashes ->
+        # shingles -> 32 permutation minima -> band keys -> candidate
+        # pairs -> agreement estimate) in 128-bit SQL arithmetic — the
+        # hash-green oracle twin for the approximate minhash_dedup row
+        "minhash_band_pairs": _minhash_band_pairs_sql(),
         "ngram_jaccard_pairs": """
 WITH w AS (
   SELECT doc_id,

@@ -240,6 +240,40 @@ def run_single(sf_dir: str, num_cpus: int, replication: int,
                                  "event_type"])).count()
     tops["attribution"] = round(time.time() - t, 2)
 
+    # round-5 operators: Bloom recrawl pre-filter (build + probe over a
+    # doubled corpus), deletion-neighborhood fuzzy pairs, the recrawl
+    # lifecycle report, and sorted-neighborhood pairs
+    from ics_search_engine_ray.stages.bloom import bloom_dedup_against
+    from ics_search_engine_ray.stages.dedup_text import recrawl_diff
+    from ics_search_engine_ray.stages.fuzzy import (edit_distance_pairs,
+                                                    snm_pairs)
+    t = time.time()
+    bloom_dedup_against(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+        m_bits=1 << 24).count()
+    tops["bloom_dedup_against"] = round(time.time() - t, 2)
+    t = time.time()
+    edit_distance_pairs(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+        key_len=16).count()
+    tops["edit_distance_pairs"] = round(time.time() - t, 2)
+    t = time.time()
+    recrawl_diff(
+        rd.read_parquet(docs_path, columns=["doc_id", "text", "source"]),
+        rd.read_parquet(docs_path, columns=["doc_id", "text", "source"])
+    ).count()
+    tops["recrawl_diff"] = round(time.time() - t, 2)
+    t = time.time()
+    snm_pairs(rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+              window=8, threshold=0.5).count()
+    tops["snm_pairs"] = round(time.time() - t, 2)
+    t = time.time()
+    from ics_search_engine_ray.stages.dedup_text import minhash_band_pairs
+    minhash_band_pairs(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
+    tops["minhash_band_pairs"] = round(time.time() - t, 2)
+
     # concurrent query throughput through the partition-sharded actor pool
     from concurrent.futures import ThreadPoolExecutor
     from ics_search_engine_ray.query.actors import ShardedSearchIndex

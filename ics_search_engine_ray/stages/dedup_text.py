@@ -152,6 +152,100 @@ class MinHashBands:
         })
 
 
+def minhash_band_pairs(docs, n_perm: int = 32, n_bands: int = 8,
+                       shingle_k: int = 3, threshold: float = 0.5,
+                       num_verify_groups: int = 64):
+    """documents(doc_id, text) -> (a, b, est): every DISTINCT banded-LSH
+    candidate pair whose signature-agreement Jaccard estimate reaches
+    ``threshold`` — the fully deterministic core of :func:`minhash_dedup`
+    exposed as a relation. Nothing here is random at run time (the
+    permutation constants come from a fixed seed, the hashes are the
+    seedless wordhash/splitmix chain), so a DuckDB oracle can replay the
+    ENTIRE pipeline — word hashes, shingle combine, n_perm permutation
+    minima, 48-bit band keys, candidate pairs, agreement estimate —
+    bit-exactly in 128-bit SQL arithmetic (__ray_entry__
+    _minhash_band_pairs_sql).
+
+    Plan: signatures once per doc (actor pool) -> banded rows CARRYING
+    the signature bytes (n_perm x 8 B; at the default 32 perms that is
+    256 B/doc/band — this op trades minhash_dedup's signature-free
+    shuffle for in-group verification with zero driver state) ->
+    groupby(band-hash group) emits verified pairs -> final groupby((a,
+    b)) collapses multi-band rediscovery (estimates are identical, Min
+    is arbitrary-but-deterministic)."""
+    bander = MinHashBands(n_perm, n_bands)
+    sigs = docs.map_batches(MinHashBatch,
+                            fn_constructor_args=(n_perm, shingle_k),
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+    sentinel = b"\xff" * (8 * n_perm)
+
+    def drop_unshingled(b: pa.Table) -> pa.Table:
+        # docs with zero shingles keep the all-0xFF sentinel signature and
+        # would spuriously pair with each other; real minima are % M61 <
+        # 2^61, so the sentinel can never occur for a shingled doc and the
+        # filter is exact (and matches the oracle, where empty docs simply
+        # produce no shingle rows)
+        return b.filter(pc.not_equal(
+            b.column("minhash"), pa.scalar(sentinel, pa.binary())))
+
+    banded = sigs.map_batches(drop_unshingled, batch_format="pyarrow") \
+        .map_batches(bander, batch_format="pyarrow")
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = b.column("band").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_g", pa.array((keys % num_verify_groups + num_verify_groups)
+                           % num_verify_groups, pa.int64()))
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("est", pa.float64())])
+
+    def verify(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return out_schema.empty_table()
+        g = g.sort_by([("band", "ascending"), ("doc_id", "ascending")])
+        bands = g.column("band").to_numpy(zero_copy_only=False)
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = np.frombuffer(b"".join(g.column("minhash").to_pylist()),
+                            np.uint64).reshape(n, n_perm)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], bands[1:] != bands[:-1])))
+        lens = np.diff(np.append(starts, n))
+        aa, bb, ee = [], [], []
+        for run_len in np.unique(lens[lens >= 2]):
+            st = starts[lens == run_len]
+            ti, tj = np.triu_indices(int(run_len), k=1)
+            ii = (st[:, None] + ti[None, :]).ravel()
+            jj = (st[:, None] + tj[None, :]).ravel()
+            da, db = dids[ii], dids[jj]
+            ne = da != db
+            ii, jj = ii[ne], jj[ne]
+            est = (sig[ii] == sig[jj]).mean(axis=1)
+            keep = est >= threshold - 1e-12
+            aa.append(np.minimum(da[ne], db[ne])[keep])
+            bb.append(np.maximum(da[ne], db[ne])[keep])
+            ee.append(np.round(est[keep], 6))
+        if not aa:
+            return out_schema.empty_table()
+        return pa.table({"a": pa.array(np.concatenate(aa), pa.int64()),
+                         "b": pa.array(np.concatenate(bb), pa.int64()),
+                         "est": pa.array(np.concatenate(ee),
+                                         pa.float64())})
+
+    pairs = banded.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_g").map_groups(
+            lambda g: verify(g.drop(["_g"])), batch_format="pyarrow")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column("a"), "b": b.column("b"),
+                         "est": b.column("min(est)")})
+
+    return pairs.groupby(["a", "b"]).min("est") \
+        .map_batches(fin, batch_format="pyarrow")
+
+
 def _minhash_jaccard_est(a: bytes, b: bytes) -> float:
     x = np.frombuffer(a, dtype=np.int64)
     y = np.frombuffer(b, dtype=np.int64)

@@ -59,6 +59,27 @@ def test_minhash_dedup_catches_near_identical(ray_session):
     assert 2 in dropped and 3 in dropped
 
 
+def test_minhash_band_pairs_relation(ray_session):
+    """Deterministic LSH-pair relation: exact dup pairs appear with
+    est=1.0, distinct docs don't pair, docs with no words are excluded
+    (the sentinel filter) instead of spuriously pairing with each other,
+    and each pair appears once despite multi-band rediscovery."""
+    import ray.data as rd
+    from ics_search_engine_ray.stages.dedup_text import minhash_band_pairs
+    base = " ".join(f"w{i}" for i in range(100))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                               # exact
+        {"doc_id": 4, "text": " ".join(f"z{i}" for i in range(100))},
+        {"doc_id": 5, "text": ""},                                 # no words
+        {"doc_id": 6, "text": "   "},                              # no words
+    ]
+    out = minhash_band_pairs(rd.from_items(rows), threshold=0.5).take_all()
+    pairs = {(r["a"], r["b"]): r["est"] for r in out}
+    assert len(out) == len(pairs)          # one row per pair
+    assert pairs == {(1, 2): 1.0}          # exact dup; 5/6 filtered
+
+
 def test_ngram_jaccard_pairs_exact(ray_session):
     import ray.data as rd
     from ics_search_engine_ray.stages.dedup_text import ngram_jaccard_pairs, _shingles
