@@ -989,6 +989,16 @@ def _q_quality(sf_dir: str):
     return quality_dataset(_read_docs(sf_dir))
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the character distribution + distinct
+    chars (stages/text_analysis.py char_entropy_batch) — the standard
+    binary-garbage / encoding-noise quality gate. One bincount per batch
+    keyed doc*256+byte; no shuffle."""
+    from ics_search_engine_ray.stages.text_analysis import (
+        char_entropy_dataset)
+    return char_entropy_dataset(_read_docs(sf_dir))
+
+
 def _q_fingerprint(sf_dir: str):
     from ics_search_engine_ray.stages.text_analysis import fingerprint_dataset
     ds = fingerprint_dataset(_read_docs(sf_dir))
@@ -3437,6 +3447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": _q_sliding_window,
         "sessionize": _q_sessionize,
         "quality_stats": _q_quality,
+        "char_entropy": _q_char_entropy,          # garbage-text gate
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "media_features": _q_media_features,
@@ -4778,6 +4789,27 @@ SELECT doc_id,
        ELSE round(length(regexp_replace(text, '[^0-9]', '', 'g'))
                   * 1.0 / length(text), 6) END AS DOUBLE) AS digit_ratio
 FROM w""",
+        # per-char unnest via range+substr (code points == UTF-8 bytes on
+        # this ASCII corpus, matching the byte-bincount kernel); round(6)
+        # + 0.0 absorbs summation-order drift and normalizes -0.0
+        "char_entropy": """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(0, length(text))) AS j
+  FROM documents WHERE length(text) > 0),
+cnt AS (
+  SELECT doc_id, substr(text, CAST(j + 1 AS INT), 1) AS c,
+         count(*)::DOUBLE AS n
+  FROM pos GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id),
+ent AS (
+  SELECT c.doc_id,
+         round(-sum((c.n / t.t) * log2(c.n / t.t)), 6) + 0.0 AS entropy,
+         count(*) AS k
+  FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(e.entropy, 0.0) AS DOUBLE) AS entropy,
+       CAST(coalesce(e.k, 0) AS BIGINT) AS distinct_chars
+FROM documents d LEFT JOIN ent e USING (doc_id)""",
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "asof_join": """
 SELECT l.user_id AS user_id, l.ts AS l_ts, l.event_id AS l_event_id,

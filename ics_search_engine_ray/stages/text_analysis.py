@@ -85,6 +85,42 @@ def quality_dataset(docs):
     return docs.map_batches(quality_batch, batch_format="pyarrow")
 
 
+def char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Shannon entropy (bits) of the UTF-8 byte distribution plus
+    the distinct-byte count — the classic binary-garbage / encoding-noise
+    quality signal (low entropy = repetitive filler, ~8 bits = compressed
+    or binary junk). One bincount over the whole batch: bytes key into
+    doc_index*256 + byte, so no per-doc Python loop. For ASCII corpora
+    (this testdata) bytes == code points, which is what the SQL oracle's
+    substr/char semantics count; round(6) absorbs summation-order drift."""
+    texts = [x or "" for x in batch.column("text").to_pylist()]
+    n = len(texts)
+    enc = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in enc], np.int64)
+    if n == 0 or int(lens.sum()) == 0:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "entropy": pa.array([0.0] * n, pa.float64()),
+            "distinct_chars": pa.array([0] * n, pa.int64())})
+    buf = np.frombuffer(b"".join(enc), np.uint8).astype(np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cnt = np.bincount(doc_of * 256 + buf,
+                      minlength=n * 256).reshape(n, 256)
+    p = cnt / np.maximum(lens, 1)[:, None]
+    logp = np.log2(p, out=np.zeros_like(p), where=p > 0)
+    # + 0.0 normalizes the all-one-char docs' -0.0 to +0.0 (the value
+    # hash distinguishes the two bit patterns; SQL does the same)
+    ent = np.round(-(p * logp).sum(axis=1), 6) + 0.0
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "entropy": pa.array(ent, pa.float64()),
+        "distinct_chars": pa.array((cnt > 0).sum(axis=1), pa.int64())})
+
+
+def char_entropy_dataset(docs):
+    return docs.map_batches(char_entropy_batch, batch_format="pyarrow")
+
+
 # ---------------- fingerprinting ----------------
 
 

@@ -59,6 +59,34 @@ def test_minhash_dedup_catches_near_identical(ray_session):
     assert 2 in dropped and 3 in dropped
 
 
+def test_char_entropy_known_values(ray_session):
+    """Pinned entropies: uniform 2-char doc = 1 bit, one-char doc = +0.0
+    (not -0.0 — the value hash distinguishes bit patterns), empty = 0/0,
+    4-char uniform = 2 bits."""
+    import math
+    import struct
+
+    import ray.data as rd
+    from ics_search_engine_ray.stages.text_analysis import (
+        char_entropy_dataset)
+    rows = [
+        {"doc_id": 1, "text": "abab"},      # p=.5/.5 -> 1 bit
+        {"doc_id": 2, "text": "aaaa"},      # 0 bits, must be +0.0
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "abcd"},      # 2 bits
+        {"doc_id": 5, "text": "aab"},       # 2/3,1/3
+    ]
+    out = {r["doc_id"]: r for r in
+           char_entropy_dataset(rd.from_items(rows)).take_all()}
+    assert out[1]["entropy"] == 1.0 and out[1]["distinct_chars"] == 2
+    assert out[2]["entropy"] == 0.0 and out[2]["distinct_chars"] == 1
+    assert struct.pack("<d", out[2]["entropy"]) == struct.pack("<d", 0.0)
+    assert out[3]["entropy"] == 0.0 and out[3]["distinct_chars"] == 0
+    assert out[4]["entropy"] == 2.0 and out[4]["distinct_chars"] == 4
+    expect = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert abs(out[5]["entropy"] - round(expect, 6)) < 1e-12
+
+
 def test_minhash_band_pairs_relation(ray_session):
     """Deterministic LSH-pair relation: exact dup pairs appear with
     est=1.0, distinct docs don't pair, docs with no words are excluded
