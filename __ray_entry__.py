@@ -989,6 +989,24 @@ def _q_quality(sf_dir: str):
     return quality_dataset(_read_docs(sf_dir))
 
 
+def _q_domain_cap(sf_dir: str):
+    """Per-domain crawl-budget cap (the CommonCrawl-curation staple: keep
+    at most k docs per domain, best-first) — top-10 docs per source by
+    n_chars via the generic pre-aggregated top_k_per_group combiner
+    (stages/events.py:881): every batch forwards only its local top-k
+    per key, so the full corpus never shuffles."""
+    from ics_search_engine_ray.stages.events import top_k_per_group
+    docs = _read_docs(sf_dir, columns=("doc_id", "source", "n_chars"))
+    out = top_k_per_group(docs, key="source", order_col="n_chars", k=10,
+                          tiebreak="doc_id")
+    return out.map_batches(
+        lambda b: pa.table({"source": b.column("source"),
+                            "doc_id": b.column("doc_id"),
+                            "n_chars": b.column("n_chars"),
+                            "rank": b.column("rank")}),
+        batch_format="pyarrow")
+
+
 def _q_char_entropy(sf_dir: str):
     """Per-doc Shannon entropy of the character distribution + distinct
     chars (stages/text_analysis.py char_entropy_batch) — the standard
@@ -3448,6 +3466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "quality_stats": _q_quality,
         "char_entropy": _q_char_entropy,          # garbage-text gate
+        "domain_cap": _q_domain_cap,              # per-domain crawl budget
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "media_features": _q_media_features,
@@ -4789,6 +4808,13 @@ SELECT doc_id,
        ELSE round(length(regexp_replace(text, '[^0-9]', '', 'g'))
                   * 1.0 / length(text), 6) END AS DOUBLE) AS digit_ratio
 FROM w""",
+        "domain_cap": """
+SELECT source, doc_id, n_chars, rank FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+  FROM documents)
+WHERE rank <= 10 ORDER BY source, rank""",
         # per-char unnest via range+substr (code points == UTF-8 bytes on
         # this ASCII corpus, matching the byte-bincount kernel); round(6)
         # + 0.0 absorbs summation-order drift and normalizes -0.0
